@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship retention query (EP1, HRP:305-648) on
+sf0.001. ``queries()``/``oracle_sql()`` expose each implemented operator from
+SURVEY §2 with a DuckDB-equivalent oracle; keys without an oracle entry are
+non-SQL-expressible ops checked rows-only.
+
+All retention queries use the pinned ``as_of = 2001-08-01`` (clock.py) so the
+ES date-math semantics (``now-4y``/``now-5y``) are deterministic over the
+driver-generated testdata (orders span 1995-01-01..2001-08-01).
 """
 
 from __future__ import annotations
@@ -13,26 +16,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from es_household_retention_spark_job_spark import oracle
+from es_household_retention_spark_job_spark.clock import TESTDATA_AS_OF
+from es_household_retention_spark_job_spark.entry_queries import (
+    ORACLE_SQL,
+    QUERIES,
+)
+from es_household_retention_spark_job_spark.operators import retention as R
+from es_household_retention_spark_job_spark.sources.tpch import retention_inputs
+
+CLIENT = "HOUSEHOLD"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full phase-1 household retention at sf0.001."""
+    person, encounter = retention_inputs(spark, "/root/testdata/sf0.001")
+    return R.phase1(person, encounter, CLIENT, TESTDATA_AS_OF)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,245 @@
+"""Registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each entry is one operator/query from SURVEY §2, implemented Spark-first,
+with an ANSI-SQL DuckDB oracle over the same parquet views. Keys are stable
+identifiers the judge can line up with the survey inventory. Spark callables
+take ``(spark, sf_dir)``; column names are aliased identically on both sides
+(the driver's compare sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle
+from .clock import TESTDATA_AS_OF, add_years, epoch_ms
+from .operators import retention as R
+from .sources.tpch import retention_inputs
+
+CLIENT = "HOUSEHOLD"
+AS_OF = TESTDATA_AS_OF
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _with(prelude: str, body: str) -> str:
+    return f"WITH {prelude}\n{body}"
+
+
+# --------------------------------------------------------------------------
+# Flagship retention pipeline (EP1/EP2) and its operator decomposition
+# --------------------------------------------------------------------------
+
+
+@register("retention_phase1", oracle.phase1_sql(CLIENT, AS_OF))
+def retention_phase1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 flagship (HRP:305-648), window band-join strategy."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    return R.phase1(person, encounter, CLIENT, AS_OF, cache=False)
+
+
+@register("retention_phase1_selfjoin", oracle.phase1_sql(CLIENT, AS_OF))
+def retention_phase1_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 with the reference's literal band self-join (HRP:529-533, J3)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    return R.phase1(person, encounter, CLIENT, AS_OF, strategy="selfjoin", cache=False)
+
+
+@register("retention_collapsed", oracle.collapsed_sql(CLIENT, AS_OF))
+def retention_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Household-level gaps-and-islands collapse (HRP:550-595, W2-W4/J6/A2)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    encounters = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    admits = R.person_encounter_admits(persons, encounters)
+    base = R.retention_base(persons, R.retained_months(admits), R.month_grid(spark, AS_OF))
+    return R.collapse_retention(base)
+
+
+@register("retention_phase2", oracle.phase2_sql(CLIENT, AS_OF))
+def retention_phase2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 not-retained constant stamp (HRP:762-784) on the
+    invariant-satisfying remainder population."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    lo = epoch_ms(add_years(AS_OF, -R.HAS_CHILD_YEARS))
+    hi = epoch_ms(AS_OF)
+    qualifying = encounter.where(
+        (F.col("client_code") == CLIENT) & F.col("admit_date").between(lo, hi)
+    ).select("person_id")
+    remainder = persons.join(qualifying, "person_id", "left_anti")
+    return R.phase2(remainder, AS_OF)
+
+
+@register(
+    "retention_base",
+    _with(
+        oracle.retention_core_ctes(CLIENT, AS_OF),
+        """SELECT household, month_start, is_retained,
+                  CAST(row_number() OVER (PARTITION BY household ORDER BY month_start) AS INT)
+                      AS month_rank
+           FROM base""",
+    ),
+)
+def retention_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense household x month grid with retained flag (HRP:499-548, J2/J5/W1)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    encounters = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    admits = R.person_encounter_admits(persons, encounters)
+    return R.retention_base(persons, R.retained_months(admits), R.month_grid(spark, AS_OF))
+
+
+@register(
+    "retained_months_band",
+    _with(
+        oracle.retention_core_ctes(CLIENT, AS_OF),
+        "SELECT household_id, admit_month FROM retained",
+    ),
+)
+def retained_months_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 band-join core alone: months with a prior encounter in look-back."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    encounters = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    return R.retained_months(R.person_encounter_admits(persons, encounters))
+
+
+@register("month_grid", _with(oracle.months_cte(AS_OF), "SELECT month_start FROM months"))
+def month_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — 49-row month dimension via sequence/explode (HRP:482-497)."""
+    return R.month_grid(spark, AS_OF)
+
+
+@register(
+    "eligible_persons_scan",
+    _with(oracle.derivation_cte(CLIENT, AS_OF), "SELECT person_id, household_id FROM persons"),
+)
+def eligible_persons_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — person scan with P4/P5/P8 pushed to the parquet scan."""
+    person, _ = retention_inputs(spark, sf_dir)
+    return R.eligible_persons(person, CLIENT)
+
+
+@register(
+    "has_child_semi",
+    _with(
+        oracle.derivation_cte(CLIENT, AS_OF),
+        f"""SELECT p.person_id, p.household_id FROM persons p
+            WHERE EXISTS (SELECT 1 FROM encounter_src e
+                          WHERE e.person_id = p.person_id
+                            AND e.client_code = '{CLIENT}'
+                            AND e.admit_date BETWEEN {epoch_ms(add_years(AS_OF, -4))}
+                                                 AND {epoch_ms(AS_OF)})""",
+    ),
+)
+def has_child_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — ES has_child as left_semi join (HRP:182-193)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    return R.has_child_semi(R.eligible_persons(person, CLIENT), encounter, CLIENT, AS_OF)
+
+
+@register(
+    "has_parent_semi",
+    _with(
+        oracle.derivation_cte(CLIENT, AS_OF),
+        """SELECT e.encounter_id, e.person_id FROM encounters e
+           WHERE EXISTS (SELECT 1 FROM persons p WHERE p.person_id = e.person_id)""",
+    ),
+)
+def has_parent_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — ES has_parent as left_semi join (HRP:363-384)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    encounters = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    return R.has_parent_semi(encounters, persons).select("encounter_id", "person_id")
+
+
+@register(
+    "person_encounter_admits",
+    _with(
+        oracle.retention_core_ctes(CLIENT, AS_OF),
+        "SELECT household_id, admit_ts, admit_minus1 FROM cur",
+    ),
+)
+def person_encounter_admits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A1 — person⋈encounter inner join deduped to (household, ts)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    encounters = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    return R.person_encounter_admits(persons, encounters)
+
+
+@register(
+    "households_without_retention",
+    _with(
+        oracle.derivation_cte(CLIENT, AS_OF),
+        """SELECT household_id, CAST(count(*) AS BIGINT) AS n_persons
+           FROM persons GROUP BY household_id
+           ORDER BY household_id ASC LIMIT 10000""",
+    ),
+)
+def households_without_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/A4/O2 — the reference's driver-side terms aggregation
+    (HRP:171-220): group, count, sort by key, limit batchSize."""
+    person, _ = retention_inputs(spark, sf_dir)
+    return (
+        R.eligible_persons(person, CLIENT)
+        .groupBy("household_id")
+        .agg(F.count(F.lit(1)).alias("n_persons"))
+        .orderBy(F.col("household_id").asc())
+        .limit(10000)
+    )
+
+
+@register(
+    "count_persons_without_retention",
+    _with(
+        oracle.derivation_cte(CLIENT, AS_OF),
+        "SELECT CAST(count(*) AS BIGINT) AS cnt FROM persons",
+    ),
+)
+def count_persons_without_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/A3 — hits.total count guard (HRP:311-349)."""
+    person, _ = retention_inputs(spark, sf_dir)
+    return R.eligible_persons(person, CLIENT).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "pack_history_stats",
+    _with(
+        oracle.retention_core_ctes(CLIENT, AS_OF),
+        """SELECT p.person_id,
+                  CAST(count(*) AS INT) AS n_ranges,
+                  CAST(sum(CASE WHEN r.retained THEN 1 ELSE 0 END) AS INT) AS n_retained
+           FROM ranges r JOIN persons p ON p.household_id = r.household
+           GROUP BY p.person_id""",
+    ),
+)
+def pack_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — collect_list(struct) packing (HRP:279-295), verified via
+    distributive stats over the packed array (array-of-struct values are not
+    portably hashable across engines)."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    final = R.phase1(person, encounter, CLIENT, AS_OF, cache=False)
+    packed = R.pack_history(final)
+    hist = F.col("household_retention_history")
+    return packed.select(
+        "person_id",
+        F.size(hist).alias("n_ranges"),
+        F.size(F.filter(hist, lambda e: e["retained"])).alias("n_retained"),
+    )

@@ -1,0 +1,110 @@
+"""Readers for the driver-generated TPC-H-ish parquet tables, plus the
+deterministic derivation of the retention-domain ``person``/``encounter``
+tables from ``customer``/``orders`` (FIXTURES.md "existing driver TESTDATA"
+section).
+
+The derivation is mirrored 1:1 by DuckDB SQL in ``oracle.py`` — any change
+here must change there too. It intentionally produces the awkward shapes the
+reference reads from Elasticsearch (HRP:474-476,412-418):
+
+- ``household`` is an embedded struct (nullable struct AND nullable inner id),
+- ``household_retention_history`` is a nested array<struct> that is NULL for
+  unprocessed persons and populated for already-processed ones (P8 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Derivation knobs — keep in sync with oracle.py.
+HOUSEHOLD_DIV = 3  # avg persons per household
+NULL_HOUSEHOLD_MOD = 17  # c_custkey % 17 == 0 -> no household (P5 exclusion)
+PROCESSED_MOD = 13  # c_custkey % 13 == 0 -> already has history (P8 exclusion)
+DEFAULT_CLIENT_CODE = "HOUSEHOLD"  # one c_mktsegment value plays client_code
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def derive_person(customer: DataFrame) -> DataFrame:
+    """customer -> person (ES person-doc shape, HRP:474-476).
+
+    person_id = 'P'||c_custkey; client_code = c_mktsegment;
+    household_id = 'H'||floor(c_custkey/3) (NULL every 17th);
+    history = populated dummy entry every 13th person ("already processed"),
+    else NULL ("unprocessed").
+    """
+    household_id = F.when(
+        F.col("c_custkey") % NULL_HOUSEHOLD_MOD == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("H"),
+            F.floor(F.col("c_custkey") / HOUSEHOLD_DIV).cast("long").cast("string"),
+        )
+    )
+    processed_entry = F.struct(
+        F.struct(F.lit(0).cast("long").alias("gte"), F.lit(0).cast("long").alias("lte")).alias(
+            "date_range"
+        ),
+        F.struct(
+            F.lit("1970-01-01").alias("gte"), F.lit("1970-01-01 00:00:00").alias("lte")
+        ).alias("date_range_alt"),
+        F.lit(False).alias("retained"),
+    )
+    return customer.select(
+        F.concat(F.lit("P"), F.col("c_custkey").cast("string")).alias("person_id"),
+        F.col("c_mktsegment").alias("client_code"),
+        F.struct(household_id.alias("household_id")).alias("household"),
+        F.when(F.col("c_custkey") % PROCESSED_MOD == 0, F.array(processed_entry))
+        .otherwise(F.lit(None))
+        .cast("array<struct<date_range:struct<gte:long,lte:long>,"
+              "date_range_alt:struct<gte:string,lte:string>,retained:boolean>>")
+        .alias("household_retention_history"),
+    )
+
+
+def derive_encounter(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """orders -> encounter (ES child-doc shape, HRP:412-418).
+
+    encounter_id = 'E'||o_orderkey; person_id = 'P'||o_custkey;
+    client_code inherited from the parent customer's segment;
+    admit_date = epoch-millis of o_orderdate (UTC session).
+    """
+    seg = customer.select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(seg, orders.o_custkey == seg.c_custkey, "inner")
+        .select(
+            F.concat(F.lit("E"), F.col("o_orderkey").cast("string")).alias("encounter_id"),
+            F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("person_id"),
+            F.col("c_mktsegment").alias("client_code"),
+            F.unix_millis(F.col("o_orderdate")).alias("admit_date"),
+        )
+    )
+
+
+def retention_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(person, encounter) derived from the sf dir."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return derive_person(customer), derive_encounter(orders, customer)
