@@ -67,7 +67,7 @@ def retention_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     encounters = R.eligible_encounters(encounter, CLIENT, AS_OF)
     admits = R.person_encounter_admits(persons, encounters)
     base = R.retention_base(persons, R.retained_months(admits), R.month_grid(spark, AS_OF))
-    return R.collapse_retention(base)
+    return R.collapse_retention(base, AS_OF)
 
 
 @register("retention_phase2", oracle.phase2_sql(CLIENT, AS_OF))

@@ -212,19 +212,39 @@ def retention_base(
     return base.withColumn("month_rank", F.row_number().over(w))
 
 
-def collapse_retention(base: DataFrame) -> DataFrame:
+def collapse_retention(base: DataFrame, as_of: datetime) -> DataFrame:
     """W2-W4 + J6 + A2 + F1-F7 — gaps-and-islands collapse (HRP:550-595) via
     the island-id formulation (one window + one agg; see operators.islands).
 
     Output epoch/date formats replicate the reference exactly:
     end_date = last second of the island's final month
-    (``unix_timestamp(add_months(m,1)) - 1``, HRP:571-573)."""
+    (``unix_timestamp(add_months(m,1)) - 1``, HRP:571-573).
+
+    **Replicated reference quirk** (HRP:580,586): when the retention state
+    changes AT the max grid month, the ``min(case when n.startOfMonth = max
+    then n.startOfMonth else previous end)`` end-of-range logic extends the
+    *preceding* island's end through the max month — the two final ranges
+    overlap. The island-id collapse wouldn't do this naturally, so the
+    adjustment below applies it: a MULTI-month island whose successor starts
+    at the max month gets its end stretched to the max month. Single-month
+    islands are exempt — they never enter the reference's chain-starts set
+    (their ``lead(same_state)`` is 0, HRP:577) and fall back to
+    ``coalesce(end_of_range, startOfMonth)`` (HRP:571). Proved equivalent to
+    the reference's literal SQL in tests/test_fixtures_edgecases.py and
+    tests/test_islands_equivalence.py."""
+    max_month = month_floor(as_of).strftime("%Y-%m-%d")
     islands = collapse_consecutive(
         base.select("household", "month_start", "is_retained"),
         keys=["household"],
         order_col="month_start",
         state_col="is_retained",
     )
+    eff_end = F.when(
+        (F.col("island_start") < F.col("island_end"))
+        & (F.add_months(F.col("island_end"), 1) == F.lit(max_month).cast("date")),
+        F.lit(max_month).cast("date"),
+    ).otherwise(F.col("island_end"))
+    islands = islands.withColumn("island_end", eff_end)
     next_month_ts = F.add_months(F.col("island_end"), 1).cast("timestamp")
     return islands.select(
         "household",
@@ -271,7 +291,7 @@ def phase1(
     admits = person_encounter_admits(persons, encounters)
     retained = retained_months(admits, strategy=strategy)
     base = retention_base(persons, retained, month_grid(spark, as_of))
-    collapsed = collapse_retention(base)
+    collapsed = collapse_retention(base, as_of)
     return fan_out_to_persons(collapsed, persons)
 
 

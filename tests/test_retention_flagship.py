@@ -45,7 +45,7 @@ def test_collapsed_matches_oracle(spark, duck, inputs):
     admits = R.person_encounter_admits(persons, encounters)
     retained = R.retained_months(admits)
     base = R.retention_base(persons, retained, R.month_grid(spark, TESTDATA_AS_OF))
-    collapsed = R.collapse_retention(base)
+    collapsed = R.collapse_retention(base, TESTDATA_AS_OF)
     assert_matches_oracle(
         collapsed, duck, oracle.collapsed_sql(CLIENT, TESTDATA_AS_OF), min_rows=5
     )
