@@ -243,3 +243,9 @@ def pack_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(hist).alias("n_ranges"),
         F.size(F.filter(hist, lambda e: e["retained"])).alias("n_retained"),
     )
+
+
+# Generic relational inventory + beyond-reference modules register themselves
+# into QUERIES/ORACLE_SQL on import (kept at the bottom: they import
+# ``register`` from this module).
+from . import entry_queries_generic  # noqa: E402,F401

@@ -1,0 +1,338 @@
+"""Generic relational operator inventory (SURVEY §2) exercised over the
+TPC-H-ish tables and ``events`` — scans, joins, aggregations, windows,
+sorts/limits, set ops, scalar/date functions, JSON ingestion, plus the
+beyond-reference as-of join and sessionization.
+
+Design note on floats: the driver hash-compares values exactly, so money/
+quantity aggregates are computed as integer cents (``ROUND(x*100)`` as
+BIGINT) in BOTH engines — double multiplication is IEEE-deterministic, and
+integer sums are order-independent, so results are bit-identical regardless
+of aggregation order. Never sum raw doubles in an oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .entry_queries import register
+from .operators.asof import asof_join
+from .operators.sessionize import session_stats
+from .sources.tpch import load_table
+
+
+def cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A4) + conditional agg + distinct agg
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_x100,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_disc_price_x100,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+              CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max_qty_x100,
+              CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style hash aggregate: partial+final agg, conditional agg
+    (F10), distinct agg, exact integer-cents arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_x100"),
+            F.sum(cents("l_extendedprice")).alias("sum_price_x100"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("sum_disc_price_x100"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.max(cents("l_quantity")).alias("max_qty_x100"),
+            F.sum(F.when(F.col("l_tax") > 0.04, 1).otherwise(0)).alias("n_high_tax"),
+        )
+    )
+
+
+@register(
+    "multiway_join_revenue",
+    """SELECT r_name,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM region
+       JOIN nation   ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       JOIN orders   ON o_custkey = c_custkey
+       GROUP BY r_name""",
+)
+def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-chain: 4-table star join; the two dimension tables are broadcast
+    (explicit hint — at 100 TB the fact side never shuffles for them)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(cents("o_totalprice")).alias("revenue_x100"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits (O2-O3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_x100
+       FROM orders
+       ORDER BY total_x100 DESC, o_orderkey ASC
+       LIMIT 10""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs TakeOrderedAndProject (no full sort at
+    scale). Deterministic tie-break on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", cents("o_totalprice").alias("total_x100"))
+        .orderBy(F.col("total_x100").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join / set ops (§2.7 — free in Spark, exercised for completeness)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "set_ops_nationkeys",
+    """SELECT nationkey, tag FROM (
+         SELECT c_nationkey AS nationkey, 'both' AS tag FROM customer
+         INTERSECT SELECT s_nationkey, 'both' FROM supplier
+       ) UNION ALL
+       SELECT nationkey, tag FROM (
+         SELECT c_nationkey AS nationkey, 'customer_only' AS tag FROM customer
+         EXCEPT SELECT s_nationkey, 'customer_only' FROM supplier
+       )""",
+)
+def set_ops_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = customer.intersect(supplier).withColumn("tag", F.lit("both"))
+    conly = customer.subtract(supplier).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(conly)
+
+
+# --------------------------------------------------------------------------
+# Window battery (W1-W4 + frames) on events
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_battery_events",
+    """SELECT event_id, user_id,
+              CAST(row_number() OVER w AS INT) AS rn,
+              lag(event_type) OVER w AS prev_type,
+              lead(event_type) OVER w AS next_type,
+              CAST(coalesce(lag(CAST(round(value * 100) AS BIGINT)) OVER w, 0) AS BIGINT)
+                  AS prev_value_x100,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_value_x100
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def window_battery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / lag (with default) / lead / running-frame sum — the
+    reference's full window surface (HRP:537,564,577,582,585) plus an
+    explicit rowsBetween frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.round(F.col("value") * 100).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.coalesce(F.lag(v).over(w), F.lit(0)).alias("prev_value_x100"),
+        F.sum(v).over(run).alias("run_value_x100"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (islands reuse) + as-of join (beyond-reference)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_ms(ts) // 1000) - (epoch_ms(lag(ts) OVER w) // 1000) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       numbered AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              min(ts) AS session_start, max(ts) AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM numbered GROUP BY user_id, session_id""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user — batch analog of a streaming session
+    window, built on the same island machinery as the retention collapse."""
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(
+        events, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+
+
+@register(
+    "asof_purchase_view",
+    """SELECT p.user_id, p.ts, p.event_id,
+              v.event_id AS event_id_asof, v.ts AS ts_asof
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN LATERAL (
+         SELECT event_id, ts FROM events v
+         WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+       ) v ON TRUE""",
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest at-or-before 'view' of
+    the same user. Union+window implementation (one shuffle, no range-join
+    blowup); DuckDB LATERAL top-1 is the independent oracle."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        ts_col="ts",
+        build_cols=["event_id"],
+        tiebreak_col="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar / date function battery (F1-F12) + JSON ingestion (S3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "date_battery_orders",
+    """SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+              CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 1 MONTH AS DATE)
+                  AS next_month,
+              CAST(o_orderdate AS DATE) - 365 AS minus_365,
+              strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS epoch_s,
+              CAST(epoch_ms(CAST(date_trunc('month', o_orderdate) AS DATE)
+                            + INTERVAL 1 MONTH) - 1000 AS BIGINT) AS eom_epoch_ms
+       FROM orders""",
+)
+def date_battery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8 surface: trunc/add_months/date_add(-365)/date_format/
+    unix_timestamp/end-of-month-minus-1s epoch — the reference's entire date
+    arithmetic (HRP:512-513,527,570-573) on a neutral table."""
+    orders = load_table(spark, sf_dir, "orders")
+    month_start = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return orders.select(
+        "o_orderkey",
+        month_start.alias("month_start"),
+        F.add_months(month_start, 1).alias("next_month"),
+        F.date_add(F.col("o_orderdate").cast("date"), -365).alias("minus_365"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_str"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
+        (F.unix_millis(F.add_months(month_start, 1).cast("timestamp")) - 1000).alias(
+            "eom_epoch_ms"
+        ),
+    )
+
+
+@register(
+    "json_extract_events",
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+       FROM events""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — typed JSON parsing with an explicit schema (from_json), the
+    engine's replacement for the reference's schema inference."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+
+
+@register(
+    "scan_pushdown_lineitem",
+    """SELECT l_orderkey, l_linenumber, CAST(round(l_quantity * 100) AS BIGINT) AS qty_x100
+       FROM lineitem
+       WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1999-01-01'
+         AND l_quantity >= 25 AND l_returnflag <> 'A'""",
+)
+def scan_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P4-P7 generic: conjunctive range+equality predicates and a narrow
+    projection — all pushed to the parquet scan (asserted in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_shipdate").between("1998-01-01", "1999-01-01")
+        & (F.col("l_quantity") >= 25)
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", cents("l_quantity").alias("qty_x100"))

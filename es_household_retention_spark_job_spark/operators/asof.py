@@ -1,0 +1,67 @@
+"""As-of join (beyond-reference operator; SURVEY §2.3 "not present" list).
+
+For each *probe* row, find the latest *build* row of the same key with
+``build.ts <= probe.ts``. Implemented as UNION + one window pass instead of a
+range self-join: both sides are tagged, sorted once per key, and a running
+``last(..., ignorenulls)`` carries the most recent build row forward.
+
+Scale: one shuffle on the key, O(n log n) per key, no join amplification —
+the classic formulation (join on key + ts inequality, then max) re-shuffles
+and explodes on hot keys. Ties (build.ts == probe.ts) resolve to the build
+row, matching DuckDB's ASOF JOIN ``<=`` semantics; equal-ts build rows
+resolve to the highest tiebreaker value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    build_cols: Sequence[str],
+    tiebreak_col: str,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every probe row, plus ``build_cols`` (suffixed) from
+    the latest build row at-or-before its timestamp (nulls if none)."""
+    keys = list(keys)
+    carry = [c for c in build_cols if c != ts_col] + [ts_col]
+    b = build.select(
+        *keys,
+        ts_col,
+        F.col(tiebreak_col).alias("_tb"),
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("_bpayload"),
+    ).withColumn("_side", F.lit(0))
+    p = probe.withColumn("_side", F.lit(1)).withColumn(
+        "_tb", F.col(tiebreak_col)
+    ).withColumn("_bpayload", F.lit(None).cast(b.schema["_bpayload"].dataType))
+
+    common = keys + [ts_col, "_side", "_tb", "_bpayload"]
+    probe_extra = [c for c in probe.columns if c not in common]
+    unioned = p.select(*common, *probe_extra).unionByName(
+        b.select(*common, *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_extra])
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_last_build", F.last("_bpayload", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+
+    out = matched.select(
+        *keys,
+        ts_col,
+        *probe_extra,
+        *[F.col(f"_last_build.{c}").alias(f"{c}{suffix}") for c in carry],
+    )
+    return out

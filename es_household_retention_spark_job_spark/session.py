@@ -46,6 +46,10 @@ def get_spark(
         # Read parquet TIMESTAMP as an instant (session-UTC), not NTZ — keeps
         # epoch math identical to the oracle and to the reference's Spark 2.x.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # TIMESTAMP(NANOS) parquet (events.ts) is illegal for Spark's reader;
+        # read as long and convert (sources.tpch truncates to micros, which
+        # is exactly what DuckDB does when it reads the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

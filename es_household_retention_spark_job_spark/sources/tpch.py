@@ -38,7 +38,14 @@ DEFAULT_CLIENT_CODE = "HOUSEHOLD"  # one c_mktsegment value plays client_code
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as a
+        # nano epoch long — truncate to micros exactly like DuckDB's reader.
+        # integer `div`, NOT `/`: float division of nano-epoch longs loses
+        # the last microsecond digit (double spacing is 0.25 at ~1.7e15)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
