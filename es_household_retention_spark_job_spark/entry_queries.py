@@ -249,3 +249,4 @@ def pack_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into QUERIES/ORACLE_SQL on import (kept at the bottom: they import
 # ``register`` from this module).
 from . import entry_queries_generic  # noqa: E402,F401
+from . import entry_queries_docs  # noqa: E402,F401

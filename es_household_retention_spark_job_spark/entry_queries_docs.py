@@ -1,0 +1,370 @@
+"""Training-data pipeline queries (beyond-reference; SURVEY §7.1 M7) over
+``documents`` and ``embeddings``: text analysis, dedup (exact / n-gram
+Jaccard / MinHash+LSH / SimHash), similarity search, and multimodal
+(mapInPandas) plumbing.
+
+Every DuckDB oracle below is generated from the SAME module constants
+(regexes, stopword lists, minhash permutations, moduli) as the Spark
+implementation — the two engines recompute the algorithm independently and
+must hash-match. Float-bearing queries (cosine) use sequential left-fold
+accumulation on BOTH sides (Spark ``aggregate``, DuckDB ``list_reduce`` with
+a prepended 0.0) so doubles are bit-identical before the integer flooring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import register
+from .functions import P31, P_FP, h60_sql
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as T
+from .sources.tpch import load_table
+
+NEARDUP_COS_BP = 4000
+KNN_K = 5
+KNN_QUERY_MOD = 50  # vec_id % 50 == 0 → the evaluation query subset
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Shared DuckDB fragments (kept adjacent to the constants they mirror)
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = f"""toks AS (
+    SELECT doc_id, text, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS toks
+    FROM documents)"""
+
+_NGRAMS_CTE = f"""{_TOKS_CTE},
+ngrams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(len(toks) - {D.NGRAM_N - 1}),
+               i -> array_to_string(list_slice(toks, i + 1, i + {D.NGRAM_N}), ' '))) AS ngrams
+    FROM toks)
+, ngr AS (SELECT doc_id, ngrams FROM ngrams WHERE len(ngrams) > 0)"""
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _fold_sum(list_expr: str, init: str = "0.0") -> str:
+    """Sequential left-fold sum — mirrors Spark's F.aggregate exactly."""
+    return f"list_reduce(list_prepend({init}, {list_expr}), (a, b) -> a + b)"
+
+
+_EMB_NORM_CTE = f"""base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings),
+vecs AS (
+    SELECT vec_id, emb,
+           sqrt({_fold_sum("list_transform(emb, x -> x * x)")}) AS nrm
+    FROM base)"""
+
+_DOT = _fold_sum("list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_hits_exprs = ",\n           ".join(
+    f"CAST(len(list_filter(toks, t -> t IN ({_in_list(T.STOPWORDS[lang])}))) AS BIGINT)"
+    f" AS hits_{lang}"
+    for lang in T.LANG_ORDER
+)
+_best = "greatest(" + ", ".join(f"hits_{lang}" for lang in T.LANG_ORDER) + ")"
+_pred_chain = " ".join(
+    f"WHEN hits_{lang} = {_best} THEN '{lang}'" for lang in T.LANG_ORDER
+)
+
+
+@register(
+    "language_id",
+    f"""WITH {_TOKS_CTE},
+    hits AS (SELECT doc_id, {_hits_exprs} FROM toks)
+    SELECT doc_id, {", ".join(f"hits_{lang}" for lang in T.LANG_ORDER)},
+           CASE {_pred_chain} END AS lang_pred
+    FROM hits""",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (argmax, LANG_ORDER tie-break); no shuffle."""
+    return T.language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_stats",
+    f"""WITH ws AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws_toks
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(ws_toks) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{T.BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
+           CAST(len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS BIGINT) AS n_punct,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN len(ws_toks) > 0
+                     THEN floor({_fold_sum("list_transform(ws_toks, x -> length(x))", "CAST(0 AS BIGINT)")} * 100 / len(ws_toks))
+                     ELSE 0 END AS BIGINT) AS mean_tok_len_x100
+    FROM ws""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and byte/char stats."""
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_score",
+    f"""WITH {_TOKS_CTE},
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tok,
+                 len(list_filter(toks, t -> t IN ({_in_list(T.STOPWORDS["en"])}))) AS stop,
+                 len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS punct,
+                 length(text) AS n_chars
+          FROM toks),
+    r AS (SELECT doc_id, n_tok,
+                 CASE WHEN n_tok > 0 THEN CAST(floor(stop * 10000 / n_tok) AS BIGINT) ELSE 0 END AS stop_bp,
+                 CASE WHEN n_chars > 0 THEN CAST(floor(punct * 10000 / n_chars) AS BIGINT) ELSE 0 END AS punct_bp
+          FROM m)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, stop_bp, punct_bp,
+           (n_tok >= 5 AND n_tok <= 100000 AND stop_bp >= 100 AND stop_bp <= 6000
+            AND punct_bp < 2000) AS keep
+    FROM r""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: stopword/punctuation basis-point ratios."""
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    f"""WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(toks, t -> {h60_sql('t')} % {P_FP})),
+                 (a, b) -> (a * {T.FP_BASE} + b) % {P_FP}) AS BIGINT) AS fingerprint
+    FROM toks""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream."""
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """WITH keyed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_key
+        FROM documents)
+    SELECT doc_id, content_key,
+           min(doc_id) OVER (PARTITION BY content_key) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY content_key) AS is_dup
+    FROM keyed""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized 128-bit content key."""
+    return D.exact_canonical(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_NGRAMS_CTE},
+    sizes AS (SELECT doc_id, len(ngrams) AS n FROM ngr),
+    inv AS (SELECT doc_id, unnest(ngrams) AS g FROM ngr),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, jaccard_bp FROM (
+        SELECT doc_a, doc_b,
+               CAST(floor(inter * 10000 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b)
+    WHERE jaccard_bp >= {D.JACCARD_MIN_BP}""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index join."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_PERMS_SQL = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in D.PERMS) + "]"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_NGRAMS_CTE},
+    gh AS (SELECT doc_id, ngrams,
+                  list_transform(ngrams, g -> {h60_sql('g')} % {P31}) AS gh
+           FROM ngr),
+    sigs AS (SELECT doc_id,
+                    list_transform({_PERMS_SQL},
+                        p -> list_min(list_transform(gh, g -> (p.a * g + p.b) % {P31}))) AS sig
+             FROM gh),
+    bands AS (SELECT doc_id, band_id,
+                     array_to_string(list_slice(sig, band_id * {D.BAND_ROWS} + 1,
+                                                band_id * {D.BAND_ROWS} + {D.BAND_ROWS}), '-') AS band_sig
+              FROM sigs, range({D.N_BANDS}) t(band_id)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard_bp FROM (
+        SELECT doc_a, doc_b,
+               CAST(floor(len(list_intersect(ga.ngrams, gb.ngrams)) * 10000
+                    / (len(ga.ngrams) + len(gb.ngrams)
+                       - len(list_intersect(ga.ngrams, gb.ngrams)))) AS BIGINT) AS jaccard_bp
+        FROM cand
+        JOIN ngr ga ON ga.doc_id = doc_a
+        JOIN ngr gb ON gb.doc_id = doc_b)
+    WHERE jaccard_bp >= {D.JACCARD_MIN_BP}""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+_chunk_w = D.SIMHASH_BITS // D.SIM_CHUNKS
+_votes = ",\n               ".join(
+    f"sum(((g32 >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(D.SIMHASH_BITS)
+)
+_sim_terms = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH {_NGRAMS_CTE},
+    ex AS (SELECT doc_id, {h60_sql('g')} % {1 << D.SIMHASH_BITS} AS g32
+           FROM (SELECT doc_id, unnest(ngrams) AS g FROM ngr)),
+    votes AS (SELECT doc_id, {_votes}
+              FROM ex GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM votes),
+    chunks AS (SELECT doc_id, simhash, chunk_idx,
+                      (simhash >> (chunk_idx * {_chunk_w})) & {(1 << _chunk_w) - 1} AS chunk_val
+               FROM sims, range({D.SIM_CHUNKS}) t(chunk_idx)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                     b.doc_id AS doc_b, b.simhash AS sb
+              FROM chunks a JOIN chunks b
+                ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM pairs)
+    WHERE hamming <= {D.HAMMING_MAX}""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming join."""
+    return D.simhash_pairs(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    f"""WITH {_EMB_NORM_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+          FROM vecs WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    scored AS (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               {_DOT.format(a="qemb", b="c.emb")} / (qnrm * c.nrm) AS cos
+        FROM vecs c, q WHERE c.vec_id <> query_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(floor(cos * {S.COS_SCALE}) AS BIGINT) AS cos_bp
+    FROM ranked WHERE rank <= {KNN_K}""",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the evaluation query subset."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_bruteforce(embs, queries, k=KNN_K)
+
+
+@register("knn_lsh")  # rows-only: approximate by design; recall asserted in tests
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB path); recall vs brute
+    force is asserted in tests/test_docs_pipeline.py."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_lsh(embs, queries, k=KNN_K)
+
+
+@register(
+    "embedding_neardup",
+    f"""WITH {_EMB_NORM_CTE}
+    SELECT vec_a, vec_b, cos_bp FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(floor({_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm)
+                          * {S.COS_SCALE}) AS BIGINT) AS cos_bp
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+    WHERE cos_bp >= {NEARDUP_COS_BP}""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact quadratic variant as the
+    oracle-of-record; the LSH-bucketed variant is the scale path (tested
+    for containment in tests/test_docs_pipeline.py)."""
+    return S.cosine_neardup_pairs(
+        _embs(spark, sf_dir), min_cos_bp=NEARDUP_COS_BP, bucketed=False
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5
+       FROM documents""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads;
+    the oracle recomputes the features from the source text, proving the
+    binary round-trip lossless."""
+    return M.media_features(M.media_table(_docs(spark, sf_dir)))
+
+
+@register(
+    "media_frames",
+    f"""WITH fr AS (
+        SELECT doc_id, text,
+               unnest(range((length(text) + {M.FRAME_CHARS - 1}) // {M.FRAME_CHARS})) AS f
+        FROM documents)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(f * {M.FRAME_CHARS} + 1 AS INT), {M.FRAME_CHARS})) AS frame_md5,
+           CAST(octet_length(encode(substr(text, CAST(f * {M.FRAME_CHARS} + 1 AS INT),
+                                           {M.FRAME_CHARS}))) AS BIGINT) AS n_frame_bytes
+    FROM fr""",
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1 payload row → N fixed-size frame rows via
+    mapInPandas (the video-pipeline fan-out shape)."""
+    return M.frame_sample(M.media_table(_docs(spark, sf_dir)))

@@ -1,0 +1,44 @@
+"""Engine-portable scalar functions.
+
+The driver hash-compares Spark results against DuckDB, so every value a
+query emits must be bit-identical across engines. These helpers define the
+shared deterministic primitives:
+
+* ``h60`` — a 60-bit positive integer hash (first 15 hex chars of md5),
+  expressible in both engines (Spark ``conv(substr(md5(x),1,15),16,10)``,
+  DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``). Used everywhere a
+  "random but portable" value is needed: minhash permutations, simhash bit
+  sources, LSH hyperplanes, fingerprints.
+* ``cents`` — exact integer-cents money/quantity arithmetic (see
+  entry_queries_generic docstring for the float-determinism rationale).
+
+All JVM-side (no Python UDFs): ``md5``/``conv``/``substring`` stay inside
+whole-stage codegen, so the hot path at 100 TB is pure Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: modulus for portable modular arithmetic: largest prime < 2^31. Products
+#: like ``(h % P) * 131`` stay < 2^38, far inside BIGINT in both engines.
+P31 = 2147483647
+#: prime modulus used for rolling fingerprints (same bound rationale).
+P_FP = 1000000007
+
+
+def h60(col: Column | str) -> Column:
+    """Portable 60-bit hash of a string column (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """Portable 60-bit hash (DuckDB side). ``expr`` is a SQL expression."""
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def cents(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")

@@ -1,0 +1,280 @@
+"""Deduplication operators for the training-data pipeline (beyond-reference;
+SURVEY §7.1 M7): exact, MinHash+LSH, SimHash, and n-gram Jaccard dedup over
+the ``documents`` table.
+
+Scale design (the point of each formulation):
+
+* **exact** — one shuffle on a 128-bit content key; partial-agg combines
+  map-side, so 100 TB of docs reduces to one row per distinct content.
+* **minhash** — signatures are computed MAP-SIDE with nested array
+  expressions (no explode, no shuffle); only the 8 (band, band-signature)
+  rows per doc shuffle, so candidate generation is O(#docs × #bands), never
+  O(#docs²). Verification touches candidate pairs only.
+* **simhash** — one explode + partial-aggregated groupBy per doc; banded
+  Hamming join (4 byte-chunks) again avoids the quadratic pair space.
+* **n-gram Jaccard** — inverted-index join (explode n-grams, equi-join on the
+  n-gram hash). Exact but pair-explosion-prone on hot shingles; it is the
+  small-scale oracle-of-record, while minhash/simhash are the 100 TB path.
+
+Everything is deterministic and engine-portable (see ``functions.h60``); the
+DuckDB twins live in ``entry_queries_docs``. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import P31, h60
+from .text import TOKEN_RE, tokens
+
+NGRAM_N = 3
+#: MinHash: 32 permutations in 8 bands of 4 rows — bands/rows chosen so the
+#: S-curve threshold (1/8)^(1/4) ≈ 0.60 sits at the dedup Jaccard cutoff.
+MINHASH_K = 32
+BAND_ROWS = 4
+N_BANDS = MINHASH_K // BAND_ROWS
+JACCARD_MIN_BP = 6000  # basis points
+#: SimHash: 32-bit signatures, 4 byte-chunks, Hamming radius 8.
+SIMHASH_BITS = 32
+SIM_CHUNKS = 4
+HAMMING_MAX = 8
+
+_rng = random.Random(0x5EED)
+#: fixed (a, b) minhash permutation parameters, shared with the DuckDB oracle
+#: via module import — NOT regenerated per run.
+PERMS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, P31), _rng.randrange(0, P31)) for _ in range(MINHASH_K)
+)
+
+
+def normalize(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics to single
+    spaces, trim — whitespace/case/punctuation-invariant content key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def exact_canonical(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 of normalized text; canonical = min id per key."""
+    keyed = df.select(id_col, F.md5(normalize(text_col)).alias("content_key"))
+    w = Window.partitionBy("content_key")
+    return keyed.select(
+        id_col,
+        "content_key",
+        F.min(id_col).over(w).alias("canonical_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )
+
+
+def ngram_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
+) -> DataFrame:
+    """(id, ngrams array<string>) — distinct word n-gram shingles. Docs with
+    fewer than ``n`` tokens produce an empty set and are dropped."""
+    toks = tokens(text_col)
+    # guard: sequence(0, negative) DESCENDS in Spark — emit [] when size < n
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    return df.select(id_col, grams.alias("ngrams")).where(F.size("ngrams") > 0)
+
+
+def _gram_hashes(ngrams: Column) -> Column:
+    return F.transform(ngrams, lambda g: h60(g) % P31)
+
+
+def minhash_signature(ngrams: Column) -> Column:
+    """32-wide minhash signature, computed per-row with nested array
+    expressions — whole-stage codegen, no explode, no shuffle."""
+    ghashes = _gram_hashes(ngrams)
+    perms = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in PERMS]
+    )
+    # a*g < 2^31 * 2^31 = 2^62: fits BIGINT in both engines.
+    return F.transform(
+        perms,
+        lambda p: F.array_min(
+            F.transform(ghashes, lambda g: (p["a"] * g + p["b"]) % P31)
+        ),
+    )
+
+
+def jaccard_bp(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays, in integer
+    basis points (floor), portable to DuckDB's list_intersect."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.floor(inter * 10000 / (F.size(a) + F.size(b) - inter)).cast("long")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
+
+    candidates: explode 8 (band, signature-slice) keys per doc, self-join on
+    the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
+    Jaccard so LSH false positives never surface."""
+    grams = ngram_sets(df, text_col, id_col).cache()
+    sigs = grams.select(id_col, minhash_signature(F.col("ngrams")).alias("sig"))
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_sig") == F.col(f"b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("ngrams").alias("ng_a"))
+    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("ngrams").alias("ng_b"))
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a", "doc_b", jaccard_bp(F.col("ng_a"), F.col("ng_b")).alias("jaccard_bp")
+        )
+        .where(F.col("jaccard_bp") >= JACCARD_MIN_BP)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bp: int = JACCARD_MIN_BP,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted-index join (explode
+    shingles, equi-join on shingle, count per pair). The exact small-scale
+    oracle; minhash above is the scale path."""
+    grams = ngram_sets(df, text_col, id_col).cache()
+    sizes = grams.select(id_col, F.size("ngrams").alias("n"))
+    inv = grams.select(id_col, F.explode("ngrams").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("inter") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= min_bp)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per doc: per-shingle 32-bit hash, ±1 vote per bit
+    position, bit set where the vote sum is positive. Explode + one
+    partially-aggregated groupBy(doc)."""
+    grams = ngram_sets(df, text_col, id_col)
+    g32 = (h60(F.col("g")) % F.lit(1 << SIMHASH_BITS)).alias("g32")
+    exploded = grams.select(id_col, F.explode("ngrams").alias("g")).select(id_col, g32)
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("g32"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = HAMMING_MAX,
+) -> DataFrame:
+    """Banded SimHash near-dup pairs: docs sharing any of 4 byte-chunks are
+    candidates; verified with bit_count(xor) ≤ radius."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    chunk_w = SIMHASH_BITS // SIM_CHUNKS
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIM_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,228 @@
+"""Embedding similarity search (beyond-reference; SURVEY §7.1 M7) over the
+``embeddings`` table (``vec_id``, ``embedding: array<float>``, ``label``).
+
+Two tiers, as a 100 TB corpus needs both:
+
+* **brute-force cosine top-k** — exact baseline. The query side is tiny and
+  broadcast; the corpus side streams map-side (dot products inside codegen
+  via ``zip_with``/``aggregate`` — no Python), then one shuffle partitioned
+  by query for the per-query top-k. Cost is O(|corpus| × |queries|): fine
+  for evaluation sets, not for all-pairs.
+* **LSH-bucketed ANN** — the scale path: multi-table random-hyperplane LSH
+  (L tables × B sign-bits each, the classic banding construction — one
+  table's bucket is too selective for near-orthogonal vectors, the union
+  over tables restores recall). Buckets are computed map-side; candidates
+  are same-(table, bucket) only, so all-pairs work drops from O(n²) to
+  O(L × Σ bucket²). Recall vs brute force is asserted in
+  tests/test_docs_pipeline.py (probabilistic, not exact — the documented
+  trade).
+
+Hyperplane components are ±1 derived from the portable md5 hash, so Spark
+and any oracle recompute identical planes; no RNG state is shipped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+#: multi-table LSH shape: 8 tables × 6 sign-bits. Collision probability for
+#: cosine similarity s is 1-(1-p^6)^8 with p = 1 - acos(s)/π — tuned so
+#: moderately-similar vectors collide in ≥1 table while buckets stay small.
+N_TABLES = 8
+BITS_PER_TABLE = 6
+N_PLANES = N_TABLES * BITS_PER_TABLE
+COS_SCALE = 10000
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+#: ±1 hyperplane signs, PLANES[p][d], deterministic from the portable hash.
+PLANES: tuple[tuple[int, ...], ...] = tuple(
+    tuple(1 if _h60_py(f"pl{p}_{d}") % 2 else -1 for d in range(EMB_DIM))
+    for p in range(N_PLANES)
+)
+
+
+def as_double(emb: Column) -> Column:
+    return F.transform(emb, lambda x: x.cast("double"))
+
+
+def l2_norm(emb: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_unit_meta(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Attach double-cast embedding + its L2 norm (computed once, map-side)."""
+    e = as_double(F.col(emb_col))
+    return df.withColumn("_emb", e).withColumn("_norm", l2_norm(F.col("_emb")))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (self-matches excluded).
+
+    Output: (query_id, neighbor_id, rank, cos_bp) with cos in floor'd basis
+    points; ties broken by neighbor id for determinism."""
+    c = with_unit_meta(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_norm"
+    )
+    q = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("cos") * COS_SCALE).cast("long").alias("cos_bp"),
+        )
+    )
+
+
+def lsh_table_buckets(emb: Column) -> Column:
+    """Array of N_TABLES (table_id, bucket) structs, computed map-side in
+    codegen — each bucket is BITS_PER_TABLE sign bits from that table's
+    hyperplanes."""
+    entries = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for j in range(BITS_PER_TABLE):
+            signs = F.array(
+                *[F.lit(float(s)) for s in PLANES[t * BITS_PER_TABLE + j]]
+            )
+            bucket = bucket + F.when(dot(signs, emb) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        entries.append(
+            F.struct(F.lit(t).alias("table_id"), bucket.cast("long").alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def _bucketed(df: DataFrame, id_alias: str, id_col: str, emb_col: str) -> DataFrame:
+    """(id, _emb, _norm, table_id, bucket) — one row per LSH table."""
+    return (
+        with_unit_meta(df, emb_col)
+        .select(
+            F.col(id_col).alias(id_alias),
+            "_emb",
+            "_norm",
+            F.explode(lsh_table_buckets(F.col("_emb"))).alias("tb"),
+        )
+        .select(id_alias, "_emb", "_norm", "tb.table_id", "tb.bucket")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates collide with the query in ≥1 LSH table;
+    exact cosine re-rank over the candidate union. Same output shape as
+    knn_bruteforce."""
+    c = _bucketed(corpus, "neighbor_id", id_col, emb_col)
+    q = _bucketed(queries, "query_id", id_col, emb_col).select(
+        "query_id",
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("cos") * COS_SCALE).cast("long").alias("cos_bp"),
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    min_cos_bp: int = 9500,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucketed: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
+
+    ``bucketed=True`` restricts pairs to vectors colliding in ≥1 LSH table
+    (the scale path — near-identical vectors agree on nearly all sign bits,
+    so they collide with high probability). ``bucketed=False`` is the exact
+    quadratic variant used as the small-scale oracle."""
+    if bucketed:
+        base = _bucketed(df, "vid", id_col, emb_col)
+        a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+        b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+        joined = a.join(
+            b,
+            (F.col("table_id_a") == F.col("table_id_b"))
+            & (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("vid_a") < F.col("vid_b")),
+        ).dropDuplicates(["vid_a", "vid_b"])
+    else:
+        base = with_unit_meta(df, emb_col).select(
+            F.col(id_col).alias("vid"), "_emb", "_norm"
+        )
+        a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+        b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+        joined = a.crossJoin(b).where(F.col("vid_a") < F.col("vid_b"))
+    cos = dot(F.col("_emb_a"), F.col("_emb_b")) / (F.col("_norm_a") * F.col("_norm_b"))
+    return (
+        joined.select(
+            F.col("vid_a").alias("vec_a"),
+            F.col("vid_b").alias("vec_b"),
+            F.floor(cos * COS_SCALE).cast("long").alias("cos_bp"),
+        )
+        .where(F.col("cos_bp") >= min_cos_bp)
+    )

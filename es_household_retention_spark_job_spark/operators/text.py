@@ -1,0 +1,140 @@
+"""Text-analysis operators for the training-data pipeline (beyond-reference;
+SURVEY §7.1 M7): tokenization, language-ID, quality scoring, and rolling-hash
+document fingerprinting over the ``documents`` table.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (regexp, array
+higher-order functions) — zero Python UDFs, so the per-document work stays
+inside whole-stage codegen and scales linearly with input splits; there is no
+shuffle at all in this module (pure per-row map), which is exactly the shape
+you want for a 100 TB corpus scan.
+
+Determinism contract: each operator has a DuckDB-equivalent formulation (see
+``entry_queries_docs``) built from the same regexes, word lists, and modular
+constants, so outputs hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import P_FP, h60
+
+#: lowercase word tokens (ASCII letters/digits; multibyte chars are token
+#: breaks in both Java regex and RE2 — keep the class ASCII for portability).
+TOKEN_RE = "[a-z0-9]+"
+#: BPE-ish pretokenizer: letter runs, single digits, single punctuation marks
+#: (GPT-2-style digit splitting); whitespace is dropped.
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+#: punctuation / symbol characters.
+PUNCT_RE = "[^A-Za-z0-9\\s]"
+
+#: tiny per-language function-word lexicons for the n-gram/stopword
+#: language-ID heuristic. Order is the deterministic tie-break priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "en"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"),
+}
+LANG_ORDER: tuple[str, ...] = tuple(STOPWORDS)
+
+#: rolling-hash base for fingerprints; small enough that ``acc*B + x`` stays
+#: < 2^38 under modulus P_FP in both engines.
+FP_BASE = 131
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens as ``array<string>``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def lang_hits(toks: Column, lang: str) -> Column:
+    """Occurrence count of ``lang``'s function words in the token array."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: per-language occurrence counts + argmax with
+    first-in-LANG_ORDER tie-break. One codegen'd pass, no shuffle."""
+    toks = tokens(text_col)
+    hits = {lang: lang_hits(toks, lang) for lang in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    pred = F.lit(None).cast("string")
+    chain = F.when(hits[LANG_ORDER[0]] == best, F.lit(LANG_ORDER[0]))
+    for lang in LANG_ORDER[1:]:
+        chain = chain.when(hits[lang] == best, F.lit(lang))
+    pred = chain
+    return df.select(
+        id_col,
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
+        pred.alias("lang_pred"),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation count, byte
+    length, and mean whitespace-token length in integer centi-chars."""
+    t = F.col(text_col)
+    ws_toks = F.filter(F.split(t, "\\s+"), lambda x: x != "")
+    n_ws = F.size(ws_toks)
+    total_len = F.aggregate(
+        ws_toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        id_col,
+        n_ws.cast("long").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).cast("long").alias("n_tokens_bpe"),
+        F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)).cast("long").alias("n_punct"),
+        F.octet_length(t).cast("long").alias("n_bytes"),
+        F.when(n_ws > 0, F.floor(total_len * 100 / n_ws))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_tok_len_x100"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality filter: stopword ratio, punctuation ratio, token
+    count — integer basis-point ratios and a boolean ``keep`` verdict
+    (C4-style pipeline gate for corpus filtering)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop = lang_hits(toks, "en")
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+    n_chars = F.length(t)
+    stop_bp = F.when(n_tok > 0, F.floor(stop * 10000 / n_tok)).otherwise(F.lit(0))
+    punct_bp = F.when(n_chars > 0, F.floor(punct * 10000 / n_chars)).otherwise(F.lit(0))
+    keep = (
+        (n_tok >= 5)
+        & (n_tok <= 100000)
+        & (stop_bp >= 100)
+        & (stop_bp <= 6000)
+        & (punct_bp < 2000)
+    )
+    return df.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        stop_bp.cast("long").alias("stop_bp"),
+        punct_bp.cast("long").alias("punct_bp"),
+        keep.alias("keep"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling polynomial hash over word tokens
+    (``acc*B + h(tok) mod P``): a compact document fingerprint whose equality
+    implies (w.h.p.) identical token streams — the exact-dup key that is
+    robust to whitespace/case/punctuation noise."""
+    toks = tokens(text_col)
+    hashed = F.transform(toks, lambda tk: h60(tk) % P_FP)
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % P_FP,
+    )
+    return df.select(id_col, fp.cast("long").alias("fingerprint"))
