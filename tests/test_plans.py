@@ -1,0 +1,83 @@
+"""Physical-plan assertions (SURVEY §4): the properties that keep these
+queries viable at 100 TB — pushdown, pruning, broadcast strategy, no
+cartesian blowups, whole-stage codegen — asserted per headline query so a
+plan regression fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from es_household_retention_spark_job_spark import plans as P
+from es_household_retention_spark_job_spark.entry_queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def q(spark, name):
+    return QUERIES[name](spark, SF_DIR)
+
+
+def test_scan_pushdown_filters_and_pruning(spark):
+    df = q(spark, "scan_pushdown_lineitem")
+    # range + equality predicates reach the parquet scan
+    P.assert_filter_pushed(df, "l_quantity")
+    P.assert_filter_pushed(df, "l_returnflag")
+    P.assert_filter_pushed(df, "l_shipdate")
+    # projection pruning: untouched wide columns never leave the scan
+    P.assert_column_pruned(df, "l_comment")
+    P.assert_wholestage_codegen(df)
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = q(spark, "multiway_join_revenue")
+    P.assert_broadcast_join(df, at_least=2)  # nation and region
+    P.assert_no_cartesian(df)
+
+
+def test_retention_phase1_plan_shape(spark):
+    df = q(spark, "retention_phase1")
+    # month grid (49 rows) must broadcast, never shuffle the household side
+    P.assert_broadcast_join(df, at_least=1)
+    P.assert_no_cartesian(df)
+    # client_code filter is pushed into both person and encounter scans
+    P.assert_filter_pushed(df, "c_mktsegment")
+    # codegen check needs a non-adaptive plan (AQE defers codegen decisions)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        P.assert_wholestage_codegen(q(spark, "retention_phase1"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = P.explain_str(q(spark, "topk_orders"))
+    assert "TakeOrderedAndProject" in plan, plan  # no global sort at scale
+
+
+def test_window_battery_single_shuffle(spark):
+    # same partition key for every window spec → exactly one exchange
+    assert P.count_shuffles(q(spark, "window_battery_events")) == 1
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    df = q(spark, "knn_bruteforce")
+    plan = P.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # corpus side must NOT be exchanged before the join (map-side scoring)
+    before_join = plan.split("Join")[0]
+    assert "Exchange hashpartitioning" not in before_join, plan
+
+
+def test_minhash_no_explode_before_banding(spark):
+    """Signatures are computed with array expressions, not explode+groupBy:
+    the only wide ops are the band self-join and the verification joins."""
+    df = q(spark, "dedup_minhash_lsh")
+    P.assert_no_cartesian(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["retention_phase2", "sessionize_events", "asof_purchase_view", "dedup_exact"],
+)
+def test_no_cartesian_anywhere(spark, name):
+    P.assert_no_cartesian(q(spark, name))
