@@ -1,0 +1,163 @@
+"""Structured Streaming tests: NDJSON ingest round-trip, watermarked window
+aggregation vs batch equivalence, session-window vs batch sessionize, and
+the applyInPandasWithState running aggregate — all driven with
+availableNow triggers over file sources (the production code path, bounded).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.operators.sessionize import session_stats
+from es_household_retention_spark_job_spark.sources.tpch import load_table
+from es_household_retention_spark_job_spark.streaming import ingest, stateful, windows
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_ndjson_dir(spark, events, tmp_path_factory):
+    """events table re-serialized as NDJSON files (the streaming input)."""
+    d = tmp_path_factory.mktemp("stream_in")
+    rows = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    ).collect()
+    for shard in range(4):
+        with open(d / f"part-{shard}.json", "w") as f:
+            for r in rows[shard::4]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    return str(d)
+
+
+def _drain(query):
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_ndjson_ingest_roundtrip(spark, events, events_ndjson_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = ingest.stream_events(spark, events_ndjson_dir)
+    assert stream.isStreaming
+    _drain(ingest.append_parquet(stream, out, ckpt))
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    # typed round-trip: summing a value column matches the source
+    a = got.agg(F.sum(F.round(F.col("value") * 100)).cast("long")).first()[0]
+    b = events.agg(F.sum(F.round(F.col("value") * 100)).cast("long")).first()[0]
+    assert a == b
+    # incremental exactly-once: a second availableNow run appends nothing
+    _drain(ingest.append_parquet(ingest.stream_events(spark, events_ndjson_dir), out, ckpt))
+    assert spark.read.parquet(out).count() == events.count()
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events, events_ndjson_dir, tmp_path):
+    stream = ingest.stream_events(spark, events_ndjson_dir)
+    q = (
+        windows.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("tumbling_test")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    # append mode only emits windows finalized by the watermark; every
+    # emitted row must match batch, and coverage must be non-trivial
+    diff = got.exceptAll(batch)
+    assert diff.count() == 0
+    assert got.count() > 0
+
+
+def test_session_window_matches_batch_sessionize(spark, events, events_ndjson_dir, tmp_path):
+    stream = ingest.stream_events(spark, events_ndjson_dir)
+    q = (
+        windows.session_counts(stream, gap="30 minutes", watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("session_test")
+    batch = session_stats(
+        events, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    ).select("user_id", "session_start", "n_events")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stateful_running_household_aggregate(spark, tmp_path):
+    # tiny NDJSON encounter stream split into two files (two micro-batches
+    # under maxFilesPerTrigger=1) to exercise cross-batch state
+    d = tmp_path / "enc_in"
+    d.mkdir()
+    batches = [
+        [
+            {"encounter_id": "E1", "person_id": "P1", "client_code": "C",
+             "admit_date": 1000, "household_id": "H1"},
+            {"encounter_id": "E2", "person_id": "P2", "client_code": "C",
+             "admit_date": 2000, "household_id": "H1"},
+            {"encounter_id": "E3", "person_id": "P3", "client_code": "C",
+             "admit_date": 1500, "household_id": "H2"},
+        ],
+        [
+            {"encounter_id": "E4", "person_id": "P1", "client_code": "C",
+             "admit_date": 5000, "household_id": "H1"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = (
+        "encounter_id string, person_id string, client_code string, "
+        "admit_date long, household_id string"
+    )
+    stream = ingest.stream_ndjson(spark, str(d), schema, max_files_per_trigger=1)
+    q = (
+        stateful.running_household_state(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("state_test")
+    final = {
+        r.household_id: (r.n_encounters, r.last_admit)
+        for r in got.groupBy("household_id")
+        .agg(
+            F.max("n_encounters").alias("n_encounters"),
+            F.max("last_admit").alias("last_admit"),
+        )
+        .collect()
+    }
+    assert final == {"H1": (3, 5000), "H2": (1, 1500)}
