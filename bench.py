@@ -14,6 +14,7 @@ import sys
 import time
 
 BENCH_QUERIES = [
+    # flagship retention pipeline (reference parity)
     "retention_phase1",
     "retention_phase1_selfjoin",
     "retention_collapsed",
@@ -21,6 +22,15 @@ BENCH_QUERIES = [
     "retention_base",
     "pack_history_stats",
     "households_without_retention",
+    # beyond-reference: time-series operators
+    "sessionize_events",
+    "asof_purchase_view",
+    # beyond-reference: training-data pipeline
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "knn_bruteforce",
+    "media_frames",
 ]
 
 

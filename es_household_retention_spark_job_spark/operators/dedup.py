@@ -71,11 +71,23 @@ def exact_canonical(
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism when
+    the input arrives under-split (a small parquet file reads as ONE
+    partition, serializing every downstream codegen stage). Never reduces
+    an already well-split input — at scale this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ngram_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:
     """(id, ngrams array<string>) — distinct word n-gram shingles. Docs with
     fewer than ``n`` tokens produce an empty set and are dropped."""
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     # guard: sequence(0, negative) DESCENDS in Spark — emit [] when size < n
     idx = F.when(
@@ -93,8 +105,16 @@ def _gram_hashes(ngrams: Column) -> Column:
 
 def minhash_signature(ngrams: Column) -> Column:
     """32-wide minhash signature, computed per-row with nested array
-    expressions — whole-stage codegen, no explode, no shuffle."""
-    ghashes = _gram_hashes(ngrams)
+    expressions — whole-stage codegen, no explode, no shuffle.
+
+    NOTE for callers: pass a column holding PRE-COMPUTED gram hashes via
+    ``minhash_signature_from_hashes`` when building pipelines — referencing
+    a raw-ngram expression here would splice the md5 subtree into all 32
+    permutation lambdas and recompute it 32×."""
+    return minhash_signature_from_hashes(_gram_hashes(ngrams))
+
+
+def minhash_signature_from_hashes(ghashes: Column) -> Column:
     perms = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in PERMS]
     )
@@ -123,7 +143,13 @@ def minhash_lsh_pairs(
     the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
     Jaccard so LSH false positives never surface."""
     grams = ngram_sets(df, text_col, id_col).cache()
-    sigs = grams.select(id_col, minhash_signature(F.col("ngrams")).alias("sig"))
+    # materialize gram hashes in their own projection: CollapseProject keeps
+    # non-cheap multi-referenced expressions out of the 32 perm lambdas, so
+    # each ngram is md5-hashed exactly once
+    hashed = grams.select(id_col, _gram_hashes(F.col("ngrams")).alias("gh"))
+    sigs = hashed.select(
+        id_col, minhash_signature_from_hashes(F.col("gh")).alias("sig")
+    )
     bands = sigs.select(
         id_col,
         F.explode(
