@@ -98,6 +98,51 @@ def multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_revenue",
+    """SELECT r_name, n_name,
+              CAST(GROUPING(r_name) AS INT) AS g_region,
+              CAST(GROUPING(n_name) AS INT) AS g_nation,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
+       FROM region
+       JOIN nation   ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       JOIN orders   ON o_custkey = c_custkey
+       GROUP BY ROLLUP(r_name, n_name)""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP + GROUPING markers (beyond the
+    reference's surface; partial-agg friendly — one shuffle)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.sum(cents("o_totalprice")).alias("revenue_x100"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "revenue_x100")
+    )
+
+
+@register("approx_distinct_custkeys")  # rows-only: HLL estimates differ by engine
+def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the constant-memory distinct
+    count for 100 TB cardinality estimation; accuracy vs exact asserted in
+    tests/test_bucketing_skew.py (estimates are engine-specific, so
+    rows-only here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys")
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits (O2-O3)
 # --------------------------------------------------------------------------
