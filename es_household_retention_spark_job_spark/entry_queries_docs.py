@@ -161,6 +161,32 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir))
 
 
+@register(
+    "tfidf_top_terms",
+    f"""WITH {_TOKS_CTE},
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(floor(tf.tf * ln((nd.n_docs + 1) / (dfreq.df + 1.0)) * 1000000)
+                    AS BIGINT) AS tfidf_x1e6
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),
+    ranked AS (
+        SELECT doc_id, term, tf, df, tfidf_x1e6,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_x1e6 DESC, term ASC) AS rank
+        FROM scored)
+    SELECT doc_id, term, CAST(rank AS INT) AS rank,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf_x1e6
+    FROM ranked WHERE rank <= 3""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc; corpus-size scalar stays in-plan."""
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------

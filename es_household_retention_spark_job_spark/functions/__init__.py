@@ -18,8 +18,19 @@ whole-stage codegen, so the hot path at 100 TB is pure Tungsten.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism when
+    the input arrives under-split (a small parquet file reads as ONE
+    partition, serializing every downstream codegen/Arrow stage). Never
+    reduces an already well-split input — at scale this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 #: modulus for portable modular arithmetic: largest prime < 2^31. Products
 #: like ``(h % P) * 131`` stay < 2^38, far inside BIGINT in both engines.

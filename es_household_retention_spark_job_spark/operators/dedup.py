@@ -27,7 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import P31, h60
+from ..functions import P31, ensure_parallelism, h60
 from .text import TOKEN_RE, tokens
 
 NGRAM_N = 3
@@ -69,17 +69,6 @@ def exact_canonical(
         F.min(id_col).over(w).alias("canonical_id"),
         (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
     )
-
-
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the cluster's default parallelism when
-    the input arrives under-split (a small parquet file reads as ONE
-    partition, serializing every downstream codegen stage). Never reduces
-    an already well-split input — at scale this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def ngram_sets(

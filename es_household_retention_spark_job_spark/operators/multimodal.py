@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import ensure_parallelism
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -77,6 +79,7 @@ FRAME_CHARS = 64
 def media_table(docs: DataFrame) -> DataFrame:
     """documents → media rows: utf-8 payload bytes + typed metadata struct.
     (With real media, ``payload`` would come straight off parquet/binaryFile.)"""
+    docs = ensure_parallelism(docs)
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

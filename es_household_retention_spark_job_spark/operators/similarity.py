@@ -28,6 +28,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import ensure_parallelism
+
 EMB_DIM = 64
 #: multi-table LSH shape: 8 tables × 6 sign-bits. Collision probability for
 #: cosine similarity s is 1-(1-p^6)^8 with p = 1 - acos(s)/π — tuned so
@@ -69,7 +71,11 @@ def dot(a: Column, b: Column) -> Column:
 def with_unit_meta(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Attach double-cast embedding + its L2 norm (computed once, map-side)."""
     e = as_double(F.col(emb_col))
-    return df.withColumn("_emb", e).withColumn("_norm", l2_norm(F.col("_emb")))
+    return (
+        ensure_parallelism(df)
+        .withColumn("_emb", e)
+        .withColumn("_norm", l2_norm(F.col("_emb")))
+    )
 
 
 def knn_bruteforce(

@@ -125,6 +125,55 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: ``tf × ln((N+1)/(df+1))`` with
+    smoothing, deterministic (tfidf desc, term asc) ranking.
+
+    Shape: one explode + two partial-aggregated shuffles (doc-term counts,
+    term document-frequencies) + broadcast of the term-df side and of the
+    1-row corpus count — the corpus-size scalar stays IN the plan (no
+    driver round-trip), so the whole thing is a single lazy job at any
+    scale."""
+    from pyspark.sql import Window
+
+    terms = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_x1e6",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * 1000000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_x1e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf_x1e6",
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial hash over word tokens
     (``acc*B + h(tok) mod P``): a compact document fingerprint whose equality
