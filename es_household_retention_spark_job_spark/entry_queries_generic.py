@@ -280,6 +280,44 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_events",
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       numbered AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged
+       )
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM numbered GROUP BY user_id, sid""",
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` in BATCH mode (same operator the
+    streaming module uses) — oracled against the islands formulation with
+    the session_window gap semantics (a gap of exactly 30min starts a new
+    session; window end = last event + gap)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "asof_purchase_view",
     """SELECT p.user_id, p.ts, p.event_id,
               v.event_id AS event_id_asof, v.ts AS ts_asof
