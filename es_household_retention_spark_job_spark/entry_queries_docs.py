@@ -46,12 +46,12 @@ _TOKS_CTE = f"""toks AS (
     FROM documents)"""
 
 _NGRAMS_CTE = f"""{_TOKS_CTE},
-ngrams AS (
+shingles AS (
     SELECT doc_id,
            list_distinct(list_transform(range(len(toks) - {D.NGRAM_N - 1}),
-               i -> array_to_string(list_slice(toks, i + 1, i + {D.NGRAM_N}), ' '))) AS ngrams
+               i -> {h60_sql(f"array_to_string(list_slice(toks, i + 1, i + {D.NGRAM_N}), ' ')")})) AS gh
     FROM toks)
-, ngr AS (SELECT doc_id, ngrams FROM ngrams WHERE len(ngrams) > 0)"""
+, ngr AS (SELECT doc_id, gh FROM shingles WHERE len(gh) > 0)"""
 
 
 def _in_list(words: tuple[str, ...]) -> str:
@@ -211,8 +211,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""WITH {_NGRAMS_CTE},
-    sizes AS (SELECT doc_id, len(ngrams) AS n FROM ngr),
-    inv AS (SELECT doc_id, unnest(ngrams) AS g FROM ngr),
+    sizes AS (SELECT doc_id, len(gh) AS n FROM ngr),
+    inv AS (SELECT doc_id, unnest(gh) AS g FROM ngr),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -236,13 +236,10 @@ _PERMS_SQL = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in D.PERMS) + "]
 @register(
     "dedup_minhash_lsh",
     f"""WITH {_NGRAMS_CTE},
-    gh AS (SELECT doc_id, ngrams,
-                  list_transform(ngrams, g -> {h60_sql('g')} % {P31}) AS gh
-           FROM ngr),
     sigs AS (SELECT doc_id,
                     list_transform({_PERMS_SQL},
-                        p -> list_min(list_transform(gh, g -> (p.a * g + p.b) % {P31}))) AS sig
-             FROM gh),
+                        p -> list_min(list_transform(gh, g -> (p.a * (g % {P31}) + p.b) % {P31}))) AS sig
+             FROM ngr),
     bands AS (SELECT doc_id, band_id,
                      array_to_string(list_slice(sig, band_id * {D.BAND_ROWS} + 1,
                                                 band_id * {D.BAND_ROWS} + {D.BAND_ROWS}), '-') AS band_sig
@@ -253,9 +250,9 @@ _PERMS_SQL = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in D.PERMS) + "]
               AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, jaccard_bp FROM (
         SELECT doc_a, doc_b,
-               CAST(floor(len(list_intersect(ga.ngrams, gb.ngrams)) * 10000
-                    / (len(ga.ngrams) + len(gb.ngrams)
-                       - len(list_intersect(ga.ngrams, gb.ngrams)))) AS BIGINT) AS jaccard_bp
+               CAST(floor(len(list_intersect(ga.gh, gb.gh)) * 10000
+                    / (len(ga.gh) + len(gb.gh)
+                       - len(list_intersect(ga.gh, gb.gh)))) AS BIGINT) AS jaccard_bp
         FROM cand
         JOIN ngr ga ON ga.doc_id = doc_a
         JOIN ngr gb ON gb.doc_id = doc_b)
@@ -278,8 +275,8 @@ _sim_terms = " + ".join(
 @register(
     "dedup_simhash",
     f"""WITH {_NGRAMS_CTE},
-    ex AS (SELECT doc_id, {h60_sql('g')} % {1 << D.SIMHASH_BITS} AS g32
-           FROM (SELECT doc_id, unnest(ngrams) AS g FROM ngr)),
+    ex AS (SELECT doc_id, g % {1 << D.SIMHASH_BITS} AS g32
+           FROM (SELECT doc_id, unnest(gh) AS g FROM ngr)),
     votes AS (SELECT doc_id, {_votes}
               FROM ex GROUP BY doc_id),
     sims AS (SELECT doc_id, CAST({_sim_terms} AS BIGINT) AS simhash FROM votes),

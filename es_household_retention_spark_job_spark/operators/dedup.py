@@ -71,47 +71,42 @@ def exact_canonical(
     )
 
 
-def ngram_sets(
+def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:
-    """(id, ngrams array<string>) — distinct word n-gram shingles. Docs with
-    fewer than ``n`` tokens produce an empty set and are dropped."""
+    """(id, gh array<long>) — distinct word n-gram shingles, HASHED to
+    portable 60-bit longs inside this one projection. The shingle strings
+    never leave the operator: everything downstream (signatures, inverted
+    index, verification) shuffles/caches 8-byte longs instead of ~20-byte
+    strings, and the md5 runs exactly once per shingle occurrence. Docs with
+    fewer than ``n`` tokens are dropped."""
     df = ensure_parallelism(df)
     toks = tokens(text_col)
     # guard: sequence(0, negative) DESCENDS in Spark — emit [] when size < n
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    gh = F.array_distinct(
+        F.transform(idx, lambda i: h60(F.concat_ws(" ", F.slice(toks, i + 1, n))))
     )
-    return df.select(id_col, grams.alias("ngrams")).where(F.size("ngrams") > 0)
-
-
-def _gram_hashes(ngrams: Column) -> Column:
-    return F.transform(ngrams, lambda g: h60(g) % P31)
-
-
-def minhash_signature(ngrams: Column) -> Column:
-    """32-wide minhash signature, computed per-row with nested array
-    expressions — whole-stage codegen, no explode, no shuffle.
-
-    NOTE for callers: pass a column holding PRE-COMPUTED gram hashes via
-    ``minhash_signature_from_hashes`` when building pipelines — referencing
-    a raw-ngram expression here would splice the md5 subtree into all 32
-    permutation lambdas and recompute it 32×."""
-    return minhash_signature_from_hashes(_gram_hashes(ngrams))
+    return df.select(id_col, gh.alias("gh")).where(F.size("gh") > 0)
 
 
 def minhash_signature_from_hashes(ghashes: Column) -> Column:
+    """32-wide minhash signature over 60-bit shingle hashes, computed
+    per-row with nested array expressions — whole-stage codegen, no explode,
+    no shuffle. Pass a MATERIALIZED column (not a raw md5 expression): a
+    spliced md5 subtree would be recomputed in all 32 permutation lambdas.
+    """
     perms = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in PERMS]
     )
-    # a*g < 2^31 * 2^31 = 2^62: fits BIGINT in both engines.
+    # reduce g below 2^31 inside the lambda (cheap arithmetic):
+    # a*(g%P) < 2^31 * 2^31 = 2^62 fits BIGINT in both engines.
     return F.transform(
         perms,
         lambda p: F.array_min(
-            F.transform(ghashes, lambda g: (p["a"] * g + p["b"]) % P31)
+            F.transform(ghashes, lambda g: (p["a"] * (g % P31) + p["b"]) % P31)
         ),
     )
 
@@ -131,12 +126,8 @@ def minhash_lsh_pairs(
     candidates: explode 8 (band, signature-slice) keys per doc, self-join on
     the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
     Jaccard so LSH false positives never surface."""
-    grams = ngram_sets(df, text_col, id_col).cache()
-    # materialize gram hashes in their own projection: CollapseProject keeps
-    # non-cheap multi-referenced expressions out of the 32 perm lambdas, so
-    # each ngram is md5-hashed exactly once
-    hashed = grams.select(id_col, _gram_hashes(F.col("ngrams")).alias("gh"))
-    sigs = hashed.select(
+    grams = shingle_sets(df, text_col, id_col).cache()
+    sigs = grams.select(
         id_col, minhash_signature_from_hashes(F.col("gh")).alias("sig")
     )
     bands = sigs.select(
@@ -170,8 +161,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("ngrams").alias("ng_a"))
-    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("ngrams").alias("ng_b"))
+    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("gh").alias("ng_a"))
+    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("gh").alias("ng_b"))
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
@@ -189,11 +180,11 @@ def ngram_jaccard_pairs(
     min_bp: int = JACCARD_MIN_BP,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via inverted-index join (explode
-    shingles, equi-join on shingle, count per pair). The exact small-scale
-    oracle; minhash above is the scale path."""
-    grams = ngram_sets(df, text_col, id_col).cache()
-    sizes = grams.select(id_col, F.size("ngrams").alias("n"))
-    inv = grams.select(id_col, F.explode("ngrams").alias("g"))
+    hashed shingles, equi-join on the 8-byte hash, count per pair). The
+    exact small-scale oracle; minhash above is the scale path."""
+    grams = shingle_sets(df, text_col, id_col).cache()
+    sizes = grams.select(id_col, F.size("gh").alias("n"))
+    inv = grams.select(id_col, F.explode("gh").alias("g"))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
@@ -230,9 +221,9 @@ def simhash_signatures(
     """32-bit SimHash per doc: per-shingle 32-bit hash, ±1 vote per bit
     position, bit set where the vote sum is positive. Explode + one
     partially-aggregated groupBy(doc)."""
-    grams = ngram_sets(df, text_col, id_col)
-    g32 = (h60(F.col("g")) % F.lit(1 << SIMHASH_BITS)).alias("g32")
-    exploded = grams.select(id_col, F.explode("ngrams").alias("g")).select(id_col, g32)
+    grams = shingle_sets(df, text_col, id_col)
+    g32 = (F.col("g") % F.lit(1 << SIMHASH_BITS)).alias("g32")
+    exploded = grams.select(id_col, F.explode("gh").alias("g")).select(id_col, g32)
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
