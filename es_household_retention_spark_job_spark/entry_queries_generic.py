@@ -280,6 +280,54 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_event_counts",
+    """SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+       FROM events GROUP BY user_id""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list (no discovery job, single shuffle —
+    the only pivot form that is sane at scale); oracle is the equivalent
+    conditional-aggregate CASE expansion."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .na.fill(0, ["view", "click", "purchase"])
+        .select(
+            "user_id",
+            F.col("view").cast("long").alias("view"),
+            F.col("click").cast("long").alias("click"),
+            F.col("purchase").cast("long").alias("purchase"),
+        )
+    )
+
+
+@register(
+    "value_percentiles",
+    """SELECT event_type,
+              quantile_cont(CAST(round(value * 100) AS BIGINT),
+                            [0.25, 0.5, 0.75, 0.95]) AS pct_x100
+       FROM events GROUP BY event_type""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (R-7) over integer cents —
+    interpolated midpoints of integers are exactly representable doubles, so
+    the engines agree bitwise. (percentile_approx is the scale path for
+    one-pass sketching; it is engine-specific and therefore not oracled.)"""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile(
+            F.round(F.col("value") * 100).cast("long"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+        ).alias("pct_x100")
+    )
+
+
+@register(
     "session_window_events",
     """WITH flagged AS (
          SELECT user_id, ts,
