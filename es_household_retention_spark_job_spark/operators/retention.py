@@ -138,6 +138,13 @@ def person_encounter_admits(persons: DataFrame, encounters: DataFrame) -> DataFr
     return (
         persons.join(encounters, "person_id", "inner")
         .select("household_id", "admit_ts")
+        # ONE shuffle keys the whole household chain: hashpartitioning on
+        # household_id alone satisfies every downstream ClusteredDistribution
+        # (the (hh, ts) dedup, the lag window, the (hh, month) dedup, the
+        # month-set agg, the grid join, the rank/collapse windows) — so none
+        # of them re-exchanges. Trade-off: no AQE skew-split on this chain;
+        # a mega-household is bounded by 49 grid months after dedup anyway.
+        .repartition("household_id")
         .dropDuplicates(["household_id", "admit_ts"])
         .withColumn(
             "admit_minus1",
@@ -190,23 +197,26 @@ def retention_base(
     persons: DataFrame, retained: DataFrame, months: DataFrame
 ) -> DataFrame:
     """J2 + J5 + W1 — the dense household×month grid (HRP:517-524) left-joined
-    to the retained months (HRP:535-541). The 49-row month dim is broadcast;
-    the left join shuffles on (household, month) once."""
+    to the retained months (HRP:535-541).
+
+    Shuffle shape: the 49-row month dim is broadcast into the cross join;
+    the retained months are collapsed to ONE set-valued row per household
+    (≤49 elements) so the grid join is single-key on household — both sides
+    arrive hash-partitioned on household (grid from the persons distinct,
+    sets from the admits chain), so the join and the rank window add no
+    exchange. The reference's (household, month) join key would force two
+    compound-key shuffles here and a third for the window."""
     households = persons.select("household_id").distinct()
     grid = households.crossJoin(F.broadcast(months))
-    r = retained.select(
-        F.col("household_id").alias("_r_household_id"),
-        F.col("admit_month").alias("_r_admit_month"),
+    month_sets = retained.groupBy("household_id").agg(
+        F.collect_set("admit_month").alias("_r_months")
     )
-    base = grid.join(
-        r,
-        (grid.household_id == r._r_household_id)
-        & (grid.month_start == r._r_admit_month),
-        "left",
-    ).select(
-        grid.household_id.alias("household"),
+    base = grid.join(month_sets, "household_id", "left").select(
+        F.col("household_id").alias("household"),
         "month_start",
-        r._r_admit_month.isNotNull().alias("is_retained"),
+        F.coalesce(
+            F.array_contains(F.col("_r_months"), F.col("month_start")), F.lit(False)
+        ).alias("is_retained"),
     )
     w = Window.partitionBy("household").orderBy("month_start")
     return base.withColumn("month_rank", F.row_number().over(w))

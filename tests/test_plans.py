@@ -39,6 +39,9 @@ def test_retention_phase1_plan_shape(spark):
     # month grid (49 rows) must broadcast, never shuffle the household side
     P.assert_broadcast_join(df, at_least=1)
     P.assert_no_cartesian(df)
+    # the whole household chain reuses ONE household_id exchange; only the
+    # persons-distinct adds a second. A third shuffle = a regression.
+    assert P.count_shuffles(df) == 2
     # client_code filter is pushed into both person and encounter scans
     P.assert_filter_pushed(df, "c_mktsegment")
     # codegen check needs a non-adaptive plan (AQE defers codegen decisions)
