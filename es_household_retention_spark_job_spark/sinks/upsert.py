@@ -134,3 +134,46 @@ def upsert_parquet(
     # Spark caches file listings per path (FileStatusCache); the swap above
     # happened behind its back.
     spark.catalog.refreshByPath(path)
+
+
+def compact_keyed_table(spark: SparkSession, path: str) -> int:
+    """Small-file compaction: rewrite every multi-file bucket into ONE file,
+    preserving the layout. Repeated upserts leave one file per write per
+    bucket; at 100 TB that read-amplifies every scan (footer parse + seek
+    per tiny file), so compaction runs as periodic maintenance — the parquet
+    equivalent of Delta/Iceberg OPTIMIZE (bucket count sizes the files:
+    ~100 TB / 400k buckets ≈ 256 MB each). Returns #buckets rewritten.
+
+    Same write-then-swap safety as the upsert: a crash mid-compact leaves
+    every bucket either old or fully rewritten, never mixed."""
+    _read_layout(path)  # asserts this IS a keyed table; layout is untouched
+    to_compact = [
+        d
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+        and len(
+            [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        )
+        > 1
+    ]
+    if not to_compact:
+        return 0
+    ids = [int(d.split("=", 1)[1]) for d in to_compact]
+    # one task per bucket → exactly one output file per bucket directory
+    data = (
+        spark.read.parquet(path)
+        .where(F.col(BUCKET_COL).isin(ids))
+        .repartition(len(ids), BUCKET_COL)
+    )
+    tmp = f"{path}.__compact_tmp_{uuid.uuid4().hex[:8]}"
+    try:
+        data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        for d in to_compact:
+            src, dst = os.path.join(tmp, d), os.path.join(path, d)
+            if os.path.exists(src):
+                shutil.rmtree(dst)
+                shutil.move(src, dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+    return len(to_compact)

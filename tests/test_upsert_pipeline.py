@@ -17,6 +17,7 @@ from es_household_retention_spark_job_spark.pipeline import (
 )
 from es_household_retention_spark_job_spark.schemas import ENCOUNTER
 from es_household_retention_spark_job_spark.sinks.upsert import (
+    compact_keyed_table,
     read_keyed_table,
     upsert_parquet,
     write_keyed_table,
@@ -45,6 +46,39 @@ def test_upsert_partial_update_and_insert(spark, tmp_path):
         "c": (3, "z"),  # untouched
         "d": (40, None),  # inserted, missing column null
     }
+
+
+def test_compaction_single_file_per_bucket_same_data(spark, tmp_path):
+    import os
+
+    from es_household_retention_spark_job_spark.sinks.upsert import _with_bucket
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40)], "k string, v int"
+    )
+    write_keyed_table(base, path, key="k", n_buckets=4)
+    # fragment the buckets the way a large multi-task merge write would:
+    # append more rows as separate files into the same bucket dirs
+    extra = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40, 80)], "k string, v int"
+    )
+    _with_bucket(extra, "k", 4).write.mode("append").partitionBy("_bucket").parquet(
+        path
+    )
+    spark.catalog.refreshByPath(path)
+    before = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert len(before) == 80
+
+    n = compact_keyed_table(spark, path)
+    assert n > 0
+    for d in os.listdir(path):
+        if d.startswith("_bucket="):
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    after = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert after == before
+    assert compact_keyed_table(spark, path) == 0  # idempotent
 
 
 def test_upsert_creates_table_when_missing(spark, tmp_path):
