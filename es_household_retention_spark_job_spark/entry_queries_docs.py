@@ -328,6 +328,16 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(embs, queries, k=KNN_K)
 
 
+@register("knn_ivf")  # rows-only: approximate by design; recall asserted in tests
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + probe re-rank), the
+    data-adaptive scale path; recall vs brute force asserted in
+    tests/test_docs_pipeline.py."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_ivf(embs, queries, k=KNN_K)
+
+
 @register("knn_lsh")  # rows-only: approximate by design; recall asserted in tests
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB path); recall vs brute

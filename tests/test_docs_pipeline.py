@@ -51,6 +51,34 @@ def test_knn_lsh_is_subset_ranking_of_bruteforce(spark, embs):
     assert all(r.rank >= 1 for r in approx_rows)
 
 
+def test_knn_ivf_recall_and_score_consistency(spark, embs):
+    """IVF with n_probe=4/16 cells must recover a solid fraction of the true
+    top-5 (clustered embeddings → cells align with clusters), and every
+    returned score must equal the exact pipeline's score for that pair."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    exact = S.knn_bruteforce(embs, queries, k=5)
+    ivf = S.knn_ivf(embs, queries, k=5, n_cells=16, n_probe=4)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_bp for r in exact.collect()
+    }
+    ivf_rows = ivf.collect()
+    exact_top = set(exact_scores)
+    recall = len({(r.query_id, r.neighbor_id) for r in ivf_rows} & exact_top) / len(
+        exact_top
+    )
+    assert recall >= 0.5, recall
+    for r in ivf_rows:
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cos_bp == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_kmeans_centroids_deterministic_and_complete(spark, embs):
+    a = S.kmeans_centroids(embs, k=8, iters=2)
+    b = S.kmeans_centroids(embs, k=8, iters=2)
+    assert a == b
+    assert len(a) == 8 and all(len(c) == S.EMB_DIM for c in a)
+
+
 def test_bucketed_neardup_contained_in_exact(spark, embs):
     exact = {
         (r.vec_a, r.vec_b, r.cos_bp)
