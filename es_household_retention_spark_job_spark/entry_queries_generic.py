@@ -280,6 +280,41 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics_battery",
+    """SELECT o_orderkey,
+              NULLIF(o_orderpriority, '1-URGENT') AS pri_or_null,
+              (NULLIF(o_orderpriority, '1-URGENT') IS NULL) AS is_urgent,
+              (NULLIF(o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM
+               NULLIF(o_orderstatus, 'F')) AS nullsafe_eq,
+              coalesce(NULLIF(o_orderstatus, o_orderstatus), o_orderpriority,
+                       'fallback') AS first_nonnull,
+              (NULL AND o_orderkey > 0) IS NULL AS three_valued_and
+       FROM orders""",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic surface (SURVEY §7.3 hard part 3): NULLIF,
+    null-safe equality (<=>), coalesce chains, and NULL-propagating AND —
+    identical semantics asserted against the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    st = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return orders.select(
+        "o_orderkey",
+        pri.alias("pri_or_null"),
+        pri.isNull().alias("is_urgent"),
+        pri.eqNullSafe(st).alias("nullsafe_eq"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus")),
+            F.col("o_orderpriority"),
+            F.lit("fallback"),
+        ).alias("first_nonnull"),
+        (F.lit(None).cast("boolean") & (F.col("o_orderkey") > 0))
+        .isNull()
+        .alias("three_valued_and"),
+    )
+
+
+@register(
     "pivot_event_counts",
     """SELECT user_id,
               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
