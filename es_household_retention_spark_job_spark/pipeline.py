@@ -19,9 +19,20 @@ from datetime import datetime
 from pyspark.sql import SparkSession
 
 from .operators import retention as R
+from .schemas import ENCOUNTER, PERSON, validate
 from .sinks.upsert import read_keyed_table, upsert_parquet
 
 log = logging.getLogger("retention.pipeline")
+
+
+def _load_inputs(spark: SparkSession, person_path: str, encounter_path: str):
+    """Read + contract-check both inputs at the pipeline boundary (SURVEY
+    §1.3: explicit schemas, fail fast on drift instead of mid-pipeline)."""
+    person = read_keyed_table(spark, person_path)
+    encounter = spark.read.parquet(encounter_path)
+    validate(person, PERSON, allow_extra=True)
+    validate(encounter, ENCOUNTER, allow_extra=True)
+    return person, encounter
 
 
 def run_phase1(
@@ -33,8 +44,7 @@ def run_phase1(
     strategy: str = "window",
 ) -> int:
     """Returns the number of persons processed (0 = skipped, C2)."""
-    person = read_keyed_table(spark, person_path)
-    encounter = spark.read.parquet(encounter_path)
+    person, encounter = _load_inputs(spark, person_path, encounter_path)
 
     persons = R.eligible_persons(person, client_code)
     n = persons.count()  # S6 guard (HRP:627-628)
@@ -59,8 +69,7 @@ def run_phase2(
 ) -> int:
     """Returns the number of persons stamped not-retained (0 = skipped).
     Raises HouseholdRetentionNotReadyError if phase 1 is incomplete (C3)."""
-    person = read_keyed_table(spark, person_path)
-    encounter = spark.read.parquet(encounter_path)
+    person, encounter = _load_inputs(spark, person_path, encounter_path)
 
     R.check_phase2_invariant(person, encounter, client_code, as_of)
 

@@ -52,6 +52,37 @@ ENCOUNTER = T.StructType(
     ]
 )
 
+class SchemaContractError(TypeError):
+    """A DataFrame does not conform to its declared StructType contract."""
+
+
+def validate(df, schema: T.StructType, allow_extra: bool = False) -> None:
+    """Assert ``df`` conforms to ``schema`` (names + types, order-insensitive).
+
+    The engine's stance (SURVEY §1.3): explicit contracts at every pipeline
+    boundary instead of the reference's read-time inference — a column
+    drifting to a different type fails HERE with a readable diff, not three
+    stages later inside an epoch subtraction. Nullability is advisory in
+    Spark and therefore not enforced."""
+    got = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in schema.fields}
+    problems = []
+    for name, dt in want.items():
+        if name not in got:
+            problems.append(f"missing column {name!r} ({dt.simpleString()})")
+        elif got[name] != dt:
+            problems.append(
+                f"column {name!r}: expected {dt.simpleString()}, "
+                f"got {got[name].simpleString()}"
+            )
+    if not allow_extra:
+        problems += [f"unexpected column {n!r}" for n in got if n not in want]
+    if problems:
+        raise SchemaContractError(
+            "schema contract violation:\n  " + "\n  ".join(problems)
+        )
+
+
 # HRP:602-618 / HRP:769-779 — final per-person output row.
 RETENTION_FINAL = T.StructType(
     [

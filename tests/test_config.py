@@ -46,6 +46,30 @@ def test_defaults_when_nothing_set(monkeypatch):
     assert cfg.as_of is None
 
 
+def test_schema_contract_catches_drift(spark):
+    from pyspark.sql import types as T
+
+    from es_household_retention_spark_job_spark.schemas import (
+        SchemaContractError,
+        validate,
+    )
+
+    want = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    ok = spark.createDataFrame([("a", 1)], "k string, v long")
+    validate(ok, want)
+    drifted = spark.createDataFrame([("a", 1)], "k string, v int")
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaContractError, match="expected bigint, got int"):
+        validate(drifted, want)
+    extra = spark.createDataFrame([("a", 1, 2)], "k string, v long, z long")
+    with _pytest.raises(SchemaContractError, match="unexpected column 'z'"):
+        validate(extra, want)
+    validate(extra, want, allow_extra=True)
+
+
 def test_wrong_arity_argv_falls_back_to_env(monkeypatch):
     """The reference requires EXACTLY 4 positionals (HRP:70-71); any other
     arity falls through to env/defaults."""
