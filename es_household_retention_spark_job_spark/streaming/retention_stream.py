@@ -1,0 +1,166 @@
+"""Incremental streaming retention — the streaming twin of the flagship
+batch pipeline (beyond-reference; the reference recomputes everything per
+run, HRP:305-648).
+
+Architecture (no semantics duplicated — the recompute REUSES the batch
+operators, so batch/stream equivalence is structural, not re-implemented):
+
+1. encounters stream in (NDJSON/file source), get the eligibility filters
+   (client term + 5y admit window, P4/P6) and the person→household
+   dimension join (stream-static);
+2. ``applyInPandasWithState`` accumulates the DISTINCT admit-timestamp set
+   per household (the sufficient statistic for retention: a few hundred
+   longs per household, bounded by the scan window) and emits the full set
+   for CHANGED households only — per-batch work is proportional to the
+   delta, not the corpus;
+3. ``foreachBatch`` recomputes ranges for those households with the exact
+   batch operators (``retained_months`` → ``retention_base`` →
+   ``collapse_retention``) and upserts them into a household-keyed table.
+
+Equivalence with the batch pipeline (same households, identical ranges) is
+asserted in tests/test_streaming.py. Households with no encounters are the
+batch phase-2 population and stay batch-stamped."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import datetime
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+from ..clock import add_years, epoch_ms
+from ..operators import retention as R
+from ..sinks.upsert import upsert_parquet
+
+_STATE = StructType([StructField("admits", ArrayType(LongType()))])
+_OUT = StructType(
+    [
+        StructField("household_id", StringType()),
+        StructField("admits", ArrayType(LongType())),
+    ]
+)
+
+
+def eligible_encounter_stream(
+    enc_stream: DataFrame,
+    persons: DataFrame,
+    client_code: str,
+    as_of: datetime,
+) -> DataFrame:
+    """P4/P6 filters + stream-static person→household join →
+    (household_id, admit_ms)."""
+    lo = epoch_ms(add_years(as_of, -R.ENCOUNTER_SCAN_YEARS))
+    hi = epoch_ms(as_of)
+    p2h = persons.select("person_id", "household_id")
+    return (
+        enc_stream.where(
+            (F.col("client_code") == client_code)
+            & F.col("admit_date").between(lo, hi)
+        )
+        .join(F.broadcast(p2h), "person_id")  # stream-static dimension join
+        .select("household_id", F.col("admit_date").alias("admit_ms"))
+    )
+
+
+def _accumulate(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    admits: set[int] = set(state.get[0]) if state.exists else set()
+    before = len(admits)
+    for pdf in pdfs:
+        admits.update(int(x) for x in pdf["admit_ms"])
+    if len(admits) != before or not state.exists:
+        ordered = sorted(admits)
+        state.update((ordered,))
+        yield pd.DataFrame({"household_id": [key[0]], "admits": [ordered]})
+
+
+def household_admit_state(keyed_stream: DataFrame) -> DataFrame:
+    """Stateful core: distinct admit-set per household; emits only changed
+    households (with their full set — the recompute needs no other input)."""
+    return keyed_stream.groupBy("household_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=_OUT,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def recompute_ranges(
+    changed: DataFrame, months: DataFrame, as_of: datetime
+) -> DataFrame:
+    """Batch-operator recompute for the changed households: identical
+    lineage to phase 1 from the admits df onward."""
+    admits = (
+        changed.select(
+            "household_id", F.explode("admits").alias("admit_ms")
+        )
+        .select(
+            "household_id",
+            F.timestamp_seconds(F.floor(F.col("admit_ms") / 1000)).alias("admit_ts"),
+        )
+        .dropDuplicates(["household_id", "admit_ts"])
+        .withColumn(
+            "admit_minus1",
+            F.date_add(F.col("admit_ts").cast("date"), -R.LOOKBACK_DAYS),
+        )
+    )
+    retained = R.retained_months(admits)
+    households = changed.select("household_id")
+    base = R.retention_base(households, retained, months)
+    return R.collapse_retention(base, as_of)
+
+
+def incremental_retention(
+    spark: SparkSession,
+    enc_stream: DataFrame,
+    persons: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    client_code: str,
+    as_of: datetime,
+    available_now: bool = True,
+):
+    """Wire the full incremental query; returns the StreamingQuery.
+
+    The target is a household-keyed table (sinks.upsert layout) holding each
+    household's current collapsed ranges as an array of structs — the
+    household-level analog of the person table's nested history field."""
+    months = R.month_grid(spark, as_of)
+    keyed = eligible_encounter_stream(enc_stream, persons, client_code, as_of)
+    changed_stream = household_admit_state(keyed)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collapsed = recompute_ranges(batch_df, months, as_of)
+        packed = collapsed.groupBy(F.col("household").alias("household_id")).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "start_date",
+                        "end_date",
+                        "start_date_epoch",
+                        "end_date_epoch",
+                        "retained",
+                    )
+                )
+            ).alias("ranges")
+        )
+        upsert_parquet(batch_df.sparkSession, target_path, packed, key="household_id")
+
+    writer = (
+        changed_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -112,6 +112,75 @@ def test_session_window_matches_batch_sessionize(spark, events, events_ndjson_di
     assert batch.exceptAll(got).count() == 0
 
 
+def test_incremental_retention_matches_batch(spark, tmp_path):
+    """Stream the fixture encounters in two micro-batches through the
+    incremental retention query; the final household-range table must equal
+    the batch pipeline's collapsed output for every household that has
+    encounters (encounter-less households are the batch phase-2 population).
+    """
+    from es_household_retention_spark_job_spark.operators import retention as R
+    from es_household_retention_spark_job_spark.sinks.upsert import read_keyed_table
+    from es_household_retention_spark_job_spark.sources.fixtures import (
+        FIXTURE_AS_OF,
+        FIXTURE_CLIENT,
+        fixture_frames,
+    )
+    from es_household_retention_spark_job_spark.streaming import retention_stream
+
+    person, encounter = fixture_frames(spark)
+    persons_e = R.eligible_persons(person, FIXTURE_CLIENT)
+
+    # two NDJSON shards → two micro-batches under maxFilesPerTrigger=1
+    enc_rows = [r.asDict() for r in encounter.collect()]
+    d = tmp_path / "enc_stream"
+    d.mkdir()
+    for shard in range(2):
+        with open(d / f"s{shard}.json", "w") as f:
+            for r in enc_rows[shard::2]:
+                f.write(json.dumps(r) + "\n")
+
+    enc_stream = ingest.stream_encounters(
+        spark, str(d), max_files_per_trigger=1
+    )
+    target = str(tmp_path / "hh_ranges")
+    q = retention_stream.incremental_retention(
+        spark,
+        enc_stream,
+        persons_e,
+        target_path=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        client_code=FIXTURE_CLIENT,
+        as_of=FIXTURE_AS_OF,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = (
+        read_keyed_table(spark, target)
+        .select("household_id", F.explode("ranges").alias("r"))
+        .select(
+            F.col("household_id").alias("household"),
+            "r.start_date",
+            "r.end_date",
+            "r.start_date_epoch",
+            "r.end_date_epoch",
+            "r.retained",
+        )
+    )
+
+    enc_e = R.eligible_encounters(encounter, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    admits = R.person_encounter_admits(persons_e, enc_e)
+    retained = R.retained_months(admits)
+    months = R.month_grid(spark, FIXTURE_AS_OF)
+    hh_with_enc = admits.select("household_id").distinct()
+    base = R.retention_base(hh_with_enc, retained, months)
+    want = R.collapse_retention(base, FIXTURE_AS_OF)
+
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
 def test_stateful_running_household_aggregate(spark, tmp_path):
     # tiny NDJSON encounter stream split into two files (two micro-batches
     # under maxFilesPerTrigger=1) to exercise cross-batch state
