@@ -112,6 +112,30 @@ def test_session_window_matches_batch_sessionize(spark, events, events_ndjson_di
     assert batch.exceptAll(got).count() == 0
 
 
+def test_malformed_json_rows_become_nulls_not_failures(spark, tmp_path):
+    """S3 contract: explicit-schema from_json yields null fields for
+    malformed/mistyped documents — corrupt input degrades, never crashes
+    (the reference's read.json would silently infer a different schema)."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    lines = [
+        '{"event_id": 1, "user_id": 2, "event_type": "view", "ts": "2026-01-01 00:00:00", "value": 1.5}',
+        "{this is not json",
+        '{"event_id": "NOT_A_NUMBER", "user_id": 3, "event_type": "click", "ts": "2026-01-02 00:00:00", "value": 2.0}',
+        "",
+    ]
+    (d / "x.json").write_text("\n".join(lines) + "\n")
+    got = (
+        spark.read.text(str(d))
+        .select(F.from_json("value", ingest.EVENT).alias("d"))
+        .select("d.*")
+        .collect()
+    )
+    ok = [r for r in got if r.event_id == 1]
+    assert len(ok) == 1 and ok[0].event_type == "view"
+    assert all(r.event_id in (1, None) for r in got)  # bad rows → nulls
+
+
 def test_incremental_retention_matches_batch(spark, tmp_path):
     """Stream the fixture encounters in two micro-batches through the
     incremental retention query; the final household-range table must equal
