@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import P31, ensure_parallelism, h60
-from .text import TOKEN_RE, tokens
+from .text import tokens
 
 NGRAM_N = 3
 #: MinHash: 32 permutations in 8 bands of 4 rows — bands/rows chosen so the

@@ -26,10 +26,8 @@ from datetime import datetime
 from .clock import add_years, epoch_ms, month_floor
 from .operators.retention import (
     ENCOUNTER_SCAN_YEARS,
-    GRID_MONTHS_BACK,
     HAS_CHILD_YEARS,
     LOOKBACK_DAYS,
-    NOT_RETAINED_FUTURE_YEARS,
     phase2_bounds,
 )
 

@@ -1,0 +1,74 @@
+"""Skew stress: one mega-household holding most encounters — the hot-key
+shape that breaks naive band self-joins at scale (quadratic blowup inside
+one key). The window strategy must (a) agree exactly with the literal
+self-join strategy and (b) not amplify rows (the self-join materializes
+O(k²) pairs for a k-encounter household; the window pass stays O(k))."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.operators import retention as R
+
+AS_OF = datetime(2026, 8, 1, tzinfo=timezone.utc)
+
+
+def _skewed_frames(spark, hot_encounters: int = 5000, cold_households: int = 50):
+    ms_day = 86400000
+    base_ms = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1000)
+    hot = [
+        ("PH", "HOT", base_ms + (i % 700) * ms_day + i)  # ~700 distinct days
+        for i in range(hot_encounters)
+    ]
+    cold = [
+        (f"PC{h}", f"C{h}", base_ms + (h % 300) * ms_day)
+        for h in range(cold_households)
+    ]
+    rows = [
+        (f"E{i}", pid, "DEMO", ms) for i, (pid, _, ms) in enumerate(hot + cold)
+    ]
+    encounter = spark.createDataFrame(
+        rows, "encounter_id string, person_id string, client_code string, admit_date long"
+    )
+    people = {pid: hh for pid, hh, _ in hot + cold}
+    person = spark.createDataFrame(
+        [(pid, hh) for pid, hh in people.items()], "person_id string, household_id string"
+    )
+    return person, encounter
+
+
+def test_window_strategy_matches_selfjoin_under_skew(spark):
+    person, encounter = _skewed_frames(spark)
+    enc = R.eligible_encounters(encounter, "DEMO", AS_OF)
+    admits = R.person_encounter_admits(person, enc)
+
+    by_window = R.retained_months(admits, strategy="window")
+    by_selfjoin = R.retained_months(admits, strategy="selfjoin")
+    assert by_window.exceptAll(by_selfjoin).count() == 0
+    assert by_selfjoin.exceptAll(by_window).count() == 0
+
+    # the hot household is bounded by the 49-month grid downstream: the
+    # retained-months output itself is at most #distinct admit months
+    hot_months = by_window.where(F.col("household_id") == "HOT").count()
+    assert 0 < hot_months <= 49
+
+
+def test_full_pipeline_under_skew_completes_and_is_sane(spark):
+    person, encounter = _skewed_frames(spark)
+    months = R.month_grid(spark, AS_OF)
+    enc = R.eligible_encounters(encounter, "DEMO", AS_OF)
+    admits = R.person_encounter_admits(person, enc)
+    retained = R.retained_months(admits)
+    base = R.retention_base(person, retained, months)
+    collapsed = R.collapse_retention(base, AS_OF)
+    rows = collapsed.collect()
+    per_hh: dict[str, list] = {}
+    for r in rows:
+        per_hh.setdefault(r.household, []).append(r)
+    # every household has ranges; the grid bound caps ranges per household
+    assert set(per_hh) == {r.household_id for r in person.collect()}
+    assert all(1 <= len(v) <= 49 for v in per_hh.values())
+    hot = sorted(per_hh["HOT"], key=lambda r: r.start_date)
+    assert any(r.retained for r in hot)  # dense daily admits → retained runs
