@@ -340,6 +340,64 @@ def window_battery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "string_battery",
+    """SELECT o_orderkey,
+              upper(o_orderpriority) AS up,
+              lpad(CAST(o_orderkey % 1000 AS VARCHAR), 6, '0') AS padded,
+              reverse(o_orderstatus) AS rev,
+              CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+              substr(o_orderpriority, 3) AS after_num,
+              regexp_extract(o_orderpriority, '[0-9]+') AS pri_num,
+              translate(o_orderstatus, 'OF', 'of') AS translated,
+              CAST(levenshtein(o_orderstatus, 'OK') AS INT) AS lev_ok,
+              concat_ws('|', o_orderstatus, o_orderpriority) AS joined
+       FROM orders""",
+)
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (beyond the reference's F13): case, padding,
+    search, slicing, regex extraction, translation, edit distance."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("up"),
+        F.lpad((F.col("o_orderkey") % 1000).cast("string"), 6, "0").alias("padded"),
+        F.reverse("o_orderstatus").alias("rev"),
+        F.instr("o_orderpriority", "-").cast("int").alias("dash_pos"),
+        F.substring("o_orderpriority", 3, 2147483647).alias("after_num"),
+        F.regexp_extract("o_orderpriority", "[0-9]+", 0).alias("pri_num"),
+        F.translate("o_orderstatus", "OF", "of").alias("translated"),
+        F.levenshtein("o_orderstatus", F.lit("OK")).cast("int").alias("lev_ok"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("joined"),
+    )
+
+
+@register(
+    "array_battery",
+    """SELECT user_id,
+              list_sort(list(DISTINCT event_type)) AS types,
+              CAST(len(list(event_type)) AS INT) AS n,
+              list_sort(list(DISTINCT event_type))[1] AS first_type,
+              array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_csv,
+              CAST(list_contains(list(DISTINCT event_type), 'purchase') AS BOOLEAN)
+                  AS has_purchase
+       FROM events GROUP BY user_id""",
+)
+def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: collect_set/sort/element_at/join/contains —
+    the nested-type toolkit the reference never had (its arrays lived only
+    in the write envelope)."""
+    events = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return events.groupBy("user_id").agg(
+        types.alias("types"),
+        F.count("event_type").cast("int").alias("n"),
+        F.element_at(types, 1).alias("first_type"),
+        F.array_join(types, ",").alias("type_csv"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sessionization (islands reuse) + as-of join (beyond-reference)
 # --------------------------------------------------------------------------
