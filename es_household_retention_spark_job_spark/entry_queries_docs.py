@@ -298,6 +298,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir))
 
 
+@register(
+    "corpus_split",
+    f"""SELECT doc_id,
+               {h60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS split_pct,
+               CASE WHEN {h60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'train'
+                    WHEN {h60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents""",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split via the portable content
+    hash — stable across runs, machines, and engines (never rand(): a task
+    retry would re-split). The salt prefix decorrelates it from every other
+    hash-derived quantity."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pct = h % 100
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        pct.alias("split_pct"),
+        F.when(pct < 90, "train").when(pct < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {h60_sql("'sample:' || CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rk
+        FROM documents)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capped sample (≤10 docs/source) in deterministic
+    pseudo-random hash order — the corpus-balancing primitive (cap a
+    dominant crawl, keep rare sources whole). One shuffle on source."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
