@@ -245,6 +245,97 @@ def pack_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohort_retention_matrix",
+    f"""WITH {oracle.derivation_cte(CLIENT, AS_OF)},
+    admits AS (
+        SELECT DISTINCT p.household_id,
+               CAST(date_trunc('month', e.admit_ts) AS DATE) AS admit_month
+        FROM persons p JOIN encounters e ON e.person_id = p.person_id),
+    cohorts AS (
+        SELECT household_id, min(admit_month) AS cohort_month
+        FROM admits GROUP BY household_id)
+    SELECT c.cohort_month,
+           CAST(datediff('month', c.cohort_month, a.admit_month) AS INT)
+               AS months_since,
+           CAST(count(DISTINCT a.household_id) AS BIGINT) AS n_households
+    FROM admits a JOIN cohorts c ON a.household_id = c.household_id
+    GROUP BY c.cohort_month, months_since""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort matrix over the retention data model: households
+    cohorted by first admit month; one cell per (cohort, months-since) with
+    the distinct households active in that offset. Two partial-aggregated
+    shuffles on household, one on the cell key — no grid materialization."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    enc = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    admits = (
+        persons.join(enc, "person_id")
+        .select(
+            "household_id",
+            F.date_trunc("month", F.col("admit_ts")).cast("date").alias("admit_month"),
+        )
+        .dropDuplicates(["household_id", "admit_month"])
+    )
+    cohorts = admits.groupBy("household_id").agg(
+        F.min("admit_month").alias("cohort_month")
+    )
+    return (
+        admits.join(cohorts, "household_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("admit_month"), F.col("cohort_month"))
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(F.countDistinct("household_id").alias("n_households"))
+    )
+
+
+@register(
+    "rolling_active_households",
+    f"""WITH {oracle.derivation_cte(CLIENT, AS_OF)},{oracle.months_cte(AS_OF)},
+    admits AS (
+        SELECT DISTINCT p.household_id,
+               CAST(date_trunc('month', e.admit_ts) AS DATE) AS admit_month
+        FROM persons p JOIN encounters e ON e.person_id = p.person_id)
+    SELECT m.month_start,
+           CAST(count(DISTINCT a.household_id) AS BIGINT) AS active_households
+    FROM months m
+    LEFT JOIN admits a
+      ON a.admit_month > (m.month_start - INTERVAL 12 MONTH)
+     AND a.admit_month <= m.month_start
+    GROUP BY m.month_start""",
+)
+def rolling_active_households(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 12-month distinct active households per grid month — the
+    month dim (49 rows) is broadcast against the admits, so the range join
+    is a map-side fan-out bounded by 49×, never a shuffle of the fact side
+    on a compound key."""
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons = R.eligible_persons(person, CLIENT)
+    enc = R.eligible_encounters(encounter, CLIENT, AS_OF)
+    admits = (
+        persons.join(enc, "person_id")
+        .select(
+            "household_id",
+            F.date_trunc("month", F.col("admit_ts")).cast("date").alias("admit_month"),
+        )
+        .dropDuplicates(["household_id", "admit_month"])
+    )
+    months = R.month_grid(spark, AS_OF)
+    joined = months.join(
+        admits,
+        (F.col("admit_month") > F.add_months(F.col("month_start"), -12))
+        & (F.col("admit_month") <= F.col("month_start")),
+        "left",
+    )
+    return joined.groupBy("month_start").agg(
+        F.countDistinct("household_id").alias("active_households")
+    )
+
+
 # Generic relational inventory + beyond-reference modules register themselves
 # into QUERIES/ORACLE_SQL on import (kept at the bottom: they import
 # ``register`` from this module).
