@@ -341,6 +341,46 @@ def window_battery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_hourly_gapfill",
+    """WITH hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS hour,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id, hour),
+       bounds AS (
+         SELECT user_id, min(hour) AS hmin, max(hour) AS hmax
+         FROM hourly GROUP BY user_id),
+       grid AS (
+         SELECT user_id,
+                unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hour
+         FROM bounds)
+       SELECT g.user_id, g.hour, coalesce(h.n_events, 0) AS n_events
+       FROM grid g LEFT JOIN hourly h
+         ON h.user_id = g.user_id AND h.hour = g.hour""",
+)
+def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: dense per-user hourly grid
+    (sequence/explode between each user's bounds — the month-grid pattern
+    generalized), zero-filled. Partial-agg shuffles only; grid fan-out is
+    bounded by each user's own span."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("hmin"), F.max("hour").alias("hmax")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("hmin"), F.col("hmax"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events")
+    )
+
+
+@register(
     "string_battery",
     """SELECT o_orderkey,
               upper(o_orderpriority) AS up,
