@@ -43,8 +43,14 @@ def month_floor(ts: datetime) -> datetime:
 
 
 def add_years(ts: datetime, years: int) -> datetime:
-    """Calendar-year shift (HRP:487 ``plusYears``, HRP:754-755 ``addYears``)."""
-    return ts.replace(year=ts.year + years)
+    """Calendar-year shift (HRP:487 ``plusYears``, HRP:754-755 ``addYears``).
+    Feb 29 clamps to Feb 28 in non-leap targets (joda/commons-lang do the
+    same; a bare ``replace(year=...)`` would raise on leap days)."""
+    target = ts.year + years
+    try:
+        return ts.replace(year=target)
+    except ValueError:  # Feb 29 -> non-leap year
+        return ts.replace(year=target, day=28)
 
 
 def epoch_ms(ts: datetime) -> int:

@@ -325,14 +325,21 @@ def rolling_active_households(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["household_id", "admit_month"])
     )
     months = R.month_grid(spark, AS_OF)
-    joined = months.join(
-        admits,
-        (F.col("admit_month") > F.add_months(F.col("month_start"), -12))
-        & (F.col("admit_month") <= F.col("month_start")),
-        "left",
+    # broadcast the 49-row dim INTO the fact side (an outer join FROM months
+    # would force Spark to build/broadcast the unbounded admits side), then
+    # left-join the counts back so empty months still appear with 0
+    counts = (
+        admits.join(
+            F.broadcast(months),
+            (F.col("admit_month") > F.add_months(F.col("month_start"), -12))
+            & (F.col("admit_month") <= F.col("month_start")),
+        )
+        .groupBy("month_start")
+        .agg(F.countDistinct("household_id").alias("_n"))
     )
-    return joined.groupBy("month_start").agg(
-        F.countDistinct("household_id").alias("active_households")
+    return months.join(F.broadcast(counts), "month_start", "left").select(
+        "month_start",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("active_households"),
     )
 
 

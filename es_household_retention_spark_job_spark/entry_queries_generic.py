@@ -421,13 +421,17 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_csv,
               CAST(list_contains(list(DISTINCT event_type), 'purchase') AS BOOLEAN)
                   AS has_purchase
-       FROM events GROUP BY user_id""",
+       FROM events WHERE event_type IS NOT NULL GROUP BY user_id""",
 )
 def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: collect_set/sort/element_at/join/contains —
     the nested-type toolkit the reference never had (its arrays lived only
-    in the write envelope)."""
-    events = load_table(spark, sf_dir, "events")
+    in the write envelope). Both sides pre-filter null event_type: DuckDB's
+    list()/list(DISTINCT) KEEP null elements while Spark's collect_set and
+    count(col) drop them — the filter pins one semantics."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
     types = F.array_sort(F.collect_set("event_type"))
     return events.groupBy("user_id").agg(
         types.alias("types"),

@@ -113,9 +113,12 @@ def minhash_signature_from_hashes(ghashes: Column) -> Column:
 
 def jaccard_bp(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two distinct-element arrays, in integer
-    basis points (floor), portable to DuckDB's list_intersect."""
-    inter = F.size(F.array_intersect(a, b))
-    return F.floor(inter * 10000 / (F.size(a) + F.size(b) - inter)).cast("long")
+    basis points (floor), portable to DuckDB's list_intersect. Sizes are
+    widened to long BEFORE the ×10000 — F.size is int32 and a >214k-shingle
+    document would silently wrap in Spark's non-ANSI arithmetic."""
+    inter = F.size(F.array_intersect(a, b)).cast("long")
+    sa, sb = F.size(a).cast("long"), F.size(b).cast("long")
+    return F.floor(inter * 10000 / (sa + sb - inter)).cast("long")
 
 
 def minhash_lsh_pairs(

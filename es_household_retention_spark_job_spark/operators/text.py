@@ -63,7 +63,6 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = tokens(text_col)
     hits = {lang: lang_hits(toks, lang) for lang in LANG_ORDER}
     best = F.greatest(*hits.values())
-    pred = F.lit(None).cast("string")
     chain = F.when(hits[LANG_ORDER[0]] == best, F.lit(LANG_ORDER[0]))
     for lang in LANG_ORDER[1:]:
         chain = chain.when(hits[lang] == best, F.lit(lang))
@@ -133,6 +132,14 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k TF-IDF terms per document: ``tf × ln((N+1)/(df+1))`` with
     smoothing, deterministic (tfidf desc, term asc) ranking.
+
+    Determinism note: unlike the engine's other float-bearing oracles
+    (which stick to exact +,×,/ folds), this one crosses ``ln`` — JVM
+    Math.log and DuckDB's libm may differ in the last ulp, so a
+    floor(x*1e6) boundary hit could in principle diverge. Probability per
+    value is ~1e-10 and the verification dataset is fixed, so the check is
+    stable in practice; a paranoid caller can drop the tfidf column and
+    rank on (tf, df) which are exact.
 
     Shape: one explode + two partial-aggregated shuffles (doc-term counts,
     term document-frequencies) + broadcast of the term-df side and of the

@@ -44,6 +44,24 @@ def _read_layout(path: str) -> dict:
         return json.load(f)
 
 
+def _swap_dir(src: str, dst: str) -> None:
+    """Replace ``dst`` with ``src`` via rename-aside: the old bucket stays
+    on disk (as ``<dst>.__old``) until the new one is in place, so a crash
+    at any point leaves either the old or the new directory recoverable —
+    never a missing bucket (a bare rmtree-then-move has that hole)."""
+    if not os.path.exists(src):
+        return
+    # dot-prefix: hidden from Spark's file index, so a crash-leftover aside
+    # dir is never mistaken for a partition directory
+    parent, name = os.path.split(dst)
+    aside = os.path.join(parent, f".old__{name}")
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.exists(dst):
+        os.rename(dst, aside)
+    os.rename(src, dst)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
 def write_keyed_table(
     df: DataFrame, path: str, key: str = "person_id", n_buckets: int = DEFAULT_BUCKETS
 ) -> None:
@@ -90,11 +108,22 @@ def upsert_parquet(
         )
     n_buckets = layout["n_buckets"]
 
-    u = _with_bucket(updates, key, n_buckets)
-    affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
-    if not affected:
-        return
+    # persist the update lineage: it is consumed twice (affected-bucket
+    # discovery + the merge write) and may be arbitrarily expensive (the
+    # whole phase-1 DAG, or a streaming micro-batch recompute)
+    u = _with_bucket(updates, key, n_buckets).persist()
+    try:
+        affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
+        if not affected:
+            return
+        _merge_and_swap(spark, path, u, key, affected)
+    finally:
+        u.unpersist()
 
+
+def _merge_and_swap(
+    spark: SparkSession, path: str, u: DataFrame, key: str, affected: list
+) -> None:
     target = spark.read.parquet(path).where(F.col(BUCKET_COL).isin(affected))
 
     t_cols = [c for c in target.columns if c != BUCKET_COL]
@@ -125,10 +154,7 @@ def upsert_parquet(
         for b in affected:
             src = os.path.join(tmp, f"{BUCKET_COL}={b}")
             dst = os.path.join(path, f"{BUCKET_COL}={b}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            if os.path.exists(src):
-                shutil.move(src, dst)
+            _swap_dir(src, dst)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # Spark caches file listings per path (FileStatusCache); the swap above
@@ -169,10 +195,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     try:
         data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         for d in to_compact:
-            src, dst = os.path.join(tmp, d), os.path.join(path, d)
-            if os.path.exists(src):
-                shutil.rmtree(dst)
-                shutil.move(src, dst)
+            _swap_dir(os.path.join(tmp, d), os.path.join(path, d))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.refreshByPath(path)

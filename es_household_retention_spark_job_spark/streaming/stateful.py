@@ -48,9 +48,12 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     n, last = state.get if state.exists else (0, 0)
     for pdf in pdfs:
-        n += len(pdf)
-        if len(pdf):
-            last = max(last, int(pdf["admit_date"].max()))
+        # malformed-NDJSON rows arrive with null admit_date (the from_json
+        # degrade-don't-crash contract) — they are not encounters
+        valid = pdf["admit_date"].dropna()
+        n += len(valid)
+        if len(valid):
+            last = max(last, int(valid.max()))
     state.update((n, last))
     yield pd.DataFrame(
         {"household_id": [key[0]], "n_encounters": [n], "last_admit": [last]}

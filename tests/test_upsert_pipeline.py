@@ -81,6 +81,24 @@ def test_compaction_single_file_per_bucket_same_data(spark, tmp_path):
     assert compact_keyed_table(spark, path) == 0  # idempotent
 
 
+def test_crash_leftover_aside_dir_is_invisible_to_reads(spark, tmp_path):
+    """A crash between rename-aside and cleanup leaves `.old__bucket=N`
+    dirs; they must be hidden from Spark's partition discovery (dot
+    prefix), not parsed as bogus partitions."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    write_keyed_table(base, path, key="k", n_buckets=2)
+    # simulate the crash leftover: a stale full copy of bucket 0
+    src = os.path.join(path, "_bucket=0")
+    shutil.copytree(src, os.path.join(path, ".old___bucket=0"))
+    spark.catalog.refreshByPath(path)
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert got == {"a": 1, "b": 2}  # no duplicated/bogus partition rows
+
+
 def test_upsert_creates_table_when_missing(spark, tmp_path):
     path = str(tmp_path / "fresh")
     df = spark.createDataFrame([("a", 1)], "k string, v int")
