@@ -209,6 +209,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_curation",
+    f"""WITH {_TOKS_CTE},
+    qm AS (SELECT doc_id, text,
+                  len(toks) AS n_tok,
+                  len(list_filter(toks, t -> t IN ({_in_list(T.STOPWORDS["en"])}))) AS stop,
+                  len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS punct,
+                  length(text) AS n_chars
+           FROM toks),
+    kept AS (SELECT doc_id, text FROM qm
+             WHERE n_tok >= 5 AND n_tok <= 100000
+               AND floor(stop * 10000 / n_tok) BETWEEN 100 AND 6000
+               AND (CASE WHEN n_chars > 0
+                         THEN floor(punct * 10000 / n_chars) ELSE 0 END) < 2000),
+    keyed AS (SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_key
+              FROM kept)
+    SELECT content_key, min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM keyed GROUP BY content_key""",
+)
+def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (quality gate → exact dedup), the batch
+    face of ``streaming.doc_stream``: one row per surviving content key."""
+    from .streaming import doc_stream
+
+    return doc_stream.curate_canonical(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""WITH {_NGRAMS_CTE},
     sizes AS (SELECT doc_id, len(gh) AS n FROM ngr),

@@ -96,10 +96,9 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality filter: stopword ratio, punctuation ratio, token
-    count — integer basis-point ratios and a boolean ``keep`` verdict
-    (C4-style pipeline gate for corpus filtering)."""
+def _quality_exprs(text_col: str) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, stop_bp, punct_bp, keep) expressions — plain columns, so
+    the gate applies identically to batch frames and streams (no join)."""
     t = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.size(toks)
@@ -115,6 +114,19 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         & (stop_bp <= 6000)
         & (punct_bp < 2000)
     )
+    return n_tok, stop_bp, punct_bp, keep
+
+
+def quality_keep(text_col: str = "text") -> Column:
+    """The boolean quality gate alone (streaming-friendly filter column)."""
+    return _quality_exprs(text_col)[3]
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality filter: stopword ratio, punctuation ratio, token
+    count — integer basis-point ratios and a boolean ``keep`` verdict
+    (C4-style pipeline gate for corpus filtering)."""
+    n_tok, stop_bp, punct_bp, keep = _quality_exprs(text_col)
     return df.select(
         id_col,
         n_tok.cast("long").alias("n_tokens"),

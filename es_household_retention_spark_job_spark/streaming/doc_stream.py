@@ -1,0 +1,85 @@
+"""Streaming document-corpus pipeline: NDJSON documents stream in, get
+quality-scored and language-tagged (the batch text operators are pure
+column expressions, so they apply to streams unchanged), are deduplicated
+EXACTLY against all previously-seen content (streaming ``dropDuplicates``
+keeps per-key state), and append to the corpus.
+
+This is the streaming front door to the batch training-data pipeline: a
+crawler feeds files in, the corpus parquet only ever receives quality-passed,
+first-seen documents. State note for 100 TB/day: exact dedup state is one
+row per distinct content key; bound it with
+``dropDuplicatesWithinWatermark`` when the duplication horizon is known
+(same call shape + a watermark), or periodically re-dedup in batch with the
+minhash path for the unbounded tail."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import normalize
+from ..operators.text import quality_keep
+
+DOC = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, in_dir: str, **kw) -> DataFrame:
+    from .ingest import stream_ndjson
+
+    return stream_ndjson(spark, in_dir, DOC, **kw)
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """Quality-gate + exact-dedup a document stream (or batch — same code).
+
+    Keeps the first-seen document per normalized-content key; drops
+    quality-filtered rows entirely. The gate is a plain column expression
+    (no self-join — stream-safe)."""
+    gated = docs.where(quality_keep("text")).withColumn(
+        "content_key", F.md5(normalize("text"))
+    )
+    return gated.dropDuplicates(["content_key"])
+
+
+def curate_canonical(docs: DataFrame) -> DataFrame:
+    """Deterministic batch curation summary: quality gate, then one row per
+    surviving content key with the canonical (min) doc_id and duplicate
+    count. The streaming ``curate`` keeps the first-ARRIVED representative
+    (arrival order isn't a batch concept); this is the order-free batch
+    equivalent, and the oracle-checkable face of the pipeline.
+
+    One shuffle (the groupBy); the gate and content key are map-side
+    column expressions, so at 100 TB the shuffle carries only
+    (key, doc_id) pairs, not document text."""
+    return (
+        docs.where(quality_keep("text"))
+        .select(F.md5(normalize("text")).alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def corpus_append(
+    curated: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    writer = (
+        curated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -7,6 +7,8 @@ availableNow triggers over file sources (the production code path, bounded).
 from __future__ import annotations
 
 import json
+import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -110,6 +112,68 @@ def test_session_window_matches_batch_sessionize(spark, events, events_ndjson_di
     ).select("user_id", "session_start", "n_events")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_doc_curation_dedups_across_batches(spark, tmp_path):
+    """Quality gate + exact dedup over a two-batch document stream: a
+    duplicate arriving in a LATER batch must be dropped (cross-batch state),
+    and the surviving corpus must equal the batch curation of the union."""
+    from es_household_retention_spark_job_spark.streaming import doc_stream
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    batches = [
+        [
+            {"doc_id": 1, "text": good, "lang": "en", "source": "s0", "n_chars": len(good)},
+            {"doc_id": 2, "text": "x", "lang": "en", "source": "s0", "n_chars": 1},  # too short
+            {"doc_id": 3, "text": good + " extra tail of words", "lang": "en",
+             "source": "s1", "n_chars": 20},
+        ],
+        [
+            # exact dup of doc 1 (different id/punct-case) — must be dropped
+            {"doc_id": 4, "text": good.upper() + "!!", "lang": "en", "source": "s2",
+             "n_chars": len(good)},
+            {"doc_id": 5, "text": "a completely different document with the usual words in it",
+             "lang": "en", "source": "s2", "n_chars": 40},
+        ],
+    ]
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    base = time.time() - 600
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # The file source orders micro-batches by mtime (ms granularity);
+        # force distinct stamps so batch 0 really arrives first.
+        os.utime(p, (base + 60 * i, base + 60 * i))
+
+    stream = doc_stream.stream_documents(spark, str(d), max_files_per_trigger=1)
+    out, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    _drain(doc_stream.corpus_append(doc_stream.curate(stream), out, ckpt))
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 2 not in got  # quality-gated
+    assert 4 not in got  # cross-batch duplicate
+    assert {1, 3, 5} == got
+
+    batch_union = spark.createDataFrame(
+        [tuple(r.values()) for rows in batches for r in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # The surviving CONTENT set is deterministic (which representative row
+    # wins a within-batch tie is not) — compare stream vs batch on keys.
+    stream_keys = {r.content_key for r in spark.read.parquet(out).collect()}
+    batch_keys = {r.content_key for r in doc_stream.curate(batch_union).collect()}
+    assert batch_keys == stream_keys
+
+    canon = {
+        (r.content_key, r.canonical_id, r.n_docs)
+        for r in doc_stream.curate_canonical(batch_union).collect()
+    }
+    assert {c[0] for c in canon} == stream_keys
+    # doc 1 and its later duplicate doc 4 collapse onto canonical_id 1
+    assert any(c[1] == 1 and c[2] == 2 for c in canon)
 
 
 def test_malformed_json_rows_become_nulls_not_failures(spark, tmp_path):
