@@ -169,10 +169,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     nd AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
-        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-               CAST(floor(tf.tf * ln((nd.n_docs + 1) / (dfreq.df + 1.0)) * 1000000)
+        SELECT doc_id, term, tf, df,
+               CAST((num // den) * 1000000 + ((num % den) * 1000000) // den
                     AS BIGINT) AS tfidf_x1e6
-        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),
+        FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     tf.tf * (nd.n_docs + 1) AS num, dfreq.df + 1 AS den
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd)),
     ranked AS (
         SELECT doc_id, term, tf, df, tfidf_x1e6,
                row_number() OVER (PARTITION BY doc_id

@@ -142,16 +142,18 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Top-k TF-IDF terms per document: ``tf × ln((N+1)/(df+1))`` with
-    smoothing, deterministic (tfidf desc, term asc) ranking.
+    """Top-k TF-IDF terms per document: ``tf × (N+1)/(df+1)`` (linear
+    inverse-document-frequency weighting, smoothed), deterministic
+    (tfidf desc, term asc) ranking.
 
-    Determinism note: unlike the engine's other float-bearing oracles
-    (which stick to exact +,×,/ folds), this one crosses ``ln`` — JVM
-    Math.log and DuckDB's libm may differ in the last ulp, so a
-    floor(x*1e6) boundary hit could in principle diverge. Probability per
-    value is ~1e-10 and the verification dataset is fixed, so the check is
-    stable in practice; a paranoid caller can drop the tfidf column and
-    rank on (tf, df) which are exact.
+    Determinism note: the idf is deliberately the LINEAR variant, not the
+    classic ``ln``-idf — crossing a transcendental would pit JVM Math.log
+    against DuckDB's libm and a last-ulp difference at a floor(x*1e6)
+    boundary could flip a rank. The linear form is computed entirely in
+    int64: with ``a = tf·(N+1)`` and ``b = df+1``,
+    ``floor(a·1e6/b) = (a div b)·1e6 + ((a mod b)·1e6) div b`` — exact in
+    both engines, overflow-free up to ~9e13 documents at the 100k-token
+    doc cap (a ≤ 1e5·(N+1); the second term is < 1e6·b ≤ 1e6·(N+1)).
 
     Shape: one explode + two partial-aggregated shuffles (doc-term counts,
     term document-frequencies) + broadcast of the term-df side and of the
@@ -167,12 +169,13 @@ def tfidf_top_terms(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("num", F.col("tf") * (F.col("n_docs") + F.lit(1)))
+        .withColumn("den", F.col("df") + F.lit(1))
         .withColumn(
             "tfidf_x1e6",
-            F.floor(
-                F.col("tf")
-                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
-                * 1000000
+            (
+                F.expr("num div den") * F.lit(1000000)
+                + F.expr("((num % den) * 1000000) div den")
             ).cast("long"),
         )
     )
