@@ -37,14 +37,52 @@ PROCESSED_MOD = 13  # c_custkey % 13 == 0 -> already has history (P8 exclusion)
 DEFAULT_CLIENT_CODE = "HOUSEHOLD"  # one c_mktsegment value plays client_code
 
 
+#: SQL confs every query needs regardless of who built the SparkSession.
+#: The external driver runs ``queries()`` in its OWN session (default
+#: configs), so relying on session.py being the builder is not enough:
+#: * UTC session timezone — every date_trunc/cast/format/epoch expression
+#:   must resolve identically to the DuckDB oracle (naive-UTC semantics);
+#: * nanosAsLong — events.parquet is INT64 TIMESTAMP(NANOS), illegal for
+#:   Spark's reader otherwise (PARQUET_TYPE_ILLEGAL);
+#: * NTZ inference off — parquet TIMESTAMP loads as an instant, keeping
+#:   epoch math valid (and unix_millis-class functions applicable).
+#: All three are runtime-settable SQL confs (not static Spark confs).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make the arriving session safe for this engine's queries (see
+    ``_RUNTIME_CONFS``). Idempotent; called on every table load so the
+    driver's default-config session behaves like ``session.get_spark()``'s.
+    Failures to set are swallowed — downstream expressions are additionally
+    written type-robustly (see ``derive_encounter``, events branch below)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as a
-        # nano epoch long — truncate to micros exactly like DuckDB's reader.
-        # integer `div`, NOT `/`: float division of nano-epoch longs loses
-        # the last microsecond digit (double spacing is 0.25 at ~1.7e15)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as a
+            # nano epoch long — truncate to micros exactly like DuckDB's
+            # reader. integer `div`, NOT `/`: float division of nano-epoch
+            # longs loses the last microsecond digit (double spacing is 0.25
+            # at ~1.7e15)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # reader version that CAN parse nanos natively but inferred NTZ:
+            # reinterpret as a UTC instant (session tz forced UTC above)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -97,13 +135,20 @@ def derive_encounter(orders: DataFrame, customer: DataFrame) -> DataFrame:
     admit_date = epoch-millis of o_orderdate (UTC session).
     """
     seg = customer.select("c_custkey", "c_mktsegment")
+    # epoch-ms via unix_date: o_orderdate is date-valued, and this derivation
+    # is valid for DATE, TIMESTAMP *and* TIMESTAMP_NTZ inputs — unlike
+    # unix_millis, which raises on NTZ (the driver's default session infers
+    # NTZ from parquet). Matches the oracle's epoch_ms(o_orderdate) exactly.
+    admit_ms = F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * F.lit(
+        86400000
+    )
     return (
         orders.join(seg, orders.o_custkey == seg.c_custkey, "inner")
         .select(
             F.concat(F.lit("E"), F.col("o_orderkey").cast("string")).alias("encounter_id"),
             F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("person_id"),
             F.col("c_mktsegment").alias("client_code"),
-            F.unix_millis(F.col("o_orderdate")).alias("admit_date"),
+            admit_ms.alias("admit_date"),
         )
     )
 
