@@ -46,18 +46,24 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=2 * cpus)
 
-    from es_household_retention_spark_job_spark.entry_queries import QUERIES
+    from es_household_retention_spark_job_spark.entry_queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
 
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # BENCH_QUERIES is frozen for round-over-round comparability; some
+    # entries live in the extra (non-driver-slot) registry
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
+    names = [n for n in BENCH_QUERIES if n in all_queries]
 
     timings: dict[str, float] = {}
     for name in names:
         # measure steady-state throughput: the first run pays one-time
         # whole-stage-codegen (Janino) compilation and Python-worker
         # startup; the timed run is what a warmed cluster sustains
-        force(QUERIES[name](spark, sf_dir))
+        force(all_queries[name](spark, sf_dir))
         t0 = time.perf_counter()
-        force(QUERIES[name](spark, sf_dir))
+        force(all_queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -25,12 +25,21 @@ AS_OF = TESTDATA_AS_OF
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+#: Oracle-verified queries NOT exposed through ``__spark_entry__.queries()``.
+#: The external driver correctness-checks only the FIRST 50 registry entries,
+#: so near-duplicate strategy demos and redundant TPC-H shapes live here:
+#: still pytest-verified against their oracles (tests/test_entry_contract.py)
+#: and still benchable (bench.py consults both dicts), but they don't consume
+#: a driver slot that a distinct operator needs.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLE_SQL: dict[str, str] = {}
 
-def register(name: str, sql: str | None = None):
+
+def register(name: str, sql: str | None = None, extra: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        (EXTRA_QUERIES if extra else QUERIES)[name] = fn
         if sql is not None:
-            ORACLE_SQL[name] = sql
+            (EXTRA_ORACLE_SQL if extra else ORACLE_SQL)[name] = sql
         return fn
 
     return deco
@@ -52,9 +61,11 @@ def retention_phase1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.phase1(person, encounter, CLIENT, AS_OF, cache=False)
 
 
-@register("retention_phase1_selfjoin", oracle.phase1_sql(CLIENT, AS_OF))
+@register("retention_phase1_selfjoin", oracle.phase1_sql(CLIENT, AS_OF), extra=True)
 def retention_phase1_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP1 with the reference's literal band self-join (HRP:529-533, J3)."""
+    """EP1 with the reference's literal band self-join (HRP:529-533, J3) —
+    same output as retention_phase1 (equivalence also pinned by
+    tests/test_skew_stress.py), so it rides the extra registry."""
     person, encounter = retention_inputs(spark, sf_dir)
     return R.phase1(person, encounter, CLIENT, AS_OF, strategy="selfjoin", cache=False)
 

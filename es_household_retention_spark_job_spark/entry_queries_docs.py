@@ -425,7 +425,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(embs, queries, k=KNN_K)
 
 
-@register("knn_ivf")  # rows-only: approximate by design; recall asserted in tests
+@register("knn_ivf", extra=True)  # approximate by design; see knn_ann_eval
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probe re-rank), the
     data-adaptive scale path; recall vs brute force asserted in
@@ -435,7 +435,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(embs, queries, k=KNN_K)
 
 
-@register("knn_lsh")  # rows-only: approximate by design; recall asserted in tests
+@register("knn_lsh", extra=True)  # approximate by design; see knn_ann_eval
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB path); recall vs brute
     force is asserted in tests/test_docs_pipeline.py."""
@@ -444,22 +444,98 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(embs, queries, k=KNN_K)
 
 
+@register("knn_ann_eval")  # rows-only: ANN is approximate by design; the
+# returned recall-vs-exact numbers ARE the correctness evidence (exact-k
+# ground truth is the oracle-checked knn_bruteforce above)
+def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of both ANN paths (LSH tables, IVF probe) against the exact
+    brute-force top-k, computed fully distributed: approx∩exact via a
+    semi-join on (query, neighbor), integer counts only (deterministic —
+    every underlying algorithm is RNG-free). One row per method."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    exact_pairs = S.knn_bruteforce(embs, queries, k=KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall_rows(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            approx.select("query_id", "neighbor_id")
+            .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left_semi")
+            .select(F.lit(method).alias("method"), "query_id")
+        )
+
+    hits = recall_rows("lsh", S.knn_lsh(embs, queries, k=KNN_K)).unionByName(
+        recall_rows("ivf", S.knn_ivf(embs, queries, k=KNN_K))
+    )
+    nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        hits.groupBy("method")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(nq))  # 2×1 rows — the scalar stays in-plan
+        .select(
+            "method",
+            "n_queries",
+            "n_hits",
+            F.floor(F.col("n_hits") * 10000 / (F.col("n_queries") * KNN_K))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
+# The LSH hyperplanes are deterministic (±1 signs from the portable md5
+# hash, similarity.PLANES), so the ORACLE can recompute the exact same
+# bucketing in SQL — the registered query is the scale path (bucketed
+# candidate generation, no crossJoin) and still hash-matches.
+_PLANES_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]" for plane in S.PLANES
+    )
+    + "]"
+)
+_PLANE_DOT = _fold_sum("list_transform(list_zip(s, emb), p -> p[1] * p[2])")
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN b[table_id * {S.BITS_PER_TABLE} + {j + 1}] THEN {1 << j} ELSE 0 END"
+    for j in range(S.BITS_PER_TABLE)
+)
+
+
 @register(
     "embedding_neardup",
-    f"""WITH {_EMB_NORM_CTE}
+    f"""WITH {_EMB_NORM_CTE},
+    bits AS (
+        SELECT vec_id, emb, nrm,
+               list_transform({_PLANES_SQL}, s -> {_PLANE_DOT} > 0) AS b
+        FROM vecs),
+    tb AS (
+        SELECT vec_id, {_BUCKET_SQL} AS bucket, t.table_id
+        FROM bits, range({S.N_TABLES}) t(table_id)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM tb a JOIN tb b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, cos_bp FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(floor({_DOT.format(a="a.emb", b="b.emb")} / (a.nrm * b.nrm)
+        SELECT c.va AS vec_a, c.vb AS vec_b,
+               CAST(floor({_DOT.format(a="x.emb", b="y.emb")} / (x.nrm * y.nrm)
                           * {S.COS_SCALE}) AS BIGINT) AS cos_bp
-        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+        FROM cand c
+        JOIN vecs x ON x.vec_id = c.va
+        JOIN vecs y ON y.vec_id = c.vb)
     WHERE cos_bp >= {NEARDUP_COS_BP}""",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — exact quadratic variant as the
-    oracle-of-record; the LSH-bucketed variant is the scale path (tested
-    for containment in tests/test_docs_pipeline.py)."""
+    """Embedding-cosine near-dup pairs via LSH-bucketed candidate generation
+    (the 100 TB path: same-(table,bucket) pairs only, never an all-pairs
+    crossJoin) with exact cosine verification on the candidates. The oracle
+    mirrors the deterministic hyperplane bucketing, so this hash-matches
+    while exercising the scale plan. The exact quadratic variant
+    (bucketed=False) remains the containment reference in
+    tests/test_docs_pipeline.py."""
     return S.cosine_neardup_pairs(
-        _embs(spark, sf_dir), min_cos_bp=NEARDUP_COS_BP, bucketed=False
+        _embs(spark, sf_dir), min_cos_bp=NEARDUP_COS_BP, bucketed=True
     )
 
 

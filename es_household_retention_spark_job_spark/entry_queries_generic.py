@@ -171,9 +171,14 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# extra=True (below): redundant TPC-H shapes / §2.7 set ops — their operator
+# classes (joins+topk, star joins, anti join, distinct) are all covered by
+# driver-checked keys; they stay oracle-verified in pytest and benchable
+# without spending one of the driver's 50 correctness slots.
 @register(
-    "shipping_priority",
-    """SELECT l_orderkey,
+    extra=True,
+    name="shipping_priority",
+    sql="""SELECT l_orderkey,
               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
                    AS BIGINT) AS revenue_x100,
               o_orderdate
@@ -219,8 +224,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "local_supplier_volume",
-    """SELECT n_name,
+    extra=True,
+    name="local_supplier_volume",
+    sql="""SELECT n_name,
               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
                    AS BIGINT) AS revenue_x100
        FROM customer
@@ -267,8 +273,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_orders",
-    """SELECT c_custkey FROM customer c
+    extra=True,
+    name="customers_without_orders",
+    sql="""SELECT c_custkey FROM customer c
        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,8 +287,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_ops_nationkeys",
-    """SELECT nationkey, tag FROM (
+    extra=True,
+    name="set_ops_nationkeys",
+    sql="""SELECT nationkey, tag FROM (
          SELECT c_nationkey AS nationkey, 'both' AS tag FROM customer
          INTERSECT SELECT s_nationkey, 'both' FROM supplier
        ) UNION ALL

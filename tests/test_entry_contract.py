@@ -8,17 +8,31 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
+from es_household_retention_spark_job_spark.entry_queries import (
+    EXTRA_ORACLE_SQL,
+    EXTRA_QUERIES,
+)
 
 from .conftest import SF_DIR, assert_matches_oracle
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+#: the external driver correctness-checks only the first N registry entries
+DRIVER_QUERY_BUDGET = 50
+
 
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert len(df.schema.fields) == 7
     assert df.count() > 0
+
+
+def test_registry_fits_driver_budget():
+    """Every declared query must actually get a CORRECTNESS row — anything
+    past the driver's budget is silently unchecked (round-1 lesson)."""
+    assert len(QUERIES) <= DRIVER_QUERY_BUDGET, sorted(QUERIES)[DRIVER_QUERY_BUDGET:]
+    assert set(ORACLES) <= set(QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -28,4 +42,15 @@ def test_query_matches_oracle(spark, duck, name):
         assert_matches_oracle(df, duck, ORACLES[name])
     else:
         # rows-only check, mirroring the driver's weaker path
+        assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
+def test_extra_query_matches_oracle(spark, duck, name):
+    """Queries kept OUT of the driver registry (strategy demos, redundant
+    shapes) stay oracle-verified here."""
+    df = EXTRA_QUERIES[name](spark, SF_DIR)
+    if name in EXTRA_ORACLE_SQL:
+        assert_matches_oracle(df, duck, EXTRA_ORACLE_SQL[name])
+    else:
         assert df.count() >= 0 and len(df.schema.fields) > 0

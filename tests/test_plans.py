@@ -80,7 +80,15 @@ def test_minhash_no_explode_before_banding(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["retention_phase2", "sessionize_events", "asof_purchase_view", "dedup_exact"],
+    [
+        "retention_phase2",
+        "sessionize_events",
+        "asof_purchase_view",
+        "dedup_exact",
+        # the registered near-dup is the LSH-bucketed path: a crossJoin here
+        # means the quadratic variant leaked back into the driver registry
+        "embedding_neardup",
+    ],
 )
 def test_no_cartesian_anywhere(spark, name):
     P.assert_no_cartesian(q(spark, name))
