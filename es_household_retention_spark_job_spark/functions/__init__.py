@@ -26,9 +26,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's default parallelism when
     the input arrives under-split (a small parquet file reads as ONE
     partition, serializing every downstream codegen/Arrow stage). Never
-    reduces an already well-split input — at scale this is a no-op."""
+    reduces an already well-split input — at scale this is a no-op.
+
+    Under-split detection uses the scan's file count (driver-side metadata
+    from the file index), NOT ``df.rdd.getNumPartitions()``: converting the
+    analyzed plan to an RDD just to count partitions forces plan translation
+    on every call. Non-file inputs (in-memory test frames, post-shuffle
+    lineage) report no files and pass through untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

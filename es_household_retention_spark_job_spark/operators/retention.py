@@ -130,26 +130,44 @@ def month_grid(spark: SparkSession, as_of: datetime) -> DataFrame:
     )
 
 
-def person_encounter_admits(persons: DataFrame, encounters: DataFrame) -> DataFrame:
+def person_encounter_admits(
+    persons: DataFrame, encounters: DataFrame, skew_safe: bool = False
+) -> DataFrame:
     """J1 + A1 — the ``cur`` CTE (HRP:509-516): inner join person⋈encounter
     then dedup to distinct (household_id, admit_ts). ``admit_minus1`` is
     derived, not grouped on, since it is functionally dependent (the
-    reference groups on all three, same result)."""
-    return (
-        persons.join(encounters, "person_id", "inner")
-        .select("household_id", "admit_ts")
+    reference groups on all three, same result).
+
+    ``skew_safe`` is the hot-household escape hatch. The default keys the
+    whole chain on ONE household_id exchange, which opts the dedup out of
+    AQE skew splitting: a mega-household's entire PRE-dedup row set (not
+    bounded by the 49-month grid — every distinct admit timestamp survives)
+    lands in a single task. With ``skew_safe=True`` the dedup shuffles on
+    the full (household_id, admit_ts) key first — high-cardinality, spread
+    evenly, map-side partial dedup — and only the POST-dedup rows take the
+    household_id exchange. One extra shuffle; identical output
+    (tests/test_skew_stress.py proves it on a synthetic mega-household).
+    Flip it when key-frequency stats show a household above ~10x the
+    partition average."""
+    joined = persons.join(encounters, "person_id", "inner").select(
+        "household_id", "admit_ts"
+    )
+    if skew_safe:
+        deduped = joined.dropDuplicates(["household_id", "admit_ts"]).repartition(
+            "household_id"
+        )
+    else:
         # ONE shuffle keys the whole household chain: hashpartitioning on
         # household_id alone satisfies every downstream ClusteredDistribution
         # (the (hh, ts) dedup, the lag window, the (hh, month) dedup, the
         # month-set agg, the grid join, the rank/collapse windows) — so none
-        # of them re-exchanges. Trade-off: no AQE skew-split on this chain;
-        # a mega-household is bounded by 49 grid months after dedup anyway.
-        .repartition("household_id")
-        .dropDuplicates(["household_id", "admit_ts"])
-        .withColumn(
-            "admit_minus1",
-            F.date_add(F.col("admit_ts").cast("date"), -LOOKBACK_DAYS),
+        # of them re-exchanges.
+        deduped = joined.repartition("household_id").dropDuplicates(
+            ["household_id", "admit_ts"]
         )
+    return deduped.withColumn(
+        "admit_minus1",
+        F.date_add(F.col("admit_ts").cast("date"), -LOOKBACK_DAYS),
     )
 
 
@@ -290,15 +308,17 @@ def phase1(
     as_of: datetime,
     strategy: str = "window",
     cache: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """EP1 — full retained pipeline (HRP:305-648). ``persons`` is reused by
-    the grid and the final fan-out, so it is cached (C5, HRP:478)."""
+    the grid and the final fan-out, so it is cached (C5, HRP:478).
+    ``skew_safe`` — see person_encounter_admits."""
     spark = person.sparkSession
     persons = eligible_persons(person, client_code)
     if cache:
         persons = persons.cache()
     encounters = eligible_encounters(encounter, client_code, as_of)
-    admits = person_encounter_admits(persons, encounters)
+    admits = person_encounter_admits(persons, encounters, skew_safe=skew_safe)
     retained = retained_months(admits, strategy=strategy)
     base = retention_base(persons, retained, month_grid(spark, as_of))
     collapsed = collapse_retention(base, as_of)

@@ -37,7 +37,18 @@ def salted_join(
     ``salt_from``: a (high-cardinality) column of ``big`` the salt is
     hashed from — deterministic, so retries/replays place rows identically
     (never use rand(): a task retry would re-salt and drop/duplicate rows).
+
+    Only join types that never emit unmatched SMALL-side rows are allowed:
+    with the small side replicated ``n_salt``×, a right/full outer join
+    would surface each unmatched small row ``n_salt`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            "unmatched replicated small-side rows"
+        )
     on = list(on)
     b = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)).cast("int")

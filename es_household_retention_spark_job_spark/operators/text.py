@@ -156,10 +156,12 @@ def tfidf_top_terms(
     doc cap (a ≤ 1e5·(N+1); the second term is < 1e6·b ≤ 1e6·(N+1)).
 
     Shape: one explode + two partial-aggregated shuffles (doc-term counts,
-    term document-frequencies) + broadcast of the term-df side and of the
-    1-row corpus count — the corpus-size scalar stays IN the plan (no
-    driver round-trip), so the whole thing is a single lazy job at any
-    scale."""
+    term document-frequencies) + a shuffle join of tf⋈df on term and a
+    broadcast of the 1-row corpus count — the corpus-size scalar stays IN
+    the plan (no driver round-trip). The term-df side is deliberately NOT
+    broadcast-hinted: it is vocabulary-sized (unbounded with corpus growth),
+    so forcing a broadcast risks OOM at scale; AQE downgrades the shuffle
+    join to broadcast at runtime when the vocabulary actually is small."""
     from pyspark.sql import Window
 
     terms = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
@@ -167,7 +169,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("num", F.col("tf") * (F.col("n_docs") + F.lit(1)))
         .withColumn("den", F.col("df") + F.lit(1))

@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 BUCKET_COL = "_bucket"
 DEFAULT_BUCKETS = 16
@@ -42,6 +43,31 @@ def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
 def _read_layout(path: str) -> dict:
     with open(os.path.join(path, LAYOUT_FILE)) as f:
         return json.load(f)
+
+
+def _table_schema(df: DataFrame) -> StructType:
+    """The table's pinned unified schema: every data column (nullable — an
+    upsert may insert keys with missing columns) plus the bucket partition
+    column last."""
+    fields = [
+        StructField(f.name, f.dataType, True)
+        for f in df.schema.fields
+        if f.name != BUCKET_COL
+    ]
+    fields.append(StructField(BUCKET_COL, LongType(), True))
+    return StructType(fields)
+
+
+def _write_layout(path: str, key: str, n_buckets: int, schema: StructType) -> None:
+    with open(os.path.join(path, LAYOUT_FILE), "w") as f:
+        json.dump(
+            {"key": key, "n_buckets": n_buckets, "schema": schema.jsonValue()}, f
+        )
+
+
+def _stored_schema(layout: dict) -> StructType | None:
+    raw = layout.get("schema")
+    return StructType.fromJson(raw) if raw else None
 
 
 def _swap_dir(src: str, dst: str) -> None:
@@ -66,18 +92,28 @@ def write_keyed_table(
     df: DataFrame, path: str, key: str = "person_id", n_buckets: int = DEFAULT_BUCKETS
 ) -> None:
     """Initial load of a keyed table in the bucketed-merge layout. The bucket
-    function is a TABLE property (key column + bucket count), persisted in a
-    sidecar so later upserts can never diverge from the layout."""
-    _with_bucket(df, key, n_buckets).write.mode("overwrite").partitionBy(
-        BUCKET_COL
-    ).parquet(path)
-    with open(os.path.join(path, LAYOUT_FILE), "w") as f:
-        json.dump({"key": key, "n_buckets": n_buckets}, f)
+    function (key column + bucket count) and the unified column schema are
+    TABLE properties, persisted in a sidecar so later upserts can never
+    diverge from the layout and schema evolution stays metadata-only."""
+    bucketed = _with_bucket(df, key, n_buckets)
+    bucketed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    _write_layout(path, key, n_buckets, _table_schema(bucketed))
 
 
 def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read back without the layout column."""
-    return spark.read.parquet(path).drop(BUCKET_COL)
+    """Read back without the layout column.
+
+    Reads with the PINNED unified schema from the sidecar: schema evolution
+    rewrites only the buckets an upsert touches, so older buckets lack
+    later-added columns in their footers — an inferred read (which samples
+    files) could silently drop such a column. The explicit schema fills it
+    with nulls instead, with no mergeSchema footer sweep."""
+    try:
+        schema = _stored_schema(_read_layout(path))
+    except FileNotFoundError:  # plain bucketed parquet without a sidecar
+        schema = None
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(path).drop(BUCKET_COL)
 
 
 def upsert_parquet(
@@ -107,6 +143,24 @@ def upsert_parquet(
             f"upsert key {key!r} does not match table layout key {layout['key']!r}"
         )
     n_buckets = layout["n_buckets"]
+    stored = _stored_schema(layout)
+    if stored is not None:
+        # schema evolution guard: new columns are fine (the sidecar schema
+        # evolves below), but a TYPE change on an existing column would make
+        # old buckets unreadable under the evolved schema — reject it.
+        # nullability-insensitive comparison (simpleString drops nullable/
+        # containsNull flags): an upsert legitimately carries tighter nested
+        # nullability than the stored all-nullable schema
+        stored_types = {f.name: f.dataType.simpleString() for f in stored.fields}
+        for f in updates.schema.fields:
+            if (
+                f.name in stored_types
+                and f.dataType.simpleString() != stored_types[f.name]
+            ):
+                raise ValueError(
+                    f"upsert column {f.name!r} type {f.dataType.simpleString()} "
+                    f"conflicts with stored type {stored_types[f.name]}"
+                )
 
     # persist the update lineage: it is consumed twice (affected-bucket
     # discovery + the merge write) and may be arbitrarily expensive (the
@@ -116,15 +170,24 @@ def upsert_parquet(
         affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
         if not affected:
             return
-        _merge_and_swap(spark, path, u, key, affected)
+        _merge_and_swap(spark, path, u, key, affected, stored)
     finally:
         u.unpersist()
 
 
 def _merge_and_swap(
-    spark: SparkSession, path: str, u: DataFrame, key: str, affected: list
+    spark: SparkSession,
+    path: str,
+    u: DataFrame,
+    key: str,
+    affected: list,
+    stored: StructType | None,
 ) -> None:
-    target = spark.read.parquet(path).where(F.col(BUCKET_COL).isin(affected))
+    # read the affected buckets under the PINNED schema: buckets that predate
+    # an earlier schema evolution lack the newer columns in their footers,
+    # and an inferred read could drop them (Spark samples files for schema)
+    reader = spark.read.schema(stored) if stored else spark.read
+    target = reader.parquet(path).where(F.col(BUCKET_COL).isin(affected))
 
     t_cols = [c for c in target.columns if c != BUCKET_COL]
     u_cols = [c for c in u.columns if c != BUCKET_COL]
@@ -157,6 +220,11 @@ def _merge_and_swap(
             _swap_dir(src, dst)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # evolve the pinned schema AFTER the swap: updates may have introduced
+    # new columns (present only in the rewritten buckets' files; the sidecar
+    # schema makes them visible as nulls everywhere else)
+    layout = _read_layout(path)
+    _write_layout(path, layout["key"], layout["n_buckets"], _table_schema(merged))
     # Spark caches file listings per path (FileStatusCache); the swap above
     # happened behind its back.
     spark.catalog.refreshByPath(path)
@@ -172,7 +240,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
 
     Same write-then-swap safety as the upsert: a crash mid-compact leaves
     every bucket either old or fully rewritten, never mixed."""
-    _read_layout(path)  # asserts this IS a keyed table; layout is untouched
+    layout = _read_layout(path)  # asserts this IS a keyed table; untouched
     to_compact = [
         d
         for d in os.listdir(path)
@@ -185,9 +253,13 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     if not to_compact:
         return 0
     ids = [int(d.split("=", 1)[1]) for d in to_compact]
+    # pinned schema: a compaction must not drop columns that older files in
+    # a bucket lack (see read_keyed_table)
+    stored = _stored_schema(layout)
+    reader = spark.read.schema(stored) if stored else spark.read
     # one task per bucket → exactly one output file per bucket directory
     data = (
-        spark.read.parquet(path)
+        reader.parquet(path)
         .where(F.col(BUCKET_COL).isin(ids))
         .repartition(len(ids), BUCKET_COL)
     )

@@ -77,3 +77,14 @@ def test_salted_left_join_preserves_unmatched(spark):
     ).select("event_id", "user_tag")
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_small_side_outer(spark):
+    """right/full outer would emit each unmatched replicated small-side row
+    n_salt times — the helper must refuse instead of silently duplicating."""
+    events = load_table(spark, SF_DIR, "events")
+    dim = events.select("user_id").distinct()
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(events, dim, on=["user_id"], salt_from="event_id", how="full_outer")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(events, dim, on=["user_id"], salt_from="event_id", how="right")

@@ -72,3 +72,28 @@ def test_full_pipeline_under_skew_completes_and_is_sane(spark):
     assert all(1 <= len(v) <= 49 for v in per_hh.values())
     hot = sorted(per_hh["HOT"], key=lambda r: r.start_date)
     assert any(r.retained for r in hot)  # dense daily admits → retained runs
+
+
+def test_skew_safe_dedup_equals_default(spark):
+    """The skew escape hatch (dedup shuffled on the full compound key before
+    the household exchange) must be a pure plan change: identical rows, and
+    one extra exchange at most."""
+    from es_household_retention_spark_job_spark import plans as P
+
+    person, encounter = _skewed_frames(spark, hot_encounters=8000)
+    enc = R.eligible_encounters(encounter, "DEMO", AS_OF)
+    default = R.person_encounter_admits(person, enc, skew_safe=False)
+    safe = R.person_encounter_admits(person, enc, skew_safe=True)
+    assert default.exceptAll(safe).count() == 0
+    assert safe.exceptAll(default).count() == 0
+    # the full phase-1 output is unchanged too
+    base_d = R.retention_base(
+        person, R.retained_months(default), R.month_grid(spark, AS_OF)
+    )
+    base_s = R.retention_base(person, R.retained_months(safe), R.month_grid(spark, AS_OF))
+    c_d = R.collapse_retention(base_d, AS_OF)
+    c_s = R.collapse_retention(base_s, AS_OF)
+    assert c_d.exceptAll(c_s).count() == 0
+    assert c_s.exceptAll(c_d).count() == 0
+    # cost bound: exactly one extra exchange for the skew-safe pre-dedup
+    assert P.count_shuffles(safe) == P.count_shuffles(default) + 1

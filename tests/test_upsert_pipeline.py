@@ -172,3 +172,44 @@ def test_phase2_stamps_encounterless_store(spark, tmp_path):
     rows = {r["person_id"]: (r["gte"], r["lte"], r["retained"]) for r in entries.collect()}
     assert rows["q1"] == ("2022-08-01", "2036-08-01 00:00:00", False)
     assert rows == {k: rows["q1"] for k in ("q1", "q2", "q3")}
+
+
+def test_upsert_schema_evolution_visible_across_buckets(spark, tmp_path):
+    """An update that introduces a NEW column rewrites only its own buckets;
+    the pinned sidecar schema must still expose the column (as null) for
+    rows in untouched buckets, through reads AND compaction."""
+    path = str(tmp_path / "evo")
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(20)], "k string, v int")
+    write_keyed_table(base, path, key="k", n_buckets=4)
+
+    up = spark.createDataFrame([("k3", 99, "hello")], "k string, v int, extra string")
+    upsert_parquet(spark, path, up, key="k")
+
+    got = read_keyed_table(spark, path)
+    assert "extra" in got.columns
+    rows = {r["k"]: (r["v"], r["extra"]) for r in got.collect()}
+    assert len(rows) == 20
+    assert rows["k3"] == (99, "hello")
+    assert all(v[1] is None for k, v in rows.items() if k != "k3")
+
+    # a second, column-stable upsert into a DIFFERENT bucket set must not
+    # lose the evolved column for the merge (pinned-schema target read)
+    up2 = spark.createDataFrame([("k0", -1)], "k string, v int")
+    upsert_parquet(spark, path, up2, key="k")
+    rows2 = {r["k"]: (r["v"], r["extra"]) for r in read_keyed_table(spark, path).collect()}
+    assert rows2["k0"] == (-1, None)
+    assert rows2["k3"] == (99, "hello")
+
+    # compaction keeps the evolved schema too
+    compact_keyed_table(spark, path)
+    rows3 = {r["k"]: (r["v"], r["extra"]) for r in read_keyed_table(spark, path).collect()}
+    assert rows3 == rows2
+
+
+def test_upsert_type_conflict_rejected(spark, tmp_path):
+    path = str(tmp_path / "conflict")
+    base = spark.createDataFrame([("a", 1)], "k string, v int")
+    write_keyed_table(base, path, key="k", n_buckets=2)
+    bad = spark.createDataFrame([("a", "not-an-int")], "k string, v string")
+    with pytest.raises(ValueError, match="conflicts with stored type"):
+        upsert_parquet(spark, path, bad, key="k")
