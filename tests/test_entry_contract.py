@@ -54,3 +54,40 @@ def test_extra_query_matches_oracle(spark, duck, name):
         assert_matches_oracle(df, duck, EXTRA_ORACLE_SQL[name])
     else:
         assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+#: what the external driver's DEFAULT-config session looks like where it
+#: differs from session.get_spark() — the round-1 gate ran here and 24/50
+#: queries died on conf-dependent expressions
+HOSTILE_CONFS = {
+    "spark.sql.session.timeZone": "America/New_York",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+}
+
+HOSTILE_SAMPLE = [
+    "retention_phase1",        # epoch math over o_orderdate (NTZ victim)
+    "retention_collapsed",     # date_format/unix_millis (timezone victim)
+    "window_battery_events",   # events.parquet TIMESTAMP(NANOS) (reader victim)
+    "resample_hourly_gapfill", # date_trunc per hour (timezone victim)
+    "month_grid",              # no table read — covered by the entry wrapper
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_SAMPLE)
+def test_query_survives_hostile_session_confs(spark, duck, name):
+    """Every queries() entry must normalize the session itself
+    (sources.tpch.ensure_session_confs): flip the confs to the driver's
+    defaults first and the oracle hash-match must still hold."""
+    saved = {k: spark.conf.get(k, None) for k in HOSTILE_CONFS}
+    try:
+        for k, v in HOSTILE_CONFS.items():
+            spark.conf.set(k, v)
+        df = QUERIES[name](spark, SF_DIR)
+        assert_matches_oracle(df, duck, ORACLES[name])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
