@@ -118,24 +118,56 @@ def knn_bruteforce(
     )
 
 
+def _matrix_lit(rows: list[list[float]] | tuple[tuple[float, ...], ...]) -> Column:
+    """A constant ``array<array<double>>`` column. Built as nested
+    ``CreateArray`` trees, but every child is foldable, so ConstantFolding
+    collapses the whole thing to ONE Literal node before physical planning —
+    the indexed-literal pattern that keeps plan size (and therefore
+    analysis/codegen time) independent of the matrix size. Splicing each row
+    as its own literal array into per-row expressions made the LSH/IVF plans
+    ~3000 nodes and cost seconds of pure compile time per query."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in rows]
+    )
+
+
 def lsh_table_buckets(emb: Column) -> Column:
-    """Array of N_TABLES (table_id, bucket) structs, computed map-side in
-    codegen — each bucket is BITS_PER_TABLE sign bits from that table's
-    hyperplanes."""
-    entries = []
-    for t in range(N_TABLES):
-        bucket = F.lit(0)
-        for j in range(BITS_PER_TABLE):
-            signs = F.array(
-                *[F.lit(float(s)) for s in PLANES[t * BITS_PER_TABLE + j]]
+    """Array of N_TABLES (table_id, bucket) structs, computed map-side —
+    each bucket is BITS_PER_TABLE sign bits from that table's hyperplanes.
+
+    The plane matrix enters the plan as a single folded literal and is
+    indexed inside nested higher-order functions, so the expression tree
+    stays a handful of nodes regardless of N_PLANES × EMB_DIM. The per-row
+    math (sequential zip_with/aggregate fold per plane, sign test, bit
+    packing) is identical to splicing each plane separately — bit-for-bit
+    the same buckets, which the DuckDB oracle re-derives."""
+    planes = _matrix_lit(PLANES)
+    # shiftleft() needs a Python-int shift, so index a 6-entry folded
+    # power-of-two literal with the lambda-bound bit position instead
+    pow2 = F.array(*[F.lit(1 << b) for b in range(BITS_PER_TABLE)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("table_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(BITS_PER_TABLE - 1)),
+                F.lit(0),
+                lambda acc, j: acc
+                + F.when(
+                    dot(
+                        F.element_at(
+                            planes, (t * BITS_PER_TABLE + j + 1).cast("int")
+                        ),
+                        emb,
+                    )
+                    > 0,
+                    F.element_at(pow2, (j + 1).cast("int")),
+                ).otherwise(F.lit(0)),
             )
-            bucket = bucket + F.when(dot(signs, emb) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
-        entries.append(
-            F.struct(F.lit(t).alias("table_id"), bucket.cast("long").alias("bucket"))
-        )
-    return F.array(*entries)
+            .cast("long")
+            .alias("bucket"),
+        ),
+    )
 
 
 def _bucketed(df: DataFrame, id_alias: str, id_col: str, emb_col: str) -> DataFrame:
@@ -193,33 +225,40 @@ def knn_lsh(
     )
 
 
+def _cell_dists(emb: Column, centroids: list[list[float]]) -> Column:
+    """Array of (squared-euclidean distance, centroid index) structs, one
+    per centroid. The centroid matrix is one folded literal (``_matrix_lit``)
+    indexed from a ``transform`` lambda — same sequential per-dimension fold
+    as splicing each centroid would produce (identical floats), but the plan
+    stays tiny and is NOT rebuilt into a new ~1000-node tree every Lloyd
+    iteration."""
+    cents = _matrix_lit(centroids)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.element_at(cents, (i + 1).cast("int")),
+                    emb,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("int").alias("i"),
+        ),
+    )
+
+
 def _argmin_cell(emb: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared-euclidean), map-side.
     ``struct(dist, idx)`` min orders by dist then idx — deterministic ties."""
-    entries = []
-    for i, c in enumerate(centroids):
-        cv = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(cv, emb, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*entries))["i"]
+    return F.array_min(_cell_dists(emb, centroids))["i"]
 
 
 def _probe_cells(emb: Column, centroids: list[list[float]], n_probe: int) -> Column:
     """Array of the ``n_probe`` nearest centroid indices."""
-    entries = []
-    for i, c in enumerate(centroids):
-        cv = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(cv, emb, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    ranked = F.array_sort(F.array(*entries))
+    ranked = F.array_sort(_cell_dists(emb, centroids))
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
 
 
@@ -239,27 +278,35 @@ def kmeans_centroids(
     k×dim centroid matrix ever reaches the driver — at 100 TB that is still
     a few MB, the one driver-side structure this module allows."""
     base = with_unit_meta(df, emb_col).select(id_col, "_emb")
-    centroids = [
-        list(r["_emb"]) for r in base.orderBy(id_col).limit(k).collect()
-    ]
-    for _ in range(iters):
-        assigned = base.withColumn("_cell", _argmin_cell(F.col("_emb"), centroids))
-        means = (
-            assigned.select("_cell", F.posexplode("_emb").alias("_dim", "_x"))
-            .groupBy("_cell", "_dim")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        by_cell: dict[int, list[float]] = {}
-        for r in means:
-            by_cell.setdefault(r["_cell"], [0.0] * len(centroids[0]))[r["_dim"]] = r[
-                "_m"
-            ]
-        # empty cells keep their previous centroid
+    # each Lloyd iteration re-scans base; cache it once instead of re-reading
+    # parquet + recomputing casts/norms per iteration
+    base.persist()
+    try:
         centroids = [
-            by_cell.get(i, centroids[i]) for i in range(len(centroids))
+            list(r["_emb"]) for r in base.orderBy(id_col).limit(k).collect()
         ]
-    return centroids
+        for _ in range(iters):
+            assigned = base.withColumn(
+                "_cell", _argmin_cell(F.col("_emb"), centroids)
+            )
+            means = (
+                assigned.select("_cell", F.posexplode("_emb").alias("_dim", "_x"))
+                .groupBy("_cell", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(r["_cell"], [0.0] * len(centroids[0]))[
+                    r["_dim"]
+                ] = r["_m"]
+            # empty cells keep their previous centroid
+            centroids = [
+                by_cell.get(i, centroids[i]) for i in range(len(centroids))
+            ]
+        return centroids
+    finally:
+        base.unpersist()
 
 
 def knn_ivf(
