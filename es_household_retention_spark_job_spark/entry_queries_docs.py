@@ -263,10 +263,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PERMS_SQL = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in D.PERMS) + "]"
 
-
-@register(
-    "dedup_minhash_lsh",
-    f"""WITH {_NGRAMS_CTE},
+#: shared CTE chain ending in verified near-dup `pairs` — the minhash query
+#: selects from it directly, dedup_clusters extends it with a recursive
+#: transitive closure.
+_MINHASH_PAIRS_CTES = f"""{_NGRAMS_CTE},
     sigs AS (SELECT doc_id,
                     list_transform({_PERMS_SQL},
                         p -> list_min(list_transform(gh, g -> (p.a * (g % {P31}) + p.b) % {P31}))) AS sig
@@ -278,20 +278,48 @@ _PERMS_SQL = "[" + ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in D.PERMS) + "]
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-              AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, jaccard_bp FROM (
-        SELECT doc_a, doc_b,
-               CAST(floor(len(list_intersect(ga.gh, gb.gh)) * 10000
-                    / (len(ga.gh) + len(gb.gh)
-                       - len(list_intersect(ga.gh, gb.gh)))) AS BIGINT) AS jaccard_bp
-        FROM cand
-        JOIN ngr ga ON ga.doc_id = doc_a
-        JOIN ngr gb ON gb.doc_id = doc_b)
-    WHERE jaccard_bp >= {D.JACCARD_MIN_BP}""",
+              AND a.doc_id < b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b, jaccard_bp FROM (
+            SELECT doc_a, doc_b,
+                   CAST(floor(len(list_intersect(ga.gh, gb.gh)) * 10000
+                        / (len(ga.gh) + len(gb.gh)
+                           - len(list_intersect(ga.gh, gb.gh)))) AS BIGINT) AS jaccard_bp
+            FROM cand
+            JOIN ngr ga ON ga.doc_id = doc_a
+            JOIN ngr gb ON gb.doc_id = doc_b)
+        WHERE jaccard_bp >= {D.JACCARD_MIN_BP})"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"WITH {_MINHASH_PAIRS_CTES}\n    SELECT doc_a, doc_b, jaccard_bp FROM pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation) over
+    the verified MinHash near-dup pairs — the transitive closure pairwise
+    dedup can't see. Oracle recomputes it as a recursive CTE."""
+    return D.duplicate_clusters(D.minhash_lsh_pairs(_docs(spark, sf_dir)))
 
 
 _chunk_w = D.SIMHASH_BITS // D.SIM_CHUNKS

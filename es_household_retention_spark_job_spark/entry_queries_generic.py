@@ -131,7 +131,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_custkeys")  # rows-only: HLL estimates differ by engine
+# extra: rows-only anyway (HLL estimates differ by engine), so its driver
+# slot went to the fully-oracled dedup_clusters; accuracy is pytest-pinned
+@register("approx_distinct_custkeys", extra=True)
 def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the constant-memory distinct
     count for 100 TB cardinality estimation; accuracy vs exact asserted in

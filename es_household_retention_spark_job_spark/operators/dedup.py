@@ -218,6 +218,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document in
+    a transitively-connected group gets the group's minimum id as its
+    ``cluster_id`` (A~B and B~C put A,B,C in one cluster even when A,C never
+    scored as a pair — the closure pairwise dedup can't see).
+
+    Min-label propagation, all DataFrame ops: each round every node takes
+    the min of its label and its neighbors' labels; a round is one
+    edge⋈label shuffle-join + one partial-aggregated groupBy(node) min —
+    both keyed on node id, so AQE handles hub-node skew. Convergence needs
+    diameter-many rounds; near-dup components are chains/cliques of copies
+    with tiny diameter, and the fixpoint check (one count per round, the
+    same driver-scalar pattern as k-means) stops early — ``max_iters`` is a
+    runaway bound, not the expected count. Deterministic: min is
+    order-free, ids are unique.
+
+    Each round's labels are ``localCheckpoint``ed: without that the label
+    lineage nests one more join per round, so round N replans (and on
+    failure would recompute) an N-deep tree — the classic iterative-plan
+    blowup that stalls drivers at scale long before executors are busy.
+
+    Returns (doc_id, cluster_id, cluster_size) for every doc incident to
+    ≥1 pair; singleton docs are their own implicit cluster and are omitted.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nb_label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    edges.unpersist()
+    return out
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -101,6 +101,38 @@ def test_minhash_candidates_subset_of_exact_jaccard(spark, docs):
     assert lsh <= exact or not lsh
 
 
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B, B~C, D~E: label propagation must merge {A,B,C} through the
+    transitive link (A,C never paired) and keep {D,E} separate, labeling
+    each component with its min id."""
+    pairs = spark.createDataFrame(
+        [("B", "C"), ("A", "B"), ("D", "E")], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        ("A", "A", 3),
+        ("B", "A", 3),
+        ("C", "A", 3),
+        ("D", "D", 2),
+        ("E", "D", 2),
+    }
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs many propagation rounds (diameter 11);
+    the fixpoint loop must still converge to one component."""
+    pairs = spark.createDataFrame(
+        [(f"N{i:02d}", f"N{i + 1:02d}") for i in range(11)], ["doc_a", "doc_b"]
+    )
+    rows = D.duplicate_clusters(pairs).collect()
+    assert len(rows) == 12
+    assert {r.cluster_id for r in rows} == {"N00"}
+    assert all(r.cluster_size == 12 for r in rows)
+
+
 def test_simhash_signature_is_32bit(spark, docs):
     sigs = D.simhash_signatures(docs)
     row = sigs.agg(
