@@ -33,6 +33,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     analyzed plan to an RDD just to count partitions forces plan translation
     on every call. Non-file inputs (in-memory test frames, post-shuffle
     lineage) report no files and pass through untouched."""
+    if df.isStreaming:  # micro-batch sizing is the source's job; inputFiles
+        return df  # is undefined on a streaming plan
     target = df.sparkSession.sparkContext.defaultParallelism
     n_files = len(df.inputFiles())
     if 0 < n_files < target:

@@ -121,20 +121,17 @@ def jaccard_bp(a: Column, b: Column) -> Column:
     return F.floor(inter * 10000 / (sa + sb - inter)).cast("long")
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
-
-    candidates: explode 8 (band, signature-slice) keys per doc, self-join on
-    the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
-    Jaccard so LSH false positives never surface."""
-    grams = shingle_sets(df, text_col, id_col).cache()
+def minhash_bands(grams: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_sig) LSH band keys from a ``shingle_sets`` frame —
+    signature + banding are map-side array expressions (explode only
+    multiplies rows 8×, no shuffle), so this works unchanged on a streaming
+    micro-batch."""
     sigs = grams.select(
-        id_col, minhash_signature_from_hashes(F.col("gh")).alias("sig")
+        id_col, "gh", minhash_signature_from_hashes(F.col("gh")).alias("sig")
     )
-    bands = sigs.select(
+    return sigs.select(
         id_col,
+        "gh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -150,7 +147,19 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_sig")
+    ).select(id_col, "gh", "band.band_id", "band.band_sig")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
+
+    candidates: explode 8 (band, signature-slice) keys per doc, self-join on
+    the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
+    Jaccard so LSH false positives never surface."""
+    grams = shingle_sets(df, text_col, id_col).cache()
+    bands = minhash_bands(grams, id_col).drop("gh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import normalize
+from ..operators.dedup import (
+    JACCARD_MIN_BP,
+    jaccard_bp,
+    minhash_bands,
+    normalize,
+    shingle_sets,
+)
 from ..operators.text import quality_keep
 
 DOC = T.StructType(
@@ -68,6 +74,48 @@ def curate_canonical(docs: DataFrame) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("n_docs"),
         )
+    )
+
+
+def corpus_band_index(corpus: DataFrame) -> DataFrame:
+    """Static LSH index of an existing corpus: (doc_id, band_id, band_sig,
+    gh). Build once per ingestion epoch and persist/refresh like any
+    dimension table — at 100 TB it is 8 small rows per doc (band keys plus
+    the hashed-shingle array needed for verification), not the text."""
+    return minhash_bands(shingle_sets(corpus))
+
+
+def neardup_against_corpus(
+    new_docs: DataFrame, index: DataFrame, min_bp: int = JACCARD_MIN_BP
+) -> DataFrame:
+    """Flag incoming documents that near-duplicate the EXISTING corpus: a
+    stream-static equi-join on the LSH band key (stateless — no streaming
+    state grows), then exact-Jaccard verification on the two hashed-shingle
+    arrays, map-side after the join. Emits one row per verified match
+    (doc_id, dup_of, jaccard_bp); append-safe, so the same code runs on a
+    batch frame, which is how the equivalence test pins it.
+
+    Scale shape: the stream side carries its own shingle hashes (computed
+    in the micro-batch, no shuffle); the static side is pre-bucketed by
+    band key; candidates are band-collisions only — the same
+    O(docs × bands) bound as the batch LSH path, incrementally."""
+    bands = minhash_bands(shingle_sets(new_docs)).withColumnRenamed("gh", "gh_new")
+    idx = index.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("gh").alias("gh_old"),
+        "band_id",
+        "band_sig",
+    )
+    return (
+        bands.join(idx, ["band_id", "band_sig"])
+        .where(F.col("doc_id") != F.col("dup_of"))
+        .select(
+            "doc_id",
+            "dup_of",
+            jaccard_bp(F.col("gh_new"), F.col("gh_old")).alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= min_bp)
+        .dropDuplicates(["doc_id", "dup_of"])
     )
 
 

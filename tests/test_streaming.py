@@ -176,6 +176,46 @@ def test_streaming_doc_curation_dedups_across_batches(spark, tmp_path):
     assert any(c[1] == 1 and c[2] == 2 for c in canon)
 
 
+def test_streaming_neardup_matches_batch(spark, tmp_path):
+    """Incremental near-dup: odd-id documents stream in and are LSH-matched
+    against a static band index of the even-id corpus; the streamed verified
+    matches must equal the batch run of the same operator on the same
+    split. Also pins that ≥1 match exists so the test can't pass vacuously."""
+    from es_household_retention_spark_job_spark.streaming import doc_stream
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    fresh = docs.where(F.col("doc_id") % 2 == 1)
+    index = doc_stream.corpus_band_index(corpus).cache()
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "docs.json", "w") as f:
+        for r in fresh.collect():
+            f.write(json.dumps(r.asDict()) + "\n")
+    stream = doc_stream.stream_documents(spark, str(in_dir))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(
+        doc_stream.neardup_against_corpus(stream, index)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    streamed = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in doc_stream.neardup_against_corpus(fresh, index).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_malformed_json_rows_become_nulls_not_failures(spark, tmp_path):
     """S3 contract: explicit-schema from_json yields null fields for
     malformed/mistyped documents — corrupt input degrades, never crashes
