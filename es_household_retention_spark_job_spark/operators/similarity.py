@@ -119,16 +119,24 @@ def knn_bruteforce(
 
 
 def _matrix_lit(rows: list[list[float]] | tuple[tuple[float, ...], ...]) -> Column:
-    """A constant ``array<array<double>>`` column. Built as nested
-    ``CreateArray`` trees, but every child is foldable, so ConstantFolding
-    collapses the whole thing to ONE Literal node before physical planning —
-    the indexed-literal pattern that keeps plan size (and therefore
-    analysis/codegen time) independent of the matrix size. Splicing each row
-    as its own literal array into per-row expressions made the LSH/IVF plans
-    ~3000 nodes and cost seconds of pure compile time per query."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in rows]
+    """A constant ``array<array<double>>`` column. The nested ``array(...)``
+    tree is foldable, so ConstantFolding collapses it to ONE Literal node
+    before physical planning — the indexed-literal pattern that keeps plan
+    size (and therefore analysis/codegen time) independent of the matrix
+    size. Splicing each row as its own literal array into per-row
+    expressions made the LSH/IVF plans ~3000 nodes and cost seconds of pure
+    compile time per query.
+
+    Built as ONE ``F.expr`` SQL string, not nested ``F.array(F.lit(...))``
+    calls: each Column constructor is a py4j round trip, and 48×64 of them
+    cost ~2s of pure gateway latency on every query construction. The ``D``
+    suffix makes each literal a double; ``repr`` emits the shortest
+    round-trip decimal, and the JVM parser returns the bit-identical IEEE
+    value, so results are unchanged."""
+    body = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
     )
+    return F.expr(f"array({body})")
 
 
 def lsh_table_buckets(emb: Column) -> Column:
