@@ -602,3 +602,134 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: 1 payload row → N fixed-size frame rows via
     mapInPandas (the video-pipeline fan-out shape)."""
     return M.frame_sample(M.media_table(_docs(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Corpus hygiene beyond dedup: repetition, decontamination, canonicalization
+# (extra registry — driver slots are full; oracle-verified in pytest)
+# --------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 25  # doc_id % 25 == 0 plays the held-out benchmark set
+DECON_MIN_BP = 500  # report pairs with ≥5% benchmark containment
+
+
+@register(
+    "doc_repetition",
+    f"""WITH {_TOKS_CTE},
+    bg AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i + 1] || ' ' || toks[i + 2])
+                       ELSE [] END AS bigrams
+           FROM toks),
+    stats AS (SELECT doc_id, len(bigrams) AS n, len(list_distinct(bigrams)) AS nd
+              FROM bg),
+    ex AS (SELECT doc_id, unnest(bigrams) AS g FROM bg),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+    top AS (SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g ASC) AS rk
+            FROM cnt)
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN s.n > 0 THEN floor((s.n - s.nd) * 10000 / s.n)
+                     ELSE 0 END AS BIGINT) AS dup_bigram_frac_bp,
+           coalesce(t.g, '') AS top_bigram,
+           CAST(coalesce(t.c, 0) AS BIGINT) AS top_bigram_count,
+           CAST(CASE WHEN s.n > 0 THEN floor(t.c * 10000 / s.n)
+                     ELSE 0 END AS BIGINT) AS top_bigram_frac_bp
+    FROM stats s LEFT JOIN top t ON t.doc_id = s.doc_id AND t.rk = 1""",
+    extra=True,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup-bigram fraction, top-bigram
+    share), computed map-side with a sorted-runs fold — no shuffle."""
+    return T.repetition_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "decontaminate_overlap",
+    f"""WITH {_NGRAMS_CTE},
+    tr AS (SELECT doc_id AS train_id, unnest(gh) AS g FROM ngr
+           WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+    be AS (SELECT doc_id AS bench_id, gh FROM ngr
+           WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    binv AS (SELECT bench_id, unnest(gh) AS g FROM be),
+    ov AS (SELECT train_id, bench_id, count(*) AS overlap
+           FROM tr JOIN binv USING (g) GROUP BY 1, 2)
+    SELECT train_id, bench_id, CAST(overlap AS BIGINT) AS overlap,
+           CAST(floor(overlap * 10000 / len(be.gh)) AS BIGINT) AS containment_bp
+    FROM ov JOIN be USING (bench_id)
+    WHERE floor(overlap * 10000 / len(be.gh)) >= {DECON_MIN_BP}""",
+    extra=True,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs whose shingle overlap
+    contains ≥5% of a benchmark doc. Benchmark side broadcast; the corpus
+    side never shuffles its shingles."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return D.decontamination_overlap(train, bench, min_containment_bp=DECON_MIN_BP)
+
+
+@register(
+    "dedup_canonical_best",
+    f"""WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node),
+    tl AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, tl.n_tokens,
+               count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY tl.n_tokens DESC, l.doc_id ASC) AS rk
+        FROM lab l JOIN tl ON tl.doc_id = l.doc_id)
+    SELECT cluster_id, doc_id AS canonical_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1""",
+    extra=True,
+)
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster: keep the longest copy
+    (ties → smallest id) — connected components ∘ token length."""
+    docs = _docs(spark, sf_dir)
+    clusters = D.duplicate_clusters(D.minhash_lsh_pairs(docs))
+    return D.canonical_per_cluster(clusters, docs)
+
+
+@register(
+    "pack_sequences",
+    f"""WITH {_TOKS_CTE},
+    base AS (SELECT doc_id,
+                    {h60_sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS h,
+                    CAST(len(toks) AS BIGINT) AS n_tokens
+             FROM toks),
+    lanes AS (SELECT doc_id, h, CAST(h % {T.PACK_BUCKETS} AS INT) AS bucket, n_tokens
+              FROM base),
+    packed AS (SELECT doc_id, bucket, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY bucket
+                                          ORDER BY h ASC, doc_id ASC
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+               FROM lanes)
+    SELECT doc_id, bucket,
+           CAST((cum - n_tokens) // {T.PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {T.PACK_BUDGET} AS BIGINT) AS offset,
+           n_tokens,
+           CAST((cum - 1) // {T.PACK_BUDGET}
+                - (cum - n_tokens) // {T.PACK_BUDGET} AS BIGINT) AS n_splits
+    FROM packed""",
+    extra=True,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into fixed-token-budget training
+    examples: salted-hash lane deal + per-lane running total — no global
+    sort, lanes pack independently."""
+    return T.sequence_packing(_docs(spark, sf_dir))

@@ -380,3 +380,94 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_containment_bp: int = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share enough
+    n-grams with an evaluation/benchmark document that they would leak the
+    benchmark into the training set.
+
+    For every (train, bench) pair sharing ≥1 shingle:
+    ``containment_bp = floor(|shingles(train) ∩ shingles(bench)| * 10000
+    / |shingles(bench)|)`` — containment of the BENCHMARK in the training
+    doc (the direction that matters: a giant train doc embedding a whole
+    eval item scores 10000 even though its Jaccard is tiny). Pairs at or
+    above ``min_containment_bp`` are reported.
+
+    Scale shape: the benchmark side is small by construction (eval suites
+    are thousands of docs, not billions), so its exploded inverted index
+    and its size table are both broadcast — the 100 TB training side
+    streams map-side with NO shuffle of its shingles; the only exchange is
+    the partial-aggregated groupBy on (train, bench) candidate pairs,
+    which is bounded by actual collisions, never by corpus size.
+    """
+    tg = shingle_sets(train, text_col, id_col)
+    bg = shingle_sets(bench, text_col, id_col)
+    b_inv = bg.select(
+        F.col(id_col).alias("bench_id"), F.explode("gh").alias("g")
+    )
+    b_sizes = bg.select(
+        F.col(id_col).alias("bench_id"), F.size("gh").cast("long").alias("n_bench")
+    )
+    t_inv = tg.select(F.col(id_col).alias("train_id"), F.explode("gh").alias("g"))
+    overlap = (
+        t_inv.join(F.broadcast(b_inv), "g")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        overlap.join(F.broadcast(b_sizes), "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            F.col("overlap").cast("long").alias("overlap"),
+            F.floor(F.col("overlap") * 10000 / F.col("n_bench"))
+            .cast("long")
+            .alias("containment_bp"),
+        )
+        .where(F.col("containment_bp") >= min_containment_bp)
+    )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-document selection: one survivor per near-dup cluster.
+
+    Joins the connected-component labels (``duplicate_clusters``) back to
+    the documents and keeps, per cluster, the doc with the MOST word tokens
+    (ties → smallest id) — "keep the longest copy", the usual curation
+    policy when near-dups differ by truncation. Output is one row per
+    cluster: the survivor and how many members it replaces.
+
+    One shuffle join on doc id + one window over cluster_id — cluster count
+    is bounded by duplicate count, far below corpus size, and AQE handles
+    any mega-cluster skew.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(lens, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            "n_tokens",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -211,3 +211,125 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         lambda acc, x: (acc * FP_BASE + x) % P_FP,
     )
     return df.select(id_col, fp.cast("long").alias("fingerprint"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics, entirely map-side.
+
+    Word bigrams (NOT distinct — occurrence counts matter here):
+
+    * ``n_bigrams`` — total bigram occurrences;
+    * ``dup_bigram_frac_bp`` — fraction of occurrences that are repeats of
+      an earlier occurrence, ``(n - n_distinct) / n`` in basis points;
+    * ``top_bigram`` / ``top_bigram_count`` / ``top_bigram_frac_bp`` — the
+      most frequent bigram (lexicographically smallest on ties) and the
+      share of occurrences it accounts for — the "fraction of characters in
+      the most common n-gram" family of quality gates.
+
+    The mode is found without any shuffle: sort the bigram array, then a
+    sequential ``aggregate`` fold counts runs and keeps the best — a struct
+    accumulator (prev, run, best, best_run) with a strictly-greater update,
+    so the FIRST (= smallest, array is sorted) bigram with the maximal
+    count wins. At 100 TB this is a pure per-row scan: no explode, no
+    groupBy — the whole profile rides one codegen stage with the other
+    text metrics. The DuckDB oracle recomputes the mode relationally
+    (unnest → count → row_number) and must agree exactly.
+    """
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    n = F.size(bigrams).cast("long")
+    n_distinct = F.size(F.array_distinct(bigrams)).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("best_run"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+        )
+
+    top = F.aggregate(F.array_sort(bigrams), init, step)
+    return df.select(
+        id_col,
+        n.alias("n_bigrams"),
+        F.when(n > 0, F.floor((n - n_distinct) * 10000 / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_bigram_frac_bp"),
+        top["best"].alias("top_bigram"),
+        top["best_run"].cast("long").alias("top_bigram_count"),
+        F.when(n > 0, F.floor(top["best_run"] * 10000 / n))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_bigram_frac_bp"),
+    )
+
+
+#: sequence packing: token budget per training example and the number of
+#: independent packing lanes (shuffle parallelism at scale — each lane
+#: packs its documents without coordinating with any other lane).
+PACK_BUDGET = 256
+PACK_BUCKETS = 32
+
+
+def sequence_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document a position in a
+    fixed-token-budget training example ("pack").
+
+    Documents are dealt into ``n_buckets`` independent lanes by salted
+    content hash, ordered deterministically within their lane (hash, then
+    id), and concatenated; a pack boundary falls every ``budget`` tokens.
+    Per doc: its lane, the pack its first token lands in, the offset inside
+    that pack, and how many pack boundaries it straddles (``n_splits`` —
+     0 means the doc trains as one contiguous span).
+
+    Scale shape: one shuffle on the lane key + a per-lane sort — no global
+    ordering anywhere. Lanes pack independently, so parallelism is
+    ``n_buckets`` regardless of corpus size; raise it to match the
+    cluster. The salted hash makes the layout reproducible run-over-run
+    (a task retry re-deals identically — never ``rand()``).
+    """
+    from pyspark.sql import Window
+
+    from ..functions import h60
+
+    h = h60(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+    n_tok = F.size(tokens(text_col)).cast("long")
+    base = df.select(
+        id_col,
+        h.alias("_h"),
+        (h % n_buckets).cast("int").alias("bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    pack_id = F.floor(start / budget)
+    return base.select(
+        id_col,
+        "bucket",
+        pack_id.cast("long").alias("pack_id"),
+        (start - pack_id * budget).cast("long").alias("offset"),
+        F.col("n_tokens"),
+        # a doc ENDING exactly on a boundary does not straddle it
+        (F.floor((cum - 1) / budget) - pack_id).cast("long").alias("n_splits"),
+    )

@@ -92,3 +92,23 @@ def test_minhash_no_explode_before_banding(spark):
 )
 def test_no_cartesian_anywhere(spark, name):
     P.assert_no_cartesian(q(spark, name))
+
+
+def test_doc_repetition_no_shuffle(spark):
+    """The repetition profile is a pure per-row scan — a shuffle here means
+    the mode computation regressed to explode+groupBy."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    assert P.count_shuffles(EXTRA_QUERIES["doc_repetition"](spark, SF_DIR)) == 0
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """Both benchmark-side tables (inverted index + sizes) broadcast; the
+    training corpus side must never hash-shuffle its exploded shingles."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["decontaminate_overlap"](spark, SF_DIR)
+    P.assert_broadcast_join(df, at_least=2)
+    P.assert_no_cartesian(df)
+    # the single hash exchange is the (train, bench) pair aggregation
+    assert P.count_shuffles(df) == 1
