@@ -320,19 +320,21 @@ def simhash_signatures(
     grams = shingle_sets(df, text_col, id_col)
     g32 = (F.col("g") % F.lit(1 << SIMHASH_BITS)).alias("g32")
     exploded = grams.select(id_col, F.explode("gh").alias("g")).select(id_col, g32)
+    # the 32 per-bit vote sums and the bit-assembly CASE chain are built as
+    # generated SQL fragments — the SAME strings the DuckDB oracle is
+    # generated from — parsed JVM-side in one call each. Building them as
+    # ~200 nested Column objects cost hundreds of py4j round trips
+    # (~0.5s of pure driver latency per plan build).
     votes = exploded.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright(F.col("g32"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{j}")
+            F.expr(f"sum(((g32 >> {j}) & 1) * 2 - 1)").alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    sim = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return votes.select(id_col, sim.cast("long").alias("simhash"))
+    sim_sql = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return votes.select(id_col, F.expr(sim_sql).cast("long").alias("simhash"))
 
 
 def simhash_pairs(
