@@ -723,8 +723,10 @@ def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((cum - n_tokens) // {T.PACK_BUDGET} AS BIGINT) AS pack_id,
            CAST((cum - n_tokens) % {T.PACK_BUDGET} AS BIGINT) AS offset,
            n_tokens,
-           CAST((cum - 1) // {T.PACK_BUDGET}
-                - (cum - n_tokens) // {T.PACK_BUDGET} AS BIGINT) AS n_splits
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (cum - 1) // {T.PACK_BUDGET}
+                          - (cum - n_tokens) // {T.PACK_BUDGET}
+                     ELSE 0 END AS BIGINT) AS n_splits
     FROM packed""",
     extra=True,
 )

@@ -330,6 +330,10 @@ def sequence_packing(
         pack_id.cast("long").alias("pack_id"),
         (start - pack_id * budget).cast("long").alias("offset"),
         F.col("n_tokens"),
-        # a doc ENDING exactly on a boundary does not straddle it
-        (F.floor((cum - 1) / budget) - pack_id).cast("long").alias("n_splits"),
+        # a doc ENDING exactly on a boundary does not straddle it; guard the
+        # zero-token doc, whose cum-1 would look back past its own start
+        F.when(F.col("n_tokens") > 0, F.floor((cum - 1) / budget) - pack_id)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_splits"),
     )

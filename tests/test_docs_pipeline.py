@@ -159,3 +159,30 @@ def test_media_plumbing_schema_and_fanout(spark, docs):
 def test_decode_image_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_sequence_packing_edge_docs(spark):
+    """Zero-token and boundary-exact docs: offsets stay in [0, budget),
+    n_splits is never negative, and a doc ending exactly on a pack boundary
+    straddles nothing."""
+    from es_household_retention_spark_job_spark.operators.text import (
+        sequence_packing,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "@@@"), (3, "a " * 256), (4, "b c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in sequence_packing(docs, budget=256, n_buckets=1).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert 0 <= r["offset"] < 256
+        assert r["n_splits"] >= 0
+    # the 256-token doc occupies exactly one budget span: however the lane
+    # ordering lands, straddles == spans-crossed, never negative
+    assert rows[1]["n_tokens"] == 0 and rows[1]["n_splits"] == 0
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_splits"] == 0
+    assert rows[3]["n_tokens"] == 256
