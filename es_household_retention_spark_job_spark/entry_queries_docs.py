@@ -735,3 +735,97 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     examples: salted-hash lane deal + per-lane running total — no global
     sort, lanes pack independently."""
     return T.sequence_packing(_docs(spark, sf_dir))
+
+
+_QUAL_GATE = f"""(n_tok >= 5 AND n_tok <= 100000
+        AND (CASE WHEN n_tok > 0 THEN floor(stop * 10000 / n_tok) ELSE 0 END)
+            BETWEEN 100 AND 6000
+        AND (CASE WHEN n_chars > 0 THEN floor(punct * 10000 / n_chars) ELSE 0 END)
+            < 2000)"""
+
+
+@register(
+    "curation_verdict",
+    f"""WITH {_TOKS_CTE},
+    q AS (SELECT doc_id, len(toks) AS n_tok,
+                 len(list_filter(toks, t -> t IN ({_in_list(T.STOPWORDS["en"])}))) AS stop,
+                 len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS punct,
+                 length(text) AS n_chars
+          FROM toks),
+    bg AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i + 1] || ' ' || toks[i + 2])
+                       ELSE [] END AS bigrams
+           FROM toks),
+    stats AS (SELECT doc_id, len(bigrams) AS n, len(list_distinct(bigrams)) AS nd
+              FROM bg),
+    cnt AS (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(bigrams) AS g FROM bg) GROUP BY 1, 2),
+    topc AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id),
+    rep AS (SELECT s.doc_id,
+                   CASE WHEN s.n > 0 THEN floor((s.n - s.nd) * 10000 / s.n)
+                        ELSE 0 END AS dup_bp,
+                   CASE WHEN s.n > 0 THEN floor(t.topc * 10000 / s.n)
+                        ELSE 0 END AS top_bp
+            FROM stats s LEFT JOIN topc t ON t.doc_id = s.doc_id),
+    hits AS (SELECT doc_id, {_hits_exprs} FROM toks),
+    lng AS (SELECT doc_id, CASE {_pred_chain} END AS lang_pred FROM hits)
+    SELECT q.doc_id,
+           {_QUAL_GATE} AS keep_quality,
+           (rep.dup_bp < {T.MAX_DUP_BIGRAM_BP}
+            AND rep.top_bp < {T.MAX_TOP_BIGRAM_BP}) AS keep_repetition,
+           (lng.lang_pred = 'en') AS keep_language,
+           ({_QUAL_GATE}
+            AND rep.dup_bp < {T.MAX_DUP_BIGRAM_BP}
+            AND rep.top_bp < {T.MAX_TOP_BIGRAM_BP}
+            AND lng.lang_pred = 'en') AS keep
+    FROM q
+    JOIN rep ON rep.doc_id = q.doc_id
+    JOIN lng ON lng.doc_id = q.doc_id""",
+    extra=True,
+)
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation policy (quality ∧ repetition ∧ language) as a
+    single zero-shuffle scan."""
+    return T.curation_verdict(_docs(spark, sf_dir))
+
+
+@register(
+    "balance_sources",
+    f"""WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+    tgt AS (SELECT min(c) AS target FROM counts),
+    ranked AS (SELECT doc_id, source,
+                      row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY {h60_sql("'bal:' || CAST(doc_id AS VARCHAR)")}, doc_id
+                      ) AS rk
+               FROM documents)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked, tgt WHERE rk <= target""",
+    extra=True,
+)
+def balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform domain mixture: cap every source at the smallest source's
+    count, members chosen in deterministic salted-hash order. The target is
+    computed IN-plan (aggregate → broadcast) — no driver round trip; one
+    shuffle on source."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    target = counts.agg(F.min("c").alias("target"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(target))
+        .where(F.col("rk") <= F.col("target"))
+        .select("doc_id", "source", "rk")
+    )

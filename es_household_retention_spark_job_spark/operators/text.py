@@ -237,6 +237,21 @@ def repetition_profile(
     text metrics. The DuckDB oracle recomputes the mode relationally
     (unnest → count → row_number) and must agree exactly.
     """
+    n, dup_bp, top, top_bp = _repetition_exprs(text_col)
+    return df.select(
+        id_col,
+        n.alias("n_bigrams"),
+        dup_bp.alias("dup_bigram_frac_bp"),
+        top["best"].alias("top_bigram"),
+        top["best_run"].cast("long").alias("top_bigram_count"),
+        top_bp.alias("top_bigram_frac_bp"),
+    )
+
+
+def _repetition_exprs(text_col: str):
+    """(n_bigrams, dup_frac_bp, top_struct, top_frac_bp) map-side
+    expressions shared by ``repetition_profile`` and the composed
+    ``curation_verdict`` gate."""
     toks = tokens(text_col)
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
@@ -262,20 +277,17 @@ def repetition_profile(
         )
 
     top = F.aggregate(F.array_sort(bigrams), init, step)
-    return df.select(
-        id_col,
-        n.alias("n_bigrams"),
+    dup_bp = (
         F.when(n > 0, F.floor((n - n_distinct) * 10000 / n))
         .otherwise(F.lit(0))
         .cast("long")
-        .alias("dup_bigram_frac_bp"),
-        top["best"].alias("top_bigram"),
-        top["best_run"].cast("long").alias("top_bigram_count"),
+    )
+    top_bp = (
         F.when(n > 0, F.floor(top["best_run"] * 10000 / n))
         .otherwise(F.lit(0))
         .cast("long")
-        .alias("top_bigram_frac_bp"),
     )
+    return n, dup_bp, top, top_bp
 
 
 #: sequence packing: token budget per training example and the number of
@@ -336,4 +348,41 @@ def sequence_packing(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_splits"),
+    )
+
+
+#: Gopher-style repetition gates (basis points), applied by curation_verdict
+MAX_DUP_BIGRAM_BP = 2000
+MAX_TOP_BIGRAM_BP = 1800
+
+
+def curation_verdict(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full curation policy as ONE map-side pass: per-doc boolean gates
+    for heuristic quality (token count + stopword/punctuation ratios),
+    repetition (dup-bigram and top-bigram shares under the Gopher-style
+    caps), and language (stopword-argmax == 'en'), plus the conjunction.
+
+    This is the production shape for 100 TB corpus filtering: every signal
+    is a per-row expression, so the verdict costs one scan — no joins of
+    per-signal tables, no shuffle at all; downstream stages filter on
+    ``keep`` and the predicate pushes into the scan of a columnar store.
+    """
+    toks = tokens(text_col)
+    _, stop_bp, punct_bp, keep_quality = _quality_exprs(text_col)
+    _, dup_bp, _, top_bp = _repetition_exprs(text_col)
+    keep_repetition = (dup_bp < MAX_DUP_BIGRAM_BP) & (top_bp < MAX_TOP_BIGRAM_BP)
+    hits = {lang: lang_hits(toks, lang) for lang in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    pred = F.when(hits[LANG_ORDER[0]] == best, F.lit(LANG_ORDER[0]))
+    for lang in LANG_ORDER[1:]:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    keep_language = pred == "en"
+    return df.select(
+        id_col,
+        keep_quality.alias("keep_quality"),
+        keep_repetition.alias("keep_repetition"),
+        keep_language.alias("keep_language"),
+        (keep_quality & keep_repetition & keep_language).alias("keep"),
     )

@@ -67,8 +67,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+#: analyzed-DataFrame cache keyed by (applicationId, sf_dir, table): the
+#: testdata paths are immutable, so the relation (file listing + footer
+#: schema + the events normalization below) can be built once per session
+#: instead of paying ~0.1s of metadata py4j/listing per query build. A
+#: DataFrame is an immutable logical plan — reuse is free and re-executes
+#: fully each action. Keyed by applicationId (not id(spark)) so a stopped
+#: and recreated session never sees stale relations.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -83,6 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # reader version that CAN parse nanos natively but inferred NTZ:
             # reinterpret as a UTC instant (session tz forced UTC above)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

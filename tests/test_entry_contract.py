@@ -79,10 +79,15 @@ def test_query_survives_hostile_session_confs(spark, duck, name):
     """Every queries() entry must normalize the session itself
     (sources.tpch.ensure_session_confs): flip the confs to the driver's
     defaults first and the oracle hash-match must still hold."""
+    from es_household_retention_spark_job_spark.sources import tpch
+
     saved = {k: spark.conf.get(k, None) for k in HOSTILE_CONFS}
     try:
         for k, v in HOSTILE_CONFS.items():
             spark.conf.set(k, v)
+        # drop cached relations so the parquet READ path (schema inference
+        # under NTZ/nanos confs) genuinely re-runs under the hostile confs
+        tpch._TABLE_CACHE.clear()
         df = QUERIES[name](spark, SF_DIR)
         assert_matches_oracle(df, duck, ORACLES[name])
     finally:

@@ -112,3 +112,21 @@ def test_decontamination_broadcasts_benchmark(spark):
     P.assert_no_cartesian(df)
     # the single hash exchange is the (train, bench) pair aggregation
     assert P.count_shuffles(df) == 1
+
+
+def test_curation_verdict_no_shuffle(spark):
+    """The composed quality∧repetition∧language policy is one scan."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    assert P.count_shuffles(EXTRA_QUERIES["curation_verdict"](spark, SF_DIR)) == 0
+
+
+def test_balance_sources_target_stays_in_plan(spark):
+    """The min-source-count target is aggregated and broadcast inside the
+    plan — no collect, no cartesian blowup."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["balance_sources"](spark, SF_DIR)
+    P.assert_no_cartesian(df)
+    # the 1-row target joins as a broadcast nested loop, never a shuffle
+    assert "BroadcastNestedLoopJoin" in P.explain_str(df)
