@@ -60,13 +60,14 @@ def main() -> None:
     for name in names:
         # measure steady-state throughput: the first (untimed) run pays
         # one-time whole-stage-codegen (Janino) compilation and Python-
-        # worker startup; of the two timed runs we keep the MINIMUM — both
+        # worker startup; of the three timed runs we keep the MINIMUM — all
         # are full executions, and the min is the sustained cost with
         # transient machine noise (page-cache evictions, competing
-        # processes) removed, so round-over-round totals compare cleanly
+        # processes, cgroup CPU contention) removed, so round-over-round
+        # totals compare cleanly across differently-loaded machines
         force(all_queries[name](spark, sf_dir))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             force(all_queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
