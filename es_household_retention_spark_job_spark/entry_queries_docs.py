@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from .entry_queries import register
 from .functions import P31, P_FP, h60_sql
 from .operators import dedup as D
+from .operators import embedding as E
 from .operators import multimodal as M
+from .operators import scrub as SC
 from .operators import similarity as S
 from .operators import text as T
 from .sources.tpch import load_table
@@ -789,6 +791,201 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation policy (quality ∧ repetition ∧ language) as a
     single zero-shuffle scan."""
     return T.curation_verdict(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# PII redaction + boilerplate (operators/scrub.py)
+# --------------------------------------------------------------------------
+
+#: deterministic synthetic PII appended to each doc (the corpus itself is
+#: PII-free word soup) — makes the redaction provable: the oracle rebuilds
+#: the same augmented text, scrubs it with the same patterns, and the md5
+#: of the scrubbed text must match byte-for-byte.
+_PII_AUG_SQL = """aug AS (
+    SELECT doc_id,
+           text || ' email u' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                || ' call +1' || lpad(CAST((doc_id * 37) % 1000000000 AS VARCHAR), 9, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 254 AS VARCHAR)
+                || ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text
+    FROM documents)"""
+
+_SCRUB_NESTED = "text"
+for _, _pat, _repl in SC.PII_PATTERNS:
+    _SCRUB_NESTED = f"regexp_replace({_SCRUB_NESTED}, '{_pat}', '{_repl}', 'g')"
+_PII_COUNTS_SQL = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _ in SC.PII_PATTERNS
+)
+_PII_TOTAL_SQL = " + ".join(f"n_{name}" for name, _, _ in SC.PII_PATTERNS)
+
+
+def _with_pii(df: DataFrame) -> DataFrame:
+    """Spark twin of _PII_AUG_SQL."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" email u"), s(did), F.lit("@ex"), s(did % 7), F.lit(".org"),
+        F.lit(" call +1"), F.lpad(s((did * 37) % 1000000000), 9, "0"),
+        F.lit(" from 10."), s(did % 256),
+        F.lit("."), s((did * 3) % 256),
+        F.lit("."), s(did % 254),
+        F.lit(" id 123-45-"), F.lpad(s(did % 10000), 4, "0"),
+    )
+    return df.select("doc_id", aug.alias("text"))
+
+
+@register(
+    "pii_scrub",
+    f"""WITH {_PII_AUG_SQL},
+    counted AS (
+        SELECT doc_id, text,
+           {_PII_COUNTS_SQL}
+        FROM aug)
+    SELECT doc_id, {", ".join(f"n_{name}" for name, _, _ in SC.PII_PATTERNS)},
+           CAST({_PII_TOTAL_SQL} AS BIGINT) AS n_redacted,
+           md5({_SCRUB_NESTED}) AS clean_md5,
+           CAST(length({_SCRUB_NESTED}) AS BIGINT) AS clean_len
+    FROM counted""",
+    extra=True,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / E.164 phones / IPv4 / 3-2-4 ids) over
+    deterministically PII-augmented docs; md5 of the scrubbed text proves
+    byte-identical redaction across engines. Pure scan, no shuffle."""
+    return SC.pii_scrub(_with_pii(_docs(spark, sf_dir)))
+
+
+_BOILER_CTES = f"""{_TOKS_CTE},
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - {SC.BOILER_N - 1}),
+                     i -> array_to_string(list_slice(toks, i + 1, i + {SC.BOILER_N}), ' '))) AS grams
+          FROM toks),
+    ex AS (SELECT doc_id, unnest(grams) AS ngram FROM g),
+    boiler AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+               FROM ex GROUP BY ngram HAVING count(*) >= {SC.BOILER_MIN_DOCS})"""
+
+
+@register(
+    "boilerplate_ngrams",
+    f"WITH {_BOILER_CTES}\n    SELECT ngram, n_docs FROM boiler",
+    extra=True,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate list: word 5-grams (BOILER_N) shared by at least
+    BOILER_MIN_DOCS docs (C4-style template/chrome detection)."""
+    return SC.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+@register(
+    "boilerplate_profile",
+    f"""WITH {_BOILER_CTES},
+    tot AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g),
+    hit AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+            FROM ex e JOIN boiler b USING (ngram) GROUP BY e.doc_id)
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CAST(CASE WHEN t.n_grams > 0
+                     THEN floor(coalesce(h.n_boiler, 0) * 10000 / t.n_grams)
+                     ELSE 0 END AS BIGINT) AS boiler_bp
+    FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id""",
+    extra=True,
+)
+def boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate contamination (count + basis points of the doc's
+    distinct n-grams that are corpus boilerplate)."""
+    return SC.boilerplate_profile(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Embedding store ops (operators/embedding.py)
+# --------------------------------------------------------------------------
+
+_QUANT_CTES = f"""{_EMB_NORM_CTE},
+    m AS (SELECT vec_id, emb,
+                 list_reduce(list_prepend(0.0, list_transform(emb, x -> abs(x))),
+                             (a, b) -> greatest(a, b)) AS amax
+          FROM base),
+    sc AS (SELECT vec_id, emb, amax, {float(E.QMAX)} / amax AS scale FROM m),
+    qc AS (SELECT vec_id, emb, amax, scale,
+                  list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+           FROM sc)"""
+
+
+@register(
+    "embedding_quantize",
+    f"""WITH {_QUANT_CTES}
+    SELECT vec_id,
+           CAST(floor(amax * {E.FIX}) AS BIGINT) AS amax_x1e6,
+           md5(CASE WHEN amax > 0 THEN array_to_string(q, ',')
+                    ELSE array_to_string(list_transform(emb, x -> 0), ',') END)
+               AS q_md5,
+           CAST(CASE WHEN amax > 0 AND {_fold_sum("list_transform(emb, x -> x * x)")} > 0
+                THEN floor({_fold_sum("list_transform(list_zip(emb, q), p -> (p[1] - CAST(p[2] AS DOUBLE) / scale) * (p[1] - CAST(p[2] AS DOUBLE) / scale))")}
+                           * 10000 / {_fold_sum("list_transform(emb, x -> x * x)")})
+                ELSE 0 END AS BIGINT) AS err_bp,
+           CAST(len(emb) AS BIGINT) AS n_dims
+    FROM qc""",
+    extra=True,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding store (per-vector scale,
+    code md5, reconstruction error) — pure map, no shuffle."""
+    return E.quantize_int8(_embs(spark, sf_dir))
+
+
+_CENT_CTES = f"""fx AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {E.FIX}) AS BIGINT)) AS xq
+        FROM embeddings),
+    exd AS (SELECT label, i AS dim, xq[i + 1] AS v
+            FROM fx, range({S.EMB_DIM}) t(i)),
+    cent AS (SELECT label, dim, sum(v) AS sum_q, count(*) AS n_vecs
+             FROM exd GROUP BY label, dim)"""
+
+
+@register(
+    "label_centroids",
+    f"""WITH {_CENT_CTES}
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(sum_q // n_vecs AS BIGINT) AS centroid_q,
+           CAST(n_vecs AS BIGINT) AS n_vecs
+    FROM cent""",
+    extra=True,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dim) fixed-point centroid — exact integer sums, so the
+    result is identical under any partitioning / summation order."""
+    return E.label_centroids(_embs(spark, sf_dir))
+
+
+@register(
+    "centroid_eval",
+    f"""WITH {_CENT_CTES},
+    ca AS (SELECT label AS cand, dim, sum_q // n_vecs AS cq FROM cent),
+    d AS (SELECT f.vec_id, f.label, c.cand,
+                 sum((f.xq[c.dim + 1] - c.cq) * (f.xq[c.dim + 1] - c.cq)) AS dist_q
+          FROM fx f, ca c GROUP BY 1, 2, 3),
+    rk AS (SELECT vec_id, label, cand,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_q ASC, cand ASC) AS rk
+           FROM d)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN cand = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(floor(sum(CASE WHEN cand = label THEN 1 ELSE 0 END) * 10000
+                      / count(*)) AS BIGINT) AS acc_bp
+    FROM rk WHERE rk = 1 GROUP BY label""",
+    extra=True,
+)
+def centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label coherence: per-label accuracy of assigning
+    each vector to its closest label centroid (exact fixed-point L2)."""
+    return E.centroid_eval(_embs(spark, sf_dir))
 
 
 @register(

@@ -1,0 +1,152 @@
+"""Corpus-hygiene scrubbing operators (beyond-reference; SURVEY §7.1 M7):
+PII redaction and corpus-level boilerplate n-gram removal over the
+``documents`` table — the two cleanup passes every LLM training pipeline
+runs between raw crawl and tokenizer.
+
+Both are pure ``pyspark.sql.functions`` (regexp + array higher-order
+functions) — zero Python UDFs. PII redaction is a per-row map (no shuffle at
+all: it composes with the curation verdict into the same codegen stage);
+boilerplate detection is the C4-style corpus-frequency pass (one explode +
+one partial-aggregated shuffle).
+
+Regex portability contract: the patterns below restrict themselves to the
+syntax subset Java regex (Spark) and RE2 (DuckDB) evaluate identically —
+ASCII classes, bounded repetition, ``\\b`` word boundaries; no backrefs, no
+lookaround. The DuckDB oracles interpolate the SAME constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement token) applied IN ORDER. Patterns are mutually
+#: non-overlapping by construction (an email never parses as a dotted quad;
+#: a 3-2-4 id never parses as an E.164 phone), so match counts are
+#: order-independent even though replacement is sequential. Replacement
+#: tokens contain no digits or '@' so a redaction can never create a new
+#: match for a later pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+)
+
+
+def scrubbed_text(text_col: str = "text") -> Column:
+    """The redacted text column (sequential pattern application)."""
+    c = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact PII and report per-document evidence: one match count per
+    pattern, the total, and md5/length of the scrubbed text (the md5 is what
+    the oracle recomputes — proving byte-identical redaction, not just equal
+    counts).
+
+    At 100 TB this is a pure scan stage: regexp work rides whole-stage
+    codegen, nothing shuffles, and the scrubbed column replaces the raw one
+    in the output parquet so downstream stages never see the unredacted
+    bytes."""
+    clean = scrubbed_text(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    total = sum(
+        (F.col(f"n_{name}") for name, _, _ in PII_PATTERNS[1:]),
+        F.col(f"n_{PII_PATTERNS[0][0]}"),
+    )
+    return df.select(id_col, *counts, F.md5(clean).alias("clean_md5"),
+                     F.length(clean).cast("long").alias("clean_len")).select(
+        id_col,
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        total.cast("long").alias("n_redacted"),
+        "clean_md5",
+        "clean_len",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-grams (C4-style corpus-frequency cleanup)
+# ---------------------------------------------------------------------------
+
+#: boilerplate = a word BOILER_N-gram occurring in ≥ BOILER_MIN_DOCS distinct
+#: documents (navigation chrome, license headers, templated footers).
+BOILER_N = 5
+BOILER_MIN_DOCS = 3
+
+
+def _doc_ngrams(text_col: str) -> Column:
+    """Distinct word n-grams per document (space-joined strings)."""
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= BOILER_N, F.sequence(F.lit(0), F.size(toks) - BOILER_N)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, BOILER_N)))
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus's boilerplate list: (ngram, n_docs) for every n-gram in
+    ≥ BOILER_MIN_DOCS distinct docs. Per-doc grams are pre-distincted
+    map-side, so the count after one explode IS the document frequency —
+    no count(distinct) shuffle. The HAVING filter collapses the result to
+    the (small) boilerplate set before anything downstream consumes it."""
+    ex = df.select(F.explode(_doc_ngrams(text_col)).alias("ngram"))
+    return (
+        ex.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+
+
+def boilerplate_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document boilerplate contamination: how many of the doc's distinct
+    n-grams are corpus boilerplate, in count and basis points — the signal a
+    cleanup pass thresholds on (drop the gram, or the whole template-stamped
+    doc).
+
+    Shape: the corpus side explodes once and semi-joins the boilerplate
+    list; the list is unbounded-but-small (post-HAVING), so it is NOT
+    broadcast-hinted — AQE downgrades the shuffle join to broadcast exactly
+    when it fits (same policy as tfidf's df side). Per-doc totals come from
+    the grams array map-side, so the second join input is one row per doc."""
+    grams = df.select(id_col, _doc_ngrams(text_col).alias("grams"))
+    totals = grams.select(
+        id_col, F.size(F.col("grams")).cast("long").alias("n_grams")
+    )
+    ex = grams.select(id_col, F.explode(F.col("grams")).alias("ngram"))
+    boiler = boilerplate_ngrams(df, text_col, id_col).select("ngram")
+    hits = (
+        ex.join(boiler, "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("long"))
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_boiler.alias("n_boiler"),
+        F.when(F.col("n_grams") > 0, F.floor(n_boiler * 10000 / F.col("n_grams")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("boiler_bp"),
+    )

@@ -121,6 +121,39 @@ def test_curation_verdict_no_shuffle(spark):
     assert P.count_shuffles(EXTRA_QUERIES["curation_verdict"](spark, SF_DIR)) == 0
 
 
+def test_pii_scrub_no_shuffle(spark):
+    """Redaction is a pure per-row regexp map — the whole pass must ride one
+    codegen stage with zero exchanges."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    assert P.count_shuffles(EXTRA_QUERIES["pii_scrub"](spark, SF_DIR)) == 0
+
+
+def test_embedding_quantize_no_shuffle(spark):
+    """int8 quantization of the embedding store is a pure map."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    assert P.count_shuffles(EXTRA_QUERIES["embedding_quantize"](spark, SF_DIR)) == 0
+
+
+def test_centroid_eval_broadcasts_centroids(spark):
+    """The |labels|-row centroid table broadcasts; the corpus side computes
+    distances map-side (its only exchange is the per-vector argmin window +
+    the final per-label rollup)."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["centroid_eval"](spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in P.explain_str(df)
+    P.assert_no_cartesian(df)
+
+
+def test_boilerplate_profile_no_cartesian(spark):
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["boilerplate_profile"](spark, SF_DIR)
+    P.assert_no_cartesian(df)
+
+
 def test_balance_sources_target_stays_in_plan(spark):
     """The min-source-count target is aggregated and broadcast inside the
     plan — no collect, no cartesian blowup."""
