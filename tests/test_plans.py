@@ -131,9 +131,7 @@ def test_pii_scrub_no_shuffle(spark):
 
 def test_embedding_quantize_no_shuffle(spark):
     """int8 quantization of the embedding store is a pure map."""
-    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
-
-    assert P.count_shuffles(EXTRA_QUERIES["embedding_quantize"](spark, SF_DIR)) == 0
+    assert P.count_shuffles(q(spark, "embedding_quantize")) == 0
 
 
 def test_centroid_eval_broadcasts_centroids(spark):
