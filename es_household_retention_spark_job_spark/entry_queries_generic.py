@@ -425,28 +425,35 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_battery",
     """SELECT user_id,
-              list_sort(list(DISTINCT event_type)) AS types,
+              CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types,
               CAST(len(list(event_type)) AS INT) AS n,
               list_sort(list(DISTINCT event_type))[1] AS first_type,
+              list_sort(list(DISTINCT event_type))[-1] AS last_type,
               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_csv,
               CAST(list_contains(list(DISTINCT event_type), 'purchase') AS BOOLEAN)
                   AS has_purchase
        FROM events WHERE event_type IS NOT NULL GROUP BY user_id""",
 )
 def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function surface: collect_set/sort/element_at/join/contains —
-    the nested-type toolkit the reference never had (its arrays lived only
+    """Array-function surface: collect_set/sort/size/element_at/join/contains
+    — the nested-type toolkit the reference never had (its arrays lived only
     in the write envelope). Both sides pre-filter null event_type: DuckDB's
     list()/list(DISTINCT) KEEP null elements while Spark's collect_set and
-    count(col) drop them — the filter pins one semantics."""
+    count(col) drop them — the filter pins one semantics.
+
+    The array ops all run INSIDE the query; the output carries only scalar
+    columns because the external correctness gate canonicalizes results with
+    a pandas sort, which cannot hash list cells (repo convention, same as
+    pack_history_stats)."""
     events = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isNotNull()
     )
     types = F.array_sort(F.collect_set("event_type"))
     return events.groupBy("user_id").agg(
-        types.alias("types"),
+        F.size(types).alias("n_types"),
         F.count("event_type").cast("int").alias("n"),
         F.element_at(types, 1).alias("first_type"),
+        F.element_at(types, -1).alias("last_type"),
         F.array_join(types, ",").alias("type_csv"),
         F.array_contains(types, "purchase").alias("has_purchase"),
     )
@@ -551,21 +558,29 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_percentiles",
     """SELECT event_type,
-              quantile_cont(CAST(round(value * 100) AS BIGINT),
-                            [0.25, 0.5, 0.75, 0.95]) AS pct_x100
+              quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+              quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)  AS p50,
+              quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75,
+              quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95
        FROM events GROUP BY event_type""",
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (R-7) over integer cents —
     interpolated midpoints of integers are exactly representable doubles, so
     the engines agree bitwise. (percentile_approx is the scale path for
-    one-pass sketching; it is engine-specific and therefore not oracled.)"""
+    one-pass sketching; it is engine-specific and therefore not oracled.)
+
+    Emitted as four SCALAR columns (not one array<double>): the external
+    gate's pandas canonicalizer cannot hash list cells (repo convention).
+    All four share one sort per group — Catalyst collapses the four
+    F.percentile calls into a single Percentile aggregate pass."""
     events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     return events.groupBy("event_type").agg(
-        F.percentile(
-            F.round(F.col("value") * 100).cast("long"),
-            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
-        ).alias("pct_x100")
+        F.percentile(cents, F.lit(0.25)).alias("p25"),
+        F.percentile(cents, F.lit(0.5)).alias("p50"),
+        F.percentile(cents, F.lit(0.75)).alias("p75"),
+        F.percentile(cents, F.lit(0.95)).alias("p95"),
     )
 
 

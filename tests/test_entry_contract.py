@@ -36,6 +36,28 @@ def test_registry_fits_driver_budget():
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_outputs_are_atomic(spark, name):
+    """The driver canonicalizes results with ``pandas.sort_values``, which
+    raises ``TypeError: unhashable type`` on list/dict cells — so every
+    driver-registry query must emit only atomic top-level columns (round-2
+    lesson: array_battery / value_percentiles err'd at the gate). Array ops
+    are welcome INSIDE a query; the output schema must be flat scalars."""
+    from pyspark.sql import types as T
+
+    df = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name} emits non-atomic top-level columns {bad}; the external "
+        f"driver's pandas canonicalizer cannot hash these — flatten them "
+        f"(to_json / element-wise scalars), as pack_history_stats does"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
     if name in ORACLES:
