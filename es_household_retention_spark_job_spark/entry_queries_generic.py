@@ -572,15 +572,23 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emitted as four SCALAR columns (not one array<double>): the external
     gate's pandas canonicalizer cannot hash list cells (repo convention).
-    All four share one sort per group — Catalyst collapses the four
-    F.percentile calls into a single Percentile aggregate pass."""
+    The four cut points go through ONE array-argument Percentile aggregate
+    (four separate F.percentile calls each keep their own buffer and sort
+    the group four times over); the array is unpacked to scalars in a
+    post-agg projection, so the top-level schema stays atomic."""
     events = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    return events.groupBy("event_type").agg(
-        F.percentile(cents, F.lit(0.25)).alias("p25"),
-        F.percentile(cents, F.lit(0.5)).alias("p50"),
-        F.percentile(cents, F.lit(0.75)).alias("p75"),
-        F.percentile(cents, F.lit(0.95)).alias("p95"),
+    pcts = events.groupBy("event_type").agg(
+        F.percentile(cents, F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.95)])).alias(
+            "pct"
+        )
+    )
+    return pcts.select(
+        "event_type",
+        F.col("pct")[0].alias("p25"),
+        F.col("pct")[1].alias("p50"),
+        F.col("pct")[2].alias("p75"),
+        F.col("pct")[3].alias("p95"),
     )
 
 
