@@ -244,22 +244,25 @@ def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""WITH {_NGRAMS_CTE},
-    sizes AS (SELECT doc_id, len(gh) AS n FROM ngr),
     inv AS (SELECT doc_id, unnest(gh) AS g FROM ngr),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+    rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= {D.MAX_SHINGLE_DF}),
+    capped AS (SELECT doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, jaccard_bp FROM (
         SELECT doc_a, doc_b,
-               CAST(floor(inter * 10000 / (na.n + nb.n - inter)) AS BIGINT) AS jaccard_bp
-        FROM inter
-        JOIN sizes na ON na.doc_id = doc_a
-        JOIN sizes nb ON nb.doc_id = doc_b)
+               CAST(floor(len(list_intersect(ga.gh, gb.gh)) * 10000
+                    / (len(ga.gh) + len(gb.gh)
+                       - len(list_intersect(ga.gh, gb.gh)))) AS BIGINT) AS jaccard_bp
+        FROM cand
+        JOIN ngr ga ON ga.doc_id = doc_a
+        JOIN ngr gb ON gb.doc_id = doc_b)
     WHERE jaccard_bp >= {D.JACCARD_MIN_BP}""",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via inverted-index join."""
+    """n-gram Jaccard pairs: df-capped candidate generation (hot-shingle
+    quadratic guard, ``dedup.MAX_SHINGLE_DF``), exact array-intersect
+    verification — the oracle mirrors both stages."""
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
@@ -581,13 +584,19 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_features",
     """SELECT doc_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              md5(text) AS content_md5
+              md5(text) AS content_md5,
+              CAST(NULL AS BIGINT) AS width,
+              CAST(NULL AS BIGINT) AS height,
+              CAST(NULL AS VARCHAR) AS img_mode
        FROM documents""",
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads;
     the oracle recomputes the features from the source text, proving the
-    binary round-trip lossless."""
+    binary round-trip lossless. The image codec (``multimodal.decode_image``)
+    runs on every payload — the text testdata decodes to all-null dims (the
+    oracle pins that), while tests/test_docs_pipeline.py feeds real PNG/GIF
+    fixtures through the same operator and checks decoded width×height."""
     return M.media_features(M.media_table(_docs(spark, sf_dir)))
 
 

@@ -13,8 +13,11 @@ Scale design (the point of each formulation):
 * **simhash** — one explode + partial-aggregated groupBy per doc; banded
   Hamming join (4 byte-chunks) again avoids the quadratic pair space.
 * **n-gram Jaccard** — inverted-index join (explode n-grams, equi-join on the
-  n-gram hash). Exact but pair-explosion-prone on hot shingles; it is the
-  small-scale oracle-of-record, while minhash/simhash are the 100 TB path.
+  n-gram hash) with a document-frequency cap on candidate generation
+  (``MAX_SHINGLE_DF``): hot boilerplate shingles never enter the self-join,
+  so no single join key goes quadratic; reported scores stay exact
+  (array_intersect over the full shingle sets). The small-scale
+  oracle-of-record, while minhash/simhash are the 100 TB path.
 
 Everything is deterministic and engine-portable (see ``functions.h60``); the
 DuckDB twins live in ``entry_queries_docs``. No Python UDFs anywhere.
@@ -185,43 +188,77 @@ def minhash_lsh_pairs(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_bp: int = JACCARD_MIN_BP,
+#: Drop shingles whose document frequency exceeds this from CANDIDATE
+#: GENERATION (scores stay exact — see ``ngram_jaccard_pairs``). A shingle
+#: shared by m docs contributes O(m²) candidate pairs, so one boilerplate
+#: header in millions of docs makes the inverted-index self-join quadratic;
+#: above ~100 occurrences a single shingle carries essentially no pairwise
+#: Jaccard signal (any truly-similar pair shares many shingles, nearly all
+#: rarer than this). Absolute, not corpus-relative, ON PURPOSE: the pair
+#: cost a hot shingle induces depends on its posting-list length alone, not
+#: on corpus size, so the bound that keeps one join key from exploding is
+#: the same at sf0.01 and at 100 TB.
+MAX_SHINGLE_DF = 100
+
+
+def ngram_candidate_pairs(
+    grams: DataFrame, id_col: str = "doc_id", max_df: int = MAX_SHINGLE_DF
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted-index join (explode
-    hashed shingles, equi-join on the 8-byte hash, count per pair). The
-    exact small-scale oracle; minhash above is the scale path."""
-    grams = shingle_sets(df, text_col, id_col).cache()
-    sizes = grams.select(id_col, F.size("gh").alias("n"))
+    """(doc_a, doc_b) candidates from a df-capped inverted index over a
+    ``shingle_sets`` frame: per-shingle document frequency is one
+    partial-aggregated groupBy; shingles with df > ``max_df`` never enter
+    the self-join, so a posting list is at most ``max_df`` long and the
+    candidate space is bounded by ``#shingles × max_df²`` instead of the
+    hot shingle's m². Distinct-ed, doc_a < doc_b."""
     inv = grams.select(id_col, F.explode("gh").alias("g"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
+    rare = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("g")
+    )
+    capped = inv.join(rare, "g")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bp: int = JACCARD_MIN_BP,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """n-gram Jaccard pairs via a df-capped inverted-index join: candidates
+    from ``ngram_candidate_pairs`` (shingles with document frequency >
+    ``max_df`` skipped — the hot-shingle quadratic guard), then EXACT
+    Jaccard over the full shingle arrays (``array_intersect`` — the cap
+    never distorts a reported score). The only recall caveat: a pair whose
+    every shared shingle is hotter than ``max_df`` (wall-to-wall boilerplate
+    copies) is not generated here — exact dedup and minhash banding are the
+    operators that own that shape. The small-scale oracle-of-record;
+    minhash above is the 100 TB path."""
+    grams = shingle_sets(df, text_col, id_col).cache()
+    cand = ngram_candidate_pairs(grams, id_col, max_df)
+    ga = grams.select(F.col(id_col).alias("doc_a"), F.col("gh").alias("ng_a"))
+    gb = grams.select(F.col(id_col).alias("doc_b"), F.col("gh").alias("ng_b"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.floor(
-                F.col("inter") * 10000 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            )
-            .cast("long")
-            .alias("jaccard_bp"),
+            jaccard_bp(F.col("ng_a"), F.col("ng_b")).alias("jaccard_bp"),
         )
         .where(F.col("jaccard_bp") >= min_bp)
     )

@@ -97,3 +97,42 @@ def test_skew_safe_dedup_equals_default(spark):
     assert c_s.exceptAll(c_d).count() == 0
     # cost bound: exactly one extra exchange for the skew-safe pre-dedup
     assert P.count_shuffles(safe) == P.count_shuffles(default) + 1
+
+
+def test_ngram_jaccard_hot_shingle_candidates_bounded(spark):
+    """The df cap keeps one boilerplate shingle shared by hundreds of docs
+    from going quadratic in the inverted-index self-join: candidate count
+    must be bounded by the docs' RARE-shingle overlaps, not the hot
+    shingle's m² — and genuinely-similar pairs still surface with exact
+    scores."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    n_docs = 400
+    header = "terms of service apply to all content herein"  # 1 hot shingle set
+    rows = []
+    for i in range(n_docs):
+        # unique body per doc — no rare-shingle overlap across docs
+        body = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, f"{header} {body}"))
+    # one genuinely near-duplicate pair sharing a long rare tail
+    dup_tail = " ".join(f"shared{j}" for j in range(40))
+    rows.append((9001, f"alpha {dup_tail}"))
+    rows.append((9002, f"omega {dup_tail}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grams = D.shingle_sets(docs)
+    # naive (uncapped) candidate space would include all C(400,2) = 79 800
+    # hot-header pairs; the cap must exclude every one of them
+    cand = D.ngram_candidate_pairs(grams, max_df=50).collect()
+    assert len(cand) == 1, f"expected only the rare-tail pair, got {len(cand)}"
+    assert (cand[0].doc_a, cand[0].doc_b) == (9001, 9002)
+
+    pairs = D.ngram_jaccard_pairs(docs, min_bp=5000, max_df=50).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(9001, 9002)]
+    # exact score over FULL shingle sets (cap affects candidates only):
+    # both docs have 7 header + 1 bridge + 38 tail shingles = 46 distinct;
+    # intersection = 7 header + 38 tail = 45... compute from the data instead
+    a = {r.doc_id: set(r.gh) for r in grams.where("doc_id >= 9001").collect()}
+    inter = len(a[9001] & a[9002])
+    union = len(a[9001] | a[9002])
+    assert pairs[0].jaccard_bp == inter * 10000 // union
