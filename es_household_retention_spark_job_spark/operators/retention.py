@@ -131,24 +131,31 @@ def month_grid(spark: SparkSession, as_of: datetime) -> DataFrame:
 
 
 def person_encounter_admits(
-    persons: DataFrame, encounters: DataFrame, skew_safe: bool = False
+    persons: DataFrame, encounters: DataFrame, skew_safe: bool = True
 ) -> DataFrame:
     """J1 + A1 — the ``cur`` CTE (HRP:509-516): inner join person⋈encounter
     then dedup to distinct (household_id, admit_ts). ``admit_minus1`` is
     derived, not grouped on, since it is functionally dependent (the
     reference groups on all three, same result).
 
-    ``skew_safe`` is the hot-household escape hatch. The default keys the
-    whole chain on ONE household_id exchange, which opts the dedup out of
-    AQE skew splitting: a mega-household's entire PRE-dedup row set (not
-    bounded by the 49-month grid — every distinct admit timestamp survives)
-    lands in a single task. With ``skew_safe=True`` the dedup shuffles on
-    the full (household_id, admit_ts) key first — high-cardinality, spread
-    evenly, map-side partial dedup — and only the POST-dedup rows take the
-    household_id exchange. One extra shuffle; identical output
-    (tests/test_skew_stress.py proves it on a synthetic mega-household).
-    Flip it when key-frequency stats show a household above ~10x the
-    partition average."""
+    ``skew_safe=True`` (the DEFAULT) shuffles the dedup on the full
+    (household_id, admit_ts) key first — high-cardinality, spread evenly,
+    map-side partial dedup — and only the POST-dedup rows (bounded by
+    distinct admit timestamps, and by the 49-month grid downstream) take
+    the household_id exchange that keys the rest of the chain. A
+    mega-household therefore never lands its raw encounter volume in a
+    single task. The "extra" exchange moves only deduped rows: measured at
+    sf0.1 / local[32] (5-rep median, round 4) it is at-or-below noise —
+    1.525s vs 1.600s for the full phase-1 pipeline — i.e. the safe plan is
+    FREE, which is why it is the default rather than a probe-triggered
+    hatch.
+
+    ``skew_safe=False`` keys the whole chain on ONE household_id exchange
+    (the minimal-shuffle plan) but opts the dedup out of any skew
+    mitigation: a mega-household's entire PRE-dedup row set lands in one
+    task. Only for corpora known to be household-uniform. Identical output
+    either way (tests/test_skew_stress.py proves it on a synthetic
+    mega-household)."""
     joined = persons.join(encounters, "person_id", "inner").select(
         "household_id", "admit_ts"
     )
@@ -308,7 +315,7 @@ def phase1(
     as_of: datetime,
     strategy: str = "window",
     cache: bool = True,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """EP1 — full retained pipeline (HRP:305-648). ``persons`` is reused by
     the grid and the final fan-out, so it is cached (C5, HRP:478).

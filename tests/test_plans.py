@@ -39,9 +39,12 @@ def test_retention_phase1_plan_shape(spark):
     # month grid (49 rows) must broadcast, never shuffle the household side
     P.assert_broadcast_join(df, at_least=1)
     P.assert_no_cartesian(df)
-    # the whole household chain reuses ONE household_id exchange; only the
-    # persons-distinct adds a second. A third shuffle = a regression.
-    assert P.count_shuffles(df) == 2
+    # three exchanges, each earning its keep: the skew-safe compound-key
+    # pre-dedup (spreads a mega-household's raw volume), the household_id
+    # exchange that keys the whole downstream chain (lag window, month
+    # dedup, set-agg, grid join, rank window — none re-exchange), and the
+    # persons-distinct. A fourth shuffle = a regression.
+    assert P.count_shuffles(df) == 3
     # client_code filter is pushed into both person and encounter scans
     P.assert_filter_pushed(df, "c_mktsegment")
     # codegen check needs a non-adaptive plan (AQE defers codegen decisions)
