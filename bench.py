@@ -3,6 +3,34 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Instrumentation (round 4): one untimed warmup pass over the whole suite
+(whole-stage-codegen Janino compilation, Python-worker startup), then REPS
+timed passes run ROUND-ROBIN — every query once per pass, per-query MEDIAN
+across passes, with IQR and min alongside. Round 3 showed min-of-3 with
+back-to-back reps has a noise floor (~9% total swing with zero code
+changes) above the regression threshold it polices; measured here, even
+median-of-5 back-to-back still swung 10% because machine load drifts on a
+minutes scale and consecutive reps of one query all land in the same
+regime. Interleaving spreads each query's samples across the full
+wall-clock span, so drift hits all queries alike and the median sees both
+regimes; the IQR makes the residual spread visible so a real regression
+can be told from machine noise. ("min" is still emitted for continuity
+with BENCH_r01..r03, which reported min-of-3 — min is also the better
+estimator under purely-additive contention, so the pair brackets the
+truth.)
+
+Because host drift on this shared box can exceed any fixed threshold
+(back-to-back identical runs were observed 14%+ apart), the harness also
+publishes its own noise floor: ``pass_totals`` (whole-suite wall time of
+each timed pass) and ``total_spread_pct`` (max/min of those passes − 1).
+A round-over-round delta smaller than the published spread of EITHER round
+is noise by the instrument's own account; a real regression must clear it.
+
+A second ``families`` section times operator families added after the
+headline list froze (round-2 surface: scrub, quantize, boilerplate,
+clustering, curation) WITHOUT touching the frozen 14-query headline set, so
+round-over-round totals stay apples-to-apples.
+
 Results are forced with a noop-format write (full computation, no collect
 bottleneck on the driver)."""
 
@@ -10,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,9 +62,52 @@ BENCH_QUERIES = [
     "media_frames",
 ]
 
+#: operator families added in round 2+ — benched separately so the frozen
+#: headline total stays comparable across rounds
+FAMILY_QUERIES = [
+    "pii_scrub",
+    "embedding_quantize",
+    "boilerplate_profile",
+    "dedup_clusters",
+    "curation_verdict",
+]
+
+REPS = 7
+FAMILY_REPS = 3
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def measure_suite(
+    runners: dict[str, object], reps: int
+) -> tuple[dict[str, dict[str, float]], list[float]]:
+    """1 untimed warmup pass, then ``reps`` round-robin timed passes →
+    (per-query median / IQR / min across passes, per-pass suite totals)."""
+    for fn in runners.values():
+        fn()
+    samples: dict[str, list[float]] = {name: [] for name in runners}
+    pass_totals: list[float] = []
+    for _ in range(reps):
+        t_pass = 0.0
+        for name, fn in runners.items():
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            t_pass += dt
+        pass_totals.append(round(t_pass, 3))
+    out: dict[str, dict[str, float]] = {}
+    for name, ts in samples.items():
+        ts.sort()
+        q1, _, q3 = statistics.quantiles(ts, n=4)
+        out[name] = {
+            "median": round(statistics.median(ts), 3),
+            "iqr": round(q3 - q1, 3),
+            "min": round(ts[0], 3),
+        }
+    return out, pass_totals
 
 
 def main() -> None:
@@ -54,24 +126,19 @@ def main() -> None:
     # BENCH_QUERIES is frozen for round-over-round comparability; some
     # entries live in the extra (non-driver-slot) registry
     all_queries = {**QUERIES, **EXTRA_QUERIES}
-    names = [n for n in BENCH_QUERIES if n in all_queries]
 
-    timings: dict[str, float] = {}
-    for name in names:
-        # measure steady-state throughput: the first (untimed) run pays
-        # one-time whole-stage-codegen (Janino) compilation and Python-
-        # worker startup; of the three timed runs we keep the MINIMUM — all
-        # are full executions, and the min is the sustained cost with
-        # transient machine noise (page-cache evictions, competing
-        # processes, cgroup CPU contention) removed, so round-over-round
-        # totals compare cleanly across differently-loaded machines
-        force(all_queries[name](spark, sf_dir))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            force(all_queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def runner(name: str):
+        return lambda: force(all_queries[name](spark, sf_dir))
+
+    stats, pass_totals = measure_suite(
+        {n: runner(n) for n in BENCH_QUERIES if n in all_queries}, REPS
+    )
+    timings = {n: s["median"] for n, s in stats.items()}
+
+    family_stats, _ = measure_suite(
+        {n: runner(n) for n in FAMILY_QUERIES if n in all_queries}, FAMILY_REPS
+    )
+    families = {n: s["median"] for n, s in family_stats.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -82,6 +149,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": REPS,
+                "estimator": "median",
+                "pass_totals": pass_totals,
+                "total_spread_pct": round(
+                    100 * (max(pass_totals) / min(pass_totals) - 1), 1
+                ),
+                "query_stats": stats,
+                "families_total": round(sum(families.values()), 3),
+                "families": families,
+                "family_stats": family_stats,
             }
         )
     )
