@@ -3,10 +3,15 @@ image/audio/video payloads as opaque ``binary`` columns with a typed metadata
 struct, and run decode / feature-extract / frame-sample as Arrow-batched
 Pandas operations via ``mapInPandas``.
 
-The actual codec step is STUBBED (`decode_image` raises
-``NotImplementedError`` — no image/audio libraries in this environment); the
-deterministic fake (`_fake_decode`) stands in so the Spark-side contract —
-schema, batch shape, partitioning, UDF signature — is real and tested.
+The codec (`decode_image`) is REAL for image headers: Pillow when
+importable (full pixel access), else a pure-stdlib parser for the PNG IHDR
+and GIF logical-screen descriptors (width/height/mode from the published
+container formats — no library needed). Payloads that aren't a recognized
+image fall through to the deterministic identity fake (`_fake_decode`), so
+the synthetic text-payload testdata still exercises the full Arrow
+plumbing, while PNG fixtures in tests/test_docs_pipeline.py prove actual
+decoded dimensions end-to-end. Deep media transforms (resample, full frame
+extraction) would sit behind the same hooks with ffmpeg in production.
 
 Scale design: ``mapInPandas`` streams Arrow record batches through each task
 (no row-at-a-time pickling, no driver collect); payload bytes never leave
@@ -61,6 +66,10 @@ FEATURES_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("content_md5", StringType()),
+        # decode_image output — null when the payload is not an image
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("img_mode", StringType()),
     ]
 )
 
@@ -90,31 +99,83 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real codec hook — unavailable in this environment by design."""
-    raise NotImplementedError(
-        "image decoding requires a codec library not present in this "
-        "environment; wire Pillow/ffmpeg here in production"
-    )
+try:  # Pillow is optional; the stdlib header parsers below always work
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+    _HAVE_PIL = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG IHDR color-type byte → mode name (PNG spec, table 11.1)
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def decode_image(payload: bytes) -> dict | None:
+    """Decode an image payload's dimensions/mode, or None if the payload is
+    not a recognized image.
+
+    Pillow when available (decodes every format it knows); otherwise a
+    pure-stdlib parse of the two self-describing containers we commit test
+    fixtures for: PNG (signature + IHDR — width/height are bytes 16..24
+    big-endian, color type byte 25) and GIF87a/89a (logical screen
+    width/height, little-endian at bytes 6..10). Returns
+    ``{"width", "height", "mode"}``. Runs inside the Arrow batch loop —
+    must never raise on arbitrary bytes."""
+    if _HAVE_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return {"width": im.width, "height": im.height, "mode": im.mode}
+        except Exception:
+            return None
+    if payload[:8] == _PNG_SIG and len(payload) >= 26 and payload[12:16] == b"IHDR":
+        return {
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "mode": _PNG_MODES.get(payload[25], "unknown"),
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return {
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "mode": "P",
+        }
+    return None
 
 
 def _fake_decode(payload: bytes) -> bytes:
-    """Deterministic stand-in for a codec: identity on the byte stream."""
+    """Deterministic stand-in for a non-image codec: identity bytes."""
     return payload
 
 
 def media_features(media: DataFrame) -> DataFrame:
-    """Per-payload features via mapInPandas (Arrow batches of binary)."""
+    """Per-payload features via mapInPandas (Arrow batches of binary): byte
+    stats + md5 for every payload, and REAL decoded image dimensions
+    (``decode_image`` — Pillow or the stdlib PNG/GIF header parse) where the
+    payload is a recognized image, nulls where it is not."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = pdf["payload"].map(_fake_decode)
+            imgs = [decode_image(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": decoded.map(len).astype("int64"),
                     "content_md5": decoded.map(
                         lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "width": pd.array(
+                        [i["width"] if i else None for i in imgs], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [i["height"] if i else None for i in imgs], dtype="Int64"
+                    ),
+                    "img_mode": pd.array(
+                        [i["mode"] if i else None for i in imgs], dtype="object"
                     ),
                 }
             )

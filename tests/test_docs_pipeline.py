@@ -145,7 +145,9 @@ def test_media_plumbing_schema_and_fanout(spark, docs):
     media = M.media_table(docs.limit(20))
     feats = M.media_features(media)
     frames = M.frame_sample(media)
-    assert [f.name for f in feats.schema.fields] == ["doc_id", "n_bytes", "content_md5"]
+    assert [f.name for f in feats.schema.fields] == [
+        "doc_id", "n_bytes", "content_md5", "width", "height", "img_mode",
+    ]
     assert frames.schema == M.FRAMES_SCHEMA
     joined = (
         frames.groupBy("doc_id")
@@ -154,11 +156,74 @@ def test_media_plumbing_schema_and_fanout(spark, docs):
     )
     bad = joined.where(F.col("total") != F.col("n_bytes")).count()
     assert bad == 0  # frames partition the payload exactly
+    # text payloads are not images: the codec must return null dims
+    assert feats.where(F.col("width").isNotNull()).count() == 0
 
 
-def test_decode_image_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
+def _png_bytes(width: int, height: int, color: tuple[int, int, int]) -> bytes:
+    """Minimal valid RGB PNG, stdlib-only (public PNG spec: signature,
+    IHDR/IDAT/IEND chunks, zlib-deflated scanlines with filter byte 0)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(color) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    """Minimal GIF89a header (logical screen descriptor only — enough for
+    the dimension decode; a full image stream is not needed here)."""
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00\x00\x00"
+    )
+
+
+def test_decode_image_real_codec_png_gif():
+    """decode_image is a real decoder: generated PNG/GIF fixtures decode to
+    their generation parameters; junk decodes to None (never raises)."""
+    d = M.decode_image(_png_bytes(13, 7, (255, 0, 0)))
+    assert (d["width"], d["height"]) == (13, 7)
+    assert d["mode"] == "RGB"
+    d = M.decode_image(_gif_bytes(300, 200))
+    assert (d["width"], d["height"]) == (300, 200)
+    assert M.decode_image(b"\x89PNG truncated") is None
+    assert M.decode_image(b"plain text payload") is None
+
+
+def test_media_features_decodes_png_fixtures_end_to_end(spark):
+    """The driver-gated media_features operator, fed real PNG payloads,
+    emits the decoded width×height through the full Arrow/mapInPandas
+    path — the per-doc dims are oracle-checked against the generation
+    parameters (width = 8 + doc_id, height = 3 + 2*doc_id)."""
+    rows = [
+        (i, _png_bytes(8 + i, 3 + 2 * i, (i, i, i)), ("image/png", None))
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.doc_id: r for r in M.media_features(media).collect()}
+    assert len(got) == 6
+    for i in range(6):
+        assert got[i].width == 8 + i
+        assert got[i].height == 3 + 2 * i
+        assert got[i].img_mode == "RGB"
+        assert got[i].n_bytes == len(rows[i][1])  # md5/bytes path unchanged
 
 
 def test_sequence_packing_edge_docs(spark):
