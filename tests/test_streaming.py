@@ -358,3 +358,51 @@ def test_stateful_running_household_aggregate(spark, tmp_path):
         .collect()
     }
     assert final == {"H1": (3, 5000), "H2": (1, 1500)}
+
+
+def test_incremental_retention_microbatch_latency(spark, tmp_path):
+    """End-to-end micro-batch latency of the stateful retention path: every
+    micro-batch's triggerExecution must finish within a GENEROUS bound (30s
+    on the 4-thread test session for a fixture-sized batch — typical is
+    ~1-3s), so a pathological regression in the stateful recompute (e.g. a
+    plan that re-reads the whole state store per batch, or a lost broadcast
+    that turns the grid join into a shuffle) surfaces as a latency cliff
+    rather than silently shipping. Uses query progress telemetry, the same
+    signal a production monitor would alert on."""
+    from es_household_retention_spark_job_spark.sources.fixtures import (
+        FIXTURE_AS_OF,
+        FIXTURE_CLIENT,
+        fixture_frames,
+    )
+    from es_household_retention_spark_job_spark.operators import retention as R
+    from es_household_retention_spark_job_spark.streaming import retention_stream
+
+    person, encounter = fixture_frames(spark)
+    persons_e = R.eligible_persons(person, FIXTURE_CLIENT)
+    enc_rows = [r.asDict() for r in encounter.collect()]
+    d = tmp_path / "enc_stream"
+    d.mkdir()
+    n_shards = 3
+    for shard in range(n_shards):
+        with open(d / f"s{shard}.json", "w") as f:
+            for r in enc_rows[shard::n_shards]:
+                f.write(json.dumps(r) + "\n")
+
+    enc_stream = ingest.stream_encounters(spark, str(d), max_files_per_trigger=1)
+    q = retention_stream.incremental_retention(
+        spark,
+        enc_stream,
+        persons_e,
+        target_path=str(tmp_path / "hh_ranges"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        client_code=FIXTURE_CLIENT,
+        as_of=FIXTURE_AS_OF,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    progress = q.recentProgress
+    # one progress entry per micro-batch (3 shards @ maxFilesPerTrigger=1)
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= n_shards - 1, f"too few micro-batches: {len(progress)}"
+    lat_ms = [p["durationMs"]["triggerExecution"] for p in batches]
+    assert all(ms < 30_000 for ms in lat_ms), f"micro-batch latency blew the bound: {lat_ms}"
