@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import P31, ensure_parallelism, h60
-from .text import tokens
+from .text import tokens, word_ngrams
 
 NGRAM_N = 3
 #: MinHash: 32 permutations in 8 bands of 4 rows — bands/rows chosen so the
@@ -84,14 +84,11 @@ def shingle_sets(
     strings, and the md5 runs exactly once per shingle occurrence. Docs with
     fewer than ``n`` tokens are dropped."""
     df = ensure_parallelism(df)
-    toks = tokens(text_col)
-    # guard: sequence(0, negative) DESCENDS in Spark — emit [] when size < n
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    gh = F.array_distinct(
-        F.transform(idx, lambda i: h60(F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    )
+    # linear-time n-gram construction (text.word_ngrams — the naive
+    # transform-over-indices form re-tokenizes the doc per index, O(len²));
+    # h60 runs on the materialized gram elements only
+    grams = word_ngrams(tokens(text_col), n)
+    gh = F.array_distinct(F.transform(grams, lambda g: h60(g)))
     return df.select(id_col, gh.alias("gh")).where(F.size("gh") > 0)
 
 
@@ -202,14 +199,35 @@ MAX_SHINGLE_DF = 100
 
 
 def ngram_candidate_pairs(
-    grams: DataFrame, id_col: str = "doc_id", max_df: int = MAX_SHINGLE_DF
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int = MAX_SHINGLE_DF,
+    min_bp: int = JACCARD_MIN_BP,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidates from a df-capped inverted index over a
-    ``shingle_sets`` frame: per-shingle document frequency is one
-    partial-aggregated groupBy; shingles with df > ``max_df`` never enter
-    the self-join, so a posting list is at most ``max_df`` long and the
-    candidate space is bounded by ``#shingles × max_df²`` instead of the
-    hot shingle's m². Distinct-ed, doc_a < doc_b."""
+    """(doc_a, doc_b) candidate pairs from a df-capped inverted index over
+    a ``shingle_sets`` frame, pruned by a PROVABLE Jaccard upper bound.
+
+    Three guards compose, each attacking a different blowup:
+
+    1. **df cap** — shingles with document frequency > ``max_df`` never
+       enter the self-join (one partial-aggregated groupBy computes df), so
+       a posting list is at most ``max_df`` long and no single join key
+       goes quadratic on boilerplate.
+    2. **count, don't materialize** — the equi-join's output goes straight
+       into a partial-aggregated groupBy(pair) count (``inter_c`` = shared
+       capped shingles). There is no distinct over the raw pair stream, so
+       map-side combine absorbs the multiplicity.
+    3. **upper-bound prune** — true intersection I ≤ inter_c +
+       min(hot_a, hot_b) =: Imax (a pair can share at most all of either
+       side's hot shingles beyond the counted capped ones), and Jaccard
+       J = I/(|A|+|B|−I) is increasing in I, so
+       J ≤ Imax/(n_a+n_b−Imax). Pairs whose bound misses ``min_bp`` are
+       dropped BEFORE any shingle array is joined or intersected — in a
+       shingle-dense corpus that is ~all of them.
+
+    Exactness: every pair with true J ≥ min_bp that shares ≥1 capped
+    shingle survives (the bound over-approximates), so downstream
+    verification sees a superset of the answers."""
     inv = grams.select(id_col, F.explode("gh").alias("g"))
     rare = (
         inv.groupBy("g")
@@ -218,17 +236,44 @@ def ngram_candidate_pairs(
         .select("g")
     )
     capped = inv.join(rare, "g")
+    csize = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+    sizes = (
+        grams.select(id_col, F.size("gh").cast("long").alias("n"))
+        .join(csize, id_col, "left")
+        .select(
+            id_col,
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
     a, b = capped.alias("a"), capped.alias("b")
-    return (
+    inter = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("inter_c"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    imax = F.col("inter_c") + F.least(
+        F.col("n_a") - F.col("c_a"), F.col("n_b") - F.col("c_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.floor(imax * 10000 / (F.col("n_a") + F.col("n_b") - imax)) >= min_bp
+        )
+        .select("doc_a", "doc_b")
     )
 
 
@@ -239,17 +284,16 @@ def ngram_jaccard_pairs(
     min_bp: int = JACCARD_MIN_BP,
     max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """n-gram Jaccard pairs via a df-capped inverted-index join: candidates
-    from ``ngram_candidate_pairs`` (shingles with document frequency >
-    ``max_df`` skipped — the hot-shingle quadratic guard), then EXACT
-    Jaccard over the full shingle arrays (``array_intersect`` — the cap
-    never distorts a reported score). The only recall caveat: a pair whose
-    every shared shingle is hotter than ``max_df`` (wall-to-wall boilerplate
-    copies) is not generated here — exact dedup and minhash banding are the
+    """n-gram Jaccard pairs: df-capped, upper-bound-pruned candidates
+    (``ngram_candidate_pairs``) then EXACT Jaccard over the full shingle
+    arrays (``array_intersect`` — neither the cap nor the prune ever
+    distorts a reported score). The only recall caveat: a pair whose every
+    shared shingle is hotter than ``max_df`` (wall-to-wall boilerplate
+    copies) is not generated — exact dedup and minhash banding are the
     operators that own that shape. The small-scale oracle-of-record;
     minhash above is the 100 TB path."""
     grams = shingle_sets(df, text_col, id_col).cache()
-    cand = ngram_candidate_pairs(grams, id_col, max_df)
+    cand = ngram_candidate_pairs(grams, id_col, max_df, min_bp)
     ga = grams.select(F.col(id_col).alias("doc_a"), F.col("gh").alias("ng_a"))
     gb = grams.select(F.col(id_col).alias("doc_b"), F.col("gh").alias("ng_b"))
     return (

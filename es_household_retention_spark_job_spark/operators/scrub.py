@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -90,14 +90,10 @@ BOILER_MIN_DOCS = 3
 
 
 def _doc_ngrams(text_col: str) -> Column:
-    """Distinct word n-grams per document (space-joined strings)."""
-    toks = tokens(text_col)
-    idx = F.when(
-        F.size(toks) >= BOILER_N, F.sequence(F.lit(0), F.size(toks) - BOILER_N)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, BOILER_N)))
-    )
+    """Distinct word n-grams per document (space-joined strings; linear-time
+    ``word_ngrams`` construction — see its docstring for the lambda-CSE
+    trap the old transform-over-indices form fell into)."""
+    return F.array_distinct(word_ngrams(tokens(text_col), BOILER_N))
 
 
 def boilerplate_ngrams(

@@ -51,6 +51,32 @@ def tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
 
 
+def word_ngrams(toks: Column, k: int) -> Column:
+    """Space-joined word k-grams from a token array, as ``array<string>``.
+
+    Built by chain-zipping the token array against its k−1 shifted tails.
+    NEVER build n-grams as ``transform(sequence(0, n−k), i ->
+    concat_ws(' ', slice(toks, i+1, k)))`` when ``toks`` is a derived
+    expression: Catalyst performs no common-subexpression elimination
+    inside higher-order-function lambda bodies, so the spliced ``toks``
+    subtree (typically a full-document regexp tokenization) re-evaluates
+    once per n-gram index — O(doc_len²) work per document dressed up as a
+    map-side pass (measured 20s for 5 000 sf0.1 docs before the rewrite).
+    ``zip_with``/``slice`` operands are argument children, each evaluated
+    exactly once; the lambda touches only its element variables, so this
+    form is honestly linear."""
+    n = F.size(toks)
+    out = toks
+    for i in range(1, k):
+        tail = F.slice(toks, i + 1, F.greatest(n - i, F.lit(0)))
+        # zip pads the shorter side with null; concat (not concat_ws)
+        # propagates the null, and the final slice drops the padded tail
+        out = F.zip_with(out, tail, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, F.slice(out, 1, n - k + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def lang_hits(toks: Column, lang: str) -> Column:
     """Occurrence count of ``lang``'s function words in the token array."""
     words = STOPWORDS[lang]
@@ -251,12 +277,11 @@ def repetition_profile(
 def _repetition_exprs(text_col: str):
     """(n_bigrams, dup_frac_bp, top_struct, top_frac_bp) map-side
     expressions shared by ``repetition_profile`` and the composed
-    ``curation_verdict`` gate."""
-    toks = tokens(text_col)
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    ``curation_verdict`` gate.
+
+    Bigrams come from ``word_ngrams`` (see its docstring for why the
+    naive transform-over-indices form is quadratic in document length)."""
+    bigrams = word_ngrams(tokens(text_col), 2)
     n = F.size(bigrams).cast("long")
     n_distinct = F.size(F.array_distinct(bigrams)).cast("long")
     init = F.struct(
