@@ -83,17 +83,26 @@ def lang_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language ID: per-language occurrence counts + argmax with
-    first-in-LANG_ORDER tie-break. One codegen'd pass, no shuffle."""
-    toks = tokens(text_col)
+def _lang_pred(toks: Column) -> tuple[dict[str, Column], Column]:
+    """(per-language hit counts, argmax language with LANG_ORDER
+    tie-break) over a token column."""
     hits = {lang: lang_hits(toks, lang) for lang in LANG_ORDER}
     best = F.greatest(*hits.values())
     chain = F.when(hits[LANG_ORDER[0]] == best, F.lit(LANG_ORDER[0]))
     for lang in LANG_ORDER[1:]:
         chain = chain.when(hits[lang] == best, F.lit(lang))
-    pred = chain
-    return df.select(
+    return hits, chain
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: per-language occurrence counts + argmax with
+    first-in-LANG_ORDER tie-break. One codegen'd pass, no shuffle; the token
+    array is materialized in a first projection so the ~11 expressions
+    referencing it share one tokenization (see ``word_ngrams`` on why
+    derived arrays are staged as columns)."""
+    staged = df.select(id_col, tokens(text_col).alias("_toks"))
+    hits, pred = _lang_pred(F.col("_toks"))
+    return staged.select(
         id_col,
         *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_ORDER],
         pred.alias("lang_pred"),
@@ -124,9 +133,17 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
 def _quality_exprs(text_col: str) -> tuple[Column, Column, Column, Column]:
     """(n_tokens, stop_bp, punct_bp, keep) expressions — plain columns, so
-    the gate applies identically to batch frames and streams (no join)."""
-    t = F.col(text_col)
-    toks = tokens(text_col)
+    the gate applies identically to batch frames and streams (no join).
+    For DataFrame-shaped operators prefer ``_quality_exprs_cols`` over a
+    materialized token column; this text_col form re-derives the token
+    array per referencing expression and exists for single-expression
+    filter use (``quality_keep`` on a stream)."""
+    return _quality_exprs_cols(F.col(text_col), tokens(text_col))
+
+
+def _quality_exprs_cols(
+    t: Column, toks: Column
+) -> tuple[Column, Column, Column, Column]:
     n_tok = F.size(toks)
     stop = lang_hits(toks, "en")
     punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
@@ -151,9 +168,15 @@ def quality_keep(text_col: str = "text") -> Column:
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality filter: stopword ratio, punctuation ratio, token
     count — integer basis-point ratios and a boolean ``keep`` verdict
-    (C4-style pipeline gate for corpus filtering)."""
-    n_tok, stop_bp, punct_bp, keep = _quality_exprs(text_col)
-    return df.select(
+    (C4-style pipeline gate for corpus filtering). Tokens staged as a
+    column: one tokenization feeds all metrics."""
+    staged = df.select(
+        id_col, F.col(text_col).alias("_t"), tokens(text_col).alias("_toks")
+    )
+    n_tok, stop_bp, punct_bp, keep = _quality_exprs_cols(
+        F.col("_t"), F.col("_toks")
+    )
+    return staged.select(
         id_col,
         n_tok.cast("long").alias("n_tokens"),
         stop_bp.cast("long").alias("stop_bp"),
@@ -263,8 +286,11 @@ def repetition_profile(
     text metrics. The DuckDB oracle recomputes the mode relationally
     (unnest → count → row_number) and must agree exactly.
     """
-    n, dup_bp, top, top_bp = _repetition_exprs(text_col)
-    return df.select(
+    staged = df.select(
+        id_col, word_ngrams(tokens(text_col), 2).alias("_bigrams")
+    )
+    n, dup_bp, top, top_bp = _repetition_exprs_cols(F.col("_bigrams"))
+    return staged.select(
         id_col,
         n.alias("n_bigrams"),
         dup_bp.alias("dup_bigram_frac_bp"),
@@ -274,14 +300,13 @@ def repetition_profile(
     )
 
 
-def _repetition_exprs(text_col: str):
+def _repetition_exprs_cols(bigrams: Column):
     """(n_bigrams, dup_frac_bp, top_struct, top_frac_bp) map-side
     expressions shared by ``repetition_profile`` and the composed
-    ``curation_verdict`` gate.
-
-    Bigrams come from ``word_ngrams`` (see its docstring for why the
-    naive transform-over-indices form is quadratic in document length)."""
-    bigrams = word_ngrams(tokens(text_col), 2)
+    ``curation_verdict`` gate. ``bigrams`` should be a MATERIALIZED column
+    (stage ``word_ngrams(tokens(...), 2)`` in a prior projection): the
+    metrics reference it several times, and a staged column is computed
+    once while a spliced expression tree is re-derived per reference."""
     n = F.size(bigrams).cast("long")
     n_distinct = F.size(F.array_distinct(bigrams)).cast("long")
     init = F.struct(
@@ -393,18 +418,23 @@ def curation_verdict(
     is a per-row expression, so the verdict costs one scan — no joins of
     per-signal tables, no shuffle at all; downstream stages filter on
     ``keep`` and the predicate pushes into the scan of a columnar store.
+    Tokens and bigrams are staged as columns (two chained projections, one
+    codegen stage) so the ~15 referencing expressions share one
+    tokenization and one n-gram build — measured 2.4× the whole scan at
+    sf0.1 vs the single-expression form.
     """
-    toks = tokens(text_col)
-    _, stop_bp, punct_bp, keep_quality = _quality_exprs(text_col)
-    _, dup_bp, _, top_bp = _repetition_exprs(text_col)
+    staged = df.select(
+        id_col, F.col(text_col).alias("_t"), tokens(text_col).alias("_toks")
+    ).select(
+        id_col, "_t", "_toks", word_ngrams(F.col("_toks"), 2).alias("_bigrams")
+    )
+    toks = F.col("_toks")
+    _, stop_bp, punct_bp, keep_quality = _quality_exprs_cols(F.col("_t"), toks)
+    _, dup_bp, _, top_bp = _repetition_exprs_cols(F.col("_bigrams"))
     keep_repetition = (dup_bp < MAX_DUP_BIGRAM_BP) & (top_bp < MAX_TOP_BIGRAM_BP)
-    hits = {lang: lang_hits(toks, lang) for lang in LANG_ORDER}
-    best = F.greatest(*hits.values())
-    pred = F.when(hits[LANG_ORDER[0]] == best, F.lit(LANG_ORDER[0]))
-    for lang in LANG_ORDER[1:]:
-        pred = pred.when(hits[lang] == best, F.lit(lang))
+    _, pred = _lang_pred(toks)
     keep_language = pred == "en"
-    return df.select(
+    return staged.select(
         id_col,
         keep_quality.alias("keep_quality"),
         keep_repetition.alias("keep_repetition"),
