@@ -120,28 +120,40 @@ def boilerplate_profile(
     cleanup pass thresholds on (drop the gram, or the whole template-stamped
     doc).
 
-    Shape: the corpus side explodes once and semi-joins the boilerplate
-    list; the list is unbounded-but-small (post-HAVING), so it is NOT
-    broadcast-hinted — AQE downgrades the shuffle join to broadcast exactly
-    when it fits (same policy as tfidf's df side). Per-doc totals come from
-    the grams array map-side, so the second join input is one row per doc."""
-    grams = df.select(id_col, _doc_ngrams(text_col).alias("grams"))
-    totals = grams.select(
-        id_col, F.size(F.col("grams")).cast("long").alias("n_grams")
+    Shape: TWO passes over the exploded distinct-gram stream — the minimum
+    the problem admits (corpus frequencies must exist before they can be
+    attributed back to documents). Pass 1 aggregates the boilerplate list;
+    pass 2 left-joins the (small, post-HAVING) marker list and aggregates
+    n_grams AND n_boiler per doc in ONE groupBy, so there is no separate
+    per-doc totals subtree (the previous three-subtree form built the
+    5-gram arrays a third time just to take their size) and no final
+    doc-level join beyond the cheap id spine that restores zero-gram docs.
+    The marker list is NOT broadcast-hinted — it is unbounded-but-small, so
+    AQE downgrades the shuffle join to broadcast exactly when it fits (same
+    policy as tfidf's df side)."""
+    ex = df.select(id_col, F.explode(_doc_ngrams(text_col)).alias("ngram"))
+    boiler = (
+        ex.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("ngram", F.lit(1).alias("_is_b"))
     )
-    ex = grams.select(id_col, F.explode(F.col("grams")).alias("ngram"))
-    boiler = boilerplate_ngrams(df, text_col, id_col).select("ngram")
-    hits = (
-        ex.join(boiler, "ngram", "left_semi")
+    per_doc = (
+        ex.join(boiler, "ngram", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.coalesce(F.sum("_is_b"), F.lit(0)).cast("long").alias("n_boiler"),
+        )
     )
+    spine = df.select(id_col)
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("long"))
     n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("long"))
-    return totals.join(hits, id_col, "left").select(
+    return spine.join(per_doc, id_col, "left").select(
         id_col,
-        "n_grams",
+        n_grams.alias("n_grams"),
         n_boiler.alias("n_boiler"),
-        F.when(F.col("n_grams") > 0, F.floor(n_boiler * 10000 / F.col("n_grams")))
+        F.when(n_grams > 0, F.floor(n_boiler * 10000 / n_grams))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("boiler_bp"),
