@@ -251,3 +251,44 @@ def test_sequence_packing_edge_docs(spark):
     assert rows[1]["n_tokens"] == 0 and rows[1]["n_splits"] == 0
     assert rows[2]["n_tokens"] == 0 and rows[2]["n_splits"] == 0
     assert rows[3]["n_tokens"] == 256
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    """word_ngrams (the linear zip_with construction under every n-gram
+    consumer: shingles, bigram metrics, boilerplate 5-grams) must agree
+    exactly with the obvious Python reference on edge shapes: empty docs,
+    docs shorter than k, exact-k docs, repeated tokens, and k=2..5."""
+    from es_household_retention_spark_job_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    texts = [
+        "",
+        "one",
+        "two words",
+        "exactly three tokens",
+        "a a a a a",
+        "the quick brown fox jumps over the lazy dog",
+        "x " * 40,
+        "Punct, splits! and CASE folds 123 mixed7tokens",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    import re
+
+    def ref(text: str, k: int) -> list[str]:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    for k in (2, 3, 5):
+        got = {
+            r.doc_id: list(r.g)
+            for r in df.select(
+                "doc_id", word_ngrams(tokens("text"), k).alias("g")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t, k), (k, i, t, got[i], ref(t, k))
