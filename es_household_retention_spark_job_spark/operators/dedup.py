@@ -324,8 +324,9 @@ def duplicate_clusters(
     edge⋈label shuffle-join + one partial-aggregated groupBy(node) min —
     both keyed on node id, so AQE handles hub-node skew. Convergence needs
     diameter-many rounds; near-dup components are chains/cliques of copies
-    with tiny diameter, and the fixpoint check (one count per round, the
-    same driver-scalar pattern as k-means) stops early — ``max_iters`` is a
+    with tiny diameter, and the fixpoint check (a changed-flag summed over
+    the frame each round checkpoints anyway — the same driver-scalar
+    pattern as k-means, no extra join) stops early — ``max_iters`` is a
     runaway bound, not the expected count. Deterministic: min is
     order-free, ids are unique.
 
@@ -362,24 +363,24 @@ def duplicate_clusters(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("nb_label").alias("nb_min"))
         )
-        new_labels = (
+        # the changed flag rides the update projection, so convergence
+        # detection is one aggregate over the frame the round checkpoints
+        # anyway — not an extra labels⋈labels join + count per round
+        stepped = (
             labels.join(nb_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nb_min"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("old")), "node"
-            )
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.agg(F.sum("_ch")).first()[0]
+        labels = stepped.drop("_ch")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
