@@ -122,10 +122,20 @@ def jaccard_bp(a: Column, b: Column) -> Column:
 
 
 def minhash_bands(grams: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, band_id, band_sig) LSH band keys from a ``shingle_sets`` frame —
+    """(id, gh, band_key) LSH band keys from a ``shingle_sets`` frame —
     signature + banding are map-side array expressions (explode only
     multiplies rows 8×, no shuffle), so this works unchanged on a streaming
-    micro-batch."""
+    micro-batch.
+
+    ``band_key`` is ``xxhash64(band_index, signature-slice)`` — one 8-byte
+    join key instead of the (band_id, "v1-v2-v3-v4" string) pair it
+    replaces, so the candidate self-join shuffles ~5× fewer key bytes and
+    compares longs, not strings. Two bands collide only if the hash does
+    (downstream exact-Jaccard verification makes the stray collision
+    harmless — it can only ADD a candidate, never drop one), so results
+    are identical; the DuckDB oracle keeps deriving its own candidates
+    from the raw band values, which the same verification step makes
+    equivalent."""
     sigs = grams.select(
         id_col, "gh", minhash_signature_from_hashes(F.col("gh")).alias("sig")
     )
@@ -135,19 +145,12 @@ def minhash_bands(grams: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("band_sig"),
+                lambda b: F.xxhash64(
+                    b, F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS)
                 ),
             )
-        ).alias("band"),
-    ).select(id_col, "gh", "band.band_id", "band.band_sig")
+        ).alias("band_key"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,8 +167,7 @@ def minhash_lsh_pairs(
     cand = (
         a.join(
             b,
-            (F.col(f"a.band_id") == F.col(f"b.band_id"))
-            & (F.col(f"a.band_sig") == F.col(f"b.band_sig"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

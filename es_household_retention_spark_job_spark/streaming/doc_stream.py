@@ -78,9 +78,9 @@ def curate_canonical(docs: DataFrame) -> DataFrame:
 
 
 def corpus_band_index(corpus: DataFrame) -> DataFrame:
-    """Static LSH index of an existing corpus: (doc_id, band_id, band_sig,
-    gh). Build once per ingestion epoch and persist/refresh like any
-    dimension table — at 100 TB it is 8 small rows per doc (band keys plus
+    """Static LSH index of an existing corpus: (doc_id, gh, band_key).
+    Build once per ingestion epoch and persist/refresh like any dimension
+    table — at 100 TB it is 8 small rows per doc (an 8-byte band key plus
     the hashed-shingle array needed for verification), not the text."""
     return minhash_bands(shingle_sets(corpus))
 
@@ -103,11 +103,10 @@ def neardup_against_corpus(
     idx = index.select(
         F.col("doc_id").alias("dup_of"),
         F.col("gh").alias("gh_old"),
-        "band_id",
-        "band_sig",
+        "band_key",
     )
     return (
-        bands.join(idx, ["band_id", "band_sig"])
+        bands.join(idx, ["band_key"])
         .where(F.col("doc_id") != F.col("dup_of"))
         .select(
             "doc_id",
