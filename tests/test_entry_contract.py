@@ -93,6 +93,9 @@ HOSTILE_SAMPLE = [
     "window_battery_events",   # events.parquet TIMESTAMP(NANOS) (reader victim)
     "resample_hourly_gapfill", # date_trunc per hour (timezone victim)
     "month_grid",              # no table read — covered by the entry wrapper
+    "media_features",          # Arrow mapInPandas round-trip + nullable Int64
+    "embedding_quantize",      # staged-projection double math, float[] reader
+    "dedup_minhash_lsh",       # xxhash64 band keys + exact-Jaccard verify
 ]
 
 
