@@ -601,6 +601,28 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_resize",
+    """SELECT doc_id,
+              CAST(NULL AS BIGINT) AS width,
+              CAST(NULL AS BIGINT) AS height,
+              CAST(NULL AS BIGINT) AS n_bytes,
+              CAST(NULL AS VARCHAR) AS thumb_md5
+       FROM documents""",
+    extra=True,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail stage over the media table (mapInPandas resize). The text
+    testdata is not decodable imagery, so the oracle pins the all-null
+    contract and the row count; decoded resizes are proven on PNG fixtures
+    in tests/test_docs_pipeline.py. thumb binary is md5'd for the compare
+    (the gate's canonicalizer hashes scalars only)."""
+    out = M.media_resize(M.media_table(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "width", "height", "n_bytes", F.md5("thumb").alias("thumb_md5")
+    )
+
+
+@register(
     "media_frames",
     f"""WITH fr AS (
         SELECT doc_id, text,

@@ -82,7 +82,19 @@ FRAMES_SCHEMA = StructType(
     ]
 )
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        # null for non-image payloads (same convention as media_features)
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
 FRAME_CHARS = 64
+THUMB_MAX_SIDE = 64
 
 
 def media_table(docs: DataFrame) -> DataFrame:
@@ -151,6 +163,145 @@ def _fake_decode(payload: bytes) -> bytes:
     return payload
 
 
+def _png_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Stdlib PNG pixel decode → (width, height, raw RGB bytes), or None.
+
+    Supports the mainstream still-image case: 8-bit color type 2 (RGB),
+    non-interlaced, any of the five PNG row filters (None/Sub/Up/Average/
+    Paeth — the published reconstruction algorithms, PNG spec §9). Other
+    color types / bit depths return None and are Pillow's job when it is
+    installed."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        return None
+    pos, idat = 8, b""
+    w = h = None
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride, bpp = 3 * w, 3
+    if len(raw) != h * (1 + stride):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row_start = y * (1 + stride)
+        ftype = raw[row_start]
+        row = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += row
+        prev = row
+    return w, h, bytes(out)
+
+
+def _png_encode_rgb(w: int, h: int, rgb: bytes) -> bytes:
+    """Stdlib 8-bit RGB PNG encode (filter 0 rows; fixed zlib level so the
+    bytes are deterministic for a given zlib build)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    stride = 3 * w
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image(payload: bytes, max_side: int) -> dict | None:
+    """Downsample an image payload so its longer side is ≤ ``max_side``
+    (never upscales). Returns {"width", "height", "payload"} with a PNG
+    payload, or None when the bytes aren't a decodable image.
+
+    Pillow when available; otherwise the stdlib RGB PNG decode above with
+    deterministic nearest-neighbor sampling (``src = (dst · src_len) //
+    dst_len`` — pure integer math, identical on every platform)."""
+    if _HAVE_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                im = im.convert("RGB")
+                im.thumbnail((max_side, max_side), _PILImage.NEAREST)
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                return {"width": im.width, "height": im.height, "payload": buf.getvalue()}
+        except Exception:
+            return None
+    decoded = _png_decode_rgb(payload)
+    if decoded is None:
+        return None
+    w, h, rgb = decoded
+    if max(w, h) <= max_side:
+        ow, oh = w, h
+    elif w >= h:
+        ow = max_side
+        oh = max(1, (h * max_side) // w)
+    else:
+        oh = max_side
+        ow = max(1, (w * max_side) // h)
+    out = bytearray()
+    for y in range(oh):
+        sy = (y * h) // oh
+        base = sy * 3 * w
+        for x in range(ow):
+            sx = (x * w) // ow
+            out += rgb[base + 3 * sx : base + 3 * sx + 3]
+    return {"width": ow, "height": oh, "payload": _png_encode_rgb(ow, oh, bytes(out))}
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Per-payload features via mapInPandas (Arrow batches of binary): byte
     stats + md5 for every payload, and REAL decoded image dimensions
@@ -181,6 +332,40 @@ def media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+def media_resize(media: DataFrame, max_side: int = THUMB_MAX_SIDE) -> DataFrame:
+    """Thumbnail generation via mapInPandas: every image payload is decoded
+    and downsampled so its longer side is ≤ ``max_side`` (``resize_image``
+    — Pillow or the stdlib PNG path), re-encoded as PNG; non-image payloads
+    yield null thumb columns. The training-data "resize" stage: payload
+    bytes never leave the executor, output stays a columnar binary column
+    sized for an embedding model's input."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [resize_image(bytes(p), max_side) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(
+                        [t["width"] if t else None for t in thumbs], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [t["height"] if t else None for t in thumbs], dtype="Int64"
+                    ),
+                    "n_bytes": pd.array(
+                        [len(t["payload"]) if t else None for t in thumbs],
+                        dtype="Int64",
+                    ),
+                    "thumb": pd.array(
+                        [t["payload"] if t else None for t in thumbs],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(shrink, RESIZE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, frame_chars: int = FRAME_CHARS) -> DataFrame:

@@ -292,3 +292,91 @@ def test_word_ngrams_matches_python_reference(spark):
         }
         for i, t in enumerate(texts):
             assert got[i] == ref(t, k), (k, i, t, got[i], ref(t, k))
+
+
+def test_png_filter_reconstruction_all_types():
+    """_png_decode_rgb must invert every PNG row filter (spec §9): build a
+    gradient image, forward-filter its rows with each type, and decode."""
+    import struct
+    import zlib
+
+    w, h = 6, 4
+    rgb = bytes(
+        (x * 40 + c * 7 + y * 11) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    stride, bpp = 3 * w, 3
+
+    def fwd(ftype: int) -> bytes:
+        raw = b""
+        prev = bytes(stride)
+        for y in range(h):
+            row = rgb[y * stride : (y + 1) * stride]
+            enc = bytearray()
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((row[i] - pred) & 0xFF)
+            raw += bytes([ftype]) + bytes(enc)
+            prev = row
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    for ftype in range(5):
+        got = M._png_decode_rgb(fwd(ftype))
+        assert got is not None, f"filter {ftype} failed to decode"
+        assert got == (w, h, rgb), f"filter {ftype} reconstructed wrong pixels"
+
+
+def test_resize_image_downsamples_and_roundtrips():
+    """resize_image must shrink the long side to max_side with integer
+    nearest-neighbor, never upscale, re-encode decodable PNG, and return
+    None on junk."""
+    big = _png_bytes(100, 40, (10, 200, 30))
+    t = M.resize_image(big, 10)
+    assert (t["width"], t["height"]) == (10, 4)
+    back = M._png_decode_rgb(t["payload"])
+    assert back is not None and (back[0], back[1]) == (10, 4)
+    # solid-color source → every resized pixel keeps the color
+    assert set(back[2][i : i + 3] for i in range(0, len(back[2]), 3)) == {
+        bytes((10, 200, 30))
+    }
+    small = _png_bytes(5, 3, (1, 2, 3))
+    t2 = M.resize_image(small, 10)
+    assert (t2["width"], t2["height"]) == (5, 3)  # no upscale
+    assert M.resize_image(b"not an image", 10) is None
+
+
+def test_media_resize_end_to_end(spark):
+    """The media_resize operator through Arrow/mapInPandas: image payloads
+    get decoded thumbs with exact expected dims; text payloads get nulls."""
+    rows = [
+        (1, _png_bytes(64, 16, (9, 9, 9)), ("image/png", None)),
+        (2, _png_bytes(8, 4, (5, 5, 5)), ("image/png", None)),
+        (3, b"plain text payload", ("text/plain", None)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r.doc_id: r for r in M.media_resize(media, max_side=16).collect()}
+    assert (got[1].width, got[1].height) == (16, 4)
+    assert (got[2].width, got[2].height) == (8, 4)  # already small
+    assert got[1].thumb is not None and got[1].n_bytes == len(got[1].thumb)
+    assert got[3].width is None and got[3].thumb is None
