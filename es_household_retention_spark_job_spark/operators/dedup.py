@@ -381,7 +381,9 @@ def duplicate_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.agg(F.sum("_ch")).first()[0]
+        # sum over an EMPTY frame is NULL, not 0 — a duplicate-free corpus
+        # must converge in one round, not run out max_iters
+        changed = stepped.agg(F.sum("_ch")).first()[0] or 0
         labels = stepped.drop("_ch")
         if changed == 0:
             break

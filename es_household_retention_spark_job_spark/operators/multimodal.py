@@ -170,7 +170,9 @@ def _png_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     non-interlaced, any of the five PNG row filters (None/Sub/Up/Average/
     Paeth — the published reconstruction algorithms, PNG spec §9). Other
     color types / bit depths return None and are Pillow's job when it is
-    installed."""
+    installed. Truncated or corrupt chunk structure returns None — this
+    runs inside the Arrow batch loop and must never raise on arbitrary
+    bytes."""
     import struct
     import zlib
 
@@ -179,11 +181,14 @@ def _png_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     pos, idat = 8, b""
     w = h = None
     while pos + 8 <= len(payload):
-        (length,), tag = struct.unpack(">I", payload[pos : pos + 4]), payload[
-            pos + 4 : pos + 8
-        ]
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:  # truncated chunk
+            return None
         if tag == b"IHDR":
+            if length != 13:
+                return None
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -266,8 +271,13 @@ def resize_image(payload: bytes, max_side: int) -> dict | None:
     payload, or None when the bytes aren't a decodable image.
 
     Pillow when available; otherwise the stdlib RGB PNG decode above with
-    deterministic nearest-neighbor sampling (``src = (dst · src_len) //
-    dst_len`` — pure integer math, identical on every platform)."""
+    nearest-neighbor sampling (``src = (dst · src_len) // dst_len`` — pure
+    integer math). Determinism is PER BACKEND: within one codec backend
+    the output is reproducible run-over-run, but Pillow's thumbnail
+    rounding and PNG encoder differ from the stdlib path, so a cluster
+    must pin one backend corpus-wide (the same rule as any codec
+    dependency); the oracle therefore checks the null contract, and the
+    fixture tests run whichever backend this environment has."""
     if _HAVE_PIL:
         import io
 

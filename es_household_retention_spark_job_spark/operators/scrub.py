@@ -96,20 +96,28 @@ def _doc_ngrams(text_col: str) -> Column:
     return F.array_distinct(word_ngrams(tokens(text_col), BOILER_N))
 
 
-def boilerplate_ngrams(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """The corpus's boilerplate list: (ngram, n_docs) for every n-gram in
-    ≥ BOILER_MIN_DOCS distinct docs. Per-doc grams are pre-distincted
-    map-side, so the count after one explode IS the document frequency —
-    no count(distinct) shuffle. The HAVING filter collapses the result to
-    the (small) boilerplate set before anything downstream consumes it."""
-    ex = df.select(F.explode(_doc_ngrams(text_col)).alias("ngram"))
+def _boiler_list(ex: DataFrame) -> DataFrame:
+    """(ngram, n_docs) boilerplate aggregation over an exploded
+    doc-distinct gram stream — THE definition of boilerplate (document
+    frequency ≥ BOILER_MIN_DOCS), shared by ``boilerplate_ngrams`` and
+    ``boilerplate_profile`` so the list and the per-doc attribution can
+    never desynchronize. Per-doc grams are pre-distincted map-side, so the
+    count after one explode IS the document frequency — no count(distinct)
+    shuffle; the HAVING filter collapses the result to the (small)
+    boilerplate set before anything downstream consumes it."""
     return (
         ex.groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= BOILER_MIN_DOCS)
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus's boilerplate list: (ngram, n_docs) for every n-gram in
+    ≥ BOILER_MIN_DOCS distinct docs (see ``_boiler_list``)."""
+    return _boiler_list(df.select(F.explode(_doc_ngrams(text_col)).alias("ngram")))
 
 
 def boilerplate_profile(
@@ -132,12 +140,7 @@ def boilerplate_profile(
     AQE downgrades the shuffle join to broadcast exactly when it fits (same
     policy as tfidf's df side)."""
     ex = df.select(id_col, F.explode(_doc_ngrams(text_col)).alias("ngram"))
-    boiler = (
-        ex.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
-        .select("ngram", F.lit(1).alias("_is_b"))
-    )
+    boiler = _boiler_list(ex).select("ngram", F.lit(1).alias("_is_b"))
     per_doc = (
         ex.join(boiler, "ngram", "left")
         .groupBy(id_col)

@@ -380,3 +380,32 @@ def test_media_resize_end_to_end(spark):
     assert (got[2].width, got[2].height) == (8, 4)  # already small
     assert got[1].thumb is not None and got[1].n_bytes == len(got[1].thumb)
     assert got[3].width is None and got[3].thumb is None
+
+
+def test_duplicate_clusters_empty_graph_converges_immediately(spark):
+    """A duplicate-free corpus (zero pairs): sum over the empty label frame
+    is NULL, which must still read as converged — one round, empty result,
+    not max_iters wasted rounds."""
+    pairs = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert D.duplicate_clusters(pairs, max_iters=3).count() == 0
+
+
+def test_png_decode_never_raises_on_corrupt_bytes():
+    """Truncated/corrupt PNGs must decode to None, not raise — this runs
+    inside the Arrow batch loop where an exception kills the task."""
+    import struct
+
+    cases = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",                                   # signature only
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5,
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 7) + b"IHDR" + b"\x00" * 7,
+        _png_bytes(4, 4, (1, 2, 3))[:30],                        # cut mid-chunk
+    ]
+    for payload in cases:
+        assert M._png_decode_rgb(payload) is None, payload[:20]
+        assert M.resize_image(payload, 8) is None, payload[:20]
+    # a PNG whose trailing IEND is clipped still carries every pixel:
+    # decoding it is fine — the contract is only "never raise"
+    clipped = _png_bytes(4, 4, (1, 2, 3))[:-8]
+    assert M._png_decode_rgb(clipped) in (None, (4, 4, bytes((1, 2, 3)) * 16))

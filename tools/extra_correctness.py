@@ -43,8 +43,12 @@ def compare_one(spark, duck, fn, sql: str | None, sf_dir: str) -> dict:
     try:
         got = fn(spark, sf_dir).toPandas()
         row["spark_rows"] = len(got)
-        if sql is None:  # rows-only check, mirroring the driver's weak path
-            row["rows_match"] = len(got) >= 0 and len(got.columns) > 0
+        if sql is None:
+            # rows-only check. Stricter than the driver's weak path (which
+            # accepts any row count): every registered no-oracle query
+            # (the approximate ANN paths) is non-empty by construction, so
+            # an empty result means the operator broke.
+            row["rows_match"] = len(got) > 0 and len(got.columns) > 0
             return row
         want = duck.execute(sql).df()
         row["oracle_rows"] = len(want)
