@@ -164,3 +164,20 @@ def test_balance_sources_target_stays_in_plan(spark):
     P.assert_no_cartesian(df)
     # the 1-row target joins as a broadcast nested loop, never a shuffle
     assert "BroadcastNestedLoopJoin" in P.explain_str(df)
+
+
+def test_minhash_lsh_plan_stays_bucketed(spark):
+    """The band-key self-join must stay a single-exchange bucketed plan
+    (signatures map-side, one shuffle for the candidate join at this input
+    size) with no cartesian blowup — the guard for the xxhash64 band-key
+    path."""
+    df = q(spark, "dedup_minhash_lsh")
+    P.assert_no_cartesian(df)
+    assert P.count_shuffles(df) == 1
+
+
+def test_media_features_no_shuffle(spark):
+    """The multimodal feature scan (mapInPandas + codec) is a pure map —
+    a shuffle here means the Arrow plumbing picked up a spurious
+    repartition."""
+    assert P.count_shuffles(q(spark, "media_features")) == 0
