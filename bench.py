@@ -3,9 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Instrumentation (round 4): one untimed warmup pass over the whole suite
-(whole-stage-codegen Janino compilation, Python-worker startup), then REPS
-timed passes run ROUND-ROBIN — every query once per pass, per-query MEDIAN
+Instrumentation (round 5): TWO untimed warmup passes over the whole suite
+(whole-stage-codegen Janino compilation, Python-worker startup; round 4
+showed one pass does not fully absorb JIT/page-cache warming — the first
+timed pass ran 12.98s vs 9.85-10.21s steady state, inflating the published
+noise floor 8x), then REPS timed passes run ROUND-ROBIN — every query once per pass, per-query MEDIAN
 across passes, with IQR and min alongside. Round 3 showed min-of-3 with
 back-to-back reps has a noise floor (~9% total swing with zero code
 changes) above the regression threshold it polices; measured here, even
@@ -32,7 +34,16 @@ clustering, curation) WITHOUT touching the frozen 14-query headline set, so
 round-over-round totals stay apples-to-apples.
 
 Results are forced with a noop-format write (full computation, no collect
-bottleneck on the driver)."""
+bottleneck on the driver).
+
+Artifact contract (round 5): the round-4 stats line outgrew the driver's
+fixed-size tail capture, leaving BENCH_r04.json with ``parsed: null``. The
+printed line is now SHORT (metric/value/total_min/queries/sf only — always
+fits the tail buffer); the full stats object (per-query median/IQR/min,
+pass totals, spread, families, streaming) is written to the committed
+``BENCH_LOCAL.json`` beside this script. ``total_min`` is the sum of
+per-query mins — the estimator BENCH_r01..r03 reported — so cross-round
+tooling has an apples-to-apples field next to the median headline."""
 
 from __future__ import annotations
 
@@ -74,6 +85,7 @@ FAMILY_QUERIES = [
 
 REPS = 7
 FAMILY_REPS = 3
+WARMUP_PASSES = 2
 
 
 def force(df) -> None:
@@ -81,12 +93,13 @@ def force(df) -> None:
 
 
 def measure_suite(
-    runners: dict[str, object], reps: int
+    runners: dict[str, object], reps: int, warmup: int = WARMUP_PASSES
 ) -> tuple[dict[str, dict[str, float]], list[float]]:
-    """1 untimed warmup pass, then ``reps`` round-robin timed passes →
+    """``warmup`` untimed passes, then ``reps`` round-robin timed passes →
     (per-query median / IQR / min across passes, per-pass suite totals)."""
-    for fn in runners.values():
-        fn()
+    for _ in range(warmup):
+        for fn in runners.values():
+            fn()
     samples: dict[str, list[float]] = {name: [] for name in runners}
     pass_totals: list[float] = []
     for _ in range(reps):
@@ -141,24 +154,57 @@ def main() -> None:
     families = {n: s["median"] for n, s in family_stats.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total_min = round(sum(s["min"] for s in stats.values()), 3)
+    # trimmed spread (drop the slowest pass) is reported alongside the raw
+    # spread: with 2 warmup passes both should now agree to ~2x
+    trimmed = sorted(pass_totals)[:-1] if len(pass_totals) > 2 else pass_totals
+    full_stats = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "reps": REPS,
+        "warmup_passes": WARMUP_PASSES,
+        "estimator": "median",
+        "total_min": total_min,
+        "pass_totals": pass_totals,
+        "total_spread_pct": round(
+            100 * (max(pass_totals) / min(pass_totals) - 1), 1
+        ),
+        "total_spread_trimmed_pct": round(
+            100 * (max(trimmed) / min(trimmed) - 1), 1
+        ),
+        "query_stats": stats,
+        "families_total": round(sum(families.values()), 3),
+        "families": families,
+        "family_stats": family_stats,
+    }
+    try:
+        from es_household_retention_spark_job_spark.streaming.bench import streaming_bench
+
+        full_stats["streaming"] = streaming_bench(spark, sf_dir)
+    except Exception as exc:  # streaming bench must never sink the batch run
+        full_stats["streaming"] = {"err": repr(exc)}
+
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_path, "w") as fh:
+        json.dump(full_stats, fh, indent=1)
+        fh.write("\n")
+
+    # the printed line must stay SHORT — the driver captures a fixed-size
+    # tail of stdout and a long line truncates from the head (BENCH_r04)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": full_stats["value"],
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": REPS,
+                "sf": sf_val,
+                "total_min": total_min,
                 "estimator": "median",
-                "pass_totals": pass_totals,
-                "total_spread_pct": round(
-                    100 * (max(pass_totals) / min(pass_totals) - 1), 1
-                ),
-                "query_stats": stats,
-                "families_total": round(sum(families.values()), 3),
-                "families": families,
-                "family_stats": family_stats,
             }
         )
     )

@@ -580,46 +580,73 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: DuckDB VALUES rows mirroring multimodal.PNG_CLASSES — generated from the
+#: SAME module constants/bytes that feed the Spark plan literals, so the
+#: oracle predicts the decoded dims/mode arithmetically while the Spark side
+#: actually runs the codec (encode → Arrow → decode) on every payload
+_PNG_CLASS_VALUES = ",\n              ".join(
+    f"({i}, {c['width']}, {c['height']}, '{c['md5']}', {c['n_bytes']}, "
+    f"{c['resized_width']}, {c['resized_height']}, '{c['rgb_md5']}')"
+    for i, c in enumerate(M.PNG_CLASSES)
+)
+_PNG_CTE = f"""png AS (
+        SELECT * FROM (VALUES
+              {_PNG_CLASS_VALUES})
+            AS t(cls, width, height, payload_md5, n_bytes, rw, rh, rgb_md5)),
+    media AS (
+        SELECT d.doc_id, d.text, p.*
+        FROM documents d
+        LEFT JOIN png p
+          ON d.doc_id % {M.SYNTH_IMG_EVERY} = 0
+         AND p.cls = (d.doc_id // {M.SYNTH_IMG_EVERY}) % {len(M.PNG_CLASSES)})"""
+
+
 @register(
     "media_features",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              md5(text) AS content_md5,
-              CAST(NULL AS BIGINT) AS width,
-              CAST(NULL AS BIGINT) AS height,
-              CAST(NULL AS VARCHAR) AS img_mode
-       FROM documents""",
+    f"""WITH {_PNG_CTE}
+    SELECT doc_id,
+           CAST(coalesce(n_bytes, octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           coalesce(payload_md5, md5(text)) AS content_md5,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CASE WHEN width IS NOT NULL THEN 'RGB' END AS img_mode
+    FROM media""",
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads;
-    the oracle recomputes the features from the source text, proving the
-    binary round-trip lossless. The image codec (``multimodal.decode_image``)
-    runs on every payload — the text testdata decodes to all-null dims (the
-    oracle pins that), while tests/test_docs_pipeline.py feeds real PNG/GIF
-    fixtures through the same operator and checks decoded width×height."""
-    return M.media_features(M.media_table(_docs(spark, sf_dir)))
+    """Arrow-batched mapInPandas feature extraction over a MIXED-modality
+    media table: every 5th doc carries a real (deterministic solid-color)
+    PNG payload, the rest utf-8 text. The image codec
+    (``multimodal.decode_image`` — Pillow or the stdlib IHDR parse) runs on
+    every payload; the oracle predicts the decoded width/height/mode from
+    the doc_id→class formula, so REAL decodes are driver-gate-visible
+    (non-null dims hash-matched), while text rows keep proving the binary
+    round-trip via payload md5. Full pixel decodes (all five PNG row
+    filters) are additionally proven by ``media_resize`` and the fixture
+    tests in tests/test_docs_pipeline.py."""
+    return M.media_features(M.synthetic_media_table(_docs(spark, sf_dir)))
 
 
 @register(
     "media_resize",
-    """SELECT doc_id,
-              CAST(NULL AS BIGINT) AS width,
-              CAST(NULL AS BIGINT) AS height,
-              CAST(NULL AS BIGINT) AS n_bytes,
-              CAST(NULL AS VARCHAR) AS thumb_md5
-       FROM documents""",
+    f"""WITH {_PNG_CTE}
+    SELECT doc_id,
+           CAST(rw AS BIGINT) AS width,
+           CAST(rh AS BIGINT) AS height,
+           rgb_md5
+    FROM media""",
     extra=True,
 )
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thumbnail stage over the media table (mapInPandas resize). The text
-    testdata is not decodable imagery, so the oracle pins the all-null
-    contract and the row count; decoded resizes are proven on PNG fixtures
-    in tests/test_docs_pipeline.py. thumb binary is md5'd for the compare
-    (the gate's canonicalizer hashes scalars only)."""
-    out = M.media_resize(M.media_table(_docs(spark, sf_dir)))
-    return out.select(
-        "doc_id", "width", "height", "n_bytes", F.md5("thumb").alias("thumb_md5")
-    )
+    """Thumbnail stage over the mixed media table (mapInPandas resize):
+    image payloads are pixel-decoded (Pillow, or the stdlib PNG
+    reconstruction) and downsampled to ≤64px; the oracle predicts the
+    resized dims and the md5 of the resized RAW RGB — both
+    codec-independent (solid-color classes with aspect-exact ratios), unlike
+    the encoded thumb bytes, which are deterministic only per backend and
+    deliberately NOT surfaced here (``multimodal.codec_backend`` pins the
+    backend per job/manifest). Text rows pin the all-null contract."""
+    out = M.media_resize(M.synthetic_media_table(_docs(spark, sf_dir)))
+    return out.select("doc_id", "width", "height", "rgb_md5")
 
 
 @register(

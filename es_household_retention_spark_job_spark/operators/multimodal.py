@@ -90,11 +90,17 @@ RESIZE_SCHEMA = StructType(
         StructField("height", LongType()),
         StructField("n_bytes", LongType()),
         StructField("thumb", BinaryType()),
+        # md5 of the RESIZED RAW RGB bytes — codec-independent (the encoded
+        # PNG bytes in ``thumb`` are deterministic only per backend/zlib)
+        StructField("rgb_md5", StringType()),
     ]
 )
 
 FRAME_CHARS = 64
 THUMB_MAX_SIDE = 64
+#: decompression-bomb cap for the stdlib PNG pixel decode: 16 MP ≈ 48 MB of
+#: raw RGB — far above any thumbnail-stage input, far below executor memory
+MAX_DECODE_PIXELS = 16_000_000
 
 
 def media_table(docs: DataFrame) -> DataFrame:
@@ -118,6 +124,37 @@ try:  # Pillow is optional; the stdlib header parsers below always work
 except ImportError:  # pragma: no cover - environment-dependent
     _PILImage = None
     _HAVE_PIL = False
+
+
+def codec_backend() -> str:
+    """The active image-codec backend, e.g. ``"pillow-11.0.0"`` or
+    ``"stdlib"``. Thumbnail BYTES are deterministic only within one backend
+    (decoded dims and ``rgb_md5`` are backend-independent), so a cluster must
+    pin one backend corpus-wide; this identifier is logged once per job
+    (`log_codec_backend`) and stamped into every upsert-sink manifest so a
+    mixed-backend deployment is detectable from the written artifacts."""
+    if _HAVE_PIL:
+        import PIL
+
+        return f"pillow-{PIL.__version__}"
+    return "stdlib"
+
+
+_BACKEND_LOGGED = False
+
+
+def log_codec_backend() -> str:
+    """Log the active backend once per driver process; returns the id."""
+    global _BACKEND_LOGGED
+    backend = codec_backend()
+    if not _BACKEND_LOGGED:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "multimodal image codec backend: %s", backend
+        )
+        _BACKEND_LOGGED = True
+    return backend
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG IHDR color-type byte → mode name (PNG spec, table 11.1)
@@ -201,12 +238,20 @@ def _png_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
         pos += 12 + length
     if not w or not h or not idat:
         return None
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
+    # decompression-bomb guard: the expected output size is fully determined
+    # by the IHDR dims, so (a) reject declared dims over the pixel cap before
+    # touching zlib, and (b) hand zlib a hard output bound — a crafted tiny
+    # deflate stream can otherwise expand to gigabytes inside the Arrow
+    # batch loop and OOM the executor, violating the never-fail contract
+    if w * h > MAX_DECODE_PIXELS:
         return None
     stride, bpp = 3 * w, 3
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    try:
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected:  # overflow (== expected+1) or truncation
         return None
     out = bytearray()
     prev = bytearray(stride)
@@ -287,7 +332,12 @@ def resize_image(payload: bytes, max_side: int) -> dict | None:
                 im.thumbnail((max_side, max_side), _PILImage.NEAREST)
                 buf = io.BytesIO()
                 im.save(buf, format="PNG")
-                return {"width": im.width, "height": im.height, "payload": buf.getvalue()}
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "payload": buf.getvalue(),
+                    "rgb_md5": hashlib.md5(im.tobytes()).hexdigest(),
+                }
         except Exception:
             return None
     decoded = _png_decode_rgb(payload)
@@ -309,7 +359,93 @@ def resize_image(payload: bytes, max_side: int) -> dict | None:
         for x in range(ow):
             sx = (x * w) // ow
             out += rgb[base + 3 * sx : base + 3 * sx + 3]
-    return {"width": ow, "height": oh, "payload": _png_encode_rgb(ow, oh, bytes(out))}
+    return {
+        "width": ow,
+        "height": oh,
+        "payload": _png_encode_rgb(ow, oh, bytes(out)),
+        "rgb_md5": hashlib.md5(bytes(out)).hexdigest(),
+    }
+
+
+def _resized_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Thumbnail dims for ``resize_image`` (kept aspect-exact for the
+    synthetic classes below so Pillow's round() and the stdlib floor-div
+    agree)."""
+    if max(w, h) <= max_side:
+        return w, h
+    if w >= h:
+        return max_side, max(1, (h * max_side) // w)
+    return max(1, (w * max_side) // h), max_side
+
+
+def _make_png_classes() -> list[dict]:
+    """Deterministic solid-color RGB PNG classes for the driver-visible
+    decode queries: the payload bytes, their md5/length, the decoded dims,
+    and the resize-stage expectations (dims + md5 of the resized RAW RGB —
+    codec-independent because the images are solid-color, so any sampling
+    kernel reproduces the same pixels). Dims of the >64px classes divide
+    evenly by the thumbnail ratio so Pillow and the stdlib path agree."""
+    dims = [
+        (16, 16),
+        (24, 32),
+        (40, 24),
+        (64, 64),  # boundary: exactly max_side, no resize
+        (128, 96),  # → 64×48
+        (96, 128),  # → 48×64
+        (128, 64),  # → 64×32
+        (256, 128),  # → 64×32
+    ]
+    classes = []
+    for cls, (w, h) in enumerate(dims):
+        color = bytes(((cls * 37) % 256, (cls * 73) % 256, (cls * 151) % 256))
+        payload = _png_encode_rgb(w, h, color * (w * h))
+        rw, rh = _resized_dims(w, h, THUMB_MAX_SIDE)
+        classes.append(
+            {
+                "width": w,
+                "height": h,
+                "payload": payload,
+                "n_bytes": len(payload),
+                "md5": hashlib.md5(payload).hexdigest(),
+                "resized_width": rw,
+                "resized_height": rh,
+                "rgb_md5": hashlib.md5(color * (rw * rh)).hexdigest(),
+            }
+        )
+    return classes
+
+
+#: module-level so queries() and oracle_sql() (same process) see identical
+#: bytes; executors receive the payloads as plan literals, never re-encode
+PNG_CLASSES = _make_png_classes()
+SYNTH_IMG_EVERY = 5  # doc_id % 5 == 0 rows carry a PNG payload
+
+
+def synthetic_media_table(docs: DataFrame, every: int = SYNTH_IMG_EVERY) -> DataFrame:
+    """Mixed-modality media table: every ``every``-th doc_id carries a REAL
+    (deterministic, solid-color) PNG payload from ``PNG_CLASSES``, the rest
+    keep their utf-8 text bytes. The class index is a pure doc_id formula,
+    so a SQL oracle can predict the decoded dims/mode — this is what makes
+    the image-decode path driver-gate-visible instead of fixture-only.
+    The payloads enter the plan as binary LITERALS (JVM-side ``element_at``
+    on an array literal — no Python in the payload-construction hot path)."""
+    docs = ensure_parallelism(docs)
+    payloads = F.array(*[F.lit(bytearray(c["payload"])) for c in PNG_CLASSES])
+    cls = (F.floor(F.col("doc_id") / every) % len(PNG_CLASSES)).cast("int")
+    is_img = F.col("doc_id") % every == 0
+    payload = F.when(is_img, F.element_at(payloads, cls + 1)).otherwise(
+        F.encode("text", "UTF-8")
+    )
+    mime = F.when(is_img, F.lit("image/png")).otherwise(F.lit("text/plain"))
+    return docs.select(
+        "doc_id", payload.alias("payload"), mime.alias("mime")
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("mime"), F.octet_length("payload").cast("long").alias("n_bytes")
+        ).alias("meta"),
+    )
 
 
 def media_features(media: DataFrame) -> DataFrame:
@@ -317,6 +453,7 @@ def media_features(media: DataFrame) -> DataFrame:
     stats + md5 for every payload, and REAL decoded image dimensions
     (``decode_image`` — Pillow or the stdlib PNG/GIF header parse) where the
     payload is a recognized image, nulls where it is not."""
+    log_codec_backend()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -351,6 +488,7 @@ def media_resize(media: DataFrame, max_side: int = THUMB_MAX_SIDE) -> DataFrame:
     yield null thumb columns. The training-data "resize" stage: payload
     bytes never leave the executor, output stays a columnar binary column
     sized for an embedding model's input."""
+    log_codec_backend()
 
     def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -370,6 +508,10 @@ def media_resize(media: DataFrame, max_side: int = THUMB_MAX_SIDE) -> DataFrame:
                     ),
                     "thumb": pd.array(
                         [t["payload"] if t else None for t in thumbs],
+                        dtype="object",
+                    ),
+                    "rgb_md5": pd.array(
+                        [t["rgb_md5"] if t else None for t in thumbs],
                         dtype="object",
                     ),
                 }

@@ -59,9 +59,21 @@ def _table_schema(df: DataFrame) -> StructType:
 
 
 def _write_layout(path: str, key: str, n_buckets: int, schema: StructType) -> None:
+    from ..operators.multimodal import codec_backend
+
     with open(os.path.join(path, LAYOUT_FILE), "w") as f:
         json.dump(
-            {"key": key, "n_buckets": n_buckets, "schema": schema.jsonValue()}, f
+            {
+                "key": key,
+                "n_buckets": n_buckets,
+                "schema": schema.jsonValue(),
+                # writer-environment audit: codec-backed artifacts (e.g.
+                # thumbnails) are deterministic only per backend, so the
+                # manifest records which backend wrote this table — a
+                # mixed-backend cluster becomes detectable from the sidecars
+                "writer_env": {"image_codec": codec_backend()},
+            },
+            f,
         )
 
 

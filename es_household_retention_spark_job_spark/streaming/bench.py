@@ -1,0 +1,76 @@
+"""Streaming micro-benchmark: per-micro-batch latency of the stateful
+incremental-retention path at bench scale.
+
+Called by the repo-root ``bench.py`` (results land in ``BENCH_LOCAL.json``
+under ``"streaming"``), never by the driver's correctness gate — streaming
+latency is a telemetry number, not an oracle-checkable result.
+
+Method: the sf-dir encounters are re-serialized to NDJSON shards (written
+DISTRIBUTED via ``to_json`` — no driver collect), then streamed with
+``maxFilesPerTrigger=1`` through ``incremental_retention`` (file source →
+stream-static person join → ``applyInPandasWithState`` admit-set
+accumulation → ``foreachBatch`` range recompute + keyed upsert). The
+reported p50/p95 are ``triggerExecution`` durations from the query's own
+progress telemetry — the same signal a production monitor alerts on."""
+
+from __future__ import annotations
+
+import shutil
+import statistics
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+N_SHARDS = 4
+
+
+def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
+    from ..clock import TESTDATA_AS_OF
+    from ..operators import retention as R
+    from ..sources.tpch import retention_inputs
+    from . import ingest, retention_stream
+
+    person, encounter = retention_inputs(spark, sf_dir)
+    persons_e = R.eligible_persons(person, "HOUSEHOLD")
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        in_dir = f"{work}/enc_ndjson"
+        # distributed NDJSON serialization; N_SHARDS files -> N micro-batches
+        (
+            encounter.repartition(N_SHARDS)
+            .select(F.to_json(F.struct("*")).alias("value"))
+            .write.mode("overwrite")
+            .text(in_dir)
+        )
+        enc_stream = ingest.stream_encounters(
+            spark, in_dir, max_files_per_trigger=1
+        )
+        q = retention_stream.incremental_retention(
+            spark,
+            enc_stream,
+            persons_e,
+            target_path=f"{work}/hh_ranges",
+            checkpoint_dir=f"{work}/ckpt",
+            client_code="HOUSEHOLD",
+            as_of=TESTDATA_AS_OF,
+        )
+        q.awaitTermination(600)
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        lat_s = sorted(
+            p["durationMs"]["triggerExecution"] / 1000.0 for p in batches
+        )
+        if not lat_s:
+            return {"err": "no non-empty micro-batches"}
+        return {
+            "pipeline": "incremental_retention",
+            "n_microbatches": len(lat_s),
+            "input_rows": int(sum(p["numInputRows"] for p in batches)),
+            "p50_sec": round(statistics.median(lat_s), 3),
+            "p95_sec": round(lat_s[max(0, int(0.95 * len(lat_s)) - 1)], 3),
+            "max_sec": round(lat_s[-1], 3),
+            "total_sec": round(sum(lat_s), 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

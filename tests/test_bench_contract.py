@@ -20,13 +20,14 @@ def test_bench_queries_exist_in_registry():
 
 
 def test_measure_suite_shape_and_interleaving():
-    """measure_suite must (a) warm up once then run reps round-robin —
-    every runner called reps+1 times, interleaved — and (b) emit
-    median/iqr/min per runner plus one suite total per timed pass."""
+    """measure_suite must (a) run WARMUP_PASSES untimed passes then reps
+    round-robin — every runner called warmup+reps times, interleaved — and
+    (b) emit median/iqr/min per runner plus one suite total per timed pass."""
     calls: list[str] = []
     runners = {name: (lambda n=name: calls.append(n)) for name in ("a", "b")}
     stats, pass_totals = bench.measure_suite(runners, reps=3)
-    assert calls == ["a", "b"] * 4  # 1 warmup pass + 3 timed passes
+    assert bench.WARMUP_PASSES == 2  # round-4 verdict: one pass under-warms
+    assert calls == ["a", "b"] * (bench.WARMUP_PASSES + 3)
     assert set(stats) == {"a", "b"}
     for s in stats.values():
         assert set(s) == {"median", "iqr", "min"}

@@ -409,3 +409,98 @@ def test_png_decode_never_raises_on_corrupt_bytes():
     # decoding it is fine — the contract is only "never raise"
     clipped = _png_bytes(4, 4, (1, 2, 3))[:-8]
     assert M._png_decode_rgb(clipped) in (None, (4, 4, bytes((1, 2, 3)) * 16))
+
+
+def test_png_decompression_bomb_is_rejected_without_allocating():
+    """Decompression-bomb guard: (a) IHDR dims over MAX_DECODE_PIXELS are
+    rejected BEFORE zlib runs; (b) an IDAT stream that inflates past the
+    IHDR-implied size is rejected by the bounded decompress — a crafted
+    payload must cost O(expected) memory, never O(inflated)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # (a) tiny payload declaring 100k x 100k = 10 GP: must be None, fast
+    huge_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb_a = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", huge_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + chunk(b"IEND", b"")
+    )
+    assert M._png_decode_rgb(bomb_a) is None
+    assert M.resize_image(bomb_a, 8) is None
+
+    # (b) sane declared dims (2x2) but an IDAT inflating to ~10 MB — the
+    # bounded decompressobj must stop at expected+1 bytes and return None
+    sane_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb_b = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", sane_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert M._png_decode_rgb(bomb_b) is None
+    # a legitimate 2x2 still decodes after the guard
+    ok = M._png_decode_rgb(_png_bytes(2, 2, (7, 8, 9)))
+    assert ok is not None and ok[:2] == (2, 2)
+
+
+def test_synthetic_png_classes_roundtrip_and_rgb_md5():
+    """Every driver-gate PNG class must (1) decode back to its declared
+    dims/mode through the real codec, and (2) resize to the class's pinned
+    dims with the codec-INDEPENDENT rgb_md5 (solid-color raw RGB hash) the
+    oracle predicts — this is the contract that makes the decode path
+    hash-checkable by the DuckDB gate."""
+    for cls in M.PNG_CLASSES:
+        d = M.decode_image(cls["payload"])
+        assert (d["width"], d["height"], d["mode"]) == (
+            cls["width"], cls["height"], "RGB",
+        )
+        t = M.resize_image(cls["payload"], M.THUMB_MAX_SIDE)
+        assert (t["width"], t["height"]) == (
+            cls["resized_width"], cls["resized_height"],
+        )
+        assert t["rgb_md5"] == cls["rgb_md5"]
+        # dims the aspect ratio preserves exactly (no backend rounding room)
+        if max(cls["width"], cls["height"]) > M.THUMB_MAX_SIDE:
+            assert cls["width"] * t["height"] == cls["height"] * t["width"]
+
+
+def test_codec_backend_logged_and_stamped_in_sink_manifest(spark, tmp_path, caplog):
+    """Backend pin audit: the active codec backend is logged once per job
+    and stamped into every upsert-sink layout sidecar, so a mixed-backend
+    cluster is detectable from the written artifacts."""
+    import json
+    import logging
+
+    from es_household_retention_spark_job_spark.operators import multimodal
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        write_keyed_table,
+    )
+
+    backend = M.codec_backend()
+    assert backend == "stdlib" or backend.startswith("pillow-")
+
+    multimodal._BACKEND_LOGGED = False
+    with caplog.at_level(logging.WARNING, logger=multimodal.__name__):
+        M.media_features(M.media_table(
+            spark.createDataFrame([(1, "x", "s", "en", 1)],
+                                  "doc_id long, text string, source string, lang string, n_chars long")
+        ))
+    assert any(backend in r.message for r in caplog.records)
+
+    path = str(tmp_path / "keyed")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1)], "person_id string, v long"), path
+    )
+    with open(f"{path}/_keyed_layout.json") as f:
+        layout = json.load(f)
+    assert layout["writer_env"]["image_codec"] == backend
