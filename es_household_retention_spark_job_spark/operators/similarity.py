@@ -192,23 +192,64 @@ def _bucketed(df: DataFrame, id_alias: str, id_col: str, emb_col: str) -> DataFr
     )
 
 
+def _probe_masks(n_flip: int) -> list[int]:
+    """XOR masks for multi-probe LSH: every bucket within Hamming distance
+    ``n_flip`` of the query's bucket (mask 0 = the bucket itself)."""
+    from itertools import combinations
+
+    masks = []
+    for f in range(n_flip + 1):
+        for bits in combinations(range(BITS_PER_TABLE), f):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_flip: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates collide with the query in ≥1 LSH table;
-    exact cosine re-rank over the candidate union. Same output shape as
-    knn_bruteforce."""
+    """Approximate top-k with MULTI-PROBE LSH: candidates collide with the
+    query in ≥1 table within Hamming distance ``n_flip`` of the query's
+    bucket; exact cosine re-rank over the candidate union. Same output shape
+    as knn_bruteforce.
+
+    Multi-probe is the scale-preserving recall knob (Lv et al., VLDB'07):
+    extra probes multiply only the tiny BROADCAST query side — the
+    corpus-side index (one bucket row per table per vector, one exchange)
+    is untouched, unlike adding tables, which grows the index linearly.
+    ``n_flip=2`` reaches ~0.99 expected recall even for near-orthogonal
+    true neighbors (cos≈0.3, per-plane agreement p≈0.6: per-table coverage
+    Σ_{f≤2} C(6,f)p^{6-f}(1-p)^f ≈ 0.54, so 1-(1-0.54)^8 ≈ 0.998) — the
+    regime of the synthetic eval set, and LSH's worst case. The documented
+    trade: at that similarity level the probed buckets cover a large
+    corpus fraction (near-orthogonal neighbors are fundamentally
+    linear-scan-hard); for real clustered corpora with cos ≥ 0.7
+    neighbors, ``n_flip=1`` or 0 probes a vanishing fraction."""
     c = _bucketed(corpus, "neighbor_id", id_col, emb_col)
-    q = _bucketed(queries, "query_id", id_col, emb_col).select(
-        "query_id",
-        F.col("_emb").alias("_qemb"),
-        F.col("_norm").alias("_qnorm"),
-        "table_id",
-        "bucket",
+    probe = F.explode(
+        F.array(*[F.lit(m) for m in _probe_masks(n_flip)])
+    ).alias("mask")
+    q = (
+        _bucketed(queries, "query_id", id_col, emb_col)
+        .select(
+            "query_id",
+            F.col("_emb").alias("_qemb"),
+            F.col("_norm").alias("_qnorm"),
+            "table_id",
+            "bucket",
+            probe,
+        )
+        .select(
+            "query_id",
+            "_qemb",
+            "_qnorm",
+            "table_id",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+        )
     )
     cand = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
@@ -322,7 +363,7 @@ def knn_ivf(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -330,7 +371,12 @@ def knn_ivf(
     ``n_probe`` nearest cells and re-ranks exactly within them. Complement
     to knn_lsh: IVF adapts to the data distribution (clustered corpora get
     tight cells), LSH is oblivious but zero-training. Same output shape as
-    knn_bruteforce; recall asserted in tests."""
+    knn_bruteforce; recall gated ≥0.9 in tests and published per round in
+    EXTRA_CORRECTNESS.json. ``n_probe=12``/16 cells (measured recall ≈0.96
+    at sf0.01 and sf0.1) is sized for the near-orthogonal synthetic eval
+    set (see knn_lsh's docstring for why that regime forces a high scanned
+    fraction); clustered real corpora run n_probe 1-4 with many more
+    cells."""
     cents = kmeans_centroids(corpus, k=n_cells, id_col=id_col, emb_col=emb_col)
     c = with_unit_meta(corpus, emb_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -45,19 +45,20 @@ def test_knn_lsh_is_subset_ranking_of_bruteforce(spark, embs):
     assert len(overlap) == len(
         [r for r in approx_rows if (r.query_id, r.neighbor_id) in exact_top]
     )
-    # 16 hyperplanes over near-orthogonal random vectors is a hard setting;
-    # just require the machinery to find real neighbors, not noise
-    assert recall > 0.0
+    # multi-probe (n_flip=2) holds ≥0.9 recall even in this near-orthogonal
+    # worst case (measured 0.98 at sf0.01, 1.0 at sf0.1); published per
+    # round in EXTRA_CORRECTNESS.json's knn_lsh info field
+    assert recall >= 0.9, recall
     assert all(r.rank >= 1 for r in approx_rows)
 
 
 def test_knn_ivf_recall_and_score_consistency(spark, embs):
-    """IVF with n_probe=4/16 cells must recover a solid fraction of the true
-    top-5 (clustered embeddings → cells align with clusters), and every
+    """IVF at the registered default (n_probe=12/16 cells) must hold the
+    ≥0.9 recall gate (measured ≈0.96 at sf0.01 and sf0.1), and every
     returned score must equal the exact pipeline's score for that pair."""
     queries = embs.where(F.col("vec_id") % 50 == 0)
     exact = S.knn_bruteforce(embs, queries, k=5)
-    ivf = S.knn_ivf(embs, queries, k=5, n_cells=16, n_probe=4)
+    ivf = S.knn_ivf(embs, queries, k=5)
     exact_scores = {
         (r.query_id, r.neighbor_id): r.cos_bp for r in exact.collect()
     }
@@ -66,7 +67,7 @@ def test_knn_ivf_recall_and_score_consistency(spark, embs):
     recall = len({(r.query_id, r.neighbor_id) for r in ivf_rows} & exact_top) / len(
         exact_top
     )
-    assert recall >= 0.5, recall
+    assert recall >= 0.9, recall
     for r in ivf_rows:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cos_bp == exact_scores[(r.query_id, r.neighbor_id)]

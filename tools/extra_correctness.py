@@ -80,6 +80,27 @@ def run_registry(queries: dict, oracles: dict, sf_dir: str) -> dict:
         name: compare_one(spark, duck, fn, oracles.get(name), sf_dir)
         for name, fn in sorted(queries.items())
     }
+    # the approximate ANN rows are rows-only by nature; publish their
+    # measured quality (recall@k vs the oracle-checked knn_bruteforce,
+    # computed by the registered knn_ann_eval query) as an ``info`` field so
+    # a reviewer sees approximate-path quality from this artifact alone
+    if "knn_ann_eval" in queries:
+        try:
+            from es_household_retention_spark_job_spark.entry_queries_docs import (
+                KNN_K,
+            )
+
+            for r in queries["knn_ann_eval"](spark, sf_dir).collect():
+                row = results.get(f"knn_{r['method']}")
+                if row is not None:
+                    row["info"] = {
+                        "recall_at_k": r["recall_bp"] / 10000,
+                        "k": KNN_K,
+                        "n_queries": r["n_queries"],
+                        "vs": "knn_bruteforce (oracle-checked exact top-k)",
+                    }
+        except Exception as e:  # noqa: BLE001 — info is best-effort
+            results["knn_ann_eval"]["err"] = f"info: {type(e).__name__}: {e}"[:500]
     duck.close()
     return results
 
