@@ -505,3 +505,87 @@ def test_codec_backend_logged_and_stamped_in_sink_manifest(spark, tmp_path, capl
     with open(f"{path}/_keyed_layout.json") as f:
         layout = json.load(f)
     assert layout["writer_env"]["image_codec"] == backend
+
+
+def test_ngram_jaccard_capped_output_is_exact_capped_subset_of_uncapped(
+    spark, duck, docs
+):
+    """Independent UNCAPPED oracle for the df-capped Jaccard path: an
+    all-pairs exact-Jaccard DuckDB query (no inverted index, no cap — pure
+    quadratic truth, affordable at sf0.01) must contain the Spark output
+    as a subset with identical scores, and every missing pair must be
+    exactly the documented dropped class: pairs sharing NO shingle with
+    df <= MAX_SHINGLE_DF. This keeps the driver oracle's mirrored cap
+    honest — a cap bug that dropped extra pairs would fail here."""
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        _NGRAMS_CTE,
+    )
+
+    uncapped_sql = f"""WITH {_NGRAMS_CTE}
+    SELECT doc_a, doc_b, jaccard_bp FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(floor(len(list_intersect(a.gh, b.gh)) * 10000
+                    / (len(a.gh) + len(b.gh)
+                       - len(list_intersect(a.gh, b.gh)))) AS BIGINT) AS jaccard_bp
+        FROM ngr a JOIN ngr b ON a.doc_id < b.doc_id)
+    WHERE jaccard_bp >= {D.JACCARD_MIN_BP}"""
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard_bp
+        for r in duck.execute(uncapped_sql).df().itertuples()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_bp
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    # subset with identical exact scores (the cap never distorts a score)
+    for pair, bp in got.items():
+        assert truth.get(pair) == bp, (pair, bp, truth.get(pair))
+
+    missing = set(truth) - set(got)
+    # every dropped pair must share only hot (df > cap) shingles — verify
+    # against the raw shingle sets, independently of the candidate code
+    shingles = {
+        r["doc_id"]: set(r["gh"])
+        for r in D.shingle_sets(docs).collect()
+    }
+    df_count: dict[int, int] = {}
+    for gh in shingles.values():
+        for g in gh:
+            df_count[g] = df_count.get(g, 0) + 1
+    for a, b in missing:
+        shared = shingles[a] & shingles[b]
+        assert shared, (a, b)  # a true pair always shares shingles
+        assert min(df_count[g] for g in shared) > D.MAX_SHINGLE_DF, (a, b)
+    # quantified recall loss on the real corpus, visible in -v output
+    assert len(missing) <= len(truth), (len(missing), len(truth))
+    print(f"ngram-jaccard cap recall loss at sf0.01: {len(missing)}/{len(truth)}")
+
+
+def test_ngram_jaccard_hot_only_overlap_is_owned_by_exact_dedup(spark):
+    """The documented dropped-pair class, synthesized: duplicate docs whose
+    EVERY shingle is hotter than the df cap (wall-to-wall boilerplate).
+    The capped Jaccard path must report nothing for them (the designed
+    trade), while exact dedup — the operator that owns that shape —
+    still collapses them."""
+    boiler = "common header words repeated across the whole corpus every time"
+    rows = [(i, boiler) for i in range(1, 9)]  # 8 identical docs
+    # plus one genuinely-rare near-dup pair the capped path must still find
+    rare_a = "a very distinctive sentence about quarterly retention cohorts"
+    rows += [(100, rare_a), (101, rare_a + " indeed")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.ngram_jaccard_pairs(corpus, max_df=5).collect()
+    got_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert got_pairs == {(100, 101)}, got_pairs  # hot-only pairs dropped
+
+    uncapped = D.ngram_jaccard_pairs(corpus, max_df=10**9).collect()
+    hot_pairs = {
+        (r.doc_a, r.doc_b) for r in uncapped if r.doc_a < 9 and r.doc_b < 9
+    }
+    assert len(hot_pairs) == 28  # all C(8,2) boilerplate pairs exist in truth
+
+    exact = D.exact_canonical(corpus).collect()
+    boiler_rows = [r for r in exact if r.doc_id < 9]
+    assert len(boiler_rows) == 8
+    assert all(r.canonical_id == 1 for r in boiler_rows)
+    assert sum(r.is_dup for r in boiler_rows) == 7  # all collapse onto doc 1
