@@ -161,6 +161,7 @@ def minhash_lsh_pairs(
     candidates: explode 8 (band, signature-slice) keys per doc, self-join on
     the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
     Jaccard so LSH false positives never surface."""
+    spark = df.sparkSession
     grams = shingle_sets(df, text_col, id_col).cache()
     bands = minhash_bands(grams, id_col).drop("gh")
     a, b = bands.alias("a"), bands.alias("b")
@@ -174,6 +175,17 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+        # EXPLICIT verify-stage spread (sf1 skew stress, SCALING.md): AQE
+        # coalesces the post-distinct exchange by BYTES, and candidate rows
+        # are two longs — a giant near-dup cluster (1000-doc clique → 500k
+        # pairs ≈ 8 MB) coalesces to ONE task that then runs every exact
+        # array-intersect serially (measured: one 32.5s task; 35.2s wall →
+        # 9.1s with this pin). Catalyst collapses this repartition into the
+        # distinct's hash exchange (same keys), so parallelism is pinned
+        # at no extra shuffle — test_plans pins the single-exchange shape.
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2, "doc_a", "doc_b"
+        )
     )
     ga = grams.select(F.col(id_col).alias("doc_a"), F.col("gh").alias("ng_a"))
     gb = grams.select(F.col(id_col).alias("doc_b"), F.col("gh").alias("ng_b"))

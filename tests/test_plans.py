@@ -170,7 +170,10 @@ def test_minhash_lsh_plan_stays_bucketed(spark):
     """The band-key self-join must stay a single-exchange bucketed plan
     (signatures map-side, one shuffle for the candidate join at this input
     size) with no cartesian blowup — the guard for the xxhash64 band-key
-    path."""
+    path. The verify-spread repartition (dedup.py, sf1 skew stress in
+    SCALING.md) shares this exchange: Catalyst collapses it into the
+    distinct's hash exchange on the same keys, so parallelism is pinned
+    WITHOUT an extra shuffle."""
     df = q(spark, "dedup_minhash_lsh")
     P.assert_no_cartesian(df)
     assert P.count_shuffles(df) == 1
