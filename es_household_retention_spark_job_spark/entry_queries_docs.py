@@ -504,11 +504,30 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = recall_rows("lsh", S.knn_lsh(embs, queries, k=KNN_K)).unionByName(
         recall_rows("ivf", S.knn_ivf(embs, queries, k=KNN_K))
     )
+    # cost side of the trade: how much of the corpus the probes touched —
+    # candidate pairs / (queries × (corpus−1)), i.e. the fraction a brute
+    # force would have scored. Near-orthogonal synthetic data forces this
+    # high (see similarity.knn_lsh docstring); it is published so recall
+    # can never silently be bought with a hidden full scan.
+    cands = (
+        S.lsh_candidates(embs, queries)
+        .select(F.lit("lsh").alias("method"), "query_id")
+        .unionByName(
+            S.ivf_candidates(embs, queries).select(
+                F.lit("ivf").alias("method"), "query_id"
+            )
+        )
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
     nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    nc = embs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     return (
         hits.groupBy("method")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-        .crossJoin(F.broadcast(nq))  # 2×1 rows — the scalar stays in-plan
+        .join(cands, "method")
+        .crossJoin(F.broadcast(nq))  # 2×1 rows — the scalars stay in-plan
+        .crossJoin(F.broadcast(nc))
         .select(
             "method",
             "n_queries",
@@ -516,6 +535,14 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_hits") * 10000 / (F.col("n_queries") * KNN_K))
             .cast("long")
             .alias("recall_bp"),
+            "n_candidates",
+            F.floor(
+                F.col("n_candidates")
+                * 10000
+                / (F.col("n_queries") * (F.col("n_corpus") - 1))
+            )
+            .cast("long")
+            .alias("scanned_bp"),
         )
     )
 

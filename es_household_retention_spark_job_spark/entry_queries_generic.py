@@ -131,17 +131,41 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# extra: rows-only anyway (HLL estimates differ by engine), so its driver
-# slot went to the fully-oracled dedup_clusters; accuracy is pytest-pinned
-@register("approx_distinct_custkeys", extra=True)
+# extra: the raw HLL estimate differs by engine, so a naive registration
+# would be rows-only; instead the query carries its own ACCURACY CONTRACT
+# in-plan — the oracle hash-checks the exact cardinalities plus the
+# literal-true bound column, so a sketch regression (estimate drifting past
+# ±5% of truth) flips a hash-checked value. Spark's HLL++ is deterministic
+# for given data, so the boolean is stable run-over-run.
+@register(
+    "approx_distinct_custkeys",
+    """SELECT o_orderpriority,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+              true AS hll_within_5pct
+       FROM orders GROUP BY o_orderpriority""",
+    extra=True,
+)
 def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the constant-memory distinct
-    count for 100 TB cardinality estimation; accuracy vs exact asserted in
-    tests/test_bucketing_skew.py (estimates are engine-specific, so
-    rows-only here)."""
+    """approx_count_distinct (HyperLogLog++, rsd=0.02) — the constant-memory
+    one-pass distinct count for 100 TB cardinality estimation — next to the
+    exact count, with the |approx−exact| ≤ 5% contract evaluated in-plan.
+    The estimate itself is engine-specific and never surfaced; what the
+    driver gate hash-checks is the exact count and the contract holding."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * 0.05
+            ).alias("hll_within_5pct"),
+        )
     )
 
 

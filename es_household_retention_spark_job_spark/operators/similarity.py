@@ -204,6 +204,46 @@ def _probe_masks(n_flip: int) -> list[int]:
     return masks
 
 
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_flip: int = 2,
+) -> DataFrame:
+    """Deduplicated multi-probe candidate pairs with embeddings attached —
+    the pre-rerank stage of ``knn_lsh``, exposed so evaluation can count
+    the scanned fraction the probes induce."""
+    c = _bucketed(corpus, "neighbor_id", id_col, emb_col)
+    probe = F.explode(
+        F.array(*[F.lit(m) for m in _probe_masks(n_flip)])
+    ).alias("mask")
+    q = (
+        _bucketed(queries, "query_id", id_col, emb_col)
+        .select(
+            "query_id",
+            F.col("_emb").alias("_qemb"),
+            F.col("_norm").alias("_qnorm"),
+            "table_id",
+            "bucket",
+            probe,
+        )
+        .select(
+            "query_id",
+            "_qemb",
+            "_qnorm",
+            "table_id",
+            F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+        )
+    )
+    return (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -227,36 +267,11 @@ def knn_lsh(
     regime of the synthetic eval set, and LSH's worst case. The documented
     trade: at that similarity level the probed buckets cover a large
     corpus fraction (near-orthogonal neighbors are fundamentally
-    linear-scan-hard); for real clustered corpora with cos ≥ 0.7
-    neighbors, ``n_flip=1`` or 0 probes a vanishing fraction."""
-    c = _bucketed(corpus, "neighbor_id", id_col, emb_col)
-    probe = F.explode(
-        F.array(*[F.lit(m) for m in _probe_masks(n_flip)])
-    ).alias("mask")
-    q = (
-        _bucketed(queries, "query_id", id_col, emb_col)
-        .select(
-            "query_id",
-            F.col("_emb").alias("_qemb"),
-            F.col("_norm").alias("_qnorm"),
-            "table_id",
-            "bucket",
-            probe,
-        )
-        .select(
-            "query_id",
-            "_qemb",
-            "_qnorm",
-            "table_id",
-            F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
-        )
-    )
-    cand = (
-        c.join(F.broadcast(q), ["table_id", "bucket"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    linear-scan-hard — the scanned fraction is published per round in
+    EXTRA_CORRECTNESS.json's knn_ann_eval row); for real clustered corpora
+    with cos ≥ 0.7 neighbors, ``n_flip=1`` or 0 probes a vanishing
+    fraction."""
+    cand = lsh_candidates(corpus, queries, id_col, emb_col, n_flip)
     cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
@@ -358,6 +373,38 @@ def kmeans_centroids(
         base.unpersist()
 
 
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Deduplicated probe-cell candidate pairs with embeddings attached —
+    the pre-rerank stage of ``knn_ivf``, exposed so evaluation can count
+    the scanned fraction the probes induce."""
+    cents = kmeans_centroids(corpus, k=n_cells, id_col=id_col, emb_col=emb_col)
+    c = with_unit_meta(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "_emb",
+        "_norm",
+        _argmin_cell(F.col("_emb"), cents).alias("cell"),
+    )
+    q = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias("cell"),
+    )
+    return (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -377,26 +424,9 @@ def knn_ivf(
     set (see knn_lsh's docstring for why that regime forces a high scanned
     fraction); clustered real corpora run n_probe 1-4 with many more
     cells."""
-    cents = kmeans_centroids(corpus, k=n_cells, id_col=id_col, emb_col=emb_col)
-    c = with_unit_meta(corpus, emb_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        "_emb",
-        "_norm",
-        _argmin_cell(F.col("_emb"), cents).alias("cell"),
-    )
-    q = with_unit_meta(queries, emb_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_emb").alias("_qemb"),
-        F.col("_norm").alias("_qnorm"),
-        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias("cell"),
-    )
+    cand = ivf_candidates(corpus, queries, n_cells, n_probe, id_col, emb_col)
     cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

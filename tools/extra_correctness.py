@@ -97,6 +97,9 @@ def run_registry(queries: dict, oracles: dict, sf_dir: str) -> dict:
                         "recall_at_k": r["recall_bp"] / 10000,
                         "k": KNN_K,
                         "n_queries": r["n_queries"],
+                        # corpus fraction the probes actually scored — the
+                        # cost that bought the recall (1.0 = brute force)
+                        "scanned_fraction": r["scanned_bp"] / 10000,
                         "vs": "knn_bruteforce (oracle-checked exact top-k)",
                     }
         except Exception as e:  # noqa: BLE001 — info is best-effort

@@ -1,0 +1,55 @@
+"""Regenerate PLANS.md — formatted physical plans of the headline queries
+at sf0.001 (plan shape is scale-invariant)."""
+
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "retention_phase1",
+    "retention_base",
+    "pricing_summary",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "asof_purchase_view",
+    "embedding_neardup",
+]
+
+HEADER = """# PLANS — physical plans of the headline queries (auto-generated)
+
+Regenerate with `python tools/gen_plans.py` (sf0.001 inputs; plan shape
+is scale-invariant). What to look for, per SURVEY §4: `PushedFilters` /
+`ReadSchema` on every scan, `BroadcastHashJoin`/`BroadcastNestedLoopJoin`
+for dimension/grid sides, few `Exchange hashpartitioning` nodes (phase1 has
+exactly 3 — skew-safe compound-key pre-dedup, the household exchange that
+keys the whole downstream chain, and the persons-distinct), and no
+`CartesianProduct`.
+"""
+
+
+def main() -> None:
+    from contextlib import redirect_stdout
+
+    from es_household_retention_spark_job_spark.session import get_spark
+    from es_household_retention_spark_job_spark.entry_queries import QUERIES as REG
+    from es_household_retention_spark_job_spark import plans as P
+
+    spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=16)
+    out = [HEADER]
+    for name in QUERIES:
+        df = REG[name](spark, "/root/testdata/sf0.001")
+        n_shuffles = P.count_shuffles(df)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode).rstrip()
+        out.append(f"\n## {name}\n\nshuffles: {n_shuffles}\n\n```text\n{plan}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
