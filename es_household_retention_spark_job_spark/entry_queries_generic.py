@@ -756,3 +756,130 @@ def scan_pushdown_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= 25)
         & (F.col("l_returnflag") != "A")
     ).select("l_orderkey", "l_linenumber", cents("l_quantity").alias("qty_x100"))
+
+
+# --------------------------------------------------------------------------
+# Product-analytics shapes (round 5, beyond-reference): sequential funnel,
+# CUBE aggregation — extra registry (driver slots full), fully oracled
+# --------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    """WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id),
+    c AS (
+        SELECT u.user_id, u.t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > u.t_view
+                        THEN e.ts END) AS t_click
+        FROM u JOIN events e ON e.user_id = u.user_id
+        GROUP BY u.user_id, u.t_view),
+    p AS (
+        SELECT c.user_id, c.t_view, c.t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM c JOIN events e ON e.user_id = c.user_id
+        GROUP BY c.user_id, c.t_view, c.t_click)
+    SELECT CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                     WHEN t_click IS NOT NULL THEN 2
+                     WHEN t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1""",
+    extra=True,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → later click → later purchase):
+    per user, each stage's timestamp must STRICTLY follow the previous
+    stage's — the product-analytics shape plain conditional aggregation
+    cannot express (a click before the first view must not count).
+
+    Plan: ONE user-partition exchange carries three chained window
+    projections (each stage's min-over-user references the previous
+    stage's column — Catalyst stacks Window nodes on the same
+    partitioning without re-shuffling), then a tiny 4-row stage count.
+    The oracle reproduces the chain as three grouped self-joins — same
+    semantics through a deliberately different shape."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        staged.select(stage.cast("int").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "cube_revenue",
+    """SELECT o_orderpriority, o_orderstatus,
+              CAST(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS INT) AS g_priority,
+              CAST(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS INT) AS g_status,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100
+       FROM orders
+       GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    extra=True,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping-set combinations in
+    one pass (partial-aggregated Expand, one exchange) with explicit
+    grouping flags — complements rollup_revenue's hierarchy. Neither input
+    column is ever null in the data, so DuckDB's NULL-marker CASE and
+    Spark's grouping() bits agree exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_x100"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "g_priority",
+            "g_status",
+            "revenue_x100",
+        )
+    )

@@ -184,3 +184,23 @@ def test_media_features_no_shuffle(spark):
     a shuffle here means the Arrow plumbing picked up a spurious
     repartition."""
     assert P.count_shuffles(q(spark, "media_features")) == 0
+
+
+def test_funnel_single_user_exchange_plus_stage_count(spark):
+    """The chained stage-window funnel must reuse ONE user-partition
+    exchange for all three window passes and the per-user agg; the only
+    other shuffle is the 4-row stage count."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["funnel_view_click_purchase"](spark, SF_DIR)
+    assert P.count_shuffles(df) == 2
+
+
+def test_cube_uses_expand_one_exchange(spark):
+    """CUBE must plan as partial-aggregated Expand (all four grouping sets
+    in one pass) with a single exchange — not a union of four scans."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["cube_revenue"](spark, SF_DIR)
+    assert "Expand" in P.explain_str(df, "simple")
+    assert P.count_shuffles(df) == 1
