@@ -883,3 +883,61 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_x100",
         )
     )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled-CTE DuckDB twin of graph.pagerank_fixed_point over the
+    symmetric customer–part bipartite graph (same integer recurrence)."""
+    from .operators.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    teleport = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ctes = [
+        """e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """ed AS (SELECT e.src AS node, e.dst AS _dst, d.deg
+                  FROM edges e JOIN deg d ON e.src = d.src)""",
+        f"r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT n.node,
+                   CAST({teleport} + ({DAMP_NUM} * coalesce(s.m, 0)) // {DAMP_DEN}
+                        AS BIGINT) AS rank
+            FROM nodes n
+            LEFT JOIN (SELECT _dst, sum(rank // deg) AS m
+                       FROM ed JOIN r{i - 1} USING (node)
+                       GROUP BY _dst) s ON s._dst = n.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, rank FROM r{iters}"
+    )
+
+
+@register("pagerank_customer_part", _pagerank_oracle(5), extra=True)
+def pagerank_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (operators/graph.py) over the
+    symmetric customer–part purchase graph — the iterative-algorithm
+    showpiece next to duplicate_clusters' label propagation. Integer
+    fixed-point arithmetic makes an ITERATIVE float algorithm exactly
+    oracle-able: the DuckDB twin unrolls the same recurrence as CTEs and
+    hash-matches every node's rank after 5 rounds."""
+    from .operators.graph import pagerank_fixed_point
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    return pagerank_fixed_point(edges, iters=5)

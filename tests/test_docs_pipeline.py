@@ -589,3 +589,39 @@ def test_ngram_jaccard_hot_only_overlap_is_owned_by_exact_dedup(spark):
     assert len(boiler_rows) == 8
     assert all(r.canonical_id == 1 for r in boiler_rows)
     assert sum(r.is_dup for r in boiler_rows) == 7  # all collapse onto doc 1
+
+
+def test_pagerank_fixed_point_matches_pure_python_recurrence(spark):
+    """The Spark PageRank must equal an independent pure-Python evaluation
+    of the SAME integer recurrence on a hand graph (star + chain), and the
+    hub of the star must outrank every leaf."""
+    from es_household_retention_spark_job_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        SCALE,
+        pagerank_fixed_point,
+    )
+
+    directed = [(1, h) for h in (2, 3, 4, 5)] + [(5, 6), (6, 7)]
+    sym = directed + [(b, a) for a, b in directed]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_fixed_point(edges, iters=5).collect()}
+
+    # independent evaluation (dict arithmetic, no Spark)
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for a, b in sym:
+        out[a].append(b)
+    nodes = sorted({n for e in sym for n in e})
+    teleport = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    rank = {n: SCALE for n in nodes}
+    for _ in range(5):
+        m = defaultdict(int)
+        for a, targets in out.items():
+            share = rank[a] // len(targets)
+            for b in targets:
+                m[b] += share
+        rank = {n: teleport + (DAMP_NUM * m[n]) // DAMP_DEN for n in nodes}
+    assert got == rank
+    assert all(got[1] > got[leaf] for leaf in (2, 3, 4))  # hub outranks leaves
