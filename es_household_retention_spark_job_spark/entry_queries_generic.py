@@ -941,3 +941,39 @@ def pagerank_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
     return pagerank_fixed_point(edges, iters=5)
+
+
+@register(
+    "rank_battery_events",
+    """SELECT event_id, user_id,
+              CAST(rank() OVER w AS INT) AS rnk,
+              CAST(dense_rank() OVER w AS INT) AS drnk,
+              percent_rank() OVER w AS prnk,
+              cume_dist() OVER w AS cdist,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              first_value(event_type) OVER w AS top_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id)""",
+    extra=True,
+)
+def rank_battery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function surface window_battery does not cover: rank /
+    dense_rank / percent_rank / cume_dist / ntile / first_value, one
+    exchange. percent_rank and cume_dist are ratios of small integers —
+    the same (numerator, denominator) divides to the bit-identical IEEE
+    double in both engines, so even the float columns hash-match."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("value") * 100).cast("long").desc(), F.col("event_id")
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("event_type").over(w).alias("top_type"),
+    )

@@ -406,3 +406,65 @@ def test_incremental_retention_microbatch_latency(spark, tmp_path):
     assert len(batches) >= n_shards - 1, f"too few micro-batches: {len(progress)}"
     lat_ms = [p["durationMs"]["triggerExecution"] for p in batches]
     assert all(ms < 30_000 for ms in lat_ms), f"micro-batch latency blew the bound: {lat_ms}"
+
+
+def test_watermark_drops_late_rows_and_finalizes_windows(spark, tmp_path):
+    """Late-data contract, exercised across micro-batches with the
+    semantics Spark actually GUARANTEES: a window may keep absorbing late
+    rows while its state lives, but once the watermark finalizes it
+    (append-mode emission + state eviction), later arrivals for it are
+    DROPPED — the window never re-emits and its count never changes.
+    Schedule: b0 advances event time to 10:00 (watermark 08:00 from b1 on);
+    b1 delivers an in-watermark row AND triggers finalization of the 00:00
+    window at count 2; b2 delivers a row for that finalized window (must
+    vanish) plus a watermark-advancing row; b3 advances again so every
+    window finalizes."""
+    batches = [
+        [{"event_id": 1, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-01 00:10:00", "value": 1.0},
+         {"event_id": 2, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-01 00:20:00", "value": 1.0},
+         {"event_id": 3, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-01 10:00:00", "value": 1.0}],
+        # processed under watermark 08:00 -> finalizes the 00:00 window
+        [{"event_id": 5, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-01 09:10:00", "value": 1.0}],
+        # event 4 targets the ALREADY-FINALIZED 00:00 window -> dropped
+        [{"event_id": 4, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-01 00:30:00", "value": 1.0},
+         {"event_id": 6, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-02 00:00:00", "value": 1.0}],
+        [{"event_id": 7, "user_id": 1, "event_type": "view",
+          "ts": "2026-01-03 00:00:00", "value": 1.0}],
+    ]
+    d = tmp_path / "late_in"
+    d.mkdir()
+    base = time.time() - 600
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base + 60 * i, base + 60 * i))
+
+    stream = ingest.stream_events(spark, str(d), max_files_per_trigger=1)
+    q = (
+        windows.tumbling_counts(
+            stream.coalesce(1), window_len="1 hour", watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.table("late_test").collect()
+    got = {str(r.window_start): r.n_events for r in rows}
+    assert len(rows) == len(got)  # no window ever emitted twice
+    # 00:00 finalized with events 1+2; the post-finalization event 4 vanished
+    assert got.get("2026-01-01 00:00:00") == 2, got
+    assert got.get("2026-01-01 09:00:00") == 1, got  # in-watermark row kept
+    assert got.get("2026-01-01 10:00:00") == 1, got
+    assert got.get("2026-01-02 00:00:00") == 1, got
