@@ -1113,3 +1113,44 @@ def balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= F.col("target"))
         .select("doc_id", "source", "rk")
     )
+
+
+@register(
+    "profile_documents",
+    """SELECT
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(text) AS BIGINT) AS n_text,
+          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(min(n_chars) AS BIGINT) AS min_chars,
+          CAST(max(n_chars) AS BIGINT) AS max_chars,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_chars_mismatch,
+          CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang
+       FROM documents""",
+    extra=True,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the corpus table: row/non-null
+    counts, per-column cardinalities, length extremes/total, and an
+    internal-consistency check (does the stored n_chars match the actual
+    text length?). The expectations-style validation pass every ingest of
+    a 100 TB corpus runs before training — all in ONE partial-aggregated
+    scan, no per-column jobs."""
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("text").cast("long").alias("n_text"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).cast("long").alias("n_chars_mismatch"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_lang"),
+    )
