@@ -13,7 +13,7 @@ a prepended 0.0) so doubles are bit-identical before the integer flooring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .entry_queries import register
@@ -1153,4 +1153,54 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_null_lang"),
+    )
+
+
+@register(
+    "frame_dedup",
+    f"""WITH fr AS (
+        SELECT doc_id, text,
+               unnest(range((length(text) + {M.FRAME_CHARS - 1}) // {M.FRAME_CHARS})) AS f
+        FROM documents),
+    frames AS (
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               md5(substr(text, CAST(f * {M.FRAME_CHARS} + 1 AS INT), {M.FRAME_CHARS})) AS frame_md5
+        FROM fr)
+    SELECT frame_md5,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(min(frame_idx) FILTER (WHERE doc_id = (SELECT min(f2.doc_id)
+                                                       FROM frames f2
+                                                       WHERE f2.frame_md5 = frames.frame_md5))
+                AS BIGINT) AS canonical_idx
+    FROM frames
+    GROUP BY frame_md5
+    HAVING count(*) > 1""",
+    extra=True,
+)
+def frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: the video-shaped frame fan-out
+    (multimodal.frame_sample, Arrow mapInPandas) feeding exact dedup — find
+    frames repeated across the corpus and pick a canonical (min doc, then
+    min index within that doc) per group. The training-data move for
+    near-duplicate video/frame corpora: dedup at the FRAME level, not the
+    document level, after the modality-specific decode stage."""
+    frames = M.frame_sample(M.media_table(_docs(spark, sf_dir)))
+    per_frame = frames.select("doc_id", "frame_idx", "frame_md5").withColumn(
+        "canonical_doc", F.min("doc_id").over(Window.partitionBy("frame_md5"))
+    )
+    return (
+        per_frame.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.min(
+                F.when(F.col("doc_id") == F.col("canonical_doc"), F.col("frame_idx"))
+            )
+            .cast("long")
+            .alias("canonical_idx"),
+        )
+        .where(F.col("n_occurrences") > 1)
     )

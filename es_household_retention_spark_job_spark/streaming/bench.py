@@ -19,37 +19,57 @@ import shutil
 import statistics
 import tempfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_SHARDS = 4
 
 
+def _ndjson_shards(df: DataFrame, out_dir: str) -> None:
+    """Distributed NDJSON serialization; N_SHARDS files → N micro-batches."""
+    (
+        df.repartition(N_SHARDS)
+        .select(F.to_json(F.struct("*")).alias("value"))
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+
+
+def _latency_stats(query) -> dict:
+    batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    lat_s = sorted(
+        p["durationMs"]["triggerExecution"] / 1000.0 for p in batches
+    )
+    if not lat_s:
+        return {"err": "no non-empty micro-batches"}
+    return {
+        "n_microbatches": len(lat_s),
+        "input_rows": int(sum(p["numInputRows"] for p in batches)),
+        "p50_sec": round(statistics.median(lat_s), 3),
+        "p95_sec": round(lat_s[max(0, int(0.95 * len(lat_s)) - 1)], 3),
+        "max_sec": round(lat_s[-1], 3),
+        "total_sec": round(sum(lat_s), 3),
+    }
+
+
 def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
     from ..clock import TESTDATA_AS_OF
     from ..operators import retention as R
-    from ..sources.tpch import retention_inputs
-    from . import ingest, retention_stream
+    from ..sources.tpch import load_table, retention_inputs
+    from . import doc_stream, ingest, retention_stream
 
     person, encounter = retention_inputs(spark, sf_dir)
     persons_e = R.eligible_persons(person, "HOUSEHOLD")
+    out: dict[str, dict] = {}
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
-        in_dir = f"{work}/enc_ndjson"
-        # distributed NDJSON serialization; N_SHARDS files -> N micro-batches
-        (
-            encounter.repartition(N_SHARDS)
-            .select(F.to_json(F.struct("*")).alias("value"))
-            .write.mode("overwrite")
-            .text(in_dir)
-        )
-        enc_stream = ingest.stream_encounters(
-            spark, in_dir, max_files_per_trigger=1
-        )
+        _ndjson_shards(encounter, f"{work}/enc_ndjson")
         q = retention_stream.incremental_retention(
             spark,
-            enc_stream,
+            ingest.stream_encounters(
+                spark, f"{work}/enc_ndjson", max_files_per_trigger=1
+            ),
             persons_e,
             target_path=f"{work}/hh_ranges",
             checkpoint_dir=f"{work}/ckpt",
@@ -57,20 +77,20 @@ def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
             as_of=TESTDATA_AS_OF,
         )
         q.awaitTermination(600)
-        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        lat_s = sorted(
-            p["durationMs"]["triggerExecution"] / 1000.0 for p in batches
+        out["incremental_retention"] = _latency_stats(q)
+
+        _ndjson_shards(load_table(spark, sf_dir, "documents"), f"{work}/docs_ndjson")
+        q2 = doc_stream.corpus_append(
+            doc_stream.curate(
+                doc_stream.stream_documents(
+                    spark, f"{work}/docs_ndjson", max_files_per_trigger=1
+                )
+            ),
+            f"{work}/corpus",
+            f"{work}/doc_ckpt",
         )
-        if not lat_s:
-            return {"err": "no non-empty micro-batches"}
-        return {
-            "pipeline": "incremental_retention",
-            "n_microbatches": len(lat_s),
-            "input_rows": int(sum(p["numInputRows"] for p in batches)),
-            "p50_sec": round(statistics.median(lat_s), 3),
-            "p95_sec": round(lat_s[max(0, int(0.95 * len(lat_s)) - 1)], 3),
-            "max_sec": round(lat_s[-1], 3),
-            "total_sec": round(sum(lat_s), 3),
-        }
+        q2.awaitTermination(600)
+        out["doc_curation"] = _latency_stats(q2)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

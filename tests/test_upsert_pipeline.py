@@ -307,3 +307,45 @@ def test_concurrent_reader_never_sees_torn_bucket(spark, tmp_path):
     assert len(observations) >= 3  # the reader genuinely raced the writer
     # reads made after later writes must observe progress (not a stale pin)
     assert max(v for _, v in observations) > 0
+
+
+def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
+    """Property: ANY sequence of partial upserts must leave the table equal
+    to the obvious dict model (per key: last write wins per column, missing
+    columns keep prior values, unknown keys insert with nulls elsewhere).
+    Exercises the manifest/MVCC path end-to-end including schema evolution
+    mid-sequence. Deterministic seed — hypothesis's engine is overkill for
+    a 4-batch Spark sequence, but the generation logic is the same shape."""
+    import random
+
+    rng = random.Random(20260814)
+    keys = [f"K{i}" for i in range(6)]
+    all_cols = ["v", "w", "z"]  # z appears mid-sequence (schema evolution)
+    model: dict[str, dict[str, int | None]] = {}
+    path = str(tmp_path / "prop")
+
+    for batch_no in range(5):
+        cols = ["v"] if batch_no == 0 else rng.sample(
+            all_cols[: 2 + (batch_no >= 2)], rng.randint(1, 2)
+        )
+        batch_keys = rng.sample(keys, rng.randint(1, 4))
+        rows = [
+            tuple([k] + [rng.randint(0, 99) for _ in cols]) for k in batch_keys
+        ]
+        schema = "person_id string, " + ", ".join(f"{c} long" for c in cols)
+        upsert_parquet(
+            spark, path, spark.createDataFrame(rows, schema), n_buckets=4
+        )
+        for row in rows:
+            k, vals = row[0], dict(zip(cols, row[1:]))
+            model.setdefault(k, {})
+            model[k].update(vals)
+
+    got = {
+        r["person_id"]: {c: r[c] for c in all_cols if c in r.asDict()}
+        for r in read_keyed_table(spark, path).collect()
+    }
+    assert set(got) == set(model)
+    for k, expect in model.items():
+        for c in all_cols:
+            assert got[k].get(c) == expect.get(c), (k, c, got[k], expect)
