@@ -493,39 +493,39 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_pairs = S.knn_bruteforce(embs, queries, k=KNN_K).select(
         "query_id", "neighbor_id"
     )
-
-    def recall_rows(method: str, approx: DataFrame) -> DataFrame:
-        return (
-            approx.select("query_id", "neighbor_id")
+    # ONE candidate frame per method (persisted — it feeds both the re-rank
+    # and the scanned-fraction count, and the IVF path runs k-means once,
+    # not twice); GLOBAL aggregates always emit exactly one row, so a
+    # method whose recall collapses to ZERO hits still publishes a
+    # recall_bp=0 row instead of silently vanishing from the artifact.
+    cand_by_method = {
+        "lsh": S.lsh_candidates(embs, queries).persist(),
+        "ivf": S.ivf_candidates(embs, queries).persist(),
+    }
+    per_method = []
+    for method, cand in cand_by_method.items():
+        hits = (
+            S.rerank_topk(cand, KNN_K)
+            .select("query_id", "neighbor_id")
             .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left_semi")
-            .select(F.lit(method).alias("method"), "query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         )
-
-    hits = recall_rows("lsh", S.knn_lsh(embs, queries, k=KNN_K)).unionByName(
-        recall_rows("ivf", S.knn_ivf(embs, queries, k=KNN_K))
-    )
-    # cost side of the trade: how much of the corpus the probes touched —
-    # candidate pairs / (queries × (corpus−1)), i.e. the fraction a brute
-    # force would have scored. Near-orthogonal synthetic data forces this
-    # high (see similarity.knn_lsh docstring); it is published so recall
-    # can never silently be bought with a hidden full scan.
-    cands = (
-        S.lsh_candidates(embs, queries)
-        .select(F.lit("lsh").alias("method"), "query_id")
-        .unionByName(
-            S.ivf_candidates(embs, queries).select(
-                F.lit("ivf").alias("method"), "query_id"
+        # cost side of the trade: candidate pairs / (queries × (corpus−1)),
+        # the fraction a brute force would have scored. Near-orthogonal
+        # synthetic data forces this high (see similarity.knn_lsh
+        # docstring); published so recall can never silently be bought
+        # with a hidden full scan.
+        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        per_method.append(
+            hits.crossJoin(n_cand).select(
+                F.lit(method).alias("method"), "n_hits", "n_candidates"
             )
         )
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    )
     nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     nc = embs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     return (
-        hits.groupBy("method")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-        .join(cands, "method")
+        per_method[0]
+        .unionByName(per_method[1])
         .crossJoin(F.broadcast(nq))  # 2×1 rows — the scalars stay in-plan
         .crossJoin(F.broadcast(nc))
         .select(
@@ -1187,20 +1187,22 @@ def frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate video/frame corpora: dedup at the FRAME level, not the
     document level, after the modality-specific decode stage."""
     frames = M.frame_sample(M.media_table(_docs(spark, sf_dir)))
-    per_frame = frames.select("doc_id", "frame_idx", "frame_md5").withColumn(
-        "canonical_doc", F.min("doc_id").over(Window.partitionBy("frame_md5"))
-    )
+    # canonical = lexicographic min of (doc_id, frame_idx): one
+    # partial-aggregated struct-min in the SAME groupBy — no window pass
+    # over the fan-out table (the largest intermediate in this query)
     return (
-        per_frame.groupBy("frame_md5")
+        frames.groupBy("frame_md5")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.min("doc_id").cast("long").alias("canonical_doc"),
-            F.min(
-                F.when(F.col("doc_id") == F.col("canonical_doc"), F.col("frame_idx"))
-            )
-            .cast("long")
-            .alias("canonical_idx"),
+            F.min(F.struct("doc_id", "frame_idx")).alias("_canon"),
         )
         .where(F.col("n_occurrences") > 1)
+        .select(
+            "frame_md5",
+            "n_occurrences",
+            "n_docs",
+            F.col("_canon.doc_id").cast("long").alias("canonical_doc"),
+            F.col("_canon.frame_idx").cast("long").alias("canonical_idx"),
+        )
     )

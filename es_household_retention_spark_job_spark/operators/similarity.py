@@ -280,7 +280,12 @@ def knn_lsh(
     EXTRA_CORRECTNESS.json's knn_ann_eval row); for real clustered corpora
     with cos ≥ 0.7 neighbors, ``n_flip=1`` or 0 probes a vanishing
     fraction."""
-    cand = lsh_candidates(corpus, queries, id_col, emb_col, n_flip)
+    return rerank_topk(lsh_candidates(corpus, queries, id_col, emb_col, n_flip), k)
+
+
+def rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact cosine re-rank of a candidate frame (the shared tail of
+    knn_lsh / knn_ivf): per-query top-k with deterministic ties."""
     cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
@@ -433,21 +438,8 @@ def knn_ivf(
     set (see knn_lsh's docstring for why that regime forces a high scanned
     fraction); clustered real corpora run n_probe 1-4 with many more
     cells."""
-    cand = ivf_candidates(corpus, queries, n_cells, n_probe, id_col, emb_col)
-    cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.floor(F.col("cos") * COS_SCALE).cast("long").alias("cos_bp"),
-        )
+    return rerank_topk(
+        ivf_candidates(corpus, queries, n_cells, n_probe, id_col, emb_col), k
     )
 
 

@@ -29,6 +29,16 @@ replace leaves stray unreferenced files (swept by a later vacuum); the
 manifest replace itself is atomic, so readers see the old or the new table,
 never a partial one.
 
+**Concurrent writers.** The manifest read-modify-write in ``_publish`` runs
+under an exclusive lock file (held for milliseconds, broken if stale), and
+every write carries the manifest snapshot its merge was computed from:
+per-bucket optimistic concurrency. Writers touching DISJOINT buckets both
+land (each applies onto the current manifest); overlapping writes are
+DETECTED and the later one aborts with ``ConcurrentWriteError`` before any
+manifest change — never a silent last-writer-wins (the commit-conflict
+model of Delta/Iceberg, minus their automatic retry, which belongs to the
+caller here).
+
 Scale story: cost is O(|updates| + |affected buckets|), independent of total
 table size; bucket count is chosen so one bucket ≈ one comfortable task
 (e.g. 100 TB / 256 MB ⇒ ~400k buckets). The manifest holds one filename per
@@ -105,12 +115,61 @@ def _stored_schema(layout: dict) -> StructType | None:
     return StructType.fromJson(raw) if raw else None
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer rewrote one of this write's buckets between its
+    snapshot read and its publish — the merge was computed against stale
+    data and must be retried against the new table state."""
+
+
 def _read_manifest(path: str) -> dict | None:
     try:
         with open(os.path.join(path, MANIFEST_FILE)) as f:
             return json.load(f)
     except FileNotFoundError:
         return None
+
+
+LOCK_FILE = ".manifest_lock"
+LOCK_STALE_SECONDS = 120.0
+LOCK_WAIT_SECONDS = 30.0
+
+
+class _publish_lock:
+    """Filesystem mutex (O_EXCL create) serializing the manifest
+    read-modify-write inside ``_publish`` — held for milliseconds, never
+    across a Spark job. A lock older than LOCK_STALE_SECONDS is treated as
+    a crash leftover and broken."""
+
+    def __init__(self, path: str):
+        self.lock_path = os.path.join(path, LOCK_FILE)
+
+    def __enter__(self):
+        deadline = time.time() + LOCK_WAIT_SECONDS
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.lock_path) > LOCK_STALE_SECONDS:
+                        os.unlink(self.lock_path)  # crash leftover
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire {self.lock_path} within "
+                        f"{LOCK_WAIT_SECONDS}s"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -144,31 +203,52 @@ def _manifest_from_listing(path: str) -> dict:
     return {"live": live, "garbage": []}
 
 
-def _publish(path: str, tmp: str, affected_dirs: list[str]) -> None:
+def _publish(
+    path: str, tmp: str, affected_dirs: list[str], based_on: dict | None = None
+) -> None:
     """Move the rewritten buckets' files from ``tmp`` into the live tree
     under fresh unique names, then atomically point the manifest at them.
     The files a reader may currently hold are NEVER touched here — they are
     queued as timestamped garbage and deleted by ``_vacuum`` only after the
-    grace window."""
-    manifest = _read_manifest(path) or _manifest_from_listing(path)
-    now = time.time()
-    for d in affected_dirs:
-        src_dir = os.path.join(tmp, d)
-        new_files = []
-        if os.path.isdir(src_dir):
-            os.makedirs(os.path.join(path, d), exist_ok=True)
-            gen = uuid.uuid4().hex[:8]
-            for i, f in enumerate(
-                sorted(x for x in os.listdir(src_dir) if x.endswith(".parquet"))
-            ):
-                name = f"gen-{gen}-{i:05d}.parquet"
-                os.rename(os.path.join(src_dir, f), os.path.join(path, d, name))
-                new_files.append(name)
-        for old in manifest["live"].get(d, []):
-            manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
-        manifest["live"][d] = new_files
-    _write_manifest(path, manifest)
-    _vacuum(path, manifest)
+    grace window.
+
+    Concurrency: the manifest read-modify-write runs under an exclusive
+    lock, and ``based_on`` (the manifest snapshot this write's MERGE was
+    computed from) is compared per affected bucket against the CURRENT
+    manifest — per-bucket optimistic concurrency. A concurrent writer that
+    touched a DISJOINT bucket set is preserved (this write applies onto the
+    current manifest, not its snapshot); one that rewrote an overlapping
+    bucket makes this merge stale, so it aborts with ConcurrentWriteError
+    before any manifest change (the staged files in ``tmp`` are simply
+    discarded by the caller) — conflicting commits are detected and
+    rejected, never silently last-writer-wins."""
+    with _publish_lock(path):
+        manifest = _read_manifest(path) or _manifest_from_listing(path)
+        if based_on is not None:
+            for d in affected_dirs:
+                if manifest["live"].get(d, []) != based_on["live"].get(d, []):
+                    raise ConcurrentWriteError(
+                        f"bucket {d} was rewritten concurrently; retry the "
+                        "upsert against the new table state"
+                    )
+        now = time.time()
+        for d in affected_dirs:
+            src_dir = os.path.join(tmp, d)
+            new_files = []
+            if os.path.isdir(src_dir):
+                os.makedirs(os.path.join(path, d), exist_ok=True)
+                gen = uuid.uuid4().hex[:8]
+                for i, f in enumerate(
+                    sorted(x for x in os.listdir(src_dir) if x.endswith(".parquet"))
+                ):
+                    name = f"gen-{gen}-{i:05d}.parquet"
+                    os.rename(os.path.join(src_dir, f), os.path.join(path, d, name))
+                    new_files.append(name)
+            for old in manifest["live"].get(d, []):
+                manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
+            manifest["live"][d] = new_files
+        _write_manifest(path, manifest)
+        _vacuum(path, manifest)
 
 
 def _vacuum(path: str, manifest: dict) -> None:
@@ -242,6 +322,7 @@ def _read_live(
     path: str,
     schema: StructType | None,
     buckets: list | None = None,
+    manifest: dict | None = None,
 ) -> DataFrame:
     """Snapshot read (bucket column included): resolve the live file set
     from the manifest — a concurrent upsert publishes new files and
@@ -252,7 +333,8 @@ def _read_live(
     the listing to the affected buckets — manifest-level pruning, the
     moral equivalent of partition pruning."""
     reader = spark.read.schema(schema) if schema else spark.read
-    manifest = _read_manifest(path)
+    if manifest is None:
+        manifest = _read_manifest(path)
     if manifest is None:  # legacy table without a manifest sidecar
         df = reader.parquet(path)
         return df.where(F.col(BUCKET_COL).isin(buckets)) if buckets else df
@@ -338,10 +420,14 @@ def _merge_and_publish(
     affected: list,
     stored: StructType | None,
 ) -> None:
+    # the manifest snapshot this merge is computed FROM: both the target
+    # read and the publish-time conflict check use this one snapshot, so a
+    # concurrent rewrite of an affected bucket is detected (not merged over)
+    snapshot = _read_manifest(path) or _manifest_from_listing(path)
     # read the affected buckets under the PINNED schema: buckets that predate
     # an earlier schema evolution lack the newer columns in their footers,
     # and an inferred read could drop them (Spark samples files for schema)
-    target = _read_live(spark, path, stored, buckets=affected)
+    target = _read_live(spark, path, stored, buckets=affected, manifest=snapshot)
 
     t_cols = [c for c in target.columns if c != BUCKET_COL]
     u_cols = [c for c in u.columns if c != BUCKET_COL]
@@ -374,7 +460,12 @@ def _merge_and_publish(
     tmp = f"{path}.__upsert_tmp_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-        _publish(path, tmp, [f"{BUCKET_COL}={b}" for b in affected])
+        _publish(
+            path,
+            tmp,
+            [f"{BUCKET_COL}={b}" for b in affected],
+            based_on=snapshot,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # evolve the pinned schema AFTER the swap: updates may have introduced
@@ -407,13 +498,15 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     # a bucket lack (see read_keyed_table)
     stored = _stored_schema(layout)
     # one task per bucket → exactly one output file per bucket directory
-    data = _read_live(spark, path, stored, buckets=ids).repartition(
-        len(ids), BUCKET_COL
-    )
+    data = _read_live(
+        spark, path, stored, buckets=ids, manifest=manifest
+    ).repartition(len(ids), BUCKET_COL)
     tmp = f"{path}.__compact_tmp_{uuid.uuid4().hex[:8]}"
     try:
         data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-        _publish(path, tmp, to_compact)
+        # based_on: a concurrent upsert that rewrote one of these buckets
+        # mid-compaction makes the compacted copy stale — abort, keep theirs
+        _publish(path, tmp, to_compact, based_on=manifest)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.refreshByPath(path)

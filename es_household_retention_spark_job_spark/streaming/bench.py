@@ -35,21 +35,40 @@ def _ndjson_shards(df: DataFrame, out_dir: str) -> None:
     )
 
 
-def _latency_stats(query) -> dict:
+def _drain(query, timeout_s: int = 600) -> bool:
+    """Wait for the availableNow query; on timeout STOP it (so the work dir
+    can be removed safely) and report the truncation."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()
+        query.awaitTermination(60)
+        return False
+    return True
+
+
+def _latency_stats(query, complete: bool = True) -> dict:
     batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
     lat_s = sorted(
         p["durationMs"]["triggerExecution"] / 1000.0 for p in batches
     )
     if not lat_s:
         return {"err": "no non-empty micro-batches"}
-    return {
+    import math
+
+    # nearest-rank p95: ceil(0.95 n) — for small n this is the max, never a
+    # lower quantile masquerading as the tail
+    p95_idx = min(len(lat_s) - 1, math.ceil(0.95 * len(lat_s)) - 1)
+    out = {
         "n_microbatches": len(lat_s),
         "input_rows": int(sum(p["numInputRows"] for p in batches)),
         "p50_sec": round(statistics.median(lat_s), 3),
-        "p95_sec": round(lat_s[max(0, int(0.95 * len(lat_s)) - 1)], 3),
+        "p95_sec": round(lat_s[p95_idx], 3),
         "max_sec": round(lat_s[-1], 3),
         "total_sec": round(sum(lat_s), 3),
     }
+    if not complete:
+        out["err"] = "timed out before draining all micro-batches"
+    return out
 
 
 def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
@@ -76,8 +95,7 @@ def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
             client_code="HOUSEHOLD",
             as_of=TESTDATA_AS_OF,
         )
-        q.awaitTermination(600)
-        out["incremental_retention"] = _latency_stats(q)
+        out["incremental_retention"] = _latency_stats(q, complete=_drain(q))
 
         _ndjson_shards(load_table(spark, sf_dir, "documents"), f"{work}/docs_ndjson")
         q2 = doc_stream.corpus_append(
@@ -89,8 +107,7 @@ def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
             f"{work}/corpus",
             f"{work}/doc_ckpt",
         )
-        q2.awaitTermination(600)
-        out["doc_curation"] = _latency_stats(q2)
+        out["doc_curation"] = _latency_stats(q2, complete=_drain(q2))
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

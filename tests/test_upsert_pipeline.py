@@ -265,6 +265,7 @@ def test_concurrent_reader_never_sees_torn_bucket(spark, tmp_path):
     observations: list[tuple[int, int]] = []
 
     def reader():
+        last_seen = 0
         while not stop.is_set():
             hi = written[0]  # snapshot BEFORE the read starts
             try:
@@ -279,11 +280,17 @@ def test_concurrent_reader_never_sees_torn_bucket(spark, tmp_path):
             if len(ks) != 1:
                 errors.append(f"key K seen {len(ks)} times: {rows}")
                 return
-            # monotonic writer: any already-written value is consistent;
-            # a value above the pre-read snapshot+1 would be impossible
-            if not (0 <= ks[0] <= written[0]):
-                errors.append(f"impossible value {ks[0]} (written={written[0]})")
+            # race-free invariant for a monotonic single-key writer: reads
+            # never go BACKWARDS (any upper-bound check against the
+            # writer's loop counter would be a race in the test itself —
+            # a publish can precede the counter update)
+            if not (0 <= last_seen <= ks[0]):
+                errors.append(
+                    f"non-monotonic value {ks[0]} "
+                    f"(prev {last_seen}, pre-read snapshot {hi})"
+                )
                 return
+            last_seen = ks[0]
             observations.append((hi, ks[0]))
 
     t = threading.Thread(target=reader)
@@ -349,3 +356,62 @@ def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
     for k, expect in model.items():
         for c in all_cols:
             assert got[k].get(c) == expect.get(c), (k, c, got[k], expect)
+
+
+def test_concurrent_disjoint_writers_both_land_overlap_rejected(spark, tmp_path):
+    """Per-bucket optimistic concurrency: a writer whose snapshot went
+    stale on a DISJOINT bucket set still lands (applied onto the current
+    manifest, preserving the other writer's rows); one whose affected
+    bucket was rewritten concurrently must abort with ConcurrentWriteError
+    and leave the table untouched — never silent last-writer-wins."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+        _manifest_from_listing,
+        _read_manifest,
+        _publish,
+    )
+
+    path = str(tmp_path / "cc")
+    # keys chosen to land in different buckets (checked below)
+    rows = [(f"k{i}", i) for i in range(12)]
+    write_keyed_table(
+        spark.createDataFrame(rows, "k string, v int"), path, key="k", n_buckets=4
+    )
+
+    # writer A snapshots, then writer B lands an upsert first
+    import copy
+
+    snap_a = copy.deepcopy(_read_manifest(path))
+    upsert_parquet(spark, path, spark.createDataFrame([("k0", 100)], "k string, v int"), key="k")
+    after_b = _read_manifest(path)
+    b_bucket = next(
+        d for d in snap_a["live"] if snap_a["live"][d] != after_b["live"][d]
+    )
+
+    # simulate A publishing with the stale snapshot:
+    # (1) disjoint bucket -> must succeed and preserve B's write
+    other = next(d for d in snap_a["live"] if d != b_bucket)
+    tmp_pub = str(tmp_path / "staged")
+    import os
+    import shutil
+
+    os.makedirs(f"{tmp_pub}/{other}")
+    src_file = after_b["live"][other][0]
+    shutil.copyfile(f"{path}/{other}/{src_file}", f"{tmp_pub}/{other}/part-0.parquet")
+    _publish(path, tmp_pub, [other], based_on=snap_a)
+    now = _read_manifest(path)
+    assert now["live"][b_bucket] == after_b["live"][b_bucket]  # B preserved
+    assert now["live"][other] == ["gen-" + now["live"][other][0].split("-", 1)[1]]
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert got["k0"] == 100  # B's row survived A's stale-snapshot publish
+
+    # (2) overlapping bucket -> must raise and change nothing
+    os.makedirs(f"{tmp_pub}2/{b_bucket}")
+    shutil.copyfile(
+        f"{path}/{b_bucket}/{after_b['live'][b_bucket][0]}",
+        f"{tmp_pub}2/{b_bucket}/part-0.parquet",
+    )
+    before = _read_manifest(path)
+    with pytest.raises(ConcurrentWriteError):
+        _publish(path, str(tmp_path / "staged2"), [b_bucket], based_on=snap_a)
+    assert _read_manifest(path) == before

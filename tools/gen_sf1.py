@@ -57,14 +57,20 @@ def main() -> None:
     # r>0 so cross-replica shingles never collide
     con.execute(
         f"""COPY (
-        SELECT doc_id + r * {STRIDE} AS doc_id,
-               CASE WHEN r = 0 THEN text
-                    ELSE array_to_string(
-                        list_transform(string_split(text, ' '),
-                                       w -> w || '_r' || r), ' ')
-               END AS text,
-               lang, source, n_chars
-        FROM read_parquet('{SRC}/documents.parquet'), range({N}) t(r)
+        WITH rep AS (
+            SELECT doc_id + r * {STRIDE} AS doc_id,
+                   CASE WHEN r = 0 THEN text
+                        ELSE array_to_string(
+                            list_transform(string_split(text, ' '),
+                                           w -> w || '_r' || r), ' ')
+                   END AS text,
+                   lang, source
+            FROM read_parquet('{SRC}/documents.parquet'), range({N}) t(r))
+        -- n_chars recomputed from the suffixed text: profile_documents'
+        -- internal-consistency check must hold on the rehearsal corpus
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM rep
         ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)"""
     )
     # embeddings: offset vec_id; rotate dimensions cyclically by r

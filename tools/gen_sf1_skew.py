@@ -61,7 +61,7 @@ def main() -> None:
         SELECT {KEY0} + i AS doc_id,
                '{base_words} tail' || i AS text,
                'en' AS lang, 'skewgen' AS source,
-               CAST(len('{base_words}') + 6 AS BIGINT) AS n_chars
+               CAST(length('{base_words} tail' || i) AS BIGINT) AS n_chars
         FROM range({N_DUP_DOCS}) t(i)
         ) TO '{OUT}/documents.parquet' (FORMAT PARQUET)"""
     )
