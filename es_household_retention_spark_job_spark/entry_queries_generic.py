@@ -517,6 +517,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the chunked variant answers the SAME question, so it reuses the exact
+# oracle SQL of sessionize_events — equality with the plain formulation is
+# the correctness claim, checked by the gate itself
+from .entry_queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+
+@register("sessionize_events_chunked", _ORACLE_SQL["sessionize_events"], extra=True)
+def sessionize_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level sessionization (operators/sessionize.py::
+    sessionize_chunked): per-(user, day-chunk) local windows + a tiny
+    per-chunk boundary-merge pass, so a mega-user can never serialize into
+    one task — per-key windows are the one skew AQE cannot split, and this
+    is the rewrite that removes it. Hash-checked against the SAME DuckDB
+    oracle as the plain formulation."""
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(
+        events,
+        ["user_id"],
+        "ts",
+        gap_seconds=1800,
+        order_tiebreak=["event_id"],
+        chunk_seconds=86_400,
+    )
+
+
 @register(
     "null_semantics_battery",
     """SELECT o_orderkey,

@@ -36,15 +36,99 @@ def sessionize(
     ).drop("_new_session")
 
 
+def sessionize_chunked(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    chunk_seconds: int = 86_400,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-safe sessionization: identical output to ``sessionize``, but no
+    single key ever serializes into one task.
+
+    ``sessionize`` windows by key alone, so a mega-user (bot, service
+    account) with 10M events lands in ONE task — per-key windows are the
+    one skew AQE cannot split. This two-level variant bounds task work by
+    (key, time-chunk) instead:
+
+    1. events window within ``(keys, chunk)`` — local session flags/ids;
+    2. a per-(keys, chunk) SUMMARY frame (first/last ts, #local sessions —
+       thousands of rows, not billions) takes the only per-key sequential
+       pass: a lag decides whether each chunk's first local session merges
+       with the previous chunk's last (boundary gap ≤ threshold; chunks
+       are ``chunk_seconds > gap_seconds`` wide, so non-adjacent chunks can
+       never merge and empty chunks need no special case), and a running
+       sum converts per-chunk session counts into a global id offset;
+    3. one distributed join keyed on (keys, chunk) stamps global ids:
+       ``offset + local_id − merges`` — the merged first session inherits
+       the previous chunk's last id, everything else shifts up.
+
+    Session ids come out 1-based in the same order as ``sessionize`` —
+    equality is asserted in tests and against the driver oracle."""
+    if chunk_seconds <= gap_seconds:
+        raise ValueError("chunk_seconds must exceed gap_seconds")
+    keys = list(keys)
+    sec = F.unix_timestamp(F.col(ts_col))
+    order = [ts_col, *order_tiebreak]
+    chunked = df.withColumn("_chunk", F.floor(sec / chunk_seconds))
+
+    wl = Window.partitionBy(*keys, "_chunk").orderBy(*order)
+    prev_ts = F.lag(ts_col).over(wl)
+    local_new = F.when(
+        prev_ts.isNull()
+        | (sec - F.unix_timestamp(prev_ts) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runl = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = chunked.withColumn("_lsid", F.sum(local_new).over(runl))
+
+    summary = local.groupBy(*keys, "_chunk").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.max("_lsid").alias("_n_local"),
+    )
+    ws = Window.partitionBy(*keys).orderBy("_chunk")
+    prev_last = F.lag("_last_ts").over(ws)
+    merges = (
+        prev_last.isNotNull()
+        & (
+            F.unix_timestamp("_first_ts") - F.unix_timestamp(prev_last)
+            <= gap_seconds
+        )
+    ).cast("long")
+    contributed = F.col("_n_local") - F.col("_merges")
+    runs = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = (
+        summary.withColumn("_merges", merges)
+        .withColumn("_offset", F.sum(contributed).over(runs) - contributed)
+        .select(*keys, "_chunk", "_merges", "_offset")
+    )
+    return (
+        local.join(offsets, [*keys, "_chunk"])
+        .withColumn(
+            "session_id", F.col("_offset") + F.col("_lsid") - F.col("_merges")
+        )
+        .drop("_chunk", "_lsid", "_merges", "_offset")
+    )
+
+
 def session_stats(
     df: DataFrame,
     keys: Sequence[str],
     ts_col: str,
     gap_seconds: int,
     order_tiebreak: Sequence[str] = (),
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
-    """One row per session: bounds and event count."""
-    s = sessionize(df, keys, ts_col, gap_seconds, order_tiebreak)
+    """One row per session: bounds and event count. ``chunk_seconds``
+    selects the skew-safe two-level formulation (same output)."""
+    if chunk_seconds is not None:
+        s = sessionize_chunked(
+            df, keys, ts_col, gap_seconds, chunk_seconds, order_tiebreak
+        )
+    else:
+        s = sessionize(df, keys, ts_col, gap_seconds, order_tiebreak)
     return s.groupBy(*keys, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

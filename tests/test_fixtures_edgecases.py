@@ -116,3 +116,89 @@ def test_exclusions(spark, store):
     assert "P_N1" not in ids  # null household (P5)
     assert "P_O1" not in ids  # other client (P4)
     assert {"P_Y1", "P_Z1"} <= ids  # null-retained / empty array are unprocessed
+
+
+def test_chunked_sessionization_boundary_edges(spark):
+    """sessionize_chunked must equal sessionize on hand-built boundary
+    shapes: a session spanning THREE day-chunks, a boundary gap of exactly
+    gap_seconds (still one session), one of gap_seconds+1 (split), and a
+    multi-chunk quiet user. Also: chunk_seconds <= gap is rejected."""
+    import pytest
+    from es_household_retention_spark_job_spark.operators.sessionize import (
+        sessionize,
+        sessionize_chunked,
+    )
+
+    rows = [
+        # user 1: one session crossing two midnights (events 10 min apart)
+        *[(1, f"2026-01-0{d} 23:5{m}:00") for d in (1, 2) for m in (0, 5)],
+        (1, "2026-01-02 00:05:00"),
+        (1, "2026-01-03 00:05:00"),
+        # user 2: boundary gap exactly 1800s -> SAME session
+        (2, "2026-01-01 23:40:00"),
+        (2, "2026-01-02 00:10:00"),
+        # user 2 later: boundary gap 1801s -> NEW session
+        (2, "2026-01-05 23:40:00"),
+        (2, "2026-01-06 00:10:01"),
+        # user 3: sparse — one event per week (every chunk its own session)
+        (3, "2026-01-01 12:00:00"),
+        (3, "2026-01-08 12:00:00"),
+        (3, "2026-01-15 12:00:00"),
+    ]
+    from datetime import datetime
+
+    rows = [(u, datetime.strptime(t, "%Y-%m-%d %H:%M:%S")) for u, t in rows]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    plain = {
+        (r.user_id, str(r.ts)): r.session_id
+        for r in sessionize(df, ["user_id"], "ts", 1800).collect()
+    }
+    chunked = {
+        (r.user_id, str(r.ts)): r.session_id
+        for r in sessionize_chunked(df, ["user_id"], "ts", 1800).collect()
+    }
+    assert plain == chunked
+    # pin the interesting shapes directly (not just mutual equality)
+    assert chunked[(2, "2026-01-02 00:10:00")] == chunked[(2, "2026-01-01 23:40:00")]
+    assert chunked[(2, "2026-01-06 00:10:01")] != chunked[(2, "2026-01-05 23:40:00")]
+    assert len({chunked[(3, t)] for t in (
+        "2026-01-01 12:00:00", "2026-01-08 12:00:00", "2026-01-15 12:00:00"
+    )}) == 3
+
+    with pytest.raises(ValueError):
+        sessionize_chunked(df, ["user_id"], "ts", gap_seconds=1800, chunk_seconds=600)
+
+
+def test_chunked_sessionization_mega_user_equality(spark):
+    """A bot-shaped mega-user (20k events over 30 days, mixed gaps) plus
+    normal users: chunked output must equal the plain formulation row for
+    row — the skew-safe rewrite changes the plan, never the answer."""
+    from pyspark.sql import functions as F
+    from es_household_retention_spark_job_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    base = spark.range(20_000).select(
+        F.lit(999).alias("user_id"),
+        # deterministic mixed gaps: mostly 2 min, every 97th event jumps 2h
+        F.timestamp_seconds(
+            F.lit(1_767_225_600)
+            + F.col("id") * 120
+            + F.floor(F.col("id") / 97) * 7200
+        ).alias("ts"),
+    )
+    others = spark.range(200).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_767_225_600) + F.col("id") * 3600).alias("ts"),
+    )
+    ev = base.unionByName(others)
+    plain = session_stats(ev, ["user_id"], "ts", gap_seconds=1800).collect()
+    chunked = session_stats(
+        ev, ["user_id"], "ts", gap_seconds=1800, chunk_seconds=86_400
+    ).collect()
+    as_set = lambda rows: {
+        (r.user_id, r.session_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows
+    }
+    assert as_set(plain) == as_set(chunked)
+    assert len(plain) > 100  # non-trivial session structure

@@ -204,3 +204,17 @@ def test_cube_uses_expand_one_exchange(spark):
     df = EXTRA_QUERIES["cube_revenue"](spark, SF_DIR)
     assert "Expand" in P.explain_str(df, "simple")
     assert P.count_shuffles(df) == 1
+
+
+def test_chunked_sessionize_never_exchanges_events_by_user_alone(spark):
+    """The skew-safe sessionization's full event stream must only exchange
+    on (user, chunk); the per-user sequential pass rides the tiny summary
+    frame, whose offsets broadcast back. A user-only hashpartitioning of
+    the event columns (width > summary) would reintroduce the mega-user
+    serialization this operator exists to remove."""
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["sessionize_events_chunked"](spark, SF_DIR)
+    plan = P.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan  # offsets join, never a shuffle join
+    assert P.count_shuffles(df) <= 4
