@@ -711,6 +711,31 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("asof_purchase_view_chunked", _ORACLE_SQL["asof_purchase_view"], extra=True)
+def asof_purchase_view_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe as-of join (operators/asof.py::asof_join_chunked): the
+    unioned event stream windows by (user, day-chunk); the per-user carry
+    of the latest view rides a tiny per-chunk summary. Identical output to
+    asof_purchase_view — registered against the SAME oracle."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    from .operators.asof import asof_join_chunked
+
+    return asof_join_chunked(
+        purchases,
+        views,
+        keys=["user_id"],
+        ts_col="ts",
+        build_cols=["event_id"],
+        tiebreak_col="event_id",
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar / date function battery (F1-F12) + JSON ingestion (S3)
 # --------------------------------------------------------------------------

@@ -65,3 +65,97 @@ def asof_join(
         *[F.col(f"_last_build.{c}").alias(f"{c}{suffix}") for c in carry],
     )
     return out
+
+
+def asof_join_chunked(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    build_cols: Sequence[str],
+    tiebreak_col: str,
+    suffix: str = "_asof",
+    chunk_seconds: int = 86_400,
+) -> DataFrame:
+    """Skew-safe as-of join — identical output to ``asof_join``, but the
+    unioned stream windows by (key, time-chunk) so a mega-key never
+    serializes into one task (the same two-level rewrite as
+    ``sessionize_chunked``).
+
+    The carried state here is a VALUE, not a count: each chunk's local
+    ``last(build, ignorenulls)`` misses only builds from earlier chunks, so
+    a per-(key, chunk) summary computes every chunk's final build payload
+    (``max_by`` over (ts, tiebreak) — one partial-aggregated pass), a
+    running ``last ignorenulls`` over the TINY summary ordered by chunk
+    yields "latest build before this chunk", and a broadcast join patches
+    it in via ``coalesce(local, carried)``."""
+    keys = list(keys)
+    carry = [c for c in build_cols if c != ts_col] + [ts_col]
+    b = build.select(
+        *keys,
+        ts_col,
+        F.col(tiebreak_col).alias("_tb"),
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("_bpayload"),
+    ).withColumn("_side", F.lit(0))
+    p = probe.withColumn("_side", F.lit(1)).withColumn(
+        "_tb", F.col(tiebreak_col)
+    ).withColumn("_bpayload", F.lit(None).cast(b.schema["_bpayload"].dataType))
+
+    common = keys + [ts_col, "_side", "_tb", "_bpayload"]
+    probe_extra = [c for c in probe.columns if c not in common]
+    unioned = (
+        p.select(*common, *probe_extra)
+        .unionByName(
+            b.select(
+                *common,
+                *[
+                    F.lit(None).cast(probe.schema[c].dataType).alias(c)
+                    for c in probe_extra
+                ],
+            )
+        )
+        .withColumn(
+            "_chunk",
+            F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_seconds),
+        )
+    )
+
+    wl = (
+        Window.partitionBy(*keys, "_chunk")
+        .orderBy(ts_col, "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = unioned.withColumn(
+        "_local_build", F.last("_bpayload", ignorenulls=True).over(wl)
+    )
+
+    # every chunk's FINAL build payload (null where the chunk has none) —
+    # max_by ignores rows with a null ordering key, i.e. the probe side
+    summary = unioned.groupBy(*keys, "_chunk").agg(
+        F.max_by(
+            "_bpayload",
+            F.when(F.col("_side") == 0, F.struct(ts_col, "_tb")),
+        ).alias("_chunk_build")
+    )
+    ws = (
+        Window.partitionBy(*keys)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = summary.select(
+        *keys,
+        "_chunk",
+        F.last("_chunk_build", ignorenulls=True).over(ws).alias("_carried"),
+    )
+
+    matched = (
+        local.join(carried, [*keys, "_chunk"])
+        .withColumn("_last_build", F.coalesce("_local_build", "_carried"))
+        .where(F.col("_side") == 1)
+    )
+    return matched.select(
+        *keys,
+        ts_col,
+        *probe_extra,
+        *[F.col(f"_last_build.{c}").alias(f"{c}{suffix}") for c in carry],
+    )

@@ -202,3 +202,50 @@ def test_chunked_sessionization_mega_user_equality(spark):
     }
     assert as_set(plain) == as_set(chunked)
     assert len(plain) > 100  # non-trivial session structure
+
+
+def test_chunked_asof_join_boundary_edges(spark):
+    """asof_join_chunked must equal asof_join on the boundary shapes: the
+    matching build row in an EARLIER chunk (and several chunks back), no
+    build at all (null carry), build and probe tied on ts (build wins),
+    and a fresher build in the same chunk shadowing the carried one."""
+    from datetime import datetime
+
+    from es_household_retention_spark_job_spark.operators.asof import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    def t(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    build = spark.createDataFrame(
+        [
+            (1, t("2026-01-01 10:00:00"), 100),  # carried across 2 chunks
+            (1, t("2026-01-03 09:00:00"), 101),  # same-chunk shadow
+            (2, t("2026-01-05 12:00:00"), 200),  # tie with probe ts
+            # user 3 has probes but NO builds at all
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, t("2026-01-03 08:00:00"), 1),  # matches 100 from 2 chunks back
+            (1, t("2026-01-03 09:30:00"), 2),  # matches same-chunk 101
+            (2, t("2026-01-05 12:00:00"), 3),  # tie -> build 200
+            (2, t("2026-01-04 12:00:00"), 4),  # before any build -> null
+            (3, t("2026-01-02 00:00:00"), 5),  # no builds ever -> null
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    args = dict(
+        keys=["user_id"], ts_col="ts", build_cols=["event_id"],
+        tiebreak_col="event_id",
+    )
+    plain = {r.event_id: r.event_id_asof for r in asof_join(probe, build, **args).collect()}
+    chunked = {
+        r.event_id: r.event_id_asof
+        for r in asof_join_chunked(probe, build, **args).collect()
+    }
+    assert plain == chunked
+    assert chunked == {1: 100, 2: 101, 3: 200, 4: None, 5: None}
