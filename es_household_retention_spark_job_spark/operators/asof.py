@@ -118,6 +118,13 @@ def asof_join_chunked(
             "_chunk",
             F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_seconds),
         )
+        # pin the exchange width against AQE's byte-based coalescing —
+        # see sessionize_chunked for the measured single-task collapse
+        .repartition(
+            probe.sparkSession.sparkContext.defaultParallelism * 2,
+            *keys,
+            F.col("_chunk"),
+        )
     )
 
     wl = (

@@ -71,7 +71,17 @@ def sessionize_chunked(
     keys = list(keys)
     sec = F.unix_timestamp(F.col(ts_col))
     order = [ts_col, *order_tiebreak]
-    chunked = df.withColumn("_chunk", F.floor(sec / chunk_seconds))
+    # PIN the (keys, chunk) exchange parallelism: event rows are narrow and
+    # timestamps compress to almost nothing, so AQE's byte-based coalescing
+    # happily folds the whole exchange into ONE task (measured: an 8M-row
+    # mega-key window ran 10.8s in a single task) — reintroducing exactly
+    # the serialization this operator exists to remove. An explicit
+    # repartition is REPARTITION_BY_NUM, which AQE never coalesces; both
+    # window subtrees branch from it and inherit the pinned width.
+    spark = df.sparkSession
+    chunked = df.withColumn("_chunk", F.floor(sec / chunk_seconds)).repartition(
+        spark.sparkContext.defaultParallelism * 2, *keys, F.col("_chunk")
+    )
 
     wl = Window.partitionBy(*keys, "_chunk").orderBy(*order)
     prev_ts = F.lag(ts_col).over(wl)

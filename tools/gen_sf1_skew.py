@@ -24,6 +24,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1skew"
 
 N_MEGA_ORDERS = 30_000
+N_MEGA_EVENTS = 200_000
 N_DUP_DOCS = 1_000
 N_HOT_VECS = 500
 KEY0 = 100_000_000
@@ -32,8 +33,27 @@ KEY0 = 100_000_000
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
-    for t in ("nation", "region", "customer", "part", "supplier", "lineitem", "events"):
+    for t in ("nation", "region", "customer", "part", "supplier", "lineitem"):
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+    # 4. a x2000 mega-user (bot shape): 200,000 events over ~1 year with
+    # mixed gaps (mostly 3 min; every 89th event jumps 2h -> ~2,250
+    # sessions) — the stressor for per-key-window operators (sessionize,
+    # as-of), whose chunked variants exist exactly for this
+    con.execute(
+        f"""COPY (
+        SELECT * FROM read_parquet('{SRC}/events.parquet')
+        UNION ALL
+        SELECT {KEY0} + i AS event_id,
+               TIMESTAMP '2026-01-01 00:00:00'
+                   + INTERVAL (i * 180 + (i // 89) * 7200) SECOND AS ts,
+               {KEY0} AS user_id,
+               CASE i % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                          ELSE 'purchase' END AS event_type,
+               1.0 AS value, '{{}}' AS props
+        FROM range({N_MEGA_EVENTS}) t(i)
+        ) TO '{OUT}/events.parquet' (FORMAT PARQUET)"""
+    )
 
     mega = con.execute(
         f"""SELECT min(c_custkey) FROM read_parquet('{SRC}/customer.parquet')
