@@ -6,20 +6,22 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-QUERIES = [
-    "retention_phase1",
-    "retention_base",
-    "pricing_summary",
-    "dedup_minhash_lsh",
-    "knn_bruteforce",
-    "asof_purchase_view",
-    "embedding_neardup",
+#: extra-registry queries whose plans are worth pinning next to the 50
+#: driver queries (skew-safe rewrites + the iterative/funnel shapes)
+EXTRA_PLANS = [
+    "sessionize_events_chunked",
+    "asof_purchase_view_chunked",
+    "funnel_view_click_purchase",
+    "cube_revenue",
 ]
 
-HEADER = """# PLANS — physical plans of the headline queries (auto-generated)
+HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
 
-Regenerate with `python tools/gen_plans.py` (sf0.001 inputs; plan shape
-is scale-invariant). What to look for, per SURVEY §4: `PushedFilters` /
+All 50 driver-registry queries plus selected extras (the skew-safe chunked
+rewrites, funnel, CUBE) at sf0.001 inputs — plan shape is scale-invariant.
+(pagerank_customer_part is omitted: its eager per-round checkpoints make
+the final recorded plan a trivial RDD scan.)
+What to look for, per SURVEY §4: `PushedFilters` /
 `ReadSchema` on every scan, `BroadcastHashJoin`/`BroadcastNestedLoopJoin`
 for dimension/grid sides, few `Exchange hashpartitioning` nodes (phase1 has
 exactly 3 — skew-safe compound-key pre-dedup, the household exchange that
@@ -32,12 +34,16 @@ def main() -> None:
     from contextlib import redirect_stdout
 
     from es_household_retention_spark_job_spark.session import get_spark
-    from es_household_retention_spark_job_spark.entry_queries import QUERIES as REG
+    from es_household_retention_spark_job_spark.entry_queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
     from es_household_retention_spark_job_spark import plans as P
 
+    REG = {**QUERIES, **EXTRA_QUERIES}
     spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=16)
     out = [HEADER]
-    for name in QUERIES:
+    for name in [*QUERIES, *EXTRA_PLANS]:
         df = REG[name](spark, "/root/testdata/sf0.001")
         n_shuffles = P.count_shuffles(df)
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
