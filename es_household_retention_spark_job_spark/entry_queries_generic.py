@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .entry_queries import register
-from .operators.asof import asof_join
+from .operators.asof import asof_join, asof_join_chunked
 from .operators.sessionize import session_stats
 from .sources.tpch import load_table
 
@@ -724,8 +724,6 @@ def asof_purchase_view_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = events.where(F.col("event_type") == "view").select(
         "user_id", "ts", "event_id"
     )
-    from .operators.asof import asof_join_chunked
-
     return asof_join_chunked(
         purchases,
         views,

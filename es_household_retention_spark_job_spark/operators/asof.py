@@ -20,19 +20,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(
+def _tag_union(
     probe: DataFrame,
     build: DataFrame,
-    keys: Sequence[str],
+    keys: list[str],
     ts_col: str,
-    build_cols: Sequence[str],
+    carry: list[str],
     tiebreak_col: str,
-    suffix: str = "_asof",
-) -> DataFrame:
-    """Left as-of join: every probe row, plus ``build_cols`` (suffixed) from
-    the latest build row at-or-before its timestamp (nulls if none)."""
-    keys = list(keys)
-    carry = [c for c in build_cols if c != ts_col] + [ts_col]
+) -> tuple[DataFrame, list[str]]:
+    """The shared preamble of both as-of variants: tag build rows (side 0,
+    payload struct) and probe rows (side 1, null payload), union them into
+    one orderable stream. Returns (unioned, probe_extra_columns)."""
     b = build.select(
         *keys,
         ts_col,
@@ -46,9 +44,50 @@ def asof_join(
     common = keys + [ts_col, "_side", "_tb", "_bpayload"]
     probe_extra = [c for c in probe.columns if c not in common]
     unioned = p.select(*common, *probe_extra).unionByName(
-        b.select(*common, *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_extra])
+        b.select(
+            *common,
+            *[
+                F.lit(None).cast(probe.schema[c].dataType).alias(c)
+                for c in probe_extra
+            ],
+        )
+    )
+    return unioned, probe_extra
+
+
+def _matched_select(
+    matched: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    probe_extra: list[str],
+    carry: list[str],
+    suffix: str,
+) -> DataFrame:
+    """The shared epilogue: probe rows + the carried build payload fields."""
+    return matched.select(
+        *keys,
+        ts_col,
+        *probe_extra,
+        *[F.col(f"_last_build.{c}").alias(f"{c}{suffix}") for c in carry],
     )
 
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    build_cols: Sequence[str],
+    tiebreak_col: str,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every probe row, plus ``build_cols`` (suffixed) from
+    the latest build row at-or-before its timestamp (nulls if none)."""
+    keys = list(keys)
+    carry = [c for c in build_cols if c != ts_col] + [ts_col]
+    unioned, probe_extra = _tag_union(
+        probe, build, keys, ts_col, carry, tiebreak_col
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_col, "_side", "_tb")
@@ -57,14 +96,7 @@ def asof_join(
     matched = unioned.withColumn(
         "_last_build", F.last("_bpayload", ignorenulls=True).over(w)
     ).where(F.col("_side") == 1)
-
-    out = matched.select(
-        *keys,
-        ts_col,
-        *probe_extra,
-        *[F.col(f"_last_build.{c}").alias(f"{c}{suffix}") for c in carry],
-    )
-    return out
+    return _matched_select(matched, keys, ts_col, probe_extra, carry, suffix)
 
 
 def asof_join_chunked(
@@ -91,40 +123,19 @@ def asof_join_chunked(
     it in via ``coalesce(local, carried)``."""
     keys = list(keys)
     carry = [c for c in build_cols if c != ts_col] + [ts_col]
-    b = build.select(
+    unioned, probe_extra = _tag_union(
+        probe, build, keys, ts_col, carry, tiebreak_col
+    )
+    # the repartition pins the exchange width against AQE's byte-based
+    # coalescing — see sessionize_chunked for the measured single-task
+    # collapse this prevents
+    unioned = unioned.withColumn(
+        "_chunk",
+        F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_seconds),
+    ).repartition(
+        probe.sparkSession.sparkContext.defaultParallelism * 2,
         *keys,
-        ts_col,
-        F.col(tiebreak_col).alias("_tb"),
-        F.struct(*[F.col(c).alias(c) for c in carry]).alias("_bpayload"),
-    ).withColumn("_side", F.lit(0))
-    p = probe.withColumn("_side", F.lit(1)).withColumn(
-        "_tb", F.col(tiebreak_col)
-    ).withColumn("_bpayload", F.lit(None).cast(b.schema["_bpayload"].dataType))
-
-    common = keys + [ts_col, "_side", "_tb", "_bpayload"]
-    probe_extra = [c for c in probe.columns if c not in common]
-    unioned = (
-        p.select(*common, *probe_extra)
-        .unionByName(
-            b.select(
-                *common,
-                *[
-                    F.lit(None).cast(probe.schema[c].dataType).alias(c)
-                    for c in probe_extra
-                ],
-            )
-        )
-        .withColumn(
-            "_chunk",
-            F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_seconds),
-        )
-        # pin the exchange width against AQE's byte-based coalescing —
-        # see sessionize_chunked for the measured single-task collapse
-        .repartition(
-            probe.sparkSession.sparkContext.defaultParallelism * 2,
-            *keys,
-            F.col("_chunk"),
-        )
+        F.col("_chunk"),
     )
 
     wl = (
@@ -160,9 +171,4 @@ def asof_join_chunked(
         .withColumn("_last_build", F.coalesce("_local_build", "_carried"))
         .where(F.col("_side") == 1)
     )
-    return matched.select(
-        *keys,
-        ts_col,
-        *probe_extra,
-        *[F.col(f"_last_build.{c}").alias(f"{c}{suffix}") for c in carry],
-    )
+    return _matched_select(matched, keys, ts_col, probe_extra, carry, suffix)

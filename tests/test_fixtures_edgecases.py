@@ -134,6 +134,17 @@ def test_chunked_sessionization_boundary_edges(spark):
         *[(1, f"2026-01-0{d} 23:5{m}:00") for d in (1, 2) for m in (0, 5)],
         (1, "2026-01-02 00:05:00"),
         (1, "2026-01-03 00:05:00"),
+        # user 4: ONE session spanning THREE full day-chunks (an event every
+        # 29 min from 02-01 23:50 through 02-03 01:30) — the chained merge
+        # where the middle chunk's ONLY session merges backward AND
+        # continues forward (contributed = n_local − merges = 0)
+        *[
+            (4, f"2026-02-0{1 + (1430 + 29 * i) // 1440} "
+                f"{((1430 + 29 * i) % 1440) // 60:02d}:{(1430 + 29 * i) % 60:02d}:00")
+            for i in range(54)
+        ],
+        # ...followed by a genuinely new session two days later
+        (4, "2026-02-05 12:00:00"),
         # user 2: boundary gap exactly 1800s -> SAME session
         (2, "2026-01-01 23:40:00"),
         (2, "2026-01-02 00:10:00"),
@@ -164,6 +175,13 @@ def test_chunked_sessionization_boundary_edges(spark):
     assert len({chunked[(3, t)] for t in (
         "2026-01-01 12:00:00", "2026-01-08 12:00:00", "2026-01-15 12:00:00"
     )}) == 3
+    # user 4: all 54 chained events share ONE session id; the later event
+    # starts session 2 — proving the contributed=0 middle chunk inherited
+    # the offset correctly instead of resetting or double-counting
+    u4 = {t: sid for (u, t), sid in chunked.items() if u == 4}
+    chain_ids = {sid for t, sid in u4.items() if t != "2026-02-05 12:00:00"}
+    assert chain_ids == {1}, sorted(set(u4.values()))
+    assert u4["2026-02-05 12:00:00"] == 2
 
     with pytest.raises(ValueError):
         sessionize_chunked(df, ["user_id"], "ts", gap_seconds=1800, chunk_seconds=600)

@@ -9,7 +9,10 @@ the /tmp/sf1 rehearsal corpus and inject
    join sees one ~1000-row bucket per band and duplicate_clusters gets a
    1000-node clique;
 3. an embedding hot bucket: 500 near-identical vectors (cos > 0.999) that
-   all land in the same LSH buckets.
+   all land in the same LSH buckets;
+4. a x2000 mega-USER: 200,000 events for one user_id (bot shape, mixed
+   gaps -> ~2,250 sessions) — the stressor for per-key-window operators
+   (sessionize, as-of), whose chunked variants exist exactly for this.
 
 Usage: python tools/gen_sf1_skew.py [src=/tmp/sf1] [out=/tmp/sf1skew]
 """
@@ -101,7 +104,7 @@ def main() -> None:
               ORDER BY vec_id LIMIT 1) b, range({N_HOT_VECS}) t(i)
         ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)"""
     )
-    for t in ("orders", "documents", "embeddings"):
+    for t in ("orders", "documents", "embeddings", "events"):
         n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
