@@ -94,6 +94,12 @@ def main() -> None:
         "dedup_ngram_jaccard": reg["dedup_ngram_jaccard"],
         "dedup_clusters": reg["dedup_clusters"],
         "embedding_neardup": reg["embedding_neardup"],
+        # per-key-window operators vs the mega-user stressor: plain shows
+        # the serial-task exposure, chunked the skew-safe rewrite
+        "sessionize_events": reg["sessionize_events"],
+        "sessionize_events_chunked": reg["sessionize_events_chunked"],
+        "asof_purchase_view": reg["asof_purchase_view"],
+        "asof_purchase_view_chunked": reg["asof_purchase_view_chunked"],
     }
 
     results: dict[str, dict] = {}
