@@ -523,7 +523,7 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     nc = embs.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
-    return (
+    result = (
         per_method[0]
         .unionByName(per_method[1])
         .crossJoin(F.broadcast(nq))  # 2×1 rows — the scalars stay in-plan
@@ -545,6 +545,16 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scanned_bp"),
         )
     )
+    # materialize the (tiny, 2-row) eval while the candidate caches are
+    # alive, then RELEASE them — returned lazily, the persisted frames
+    # would hold executor storage for the rest of the session with nothing
+    # left that can unpersist them
+    try:
+        rows = result.collect()
+    finally:
+        for cand in cand_by_method.values():
+            cand.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 # The LSH hyperplanes are deterministic (±1 signs from the portable md5

@@ -988,7 +988,13 @@ def pagerank_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    return pagerank_fixed_point(edges, iters=5)
+    # pagerank_fixed_point localCheckpoints each round (eager), so by return
+    # the result no longer depends on this cache — release it here instead
+    # of holding executor storage for the rest of the session
+    try:
+        return pagerank_fixed_point(edges, iters=5)
+    finally:
+        edges.unpersist()
 
 
 @register(

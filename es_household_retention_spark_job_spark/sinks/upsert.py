@@ -21,10 +21,11 @@ physically deleted only after ``GC_GRACE_SECONDS`` — the same
 snapshot+vacuum contract as Delta/Iceberg (``VACUUM ... RETAIN``), which is
 exactly what this operator maps onto in a production lakehouse. A reader
 must finish within the grace window (default 5 min; configure via
-``SPARK_GRAFT_SINK_GC_GRACE``). Per-bucket publish order means a
-multi-bucket upsert is not one cross-bucket snapshot — per-KEY atomicity is
-the contract, matching the per-document atomicity of the reference's ES
-bulk upserts (HRP:297-302). Crash safety: a crash before the manifest
+``SPARK_GRAFT_SINK_GC_GRACE``). A multi-bucket upsert publishes ALL its
+rewritten buckets in ONE manifest replace, so a reader observes either the
+whole upsert or none of it — one cross-bucket table snapshot, strictly
+stronger than the per-document atomicity of the reference's ES bulk
+upserts (HRP:297-302). Crash safety: a crash before the manifest
 replace leaves stray unreferenced files (swept by a later vacuum); the
 manifest replace itself is atomic, so readers see the old or the new table,
 never a partial one.
@@ -137,26 +138,47 @@ LOCK_WAIT_SECONDS = 30.0
 class _publish_lock:
     """Filesystem mutex (O_EXCL create) serializing the manifest
     read-modify-write inside ``_publish`` — held for milliseconds, never
-    across a Spark job. A lock older than LOCK_STALE_SECONDS is treated as
-    a crash leftover and broken."""
+    across a Spark job or the vacuum's O(n_buckets) file sweep (which runs
+    after release). A lock older than LOCK_STALE_SECONDS is treated as a
+    crash leftover and broken.
+
+    Each acquisition writes an OWNER TOKEN (uuid) into the lock file:
+
+    * breaking a stale lock goes through ``os.rename`` to a unique name —
+      an atomic claim, so when N waiters race to break the same stale lock
+      exactly one wins the rename and the losers retry; the blind-unlink
+      TOCTOU (two waiters both "break" it and both acquire) cannot happen;
+    * ``__exit__`` re-reads the file and unlinks only if it still holds
+      this acquisition's token — if another writer broke our lock (e.g. we
+      were paused past staleness) we must not release THEIR lock. Safety
+      for the paused-writer case itself comes from the per-bucket
+      optimistic conflict check in ``_publish``, not the lock.
+    """
 
     def __init__(self, path: str):
         self.lock_path = os.path.join(path, LOCK_FILE)
+        self.token = uuid.uuid4().hex
 
     def __enter__(self):
         deadline = time.time() + LOCK_WAIT_SECONDS
         while True:
             try:
                 fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, f"{self.token} {os.getpid()}".encode())
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(self.lock_path) > LOCK_STALE_SECONDS:
-                        os.unlink(self.lock_path)  # crash leftover
-                        continue
+                    age = time.time() - os.path.getmtime(self.lock_path)
                 except FileNotFoundError:
+                    continue
+                if age > LOCK_STALE_SECONDS:
+                    claim = f"{self.lock_path}.break-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(self.lock_path, claim)
+                    except FileNotFoundError:
+                        continue  # another waiter claimed it first
+                    os.unlink(claim)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -166,6 +188,13 @@ class _publish_lock:
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
+        try:
+            with open(self.lock_path) as f:
+                owner = f.read().split()[0]
+        except (FileNotFoundError, IndexError):
+            return  # broken by another writer; nothing of ours to release
+        if owner != self.token:
+            return  # their lock now, not ours
         try:
             os.unlink(self.lock_path)
         except FileNotFoundError:
@@ -221,7 +250,14 @@ def _publish(
     bucket makes this merge stale, so it aborts with ConcurrentWriteError
     before any manifest change (the staged files in ``tmp`` are simply
     discarded by the caller) — conflicting commits are detected and
-    rejected, never silently last-writer-wins."""
+    rejected, never silently last-writer-wins.
+
+    All rewritten buckets land in the SAME manifest replace: the upsert is
+    one cross-bucket table snapshot, not a per-bucket sequence. The
+    in-lock work is O(affected buckets) renames plus one manifest write —
+    milliseconds; the O(n_buckets) vacuum file sweep runs AFTER the lock
+    is released (at 400k buckets an in-lock sweep would outlive
+    LOCK_STALE_SECONDS and invite a legitimate-looking lock break)."""
     with _publish_lock(path):
         manifest = _read_manifest(path) or _manifest_from_listing(path)
         if based_on is not None:
@@ -247,30 +283,37 @@ def _publish(
             for old in manifest["live"].get(d, []):
                 manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
             manifest["live"][d] = new_files
+        # prune past-grace garbage entries from the manifest while we hold
+        # the lock (cheap, O(garbage)); their files are unlinked below,
+        # outside the lock. A crash between this write and the unlinks
+        # leaves unreferenced stray files — the stray sweep reclaims them.
+        grace = _gc_grace_seconds()
+        deletable = [g for g in manifest["garbage"] if now - g["ts"] >= grace]
+        manifest["garbage"] = [g for g in manifest["garbage"] if now - g["ts"] < grace]
         _write_manifest(path, manifest)
-        _vacuum(path, manifest)
+    _vacuum(path, manifest, deletable)
 
 
-def _vacuum(path: str, manifest: dict) -> None:
-    """Physically delete (a) garbage older than the grace window and (b)
-    stray files no manifest references (crash leftovers), also past the
-    grace window. Rewrites the manifest only if garbage was dropped."""
+def _vacuum(path: str, manifest: dict, deletable: list | None = None) -> None:
+    """Physically delete (a) ``deletable`` garbage (already dropped from the
+    manifest by the caller, under the lock) and (b) stray files no manifest
+    references (crash leftovers) past the grace window.
+
+    Runs OUTSIDE the publish lock — it only unlinks files, never touches
+    the manifest. The stray sweep is safe against concurrent publishers:
+    a publisher renames files in with a fresh write mtime (< grace, so the
+    sweep skips them) and only retires files that are live in ``manifest``
+    (so they are in the referenced set here)."""
     grace = _gc_grace_seconds()
     now = time.time()
-    keep = []
-    changed = False
-    for g in manifest["garbage"]:
-        if now - g["ts"] >= grace:
-            try:
-                os.unlink(os.path.join(path, g["rel"]))
-            except FileNotFoundError:
-                pass
-            changed = True
-        else:
-            keep.append(g)
+    for g in deletable or []:
+        try:
+            os.unlink(os.path.join(path, g["rel"]))
+        except FileNotFoundError:
+            pass
     referenced = {
         f"{d}/{f}" for d, files in manifest["live"].items() for f in files
-    } | {g["rel"] for g in keep}
+    } | {g["rel"] for g in manifest["garbage"]}
     for d in _bucket_dirs(path):
         for f in os.listdir(os.path.join(path, d)):
             rel = f"{d}/{f}"
@@ -284,9 +327,6 @@ def _vacuum(path: str, manifest: dict) -> None:
                     os.unlink(full)
                 except FileNotFoundError:
                     pass
-    if changed:
-        manifest["garbage"] = keep
-        _write_manifest(path, manifest)
 
 
 def write_keyed_table(

@@ -415,3 +415,197 @@ def test_concurrent_disjoint_writers_both_land_overlap_rejected(spark, tmp_path)
     with pytest.raises(ConcurrentWriteError):
         _publish(path, str(tmp_path / "staged2"), [b_bucket], based_on=snap_a)
     assert _read_manifest(path) == before
+
+
+def test_lock_token_ownership_and_atomic_break(tmp_path):
+    """Lock hardening: (a) a stale crash leftover is broken via an atomic
+    rename-claim (so racing breakers can never BOTH think they removed it
+    and acquire concurrently), and (b) release verifies the owner token —
+    a writer whose lock was legitimately broken while it was paused must
+    not unlink the new owner's lock on exit."""
+    import os
+    import time
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        LOCK_FILE,
+        LOCK_STALE_SECONDS,
+        _publish_lock,
+    )
+
+    path = str(tmp_path)
+    lock_path = os.path.join(path, LOCK_FILE)
+
+    # stale crash leftover -> broken, then acquired with A's token
+    with open(lock_path, "w") as f:
+        f.write("deadcafe 99999")
+    old = time.time() - LOCK_STALE_SECONDS - 5
+    os.utime(lock_path, (old, old))
+    a = _publish_lock(path)
+    a.__enter__()
+    with open(lock_path) as f:
+        assert f.read().split()[0] == a.token
+    # the rename-claim leaves no residue
+    assert not [x for x in os.listdir(path) if ".break-" in x]
+
+    # A pauses past staleness; B legitimately breaks A's lock
+    os.utime(lock_path, (old, old))
+    b = _publish_lock(path)
+    b.__enter__()
+    with open(lock_path) as f:
+        assert f.read().split()[0] == b.token
+    # A resumes and exits: must see the token mismatch and leave B's lock
+    a.__exit__()
+    assert os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert f.read().split()[0] == b.token
+    b.__exit__()
+    assert not os.path.exists(lock_path)
+
+
+def test_paused_writer_broken_lock_conflict_detected(spark, tmp_path):
+    """Lock-break / optimistic-conflict interplay: writer A stalls
+    mid-publish long enough to look stale, writer B breaks A's lock and
+    lands an overlapping upsert. When A resumes, safety comes from the
+    per-bucket based_on check — A aborts with ConcurrentWriteError and B's
+    write survives untouched."""
+    import copy
+    import os
+    import time
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+        LOCK_FILE,
+        _publish,
+        _publish_lock,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=2,
+    )
+    snap_a = copy.deepcopy(_read_manifest(path))
+
+    # A acquires the publish lock (simulating mid-publish) and stalls
+    a = _publish_lock(path)
+    a.__enter__()
+    lock_path = os.path.join(path, LOCK_FILE)
+    old = time.time() - 9999
+    os.utime(lock_path, (old, old))
+
+    # B's full upsert breaks the apparently-stale lock and publishes
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 100)], "k string, v int"), key="k"
+    )
+    after_b = _read_manifest(path)
+    changed = [d for d in snap_a["live"] if snap_a["live"][d] != after_b["live"][d]]
+    assert changed  # B really rewrote a bucket
+
+    # A resumes: its lock release is a harmless no-op (B already released
+    # its own), and its stale-snapshot publish on the overlapping bucket
+    # must abort before any manifest change
+    a.__exit__()
+    assert _read_manifest(path) == after_b
+    staged = str(tmp_path / "staged")
+    os.makedirs(os.path.join(staged, changed[0]))
+    with pytest.raises(ConcurrentWriteError):
+        _publish(path, staged, [changed[0]], based_on=snap_a)
+    assert _read_manifest(path) == after_b
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert got == {"a": 100, "b": 2, "c": 3}
+
+
+def test_multibucket_upsert_single_snapshot_reader(spark, tmp_path, monkeypatch):
+    """One cross-bucket snapshot: a reader resolving DURING a multi-bucket
+    publish sees either the whole upsert or none of it. Files move into the
+    live tree first, but the manifest — the only thing a reader consults —
+    flips once; pin it by reading the table after EVERY file rename into
+    the live tree (each intermediate point of the publish) and asserting
+    the pre-upsert state, then the post state after the manifest replace."""
+    import os
+
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    path = str(tmp_path / "tbl")
+    rows = [(f"k{i}", i) for i in range(16)]
+    write_keyed_table(
+        spark.createDataFrame(rows, "k string, v int"), path, key="k", n_buckets=4
+    )
+    pre = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+
+    live_prefix = os.path.join(path, "_bucket=")
+    observed = []
+    real_rename = os.rename
+
+    def spy_rename(src, dst):
+        real_rename(src, dst)
+        if str(dst).startswith(live_prefix) and str(dst).endswith(".parquet"):
+            spark.catalog.refreshByPath(path)
+            observed.append(
+                {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+            )
+
+    monkeypatch.setattr(U.os, "rename", spy_rename)
+    updates = spark.createDataFrame(
+        [(f"k{i}", 1000 + i) for i in range(16)], "k string, v int"
+    )
+    upsert_parquet(spark, path, updates, key="k")
+    monkeypatch.undo()
+
+    assert len(observed) >= 4  # every bucket rewritten -> >=4 live renames
+    for mid in observed:
+        assert mid == pre  # never a torn half-upsert state
+    spark.catalog.refreshByPath(path)
+    post = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert post == {f"k{i}": 1000 + i for i in range(16)}
+
+
+def test_vacuum_runs_outside_publish_lock(spark, tmp_path, monkeypatch):
+    """The O(n_buckets) vacuum sweep must run AFTER the publish lock is
+    released — an in-lock sweep at the 400k-bucket design point would
+    outlive LOCK_STALE_SECONDS and invite legitimate-looking lock breaks
+    (the lost-update seed). Also pins the split semantics: past-grace
+    garbage is pruned from the manifest in-lock and its files are gone
+    once the upsert returns."""
+    import os
+
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    path = str(tmp_path / "tbl")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=2,
+    )
+
+    seen = {}
+    real_vacuum = U._vacuum
+
+    def spy(p, manifest, deletable=None):
+        seen["lock_held"] = os.path.exists(os.path.join(p, U.LOCK_FILE))
+        seen["n_deletable"] = len(deletable or [])
+        return real_vacuum(p, manifest, deletable)
+
+    monkeypatch.setattr(U, "_vacuum", spy)
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 10)], "k string, v int"), key="k"
+    )
+    assert seen["lock_held"] is False
+    assert seen["n_deletable"] >= 1  # grace 0: the superseded file
+    m = U._read_manifest(path)
+    assert m["garbage"] == []  # pruned in-lock
+    # and the superseded physical files are gone
+    live = {f"{d}/{f}" for d, fs in m["live"].items() for f in fs}
+    on_disk = {
+        f"{d}/{f}"
+        for d in os.listdir(path)
+        if d.startswith("_bucket=")
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
