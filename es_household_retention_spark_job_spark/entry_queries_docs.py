@@ -487,12 +487,14 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of both ANN paths (LSH tables, IVF probe) against the exact
     brute-force top-k, computed fully distributed: approx∩exact via a
     semi-join on (query, neighbor), integer counts only (deterministic —
-    every underlying algorithm is RNG-free). One row per method."""
+    every underlying algorithm is RNG-free). One row per method.
+
+    This is the NEAR-ORTHOGONAL regime (the synthetic testdata corpus) —
+    LSH/IVF's documented worst case, where the published scanned fraction
+    is necessarily high; ``knn_ann_eval_clustered`` below publishes the
+    clustered-corpus complement where the indexes must actually prune."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
-    exact_pairs = S.knn_bruteforce(embs, queries, k=KNN_K).select(
-        "query_id", "neighbor_id"
-    )
     # ONE candidate frame per method (persisted — it feeds both the re-rank
     # and the scanned-fraction count, and the IVF path runs k-means once,
     # not twice); GLOBAL aggregates always emit exactly one row, so a
@@ -502,6 +504,21 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": S.lsh_candidates(embs, queries).persist(),
         "ivf": S.ivf_candidates(embs, queries).persist(),
     }
+    return _ann_eval_frame(spark, embs, queries, cand_by_method)
+
+
+def _ann_eval_frame(
+    spark: SparkSession,
+    embs: DataFrame,
+    queries: DataFrame,
+    cand_by_method: dict[str, DataFrame],
+) -> DataFrame:
+    """Shared recall/scanned-fraction counting plan for the ANN evals: one
+    row per candidate-generation method, everything computed distributed
+    and localized (2 tiny rows) before the candidate caches are released."""
+    exact_pairs = S.knn_bruteforce(embs, queries, k=KNN_K).select(
+        "query_id", "neighbor_id"
+    )
     per_method = []
     for method, cand in cand_by_method.items():
         hits = (
@@ -555,6 +572,32 @@ def knn_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cand in cand_by_method.values():
             cand.unpersist()
     return spark.createDataFrame(rows, result.schema)
+
+
+@register("knn_ann_eval_clustered", extra=True)  # rows-only, like
+# knn_ann_eval: the recall/scanned numbers ARE the evidence. This row is
+# the one the 100 TB similarity-search claim rests on — on a CLUSTERED
+# corpus (the realistic regime) the indexes must demonstrably prune:
+# expected scanned_bp ≤ 2000 at recall_bp ≥ 9000, floors pinned in
+# tests/test_docs_pipeline.py.
+def knn_ann_eval_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k and scanned fraction of both ANN paths on the deterministic
+    CLUSTERED corpus (operators/evalcorpus.py: 64 clusters × 64 points,
+    intra-cluster cos ≈ 0.90) — the complement to ``knn_ann_eval``'s
+    near-orthogonal worst case. Index knobs follow the documented
+    clustered-corpus sizing: 0-probe LSH (cluster-mates agree on almost
+    every sign bit, so the home bucket suffices), IVF with one cell per
+    expected cluster and 4 probes. Independent of ``sf_dir`` by design:
+    the corpus is a fixed synthetic eval set, not a scale-out table."""
+    from .operators.evalcorpus import clustered_embeddings
+
+    embs = clustered_embeddings(spark)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    cand_by_method = {
+        "lsh": S.lsh_candidates(embs, queries, n_flip=0).persist(),
+        "ivf": S.ivf_candidates(embs, queries, n_cells=64, n_probe=4).persist(),
+    }
+    return _ann_eval_frame(spark, embs, queries, cand_by_method)
 
 
 # The LSH hyperplanes are deterministic (±1 signs from the portable md5
