@@ -188,7 +188,13 @@ def main() -> None:
     except Exception as exc:  # streaming bench must never sink the batch run
         full_stats["streaming"] = {"err": repr(exc)}
 
-    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    # full-stats artifact: BENCH_LOCAL.json for the default sf0.1 run;
+    # override with SPARK_GRAFT_BENCH_OUT for the committed per-SF
+    # artifacts (e.g. BENCH_SF1.json from the sf1 rehearsal corpus)
+    local_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
     with open(local_path, "w") as fh:
         json.dump(full_stats, fh, indent=1)
         fh.write("\n")

@@ -457,6 +457,14 @@ def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(list_contains(list(DISTINCT event_type), 'purchase') AS BOOLEAN)
                   AS has_purchase
        FROM events WHERE event_type IS NOT NULL GROUP BY user_id""",
+    # round-6 slot rotation: every array op here also rides a driver slot
+    # (explode → month_grid, array_join → string_battery, collect_list →
+    # pack_history_stats), so this battery double-covered its class; its
+    # freed driver slot goes to sessionize_events_chunked so the skew-safe
+    # per-key-window rewrite — a class nothing else driver-gates — gets a
+    # hash-checked CORRECTNESS row. Still oracle-checked here per round via
+    # EXTRA_CORRECTNESS.json.
+    extra=True,
 )
 def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: collect_set/sort/size/element_at/join/contains
@@ -523,14 +531,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .entry_queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 
-@register("sessionize_events_chunked", _ORACLE_SQL["sessionize_events"], extra=True)
+@register("sessionize_events_chunked", _ORACLE_SQL["sessionize_events"])
 def sessionize_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-level sessionization (operators/sessionize.py::
     sessionize_chunked): per-(user, day-chunk) local windows + a tiny
     per-chunk boundary-merge pass, so a mega-user can never serialize into
     one task — per-key windows are the one skew AQE cannot split, and this
     is the rewrite that removes it. Hash-checked against the SAME DuckDB
-    oracle as the plain formulation."""
+    oracle as the plain formulation; promoted to a driver slot in round 6
+    (taking array_battery's, which double-covered its class) so the
+    skew-safe path is verified by the external gate, not just pytest."""
     events = load_table(spark, sf_dir, "events")
     return session_stats(
         events,

@@ -41,6 +41,71 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
+
+#: explicit override for the chunked-window exchange width (tasks); unset →
+#: derived from the input size estimate below
+CHUNK_WIDTH_CONF = "spark.spark_graft.chunkedWindowWidth"
+#: per-task byte target for the derivation; unset → Spark's own AQE
+#: advisory partition size (the sizing AQE would have applied had the
+#: exchange not been pinned against its byte-coalescing)
+CHUNK_TARGET_BYTES_CONF = "spark.spark_graft.chunkedWindowTargetBytes"
+
+
+def chunked_exchange_width(df: DataFrame) -> int:
+    """Exchange width (task count) for the skew-safe chunked-window
+    operators (``sessionize_chunked`` / ``asof_join_chunked``).
+
+    Those operators pin their (key, chunk) exchange with
+    REPARTITION_BY_NUM because AQE's byte-based coalescing folds the
+    narrow, well-compressed window input into one task — reintroducing
+    exactly the per-key serialization they exist to remove. A pinned
+    width must therefore come from somewhere else; a fixed
+    ``defaultParallelism * 2`` holds at bench scale but under-splits once
+    the input outgrows ``2 × cores × target-partition-bytes``. Derivation:
+
+    * ``spark.spark_graft.chunkedWindowWidth`` set → use it verbatim (the
+      documented operational escape hatch);
+    * else ``ceil(estimated input bytes / target)`` where target is
+      ``spark.spark_graft.chunkedWindowTargetBytes`` or Spark's own AQE
+      advisory partition size — i.e. the same per-task byte budget AQE
+      applies when IT sizes an exchange;
+    * clamped to [defaultParallelism × 2, defaultParallelism × 32]: the
+      floor keeps small inputs at the measured-healthy bench width (and
+      full cluster width under skew), the cap bounds the damage of a bad
+      Catalyst size estimate (join/filter stats multiply, and an unknown
+      size reads as 8 EB).
+
+    The estimate is Catalyst's optimized-plan ``sizeInBytes`` — driver-side
+    metadata (file sizes for scans, propagated estimates above them), no
+    job is triggered."""
+    spark = df.sparkSession
+    explicit = spark.conf.get(CHUNK_WIDTH_CONF, None)
+    if explicit:
+        return max(1, int(explicit))
+    dp = spark.sparkContext.defaultParallelism
+    floor, cap = dp * 2, dp * 32
+    target_conf = spark.conf.get(CHUNK_TARGET_BYTES_CONF, None)
+    try:
+        if target_conf:
+            target = int(target_conf)
+        else:
+            advisory = spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            )
+            target = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    advisory
+                )
+            )
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if size >= 1 << 50:  # unknown/absurd estimate — fall back to floor
+            return floor
+        return max(floor, min(cap, -(-size // max(target, 1))))
+    except Exception:  # py4j surface drift must never break the operator
+        return floor
+
 #: modulus for portable modular arithmetic: largest prime < 2^31. Products
 #: like ``(h % P) * 131`` stay < 2^38, far inside BIGINT in both engines.
 P31 = 2147483647

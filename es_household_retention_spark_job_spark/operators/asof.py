@@ -19,6 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import chunked_exchange_width
+
 
 def _tag_union(
     probe: DataFrame,
@@ -128,12 +130,13 @@ def asof_join_chunked(
     )
     # the repartition pins the exchange width against AQE's byte-based
     # coalescing — see sessionize_chunked for the measured single-task
-    # collapse this prevents
+    # collapse this prevents; width derived from the unioned input's size
+    # estimate (functions.chunked_exchange_width)
     unioned = unioned.withColumn(
         "_chunk",
         F.floor(F.unix_timestamp(F.col(ts_col)) / chunk_seconds),
     ).repartition(
-        probe.sparkSession.sparkContext.defaultParallelism * 2,
+        chunked_exchange_width(unioned),
         *keys,
         F.col("_chunk"),
     )

@@ -11,7 +11,7 @@ Scale design (the point of each formulation):
   rows per doc shuffle, so candidate generation is O(#docs × #bands), never
   O(#docs²). Verification touches candidate pairs only.
 * **simhash** — one explode + partial-aggregated groupBy per doc; banded
-  Hamming join (4 byte-chunks) again avoids the quadratic pair space.
+  Hamming join (4 × 15-bit chunks) again avoids the quadratic pair space.
 * **n-gram Jaccard** — inverted-index join (explode n-grams, equi-join on the
   n-gram hash) with a document-frequency cap on candidate generation
   (``MAX_SHINGLE_DF``): hot boilerplate shingles never enter the self-join,
@@ -40,8 +40,17 @@ MINHASH_K = 32
 BAND_ROWS = 4
 N_BANDS = MINHASH_K // BAND_ROWS
 JACCARD_MIN_BP = 6000  # basis points
-#: SimHash: 32-bit signatures, 4 byte-chunks, Hamming radius 8.
-SIMHASH_BITS = 32
+#: SimHash: 60-bit signatures (the full h60 shingle hash), 4 chunks of 15
+#: bits, Hamming radius 8. Chunk width is the quadratic-blowup knob: banded
+#: candidate generation is O(#chunks · n²/2^width), so 8-bit chunks (the
+#: original 32-bit/4-chunk shape) put ~n/256 docs in every bucket — measured
+#: 41× on the 10× sf1→sf10 step (SCALING.md). 15-bit chunks give 32k buckets
+#: per band (the same n²/2^w law, deferred ~128×) while the pigeonhole
+#: guarantee is unchanged: any pair within Hamming 3 (< #chunks) still
+#: shares an intact chunk; radius 4..8 remains probabilistic, as before.
+#: At 100 TB scale, width keeps growing with the corpus (Manku et al.,
+#: WWW'07 use 64-bit prints and permuted prefix tables — same recipe).
+SIMHASH_BITS = 60
 SIM_CHUNKS = 4
 HAMMING_MAX = 8
 
@@ -412,8 +421,9 @@ def duplicate_clusters(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """32-bit SimHash per doc: per-shingle 32-bit hash, ±1 vote per bit
-    position, bit set where the vote sum is positive. Explode + one
+    """SIMHASH_BITS-wide SimHash per doc (60 bits — the full h60
+    shingle hash): ±1 vote per bit position, bit set where the vote sum
+    is positive. Explode + one
     partially-aggregated groupBy(doc)."""
     grams = shingle_sets(df, text_col, id_col)
     g32 = (F.col("g") % F.lit(1 << SIMHASH_BITS)).alias("g32")
@@ -441,8 +451,11 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = HAMMING_MAX,
 ) -> DataFrame:
-    """Banded SimHash near-dup pairs: docs sharing any of 4 byte-chunks are
-    candidates; verified with bit_count(xor) ≤ radius."""
+    """Banded SimHash near-dup pairs: docs sharing any of SIM_CHUNKS
+    15-bit chunks are candidates; verified with bit_count(xor) ≤ radius.
+    Chunk width bounds the random-collision candidate mass at
+    O(#chunks · n²/2^width) — see the constants block for the measured
+    blowup narrower chunks caused."""
     sigs = simhash_signatures(df, text_col, id_col).cache()
     chunk_w = SIMHASH_BITS // SIM_CHUNKS
     chunks = sigs.select(

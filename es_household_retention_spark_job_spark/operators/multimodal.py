@@ -4,14 +4,19 @@ struct, and run decode / feature-extract / frame-sample as Arrow-batched
 Pandas operations via ``mapInPandas``.
 
 The codec (`decode_image`) is REAL for image headers: Pillow when
-importable (full pixel access), else a pure-stdlib parser for the PNG IHDR
-and GIF logical-screen descriptors (width/height/mode from the published
-container formats — no library needed). Payloads that aren't a recognized
+importable (full pixel access), else pure-stdlib parsers for PNG IHDR,
+GIF logical-screen descriptors, and JPEG SOF frames (width/height/mode
+from the published container formats — no library needed). Pixel access
+without Pillow covers 8-bit RGB PNG (all five row filters) and
+non-interlaced palette GIF (full LZW decompression) — both
+decompression-bomb-guarded; JPEG is dims-only (a full Huffman+IDCT
+baseline decode is Pillow's job). Payloads that aren't a recognized
 image fall through to the deterministic identity fake (`_fake_decode`), so
 the synthetic text-payload testdata still exercises the full Arrow
-plumbing, while PNG fixtures in tests/test_docs_pipeline.py prove actual
-decoded dimensions end-to-end. Deep media transforms (resample, full frame
-extraction) would sit behind the same hooks with ffmpeg in production.
+plumbing, while mixed PNG/GIF/JPEG fixtures in
+tests/test_docs_pipeline.py prove actual decoded dimensions end-to-end.
+Deep media transforms (resample, full frame extraction) would sit behind
+the same hooks with ffmpeg in production.
 
 Scale design: ``mapInPandas`` streams Arrow record batches through each task
 (no row-at-a-time pickling, no driver collect); payload bytes never leave
@@ -166,12 +171,14 @@ def decode_image(payload: bytes) -> dict | None:
     not a recognized image.
 
     Pillow when available (decodes every format it knows); otherwise a
-    pure-stdlib parse of the two self-describing containers we commit test
-    fixtures for: PNG (signature + IHDR — width/height are bytes 16..24
-    big-endian, color type byte 25) and GIF87a/89a (logical screen
-    width/height, little-endian at bytes 6..10). Returns
-    ``{"width", "height", "mode"}``. Runs inside the Arrow batch loop —
-    must never raise on arbitrary bytes."""
+    pure-stdlib parse of the three self-describing containers we commit
+    test fixtures for: PNG (signature + IHDR — width/height are bytes
+    16..24 big-endian, color type byte 25), GIF87a/89a (logical screen
+    width/height, little-endian at bytes 6..10), and JPEG (SOF marker
+    scan, ``_jpeg_dims`` — a real crawl is mostly JPEG, so the
+    dimensions-only fallback keeps the features pipeline informative even
+    without Pillow). Returns ``{"width", "height", "mode"}``. Runs inside
+    the Arrow batch loop — must never raise on arbitrary bytes."""
     if _HAVE_PIL:
         import io
 
@@ -192,6 +199,53 @@ def decode_image(payload: bytes) -> dict | None:
             "height": int.from_bytes(payload[8:10], "little"),
             "mode": "P",
         }
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_dims(payload)
+    return None
+
+
+#: SOF0..SOF15 markers that carry frame dimensions (ITU T.81 §B.2.2);
+#: C4/C8/CC are DHT/JPG/DAC, not frames
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(payload: bytes) -> dict | None:
+    """JPEG dimensions via an SOF marker scan (ITU T.81 Annex B): walk the
+    marker segments from SOI, skipping entropy-free segments by their
+    declared length, until a start-of-frame marker yields
+    (precision, height, width, #components). Dimensions only — a full
+    baseline decode (Huffman + IDCT) is Pillow's job; this keeps the
+    never-raise contract and real dims for the ~70% of a web crawl that is
+    JPEG. Returns None on anything malformed or truncated."""
+    n = len(payload)
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: give up
+            return None
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None
+        if marker in _JPEG_SOF:
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if len(body) < 6:
+                return None
+            return {
+                "width": int.from_bytes(body[3:5], "big"),
+                "height": int.from_bytes(body[1:3], "big"),
+                "mode": {1: "L", 3: "RGB", 4: "CMYK"}.get(body[5], "unknown"),
+            }
+        pos += 2 + seglen
     return None
 
 
@@ -284,6 +338,125 @@ def _png_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     return w, h, bytes(out)
 
 
+def _gif_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Stdlib GIF pixel decode → (width, height, raw RGB bytes), or None.
+
+    Implements the published GIF89a spec (W3C/CompuServe): logical screen
+    descriptor, global/local color table, extension-block skipping, and
+    the variable-code-size LZW decompression of the first image's data
+    sub-blocks. Supported subset: non-interlaced, first frame covering the
+    full logical screen (the overwhelmingly common still-image case);
+    interlaced or partial frames return None (Pillow's job when
+    installed). Same decompression-bomb posture as the PNG path: declared
+    dims are capped BEFORE decoding and the LZW loop emits at most
+    width×height indices, so a crafted stream cannot expand past the
+    pixel budget. Never raises on arbitrary bytes."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    if not w or not h or w * h > MAX_DECODE_PIXELS:
+        return None
+    flags = payload[10]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 7))
+        gct = payload[pos : pos + n]
+        if len(gct) < n:
+            return None
+        pos += n
+    # skip extension blocks (0x21 label, then length-prefixed sub-blocks)
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos + 10 > len(payload) or payload[pos] != 0x2C:
+        return None
+    ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+    iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+    iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    iflags = payload[pos + 9]
+    pos += 10
+    if (ix, iy, iw, ih) != (0, 0, w, h) or iflags & 0x40:  # partial/interlaced
+        return None
+    palette = gct
+    if iflags & 0x80:
+        n = 3 * (2 << (iflags & 7))
+        palette = payload[pos : pos + n]
+        if len(palette) < n:
+            return None
+        pos += n
+    if palette is None or pos >= len(payload):
+        return None
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        return None
+    data = bytearray()
+    while pos < len(payload):
+        bs = payload[pos]
+        pos += 1
+        if bs == 0:
+            break
+        data += payload[pos : pos + bs]
+        pos += bs
+        if pos > len(payload):
+            return None
+    # LZW (GIF variant): codes packed LSB-first, size grows 1 bit when the
+    # table fills to 2^size, table capped at 4096, reset on the clear code
+    npix = w * h
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = int.from_bytes(bytes(data), "little")
+    total_bits = 8 * len(data)
+    bitpos = 0
+    code_size = min_code + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    prev: tuple[int, ...] | None = None
+    indices: list[int] = []
+    while len(indices) < npix:
+        if bitpos + code_size > total_bits:
+            return None
+        code = (bits >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        indices.extend(entry)
+        prev = entry
+    if len(indices) < npix:
+        return None
+    pal_n = len(palette) // 3
+    out = bytearray()
+    for idx in indices[:npix]:
+        if idx >= pal_n:
+            return None
+        out += palette[3 * idx : 3 * idx + 3]
+    return w, h, bytes(out)
+
+
 def _png_encode_rgb(w: int, h: int, rgb: bytes) -> bytes:
     """Stdlib 8-bit RGB PNG encode (filter 0 rows; fixed zlib level so the
     bytes are deterministic for a given zlib build)."""
@@ -315,9 +488,13 @@ def resize_image(payload: bytes, max_side: int) -> dict | None:
     (never upscales). Returns {"width", "height", "payload"} with a PNG
     payload, or None when the bytes aren't a decodable image.
 
-    Pillow when available; otherwise the stdlib RGB PNG decode above with
-    nearest-neighbor sampling (``src = (dst · src_len) // dst_len`` — pure
-    integer math). Determinism is PER BACKEND: within one codec backend
+    Pillow when available; otherwise the stdlib pixel decodes above (RGB
+    PNG, or palette GIF via ``_gif_decode_rgb``) with nearest-neighbor
+    sampling (``src = (dst · src_len) // dst_len`` — pure integer math).
+    JPEG has no stdlib pixel path (dims-only ``_jpeg_dims``), so JPEG
+    payloads resize to null under the stdlib backend — stamped per table
+    via the sink's ``writer_env`` so a mixed-backend corpus is detectable.
+    Determinism is PER BACKEND: within one codec backend
     the output is reproducible run-over-run, but Pillow's thumbnail
     rounding and PNG encoder differ from the stdlib path, so a cluster
     must pin one backend corpus-wide (the same rule as any codec
@@ -340,7 +517,7 @@ def resize_image(payload: bytes, max_side: int) -> dict | None:
                 }
         except Exception:
             return None
-    decoded = _png_decode_rgb(payload)
+    decoded = _png_decode_rgb(payload) or _gif_decode_rgb(payload)
     if decoded is None:
         return None
     w, h, rgb = decoded

@@ -11,6 +11,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import chunked_exchange_width
+
 
 def sessionize(
     df: DataFrame,
@@ -77,10 +79,11 @@ def sessionize_chunked(
     # mega-key window ran 10.8s in a single task) — reintroducing exactly
     # the serialization this operator exists to remove. An explicit
     # repartition is REPARTITION_BY_NUM, which AQE never coalesces; both
-    # window subtrees branch from it and inherit the pinned width.
-    spark = df.sparkSession
+    # window subtrees branch from it and inherit the pinned width, which is
+    # derived from the input size estimate (functions.chunked_exchange_width
+    # — conf-overridable, floored at the measured-healthy bench width).
     chunked = df.withColumn("_chunk", F.floor(sec / chunk_seconds)).repartition(
-        spark.sparkContext.defaultParallelism * 2, *keys, F.col("_chunk")
+        chunked_exchange_width(df), *keys, F.col("_chunk")
     )
 
     wl = Window.partitionBy(*keys, "_chunk").orderBy(*order)

@@ -162,12 +162,16 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert all(r.cluster_size == 12 for r in rows)
 
 
-def test_simhash_signature_is_32bit(spark, docs):
+def test_simhash_signature_fits_declared_bits(spark, docs):
     sigs = D.simhash_signatures(docs)
     row = sigs.agg(
         F.min("simhash").alias("lo"), F.max("simhash").alias("hi")
     ).first()
-    assert row.lo >= 0 and row.hi < (1 << 32)
+    assert row.lo >= 0 and row.hi < (1 << D.SIMHASH_BITS)
+    # and the width actually spans the declared top chunk (a silent 32-bit
+    # truncation would leave the high bits all-zero and re-open the
+    # n²/256 candidate blowup the 60-bit widening fixed)
+    assert row.hi >= (1 << (D.SIMHASH_BITS - D.SIMHASH_BITS // D.SIM_CHUNKS))
 
 
 def test_media_plumbing_schema_and_fanout(spark, docs):
@@ -653,3 +657,155 @@ def test_pagerank_fixed_point_matches_pure_python_recurrence(spark):
         rank = {n: teleport + (DAMP_NUM * m[n]) // DAMP_DEN for n in nodes}
     assert got == rank
     assert all(got[1] > got[leaf] for leaf in (2, 3, 4))  # hub outranks leaves
+
+
+def _gif_full_bytes(
+    width: int, height: int, colors: list[tuple[int, int, int]], pixels: list[int]
+) -> bytes:
+    """Complete valid GIF89a (public spec): 128-entry global color table
+    and the first frame LZW-coded with the classic 'uncompressed GIF'
+    technique — min code size 7, every pixel a literal 8-bit code, a clear
+    code injected every 100 literals so the decoder's table never reaches
+    256 and the code size stays at 8 bits (byte-aligned stream)."""
+    assert len(pixels) == width * height and len(colors) <= 128
+    pal = b"".join(bytes(c) for c in colors) + b"\x00" * (3 * (128 - len(colors)))
+    clear, end = 128, 129
+    codes: list[int] = [clear]
+    for i, p in enumerate(pixels):
+        if i and i % 100 == 0:
+            codes.append(clear)
+        codes.append(p)
+    codes.append(end)
+    stream = bytes(codes)  # 8-bit codes pack to one byte each, LSB-first
+    blocks = b"".join(
+        bytes([len(stream[i : i + 255])]) + stream[i : i + 255]
+        for i in range(0, len(stream), 255)
+    )
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x80 | 0x06, 0, 0])  # GCT, 2<<6 = 128 entries
+        + pal
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"  # frame at (0,0)
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"  # no LCT, not interlaced
+        + b"\x07"  # LZW min code size
+        + blocks
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def _jpeg_bytes(width: int, height: int, ncomp: int = 3) -> bytes:
+    """JPEG header fixture (ITU T.81): SOI, JFIF APP0, and an SOF0 frame
+    carrying the dimensions — sufficient for the dims-only SOF scan (no
+    entropy-coded data; a full baseline stream would need Huffman/DQT
+    tables and is exactly what the stdlib path does NOT decode)."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    sof = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([ncomp])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0"
+        + (len(app0) + 2).to_bytes(2, "big")
+        + app0
+        + b"\xff\xc0"
+        + (len(sof) + 2).to_bytes(2, "big")
+        + sof
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_sof_dims_parse():
+    """_jpeg_dims reads dimensions from the SOF marker and never raises on
+    malformed bytes; decode_image routes JPEG payloads to it under the
+    stdlib backend (Pillow refuses the pixel-less header fixture, which is
+    the correct full-decode behavior there)."""
+    d = M._jpeg_dims(_jpeg_bytes(640, 480))
+    assert (d["width"], d["height"], d["mode"]) == (640, 480, "RGB")
+    assert M._jpeg_dims(_jpeg_bytes(33, 7, ncomp=1))["mode"] == "L"
+    if not M._HAVE_PIL:
+        got = M.decode_image(_jpeg_bytes(640, 480))
+        assert (got["width"], got["height"]) == (640, 480)
+    # malformed variants: truncated, no-SOF, bad length — None, no raise
+    assert M._jpeg_dims(b"\xff\xd8\xff") is None
+    assert M._jpeg_dims(_jpeg_bytes(640, 480)[:12]) is None
+    assert M._jpeg_dims(b"\xff\xd8\xff\xd9") is None
+    assert M._jpeg_dims(b"\xff\xd8\xff\xe0\x00\x01") is None
+
+
+def test_gif_lzw_pixel_decode_and_resize():
+    """_gif_decode_rgb is a real LZW decoder: a checkerboard GIF (wide
+    enough to cross the in-stream clear-code reset) decodes to the exact
+    palette-mapped RGB bytes; resize_image integrates the GIF path; bomb
+    and corruption guards return None without raising."""
+    colors = [(200, 10, 50), (0, 255, 0)]
+    w, h = 130, 3  # 390 px: crosses the every-100-codes clear boundary
+    pixels = [(x + y) % 2 for y in range(h) for x in range(w)]
+    gif = _gif_full_bytes(w, h, colors, pixels)
+    got = M._gif_decode_rgb(gif)
+    assert got is not None
+    gw, gh, rgb = got
+    assert (gw, gh) == (w, h)
+    assert rgb == b"".join(bytes(colors[i]) for i in pixels)
+
+    if not M._HAVE_PIL:
+        solid = _gif_full_bytes(128, 64, [(9, 99, 199)], [0] * (128 * 64))
+        t = M.resize_image(solid, 64)
+        assert (t["width"], t["height"]) == (64, 32)
+        import hashlib
+
+        assert (
+            t["rgb_md5"] == hashlib.md5(bytes((9, 99, 199)) * (64 * 32)).hexdigest()
+        )
+        # the thumb itself round-trips through the PNG pixel decoder
+        back = M._png_decode_rgb(t["payload"])
+        assert back[0:2] == (64, 32)
+
+    # guards: truncated stream; declared dims over the pixel cap
+    assert M._gif_decode_rgb(gif[:25]) is None
+    bomb = bytearray(gif)
+    bomb[6:8] = (60000).to_bytes(2, "little")
+    bomb[8:10] = (60000).to_bytes(2, "little")
+    assert M._gif_decode_rgb(bytes(bomb)) is None
+
+
+def test_media_mixed_format_features_and_resize_end_to_end(spark):
+    """Mixed PNG/GIF/JPEG/text corpus through the Arrow mapInPandas
+    operators with per-format expectations: features decode dims for all
+    three image formats; resize produces pixels for the two stdlib pixel
+    paths (PNG, GIF) and nulls for dims-only JPEG and non-images — the
+    documented per-backend contract, stamped via codec_backend()."""
+    png = _png_bytes(40, 20, (1, 2, 3))
+    gif = _gif_full_bytes(30, 10, [(5, 6, 7)], [0] * 300)
+    jpg = _jpeg_bytes(123, 45)
+    rows = [
+        (1, bytearray(png), ("image/png", None)),
+        (2, bytearray(gif), ("image/gif", None)),
+        (3, bytearray(jpg), ("image/jpeg", None)),
+        (4, bytearray(b"plain text"), ("text/plain", None)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {r.doc_id: r for r in M.media_features(media).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].img_mode) == (40, 20, "RGB")
+    assert (feats[2].width, feats[2].height) == (30, 10)
+    assert feats[4].width is None
+    if not M._HAVE_PIL:
+        assert (feats[3].width, feats[3].height, feats[3].img_mode) == (123, 45, "RGB")
+
+    resized = {r.doc_id: r for r in M.media_resize(media, max_side=16).collect()}
+    assert resized[1].thumb is not None and resized[1].width == 16
+    assert resized[4].thumb is None
+    if not M._HAVE_PIL:
+        assert resized[2].thumb is not None and (
+            resized[2].width,
+            resized[2].height,
+        ) == (16, 5)
+        assert resized[3].thumb is None  # JPEG: dims-only under stdlib

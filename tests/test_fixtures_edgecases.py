@@ -267,3 +267,147 @@ def test_chunked_asof_join_boundary_edges(spark):
     }
     assert plain == chunked
     assert chunked == {1: 100, 2: 101, 3: 200, 4: None, 5: None}
+
+
+def test_chunked_exchange_width_derivation(spark):
+    """Pins functions.chunked_exchange_width: floor at defaultParallelism*2
+    for small inputs (the measured-healthy bench width), size-derived
+    growth once the input outgrows the per-task byte target, cap at
+    defaultParallelism*32 against bad Catalyst estimates, and the explicit
+    conf override winning verbatim."""
+    from pyspark.sql import functions as F
+
+    from es_household_retention_spark_job_spark.functions import (
+        CHUNK_TARGET_BYTES_CONF,
+        CHUNK_WIDTH_CONF,
+        chunked_exchange_width,
+    )
+
+    dp = spark.sparkContext.defaultParallelism
+    small = spark.range(10).select(F.col("id").alias("x"))
+    assert chunked_exchange_width(small) == dp * 2
+
+    big = spark.range(1_000_000)  # ~8 MB by Catalyst stats, no job runs
+    spark.conf.set(CHUNK_TARGET_BYTES_CONF, "1")
+    try:
+        # 8M bytes / 1-byte target >> cap -> clamped to dp*32
+        assert chunked_exchange_width(big) == dp * 32
+    finally:
+        spark.conf.unset(CHUNK_TARGET_BYTES_CONF)
+    # a target equal to the whole input -> 1 task wanted -> floored
+    spark.conf.set(CHUNK_TARGET_BYTES_CONF, str(1 << 40))
+    try:
+        assert chunked_exchange_width(big) == dp * 2
+    finally:
+        spark.conf.unset(CHUNK_TARGET_BYTES_CONF)
+
+    spark.conf.set(CHUNK_WIDTH_CONF, "7")
+    try:
+        assert chunked_exchange_width(big) == 7
+    finally:
+        spark.conf.unset(CHUNK_WIDTH_CONF)
+
+
+def test_chunked_sessionization_randomized_equivalence(spark):
+    """Seeded 100-case property check: sessionize_chunked ≡ sessionize on
+    randomized event streams across EXTREME gap/chunk ratios — chunk barely
+    above gap (constant boundary merging), chunk >> gap (many sessions per
+    chunk), day-scale chunks with near-day gaps, plus exact-boundary
+    timestamps and duplicate timestamps. 5 configs x 20 random cases each;
+    every config's 20 cases union into ONE frame (case id in the key) so
+    the whole check costs 10 Spark jobs, not 200."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from es_household_retention_spark_job_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    rng = random.Random(20260814)
+    t0 = 1_767_225_600
+    configs = [  # (gap_seconds, chunk_seconds, time span)
+        (1, 2, 600),
+        (3600, 3601, 40 * 3600),
+        (10, 86_400, 3 * 86_400),
+        (86_399, 86_400, 20 * 86_400),
+        (1800, 3600, 10 * 86_400),
+    ]
+    for gap, chunk, span in configs:
+        rows = []
+        for case in range(20):
+            n = rng.randint(1, 60)
+            for _ in range(n):
+                r = rng.random()
+                if r < 0.15:  # exact chunk-boundary timestamp
+                    ts = t0 + rng.randrange(0, span, chunk)
+                elif r < 0.25:  # duplicate-prone small range
+                    ts = t0 + rng.randrange(10)
+                else:
+                    ts = t0 + rng.randrange(span)
+                rows.append((case, ts))
+        ev = spark.createDataFrame(rows, "user_id int, sec long").select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        )
+        key = lambda r: (r.user_id, r.session_id, str(r.session_start), str(r.session_end), r.n_events)
+        plain = sorted(
+            key(r) for r in session_stats(ev, ["user_id"], "ts", gap).collect()
+        )
+        chunked = sorted(
+            key(r)
+            for r in session_stats(
+                ev, ["user_id"], "ts", gap, chunk_seconds=chunk
+            ).collect()
+        )
+        assert plain == chunked, (gap, chunk)
+
+
+def test_chunked_asof_join_randomized_equivalence(spark):
+    """Seeded randomized property check for the value-carry rewrite:
+    asof_join_chunked ≡ asof_join across extreme chunk sizes (2 s — almost
+    every match carried from an earlier chunk — up to day-scale), with
+    build/probe timestamp ties, duplicate build timestamps (tiebreak
+    decides), and keys missing builds entirely. 60 random cases per config
+    in one frame; exact row-set equality."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from es_household_retention_spark_job_spark.operators.asof import (
+        asof_join,
+        asof_join_chunked,
+    )
+
+    rng = random.Random(20260815)
+    t0 = 1_767_225_600
+    span = 1200
+    for chunk in (2, 60, 86_400):
+        brows, prows = [], []
+        eid = 0
+        for case in range(60):
+            for _ in range(rng.randint(0, 8)):
+                eid += 1
+                brows.append((case, t0 + rng.randrange(span), eid, rng.randrange(1000)))
+            for _ in range(rng.randint(1, 8)):
+                eid += 1
+                prows.append((case, t0 + rng.randrange(span), eid))
+        build = spark.createDataFrame(
+            brows, "user_id int, sec long, event_id long, val int"
+        ).select(
+            "user_id",
+            F.timestamp_seconds("sec").alias("ts"),
+            "event_id",
+            "val",
+        )
+        probe = spark.createDataFrame(
+            prows, "user_id int, sec long, event_id long"
+        ).select(
+            "user_id", F.timestamp_seconds("sec").alias("ts"), "event_id"
+        )
+        args = (probe, build, ["user_id"], "ts", ["ts", "val"], "event_id")
+        key = lambda r: tuple(str(v) for v in r)
+        plain = sorted(key(r) for r in asof_join(*args).collect())
+        chunked = sorted(
+            key(r) for r in asof_join_chunked(*args, chunk_seconds=chunk).collect()
+        )
+        assert plain == chunked, chunk

@@ -1,9 +1,22 @@
 """Regenerate the SCALING.md header table: per-query wall time across
 sf0.001 / sf0.01 / sf0.1 (steady-state second run per cell, local[32]).
-Prints the markdown rows; paste into SCALING.md."""
+Prints the markdown rows; paste into SCALING.md.
+
+Pass SF dirs as argv to measure a different ladder (e.g. the sf1→sf10
+linearity spot-check over the replicated rehearsal corpora):
+
+    python tools/gen_scaling.py /tmp/sf1 /tmp/sf10
+
+With a custom ladder the knn_* rows are skipped by default: knn_bruteforce
+is corpus×queries quadratic BY DESIGN (the documented exact baseline) and
+knn_lsh on the near-orthogonal corpus is scan-bound (see
+knn_ann_eval_clustered for the pruning demo) — at sf10 both would burn
+minutes demonstrating an already-documented property. Set
+SPARK_GRAFT_SCALING_ALL=1 to include them anyway."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -20,7 +33,12 @@ QUERIES = [
     ("knn_lsh", "embeddings (500→2000 rows)"),
     ("doc_fingerprint", "documents (500→5000 rows)"),
 ]
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+SFS = sys.argv[1:] or DEFAULT_SFS
 
 
 def main() -> None:
@@ -40,14 +58,15 @@ def main() -> None:
         fn(spark, sf).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    skip_knn = sys.argv[1:] and not os.environ.get("SPARK_GRAFT_SCALING_ALL")
     for name, table in QUERIES:
+        if skip_knn and name.startswith("knn_"):
+            continue
         cells = [run(name, sf) for sf in SFS]
-        r1 = cells[1] / cells[0]
-        r2 = cells[2] / cells[1]
-        print(
-            f"| {name} | {table} | {cells[0]:.2f}s | {cells[1]:.2f}s "
-            f"| {r1:.1f}x | {cells[2]:.2f}s | {r2:.1f}x |"
-        )
+        row = f"| {name} | {table} | {cells[0]:.2f}s |"
+        for prev, cur in zip(cells, cells[1:]):
+            row += f" {cur:.2f}s | {cur / prev:.1f}x |"
+        print(row)
     spark.stop()
 
 
