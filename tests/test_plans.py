@@ -212,9 +212,7 @@ def test_chunked_sessionize_never_exchanges_events_by_user_alone(spark):
     frame, whose offsets broadcast back. A user-only hashpartitioning of
     the event columns (width > summary) would reintroduce the mega-user
     serialization this operator exists to remove."""
-    from es_household_retention_spark_job_spark.entry_queries import EXTRA_QUERIES
-
-    df = EXTRA_QUERIES["sessionize_events_chunked"](spark, SF_DIR)
+    df = q(spark, "sessionize_events_chunked")
     plan = P.explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan  # offsets join, never a shuffle join
     assert P.count_shuffles(df) <= 4
