@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .entry_queries import register
-from .operators.asof import asof_join, asof_join_chunked
-from .operators.sessionize import session_stats
+from .operators.asof import asof_join, asof_join_auto, asof_join_chunked
+from .operators.sessionize import session_stats, sessionize_auto
 from .sources.tpch import load_table
 
 
@@ -552,6 +552,25 @@ def sessionize_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sessionize_events_auto", _ORACLE_SQL["sessionize_events"], extra=True)
+def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive sessionization (operators/sessionize.py::sessionize_auto):
+    one sampled hottest-key pre-pass chooses the plain single-window plan
+    or the skew-safe chunked rewrite at the measured ~1M-rows/key crossover
+    (conf ``spark.spark_graft.hotKeyThresholdRows``). Output is identical
+    either way, so it registers against the SAME oracle as both fixed
+    forms — the correctness claim is strategy-independence."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize_auto(
+        events, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register(
     "null_semantics_battery",
     """SELECT o_orderkey,
@@ -735,6 +754,30 @@ def asof_purchase_view_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id"
     )
     return asof_join_chunked(
+        purchases,
+        views,
+        keys=["user_id"],
+        ts_col="ts",
+        build_cols=["event_id"],
+        tiebreak_col="event_id",
+    )
+
+
+@register("asof_purchase_view_auto", _ORACLE_SQL["asof_purchase_view"], extra=True)
+def asof_purchase_view_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive as-of join (operators/asof.py::asof_join_auto): a sampled
+    hottest-key pre-pass picks plain vs chunked at the measured crossover
+    (~1M rows/key, conf-overridable) — the production default that never
+    hands a bot-shaped key to a single-task sort. Same oracle as both
+    fixed-strategy forms."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join_auto(
         purchases,
         views,
         keys=["user_id"],

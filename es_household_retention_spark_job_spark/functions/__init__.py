@@ -18,6 +18,8 @@ whole-stage codegen, so the hot path at 100 TB is pure Tungsten.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,6 +107,61 @@ def chunked_exchange_width(df: DataFrame) -> int:
         return max(floor, min(cap, -(-size // max(target, 1))))
     except Exception:  # py4j surface drift must never break the operator
         return floor
+
+
+#: per-key row count above which the auto window operators switch to the
+#: chunked (skew-safe) formulation; default is the measured local wall-time
+#: crossover (~1M events/key, SCALING.md "Mega-key windows") — below it the
+#: chunked rewrite's extra passes cost more than the serial window saves
+HOT_KEY_THRESHOLD_CONF = "spark.spark_graft.hotKeyThresholdRows"
+HOT_KEY_THRESHOLD_DEFAULT = 1_000_000
+#: sample fraction for the hot-key pre-pass scan
+HOT_KEY_SAMPLE_CONF = "spark.spark_graft.hotKeySampleFraction"
+HOT_KEY_SAMPLE_DEFAULT = 0.01
+
+
+def hot_key_estimate(
+    df: DataFrame, keys: Sequence[str], fraction: float | None = None
+) -> float:
+    """Estimated row count of the HOTTEST key in ``df`` — the signal the
+    ``*_auto`` window operators branch on (plain per-key window vs the
+    skew-safe chunked rewrite).
+
+    One sampling job: ``sample(f) → groupBy(keys).count → max``, scaled by
+    1/f. Only the key columns reach the scan (column pruning), the per-key
+    count partial-aggregates map-side, and sampling shrinks the shuffle by
+    ~1/f, so the pre-pass is a cheap key-column scan even at 100 TB — the
+    price of never handing a 100M-row bot key to a single-task sort.
+
+    Accuracy is what the decision needs, no more: a key at the default
+    1M-row threshold yields ~10k sampled rows at f=0.01 (relative error
+    ~1%, Chernoff-tight), so true mega-keys are never missed; keys NEAR the
+    threshold may land on either side, which is harmless — both strategies
+    are correct and their costs cross over exactly there. Moderate keys
+    whose sampled count is 0 read as estimate 0, also harmless."""
+    spark = df.sparkSession
+    if fraction is None:
+        fraction = float(
+            spark.conf.get(HOT_KEY_SAMPLE_CONF, None) or HOT_KEY_SAMPLE_DEFAULT
+        )
+    row = (
+        df.select(*keys)
+        .sample(fraction=fraction, seed=42)
+        .groupBy(*keys)
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    mx = row["mx"] if row else None
+    return (mx or 0) / fraction
+
+
+def hot_key_threshold(spark) -> int:
+    """The conf-overridable per-key row threshold for the auto operators."""
+    return int(
+        spark.conf.get(HOT_KEY_THRESHOLD_CONF, None) or HOT_KEY_THRESHOLD_DEFAULT
+    )
+
 
 #: modulus for portable modular arithmetic: largest prime < 2^31. Products
 #: like ``(h % P) * 131`` stay < 2^38, far inside BIGINT in both engines.

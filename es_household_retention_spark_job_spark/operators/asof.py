@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import chunked_exchange_width
+from ..functions import chunked_exchange_width, hot_key_estimate, hot_key_threshold
 
 
 def _tag_union(
@@ -175,3 +175,34 @@ def asof_join_chunked(
         .where(F.col("_side") == 1)
     )
     return _matched_select(matched, keys, ts_col, probe_extra, carry, suffix)
+
+
+def asof_join_auto(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    build_cols: Sequence[str],
+    tiebreak_col: str,
+    suffix: str = "_asof",
+    chunk_seconds: int = 86_400,
+    threshold_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Adaptive as-of join: plain ``asof_join`` unless the sampled
+    hottest-key estimate over probe∪build (the stream the window actually
+    sorts) crosses the threshold, then the skew-safe chunked rewrite.
+    Identical output either way — the choice is purely physical (see
+    ``sessionize.choose_window_strategy`` for the measured crossover and
+    the OOM argument)."""
+    keys = list(keys)
+    spark = probe.sparkSession
+    if threshold_rows is None:
+        threshold_rows = hot_key_threshold(spark)
+    stream = probe.select(*keys).unionByName(build.select(*keys))
+    est = hot_key_estimate(stream, keys, sample_fraction)
+    impl = asof_join_chunked if est >= threshold_rows else asof_join
+    kwargs = {"chunk_seconds": chunk_seconds} if impl is asof_join_chunked else {}
+    return impl(
+        probe, build, keys, ts_col, build_cols, tiebreak_col, suffix, **kwargs
+    )

@@ -11,7 +11,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import chunked_exchange_width
+from ..functions import chunked_exchange_width, hot_key_estimate, hot_key_threshold
 
 
 def sessionize(
@@ -124,6 +124,51 @@ def sessionize_chunked(
         )
         .drop("_chunk", "_lsid", "_merges", "_offset")
     )
+
+
+def choose_window_strategy(
+    df: DataFrame,
+    keys: Sequence[str],
+    threshold_rows: int | None = None,
+    fraction: float | None = None,
+) -> tuple[str, float]:
+    """Pick ``"plain"`` vs ``"chunked"`` for a per-key window over ``df``
+    from a sampled hottest-key estimate (one cheap key-column pre-pass;
+    see ``functions.hot_key_estimate`` for cost/accuracy).
+
+    The crossover is real and measured (SCALING.md "Mega-key windows"): at
+    sf1-skew (200k-event hot key) the plain window wins 2.3s vs 4.1s, at an
+    8M-event mega-key the chunked rewrite wins 4.9s vs 11.1s — and beyond
+    wall time, the plain form must SORT one key's whole history in a single
+    task (guaranteed spill/OOM for a 100M-row bot key at 100 TB), so the
+    auto mode is the production default: pay one sampling scan, serialize
+    nothing you can't afford to."""
+    if threshold_rows is None:
+        threshold_rows = hot_key_threshold(df.sparkSession)
+    est = hot_key_estimate(df, keys, fraction)
+    return ("chunked" if est >= threshold_rows else "plain", est)
+
+
+def sessionize_auto(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    chunk_seconds: int = 86_400,
+    order_tiebreak: Sequence[str] = (),
+    threshold_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Adaptive sessionization: ``sessionize`` when no key is hot enough to
+    matter, ``sessionize_chunked`` when the sampled hottest-key estimate
+    crosses the threshold (conf ``spark.spark_graft.hotKeyThresholdRows``).
+    Output is identical either way — the choice is purely physical."""
+    strategy, _ = choose_window_strategy(df, keys, threshold_rows, sample_fraction)
+    if strategy == "chunked":
+        return sessionize_chunked(
+            df, keys, ts_col, gap_seconds, chunk_seconds, order_tiebreak
+        )
+    return sessionize(df, keys, ts_col, gap_seconds, order_tiebreak)
 
 
 def session_stats(

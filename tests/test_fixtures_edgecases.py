@@ -411,3 +411,115 @@ def test_chunked_asof_join_randomized_equivalence(spark):
             key(r) for r in asof_join_chunked(*args, chunk_seconds=chunk).collect()
         )
         assert plain == chunked, chunk
+
+
+def test_auto_window_strategy_selection(spark):
+    """The adaptive per-key-window mode branches on a sampled hottest-key
+    estimate: uniform keys stay on the plain single-window plan, a hot key
+    crossing the threshold flips to the chunked rewrite, and the conf
+    override moves the threshold. fraction=1.0 makes the estimate exact so
+    the branch is deterministic."""
+    from pyspark.sql import functions as F
+
+    from es_household_retention_spark_job_spark.functions import (
+        HOT_KEY_THRESHOLD_CONF,
+        hot_key_estimate,
+        hot_key_threshold,
+    )
+    from es_household_retention_spark_job_spark.operators.sessionize import (
+        choose_window_strategy,
+    )
+
+    t0 = 1_767_225_600
+    uniform = spark.createDataFrame(
+        [(u, t0 + i) for u in range(10) for i in range(5)], "user_id int, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    hot = uniform.unionByName(
+        spark.createDataFrame(
+            [(99, t0 + i) for i in range(200)], "user_id int, sec long"
+        ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    )
+
+    assert hot_key_estimate(uniform, ["user_id"], fraction=1.0) == 5
+    assert hot_key_estimate(hot, ["user_id"], fraction=1.0) == 200
+
+    s, est = choose_window_strategy(
+        uniform, ["user_id"], threshold_rows=100, fraction=1.0
+    )
+    assert (s, est) == ("plain", 5)
+    s, est = choose_window_strategy(hot, ["user_id"], threshold_rows=100, fraction=1.0)
+    assert (s, est) == ("chunked", 200)
+
+    # threshold default + conf override
+    assert hot_key_threshold(spark) == 1_000_000
+    spark.conf.set(HOT_KEY_THRESHOLD_CONF, "123")
+    try:
+        assert hot_key_threshold(spark) == 123
+        s, _ = choose_window_strategy(hot, ["user_id"], fraction=1.0)
+        assert s == "chunked"
+    finally:
+        spark.conf.unset(HOT_KEY_THRESHOLD_CONF)
+
+
+def test_auto_operators_strategy_independent_output(spark):
+    """sessionize_auto / asof_join_auto produce identical rows whichever
+    side of the threshold the input lands on — the choice is physical
+    only. Both branches are forced by moving threshold_rows around the
+    exact (fraction=1.0) estimate."""
+    from pyspark.sql import functions as F
+
+    from es_household_retention_spark_job_spark.operators.asof import (
+        asof_join_auto,
+    )
+    from es_household_retention_spark_job_spark.operators.sessionize import (
+        sessionize_auto,
+    )
+
+    t0 = 1_767_225_600
+    ev = spark.createDataFrame(
+        [(u, t0 + i * 900 * (u + 1), u * 1000 + i) for u in range(4) for i in range(30)],
+        "user_id int, sec long, event_id long",
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_id"
+    )
+    key = lambda r: tuple(str(v) for v in r)
+    outs = [
+        sorted(
+            key(r)
+            for r in sessionize_auto(
+                ev,
+                ["user_id"],
+                "ts",
+                gap_seconds=1800,
+                chunk_seconds=7200,
+                order_tiebreak=["event_id"],
+                threshold_rows=thr,
+                sample_fraction=1.0,
+            ).collect()
+        )
+        for thr in (1, 10**9)  # chunked branch, then plain branch
+    ]
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 120
+
+    probe = ev.where(F.col("event_id") % 3 == 0)
+    build = ev.where(F.col("event_id") % 3 != 0)
+    asof_outs = [
+        sorted(
+            key(r)
+            for r in asof_join_auto(
+                probe,
+                build,
+                keys=["user_id"],
+                ts_col="ts",
+                build_cols=["event_id"],
+                tiebreak_col="event_id",
+                chunk_seconds=7200,
+                threshold_rows=thr,
+                sample_fraction=1.0,
+            ).collect()
+        )
+        for thr in (1, 10**9)
+    ]
+    assert asof_outs[0] == asof_outs[1]
+    assert len(asof_outs[0]) == probe.count()
