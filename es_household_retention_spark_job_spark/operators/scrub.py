@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import ensure_parallelism
 from .text import tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
@@ -58,6 +59,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     codegen, nothing shuffles, and the scrubbed column replaces the raw one
     in the output parquet so downstream stages never see the unredacted
     bytes."""
+    df = ensure_parallelism(df)
     clean = scrubbed_text(text_col)
     counts = [
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
@@ -117,6 +119,7 @@ def boilerplate_ngrams(
 ) -> DataFrame:
     """The corpus's boilerplate list: (ngram, n_docs) for every n-gram in
     ≥ BOILER_MIN_DOCS distinct docs (see ``_boiler_list``)."""
+    df = ensure_parallelism(df)
     return _boiler_list(df.select(F.explode(_doc_ngrams(text_col)).alias("ngram")))
 
 
@@ -139,6 +142,7 @@ def boilerplate_profile(
     The marker list is NOT broadcast-hinted — it is unbounded-but-small, so
     AQE downgrades the shuffle join to broadcast exactly when it fits (same
     policy as tfidf's df side)."""
+    df = ensure_parallelism(df)
     ex = df.select(id_col, F.explode(_doc_ngrams(text_col)).alias("ngram"))
     boiler = _boiler_list(ex).select("ngram", F.lit(1).alias("_is_b"))
     per_doc = (

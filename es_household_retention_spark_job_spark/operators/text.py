@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import P_FP, h60
+from ..functions import P_FP, ensure_parallelism, h60
 
 #: lowercase word tokens (ASCII letters/digits; multibyte chars are token
 #: breaks in both Java regex and RE2 — keep the class ASCII for portability).
@@ -100,6 +100,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     array is materialized in a first projection so the ~11 expressions
     referencing it share one tokenization (see ``word_ngrams`` on why
     derived arrays are staged as columns)."""
+    df = ensure_parallelism(df)
     staged = df.select(id_col, tokens(text_col).alias("_toks"))
     hits, pred = _lang_pred(F.col("_toks"))
     return staged.select(
@@ -112,6 +113,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), punctuation count, byte
     length, and mean whitespace-token length in integer centi-chars."""
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     ws_toks = F.filter(F.split(t, "\\s+"), lambda x: x != "")
     n_ws = F.size(ws_toks)
@@ -170,6 +172,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     count — integer basis-point ratios and a boolean ``keep`` verdict
     (C4-style pipeline gate for corpus filtering). Tokens staged as a
     column: one tokenization feeds all metrics."""
+    df = ensure_parallelism(df)
     staged = df.select(
         id_col, F.col(text_col).alias("_t"), tokens(text_col).alias("_toks")
     )
@@ -213,6 +216,7 @@ def tfidf_top_terms(
     join to broadcast at runtime when the vocabulary actually is small."""
     from pyspark.sql import Window
 
+    df = ensure_parallelism(df)
     terms = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -252,6 +256,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (``acc*B + h(tok) mod P``): a compact document fingerprint whose equality
     implies (w.h.p.) identical token streams — the exact-dup key that is
     robust to whitespace/case/punctuation noise."""
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     hashed = F.transform(toks, lambda tk: h60(tk) % P_FP)
     fp = F.aggregate(
@@ -286,6 +291,7 @@ def repetition_profile(
     text metrics. The DuckDB oracle recomputes the mode relationally
     (unnest → count → row_number) and must agree exactly.
     """
+    df = ensure_parallelism(df)
     staged = df.select(
         id_col, word_ngrams(tokens(text_col), 2).alias("_bigrams")
     )
@@ -374,6 +380,7 @@ def sequence_packing(
 
     from ..functions import h60
 
+    df = ensure_parallelism(df)
     h = h60(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
     n_tok = F.size(tokens(text_col)).cast("long")
     base = df.select(
@@ -423,6 +430,7 @@ def curation_verdict(
     tokenization and one n-gram build — measured 2.4× the whole scan at
     sf0.1 vs the single-expression form.
     """
+    df = ensure_parallelism(df)
     staged = df.select(
         id_col, F.col(text_col).alias("_t"), tokens(text_col).alias("_toks")
     ).select(
