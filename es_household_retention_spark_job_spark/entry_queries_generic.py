@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .entry_queries import register
 from .operators.asof import asof_join, asof_join_auto, asof_join_chunked
-from .operators.sessionize import session_stats, sessionize_auto
+from .operators.sessionize import session_stats
 from .sources.tpch import load_table
 
 
@@ -561,13 +561,13 @@ def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     either way, so it registers against the SAME oracle as both fixed
     forms — the correctness claim is strategy-independence."""
     events = load_table(spark, sf_dir, "events")
-    s = sessionize_auto(
-        events, ["user_id"], "ts", gap_seconds=1800, order_tiebreak=["event_id"]
-    )
-    return s.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
+    return session_stats(
+        events,
+        ["user_id"],
+        "ts",
+        gap_seconds=1800,
+        order_tiebreak=["event_id"],
+        auto=True,
     )
 
 

@@ -144,6 +144,8 @@ def hot_key_estimate(
         fraction = float(
             spark.conf.get(HOT_KEY_SAMPLE_CONF, None) or HOT_KEY_SAMPLE_DEFAULT
         )
+    if not 0.0 < fraction <= 1.0:  # degenerate conf must not sink the query
+        fraction = HOT_KEY_SAMPLE_DEFAULT
     row = (
         df.select(*keys)
         .sample(fraction=fraction, seed=42)

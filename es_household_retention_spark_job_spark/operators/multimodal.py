@@ -408,7 +408,6 @@ def _gif_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     # table fills to 2^size, table capped at 4096, reset on the clear code
     npix = w * h
     clear, end = 1 << min_code, (1 << min_code) + 1
-    bits = int.from_bytes(bytes(data), "little")
     total_bits = 8 * len(data)
     bitpos = 0
     code_size = min_code + 1
@@ -419,7 +418,15 @@ def _gif_decode_rgb(payload: bytes) -> tuple[int, int, bytes] | None:
     while len(indices) < npix:
         if bitpos + code_size > total_bits:
             return None
-        code = (bits >> bitpos) & ((1 << code_size) - 1)
+        # read from a 4-byte sliding window, never a whole-stream big int:
+        # ``(bits >> bitpos)`` over one big integer copies the entire
+        # remaining stream per code — O(bytes²) total, measured 36s for an
+        # 800×800 GIF and hours at the 16 MP cap, a CPU bomb the pixel cap
+        # does not bound. A code is ≤ 12 bits, so byte-aligned window + ≤7
+        # bit shift always covers it.
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0 : byte0 + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
         bitpos += code_size
         if code == clear:
             code_size = min_code + 1

@@ -178,10 +178,16 @@ def session_stats(
     gap_seconds: int,
     order_tiebreak: Sequence[str] = (),
     chunk_seconds: int | None = None,
+    auto: bool = False,
 ) -> DataFrame:
     """One row per session: bounds and event count. ``chunk_seconds``
-    selects the skew-safe two-level formulation (same output)."""
-    if chunk_seconds is not None:
+    selects the skew-safe two-level formulation, ``auto`` the sampled
+    hot-key branch between the two (same output either way)."""
+    if auto:
+        s = sessionize_auto(
+            df, keys, ts_col, gap_seconds, chunk_seconds or 86_400, order_tiebreak
+        )
+    elif chunk_seconds is not None:
         s = sessionize_chunked(
             df, keys, ts_col, gap_seconds, chunk_seconds, order_tiebreak
         )

@@ -147,7 +147,12 @@ class _publish_lock:
     * breaking a stale lock goes through ``os.rename`` to a unique name —
       an atomic claim, so when N waiters race to break the same stale lock
       exactly one wins the rename and the losers retry; the blind-unlink
-      TOCTOU (two waiters both "break" it and both acquire) cannot happen;
+      TOCTOU (two waiters both "break" it and both acquire) cannot happen.
+      Because the staleness probe and the rename are two steps, the claim's
+      age (mtime survives rename) is RE-CHECKED after the rename: a fresh
+      lock that replaced the stale one in that window is restored via
+      ``os.link`` (atomic, refuses to clobber a third writer's lock)
+      instead of destroyed;
     * ``__exit__`` re-reads the file and unlinks only if it still holds
       this acquisition's token — if another writer broke our lock (e.g. we
       were paused past staleness) we must not release THEIR lock. Safety
@@ -178,6 +183,29 @@ class _publish_lock:
                         os.rename(self.lock_path, claim)
                     except FileNotFoundError:
                         continue  # another waiter claimed it first
+                    # the getmtime above and the rename are not atomic: the
+                    # stale lock may have been broken AND re-acquired by
+                    # another writer in between, in which case the file we
+                    # just claimed is a FRESH lock we must not destroy.
+                    # rename preserves mtime, so re-check on the claim.
+                    try:
+                        claimed_age = time.time() - os.path.getmtime(claim)
+                    except FileNotFoundError:
+                        continue
+                    if claimed_age <= LOCK_STALE_SECONDS:
+                        # stole a live lock — put it back atomically.
+                        # os.link refuses if a third writer already
+                        # re-created the path (EEXIST): then the rightful
+                        # owner's __exit__ finds a foreign token and skips
+                        # release, and write safety still rests on the
+                        # per-bucket optimistic conflict check.
+                        try:
+                            os.link(claim, self.lock_path)
+                        except FileExistsError:
+                            pass
+                        os.unlink(claim)
+                        time.sleep(0.05)
+                        continue
                     os.unlink(claim)
                     continue
                 if time.time() > deadline:
@@ -278,7 +306,16 @@ def _publish(
                     sorted(x for x in os.listdir(src_dir) if x.endswith(".parquet"))
                 ):
                     name = f"gen-{gen}-{i:05d}.parquet"
-                    os.rename(os.path.join(src_dir, f), os.path.join(path, d, name))
+                    dst = os.path.join(path, d, name)
+                    os.rename(os.path.join(src_dir, f), dst)
+                    # rename PRESERVES the staging write's mtime — a merge
+                    # whose Spark job outlived the GC grace would publish
+                    # files that already look past-grace to a concurrent
+                    # writer's out-of-lock stray sweep (which works from
+                    # ITS manifest snapshot and would delete them). Stamp
+                    # publish time so "fresh" means published-recently,
+                    # which is the property the sweep's safety rests on.
+                    os.utime(dst)
                     new_files.append(name)
             for old in manifest["live"].get(d, []):
                 manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})

@@ -777,6 +777,28 @@ def test_gif_lzw_pixel_decode_and_resize():
     assert M._gif_decode_rgb(bytes(bomb)) is None
 
 
+def test_gif_lzw_decode_linear_time():
+    """The LZW bit reader must read codes from a bounded sliding window,
+    not shift a whole-stream big integer: the big-int form was O(bytes²)
+    — measured 36s for one 800×800 GIF, hours at the 16 MP cap, a CPU
+    bomb the pixel-count guard does not bound. Pin linear behavior with a
+    generous wall bound (sliding-window decode of 800×800 measures
+    ~0.6s; the quadratic form cannot come within an order of magnitude)."""
+    import time
+
+    n = 800
+    colors = [(i, i, i) for i in range(128)]
+    pixels = [(x + y) % 128 for y in range(n) for x in range(n)]
+    gif = _gif_full_bytes(n, n, colors, pixels)
+    t0 = time.perf_counter()
+    got = M._gif_decode_rgb(gif)
+    dt = time.perf_counter() - t0
+    assert got is not None and (got[0], got[1]) == (n, n)
+    assert got[2][:6] == bytes([0, 0, 0, 1, 1, 1])
+    assert len(got[2]) == 3 * n * n
+    assert dt < 10.0, f"LZW decode took {dt:.1f}s — quadratic bit reader?"
+
+
 def test_media_mixed_format_features_and_resize_end_to_end(spark):
     """Mixed PNG/GIF/JPEG/text corpus through the Arrow mapInPandas
     operators with per-format expectations: features decode dims for all

@@ -9,8 +9,9 @@ sys.path.insert(0, "/root/repo")
 #: extra-registry queries whose plans are worth pinning next to the 50
 #: driver queries (skew-safe rewrites + the iterative/funnel shapes)
 EXTRA_PLANS = [
-    "sessionize_events_chunked",
     "asof_purchase_view_chunked",
+    "sessionize_events_auto",
+    "asof_purchase_view_auto",
     "funnel_view_click_purchase",
     "cube_revenue",
 ]

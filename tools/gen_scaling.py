@@ -59,6 +59,17 @@ def main() -> None:
         return time.perf_counter() - t0
 
     skip_knn = sys.argv[1:] and not os.environ.get("SPARK_GRAFT_SCALING_ALL")
+    # header matches the actual ladder (a custom ladder has fewer
+    # time/ratio column pairs than the default 3-SF run — pasting rows
+    # under the wrong header would silently misalign)
+    labels = [os.path.basename(s.rstrip("/")) for s in SFS]
+    hdr = f"| query | driver table | {labels[0]} |"
+    sep = "|---|---|---|"
+    for lab in labels[1:]:
+        hdr += f" {lab} | t/t |"
+        sep += "---|---|"
+    print(hdr)
+    print(sep)
     for name, table in QUERIES:
         if skip_knn and name.startswith("knn_"):
             continue
