@@ -428,6 +428,52 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture_sample demo parameters: 50/30/20 token split over three sources
+#: out of a 2000-token budget (the other 17 sources are dropped — unlisted
+#: means weight 0)
+MIX_WEIGHTS_BP = {"src0": 5000, "src1": 3000, "src2": 2000}
+MIX_TOTAL_TOKENS = 2000
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {bp}" for s, bp in sorted(MIX_WEIGHTS_BP.items()))
+    + " END"
+)
+
+
+@register(
+    "mixture_sample",
+    f"""WITH tk AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS BIGINT)
+                   AS n_tokens
+        FROM documents),
+    tot AS (SELECT source, SUM(n_tokens) AS src_tokens FROM tk GROUP BY source),
+    j AS (SELECT tk.doc_id, tk.source, tk.n_tokens, tot.src_tokens,
+                 CAST({_MIX_CASE} AS BIGINT) AS w_bp
+          FROM tk JOIN tot USING (source)
+          WHERE {_MIX_CASE} IS NOT NULL),
+    thr AS (SELECT doc_id, source, n_tokens,
+                   least(CAST(1000000 AS BIGINT),
+                         (tgt // src_tokens) * 1000000
+                         + ((tgt % src_tokens) * 1000000) // src_tokens)
+                       AS thresh_ppm
+            FROM (SELECT *, (CAST({MIX_TOTAL_TOKENS} AS BIGINT) * w_bp) // 10000
+                              AS tgt FROM j))
+    SELECT doc_id, source, n_tokens, thresh_ppm
+    FROM thr
+    WHERE {h60_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thresh_ppm""",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (operators/text.py::mixture_sample): sample
+    each source down to its share of a target token budget via a salted
+    portable-hash Bernoulli threshold — deterministic, windowless (no
+    per-source serialization), one tiny broadcast of per-source totals.
+    The composition step of a training-data pipeline, exact-hash-checked
+    against the DuckDB oracle because every arithmetic step is int64."""
+    return T.mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS_BP, MIX_TOTAL_TOKENS)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

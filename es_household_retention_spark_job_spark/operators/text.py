@@ -408,6 +408,78 @@ def sequence_packing(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights_bp: dict[str, int],
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget data mixing: sample each source down (deterministically)
+    so the output corpus approximates a target token mixture — THE
+    composition step of an LLM training-data pipeline (e.g. 50% web crawl /
+    30% code / 20% books out of a 2T-token budget).
+
+    ``weights_bp`` maps source → share of ``total_tokens`` in basis points;
+    unlisted sources are dropped. Per source, the target
+    ``total_tokens · bp / 10000`` converts to a keep-probability threshold
+    in ppm against the source's actual token count, and a doc survives iff
+    its salted portable hash falls under the threshold — Bernoulli
+    sampling whose expected token yield is the target (binomial
+    concentration makes the miss negligible at real budgets), chosen over
+    an exact cumulative-sum cut because it needs NO per-source window (the
+    per-key serialization this module's operators keep designing out) and
+    stays reproducible under task retry (never ``rand()``).
+
+    Shape at 100 TB: one partial-aggregated pass for per-source token
+    totals (|sources| rows, broadcast back) + one filter scan. The
+    threshold arithmetic is exact int64 (the tfidf div/mod decomposition,
+    no float division an oracle could disagree with) up to ~9e12 tokens
+    per source (~37 TB of text); an oversubscribed source (target > its
+    corpus) caps at keeping everything — upsampling beyond 1.0 epoch is
+    repetition, a different operator's job.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    per_doc = df.select(id_col, source_col, n_tok.alias("n_tokens"))
+    totals = per_doc.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("_src_tokens")
+    )
+    wmap = F.create_map(
+        *[x for s, bp in sorted(weights_bp.items()) for x in (F.lit(s), F.lit(bp))]
+    )
+    h = h60(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    return (
+        per_doc.join(F.broadcast(totals), source_col)
+        .withColumn("_w_bp", wmap[F.col(source_col)].cast("long"))
+        # unlisted source → null weight → dropped HERE: least() skips nulls
+        # in both engines, so a null ppm would otherwise read as threshold
+        # 1e6 and keep the whole source instead of none of it
+        .where(F.col("_w_bp").isNotNull())
+        .withColumn(
+            "_target",
+            F.expr(f"(CAST({int(total_tokens)} AS BIGINT) * _w_bp) div 10000"),
+        )
+        # exact int64 ppm via the tfidf div/mod decomposition:
+        # (t div s)·1e6 + ((t mod s)·1e6) div s  — no float division
+        .withColumn(
+            "_thresh_ppm",
+            F.expr(
+                "least(CAST(1000000 AS BIGINT),"
+                " (_target div _src_tokens) * 1000000"
+                " + ((_target % _src_tokens) * 1000000) div _src_tokens)"
+            ),
+        )
+        .where((h % 1_000_000) < F.col("_thresh_ppm"))
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            F.col("_thresh_ppm").alias("thresh_ppm"),
+        )
+    )
+
+
 #: Gopher-style repetition gates (basis points), applied by curation_verdict
 MAX_DUP_BIGRAM_BP = 2000
 MAX_TOP_BIGRAM_BP = 1800

@@ -831,3 +831,36 @@ def test_media_mixed_format_features_and_resize_end_to_end(spark):
             resized[2].height,
         ) == (16, 5)
         assert resized[3].thumb is None  # JPEG: dims-only under stdlib
+
+
+def test_mixture_sample_thresholds_and_edges(spark):
+    """mixture_sample: exact int64 ppm thresholds, unlisted sources dropped
+    entirely (not kept — least() skips nulls in both engines, the bug this
+    pins), an oversubscribed source capped at keeping everything, and a
+    sampled token yield near the target on a corpus big enough for
+    binomial concentration."""
+    from es_household_retention_spark_job_spark.operators.text import (
+        mixture_sample,
+    )
+
+    rows = [
+        (i, "w " + "tok " * 9, "big" if i < 2000 else ("tiny" if i < 2010 else "other"))
+        for i in range(2200)
+    ]  # 10 tokens/doc: big=20k tokens, tiny=100, other=1900
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_sample(
+        docs, {"big": 5000, "tiny": 5000}, total_tokens=4000
+    ).collect()
+
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert "other" not in by_src  # unlisted -> dropped, not kept
+    # big: target 2000 of 20000 tokens -> threshold exactly 100000 ppm
+    assert {r.thresh_ppm for r in by_src["big"]} == {100_000}
+    # tiny: target 2000 of 100 tokens -> oversubscribed, capped: ALL kept
+    assert {r.thresh_ppm for r in by_src["tiny"]} == {1_000_000}
+    assert len(by_src["tiny"]) == 10
+    # yield concentrates near the target (2000 big tokens +- 40%)
+    got = sum(r.n_tokens for r in by_src["big"])
+    assert 1200 <= got <= 2800, got
