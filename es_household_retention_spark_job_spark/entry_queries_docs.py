@@ -428,6 +428,37 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split",
+    f"""WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node),
+    rep AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN lab l USING (doc_id))
+    SELECT doc_id, rep_id,
+           {h60_sql("'lsplit:' || CAST(rep_id AS VARCHAR)")} % 100 AS split_pct,
+           CASE WHEN {h60_sql("'lsplit:' || CAST(rep_id AS VARCHAR)")} % 100 < 90
+                THEN 'train'
+                WHEN {h60_sql("'lsplit:' || CAST(rep_id AS VARCHAR)")} % 100 < 95
+                THEN 'val' ELSE 'test' END AS split
+    FROM rep""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (operators/dedup.py::
+    leakage_safe_split): the split hashes each doc's duplicate-cluster
+    representative, so a near-copy can never land in test while its twin
+    trains — corpus_split's eval-integrity upgrade. Oracle recomputes the
+    closure as a recursive CTE and the same portable hash."""
+    docs = _docs(spark, sf_dir)
+    return D.leakage_safe_split(docs, D.minhash_lsh_pairs(docs))
+
+
 #: mixture_sample demo parameters: 50/30/20 token split over three sources
 #: out of a 2000-token budget (the other 17 sources are dropped — unlisted
 #: means weight 0)

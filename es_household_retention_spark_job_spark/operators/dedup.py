@@ -584,3 +584,47 @@ def canonical_per_cluster(
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle — the
+    eval-integrity guarantee a naive per-document split silently breaks
+    (a test doc whose near-copy sits in train is a leaked answer, the
+    benchmark-contamination failure mode measured by
+    ``decontamination_overlap``).
+
+    Every doc is assigned a REPRESENTATIVE: its near-dup cluster's min id
+    (``duplicate_clusters`` over ``pairs``), or itself for singletons. The
+    split decision hashes the representative, not the doc — so an entire
+    duplicate cluster lands on one side, deterministically (portable
+    salted hash, never ``rand()``; a task retry re-splits identically).
+
+    Shape at 100 TB: the label propagation already bounds the clusters
+    pass; the split itself is one left join of the (duplicate-incident
+    docs only) label frame onto the id spine plus a hash filter — no
+    window, no skew surface beyond the join AQE already handles.
+    """
+    labels = duplicate_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    pct = h60(F.concat(F.lit("lsplit:"), rep.cast("string"))) % 100
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            rep.alias("rep_id"),
+            pct.cast("long").alias("split_pct"),
+            F.when(pct < train_pct, "train")
+            .when(pct < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

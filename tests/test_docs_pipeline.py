@@ -864,3 +864,30 @@ def test_mixture_sample_thresholds_and_edges(spark):
     # yield concentrates near the target (2000 big tokens +- 40%)
     got = sum(r.n_tokens for r in by_src["big"])
     assert 1200 <= got <= 2800, got
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Docs in one near-dup cluster (even via transitivity) get ONE split;
+    singletons split by their own id, matching corpus_split's marginal
+    distribution property."""
+    from es_household_retention_spark_job_spark.operators.dedup import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11)], "doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(rows) == 40
+    # transitive cluster {0,1,2} -> one rep (min id 0), one split
+    assert {rows[i].rep_id for i in (0, 1, 2)} == {0}
+    assert len({rows[i].split for i in (0, 1, 2)}) == 1
+    assert {rows[i].rep_id for i in (5, 6)} == {5}
+    assert len({rows[i].split for i in (5, 6)}) == 1
+    # singleton reps are themselves and all three splits are reachable
+    assert rows[20].rep_id == 20
+    assert {r.split for r in rows.values()} <= {"train", "val", "test"}
+    assert all(0 <= r.split_pct < 100 for r in rows.values())
