@@ -459,6 +459,34 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.leakage_safe_split(docs, D.minhash_lsh_pairs(docs))
 
 
+#: upsample_epochs demo: 2.3 epochs over the (tiny, high-quality by fiat)
+#: src0 slice — every doc twice, ~30% of docs a third time
+UPSAMPLE_X100 = 230
+
+
+@register(
+    "upsample_epochs",
+    f"""WITH src AS (SELECT doc_id, source FROM documents WHERE source = 'src0'),
+    n AS (SELECT doc_id, source,
+                 2 + CASE WHEN {h60_sql("'epoch:' || CAST(doc_id AS VARCHAR)")} % 100 < 30
+                          THEN 1 ELSE 0 END AS n_copies
+          FROM src)
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+    FROM n""",
+)
+def upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition (operators/text.py::upsample_epochs):
+    2.3 epochs of the src0 slice — floor copies for everyone plus a
+    salted-hash Bernoulli extra, deterministic and map-side only (explode
+    of a sequence, no shuffle). The upsampling half of the data-mixing
+    story; mixture_sample is the downsampling half."""
+    docs = _docs(spark, sf_dir).where(F.col("source") == "src0").select(
+        "doc_id", "source"
+    )
+    return T.upsample_epochs(docs, UPSAMPLE_X100)
+
+
 #: mixture_sample demo parameters: 50/30/20 token split over three sources
 #: out of a 2000-token budget (the other 17 sources are dropped — unlisted
 #: means weight 0)

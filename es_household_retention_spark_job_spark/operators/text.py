@@ -480,6 +480,38 @@ def mixture_sample(
     )
 
 
+def upsample_epochs(
+    df: DataFrame,
+    epochs_x100: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fractional-epoch repetition — ``mixture_sample``'s
+    complement: a rare high-quality source whose mixture weight demands
+    MORE than one pass over its corpus (e.g. 3.2 epochs) gets
+    ``floor(epochs)`` copies of every doc plus one extra copy for the
+    fraction of docs selected by a salted-hash Bernoulli draw, so the
+    expected emitted token count is exactly ``epochs × corpus`` and a task
+    retry re-emits identically (never ``rand()``).
+
+    Emits (row, ``copy_idx`` 1..n) via ``explode(sequence(...))`` — a pure
+    map-side fan-out, no shuffle, no window; at 100 TB the output is
+    written straight back out, so the only cost is the write itself."""
+    if epochs_x100 <= 0:
+        raise ValueError("epochs_x100 must be positive")
+    base, frac_pct = divmod(int(epochs_x100), 100)
+    extra = (
+        h60(F.concat(F.lit("epoch:"), F.col(id_col).cast("string"))) % 100
+        < frac_pct
+    ).cast("int")
+    n = (F.lit(base) + extra).cast("int")
+    return (
+        df.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
 #: Gopher-style repetition gates (basis points), applied by curation_verdict
 MAX_DUP_BIGRAM_BP = 2000
 MAX_TOP_BIGRAM_BP = 1800

@@ -891,3 +891,36 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     assert rows[20].rep_id == 20
     assert {r.split for r in rows.values()} <= {"train", "val", "test"}
     assert all(0 <= r.split_pct < 100 for r in rows.values())
+
+
+def test_upsample_epochs_deterministic_fanout(spark):
+    """upsample_epochs: floor(epochs) copies for every doc + a hash-chosen
+    fractional extra; exact expected count at frac=0 and 100; rejects
+    non-positive epochs; re-run emits identical rows (determinism)."""
+    from es_household_retention_spark_job_spark.operators.text import (
+        upsample_epochs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    # integral epochs: exactly n copies each
+    assert upsample_epochs(docs, 300).count() == 150
+    # fractional: between 2 and 3 copies, deterministic across runs
+    a = sorted((r.doc_id, r.copy_idx) for r in upsample_epochs(docs, 230).collect())
+    b = sorted((r.doc_id, r.copy_idx) for r in upsample_epochs(docs, 230).collect())
+    assert a == b
+    assert 100 <= len(a) <= 150
+    per_doc = {}
+    for d, c in a:
+        per_doc[d] = max(per_doc.get(d, 0), c)
+    assert set(per_doc.values()) <= {2, 3}
+    # copy_idx is dense 1..n per doc
+    assert all((d, i) in set(a) for d, n in per_doc.items() for i in range(1, n + 1))
+    # sub-epoch sampling also works (0.4 epochs: some docs, one copy)
+    frac = upsample_epochs(docs, 40).collect()
+    assert 0 < len(frac) < 50 and all(r.copy_idx == 1 for r in frac)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        upsample_epochs(docs, 0)
