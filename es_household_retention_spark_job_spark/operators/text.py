@@ -441,7 +441,13 @@ def mixture_sample(
     repetition, a different operator's job.
     """
     n_tok = F.size(tokens(text_col)).cast("long")
-    per_doc = df.select(id_col, source_col, n_tok.alias("n_tokens"))
+    # membership as an In predicate BEFORE anything else: it pushes into
+    # both parquet scans (docs + totals subtree), so unlisted sources are
+    # never tokenized or aggregated — at 100 TB the weights usually name a
+    # handful of sources out of thousands
+    per_doc = df.where(F.col(source_col).isin(*weights_bp)).select(
+        id_col, source_col, n_tok.alias("n_tokens")
+    )
     totals = per_doc.groupBy(source_col).agg(
         F.sum("n_tokens").alias("_src_tokens")
     )
