@@ -169,6 +169,79 @@ def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the quantile analog of the HLL contract above: the sketch estimate never
+# crosses engines; what hash-checks is the exact order statistic plus the
+# in-plan boolean that the sketch landed inside its guaranteed rank band
+@register(
+    "quantile_contract_orders",
+    """WITH v AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders),
+    r AS (SELECT o_orderpriority, cents,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents, o_orderkey) AS rk,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM v)
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS median_cents,
+           true AS approx_within_rank_band
+    FROM r GROUP BY o_orderpriority""",
+    extra=True,
+)
+def quantile_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with an accuracy CONTRACT — the 100 TB percentile
+    pattern: ``percentile_approx`` (Greenwald-Khanna style, constant memory
+    per group) next to the exact lower-median order statistic, plus an
+    in-plan boolean that the sketch's answer lies inside the value band of
+    ranks ``k ± ceil(n/accuracy)`` — the bound the sketch actually
+    guarantees (rank error, not value error). The engine-specific estimate
+    never crosses engines; the driver gate hash-checks the exact median
+    and the contract holding, exactly like the HLL row above. One exchange:
+    the rank window and the final agg share the group partitioning."""
+    from pyspark.sql import Window
+
+    accuracy = 100  # rank error ≤ ceil(n / accuracy)
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = v.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor((F.col("n") + 1) / 2)
+    d = F.ceil(F.col("n") / accuracy)
+    grouped = r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rk") == k, F.col("cents"))).alias("median_cents"),
+        F.max(F.when(F.col("rk") == F.greatest(k - d, F.lit(1)), F.col("cents"))).alias(
+            "_band_lo"
+        ),
+        F.max(
+            F.when(F.col("rk") == F.least(k + d, F.col("n")), F.col("cents"))
+        ).alias("_band_hi"),
+        F.percentile_approx("cents", 0.5, accuracy).alias("_approx"),
+    )
+    return grouped.select(
+        "o_orderpriority",
+        "n",
+        "median_cents",
+        (
+            (F.col("_approx") >= F.col("_band_lo"))
+            & (F.col("_approx") <= F.col("_band_hi"))
+        ).alias("approx_within_rank_band"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sorts / limits (O2-O3)
 # --------------------------------------------------------------------------
