@@ -83,6 +83,18 @@ FAMILY_QUERIES = [
     "curation_verdict",
 ]
 
+#: round-6 additions — benched in their own section for the same reason
+#: FAMILY_QUERIES is separate: the frozen headline/families totals stay
+#: apples-to-apples across rounds
+R6_QUERIES = [
+    "mixture_sample",
+    "upsample_epochs",
+    "leakage_safe_split",
+    "sessionize_events_auto",
+    "asof_purchase_view_auto",
+    "quantile_contract_orders",
+]
+
 REPS = 7
 FAMILY_REPS = 3
 WARMUP_PASSES = 2
@@ -153,6 +165,11 @@ def main() -> None:
     )
     families = {n: s["median"] for n, s in family_stats.items()}
 
+    r6_stats, _ = measure_suite(
+        {n: runner(n) for n in R6_QUERIES if n in all_queries}, FAMILY_REPS
+    )
+    r6 = {n: s["median"] for n, s in r6_stats.items()}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total_min = round(sum(s["min"] for s in stats.values()), 3)
@@ -180,6 +197,9 @@ def main() -> None:
         "families_total": round(sum(families.values()), 3),
         "families": families,
         "family_stats": family_stats,
+        "r6_total": round(sum(r6.values()), 3),
+        "r6": r6,
+        "r6_stats": r6_stats,
     }
     try:
         from es_household_retention_spark_job_spark.streaming.bench import streaming_bench

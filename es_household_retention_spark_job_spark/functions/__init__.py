@@ -158,6 +158,23 @@ def hot_key_estimate(
     return (mx or 0) / fraction
 
 
+def eager_cache(df: DataFrame) -> DataFrame:
+    """``cache()`` + immediate materialization (one ``count`` job).
+
+    A lazily-cached frame that feeds BOTH SIDES of a self-join (or any
+    plan referencing it twice in one action) gives no sharing on the first
+    action: the two subtrees race the first materialization and each
+    computes the full uncached plan — measured at sf10, the banded
+    minhash self-join ran the dominant shingle scan TWICE (~200
+    executor-seconds per copy, stages side by side in the UI) with the
+    cache populated only after the fact. Paying one upfront job pins the
+    compute to exactly once; every later subtree reads blocks (0.1s for
+    the 0.5 GB sf10 gram cache)."""
+    df = df.cache()
+    df.count()
+    return df
+
+
 def hot_key_threshold(spark) -> int:
     """The conf-overridable per-key row threshold for the auto operators."""
     return int(

@@ -30,7 +30,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import P31, ensure_parallelism, h60
+from ..functions import P31, eager_cache, ensure_parallelism, h60
 from .text import tokens, word_ngrams
 
 NGRAM_N = 3
@@ -83,22 +83,54 @@ def exact_canonical(
     )
 
 
+#: shingle hash selector: ``md5`` (default — the portable 60-bit hash the
+#: DuckDB oracle reproduces bit-for-bit) or ``xxhash64`` (JVM-native; the
+#: oracle-free production choice). Measured honestly at sf10 the swap is
+#: only ~5% of minhash_lsh's wall — the n-gram array construction, not
+#: the hash, dominates the shingle scan (SCALING.md round-6
+#: decomposition) — but the knob is free and the PAIR OUTPUT is
+#: hash-agnostic: Jaccard over hashed shingle sets depends only on set
+#: intersections, identical under any collision-free hash (equality
+#: pinned in tests).
+SHINGLE_HASH_CONF = "spark.spark_graft.shingleHash"
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:
     """(id, gh array<long>) — distinct word n-gram shingles, HASHED to
-    portable 60-bit longs inside this one projection. The shingle strings
-    never leave the operator: everything downstream (signatures, inverted
+    60-bit longs inside this one projection. The shingle strings never
+    leave the operator: everything downstream (signatures, inverted
     index, verification) shuffles/caches 8-byte longs instead of ~20-byte
-    strings, and the md5 runs exactly once per shingle occurrence. Docs with
-    fewer than ``n`` tokens are dropped."""
+    strings, and the hash runs exactly once per shingle occurrence. Docs
+    with fewer than ``n`` tokens are dropped. Hash family selected by
+    ``SHINGLE_HASH_CONF`` (portable md5 by default, xxhash64 for
+    oracle-free production runs)."""
     df = ensure_parallelism(df)
     # linear-time n-gram construction (text.word_ngrams — the naive
     # transform-over-indices form re-tokenizes the doc per index, O(len²));
-    # h60 runs on the materialized gram elements only
+    # the hash runs on the materialized gram elements only
     grams = word_ngrams(tokens(text_col), n)
-    gh = F.array_distinct(F.transform(grams, lambda g: h60(g)))
-    return df.select(id_col, gh.alias("gh")).where(F.size("gh") > 0)
+    fast = (
+        df.sparkSession.conf.get(SHINGLE_HASH_CONF, "md5") == "xxhash64"
+    )
+    if fast:
+        # mask to the same 60-bit range so every downstream modulus
+        # (minhash perms, band keys, P31 reduction) sees the same domain
+        hash_one = lambda g: F.xxhash64(g).bitwiseAND(F.lit((1 << 60) - 1))
+    else:
+        hash_one = h60
+    gh = F.array_distinct(F.transform(grams, hash_one))
+    # the short-doc filter MUST ride the cheap precursor, not the aliased
+    # output: ``.select(gh.alias("gh")).where(size("gh") > 0)`` makes
+    # Catalyst substitute the WHOLE shingle expression into the filter and
+    # the projection evaluates it again — no CSE across filter+project,
+    # the same class of trap as the HOF-lambda one (word_ngrams docstring).
+    # Measured at sf10: 33.6s → 6.0s for the identical output
+    # (size(gh) > 0  ⇔  at least one n-gram  ⇔  size(tokens) ≥ n).
+    return df.where(F.size(tokens(text_col)) >= n).select(
+        id_col, gh.alias("gh")
+    )
 
 
 def minhash_signature_from_hashes(ghashes: Column) -> Column:
@@ -171,8 +203,16 @@ def minhash_lsh_pairs(
     the band key (doc_a < doc_b), distinct. Verified against the exact n-gram
     Jaccard so LSH false positives never surface."""
     spark = df.sparkSession
-    grams = shingle_sets(df, text_col, id_col).cache()
-    bands = minhash_bands(grams, id_col).drop("gh")
+    # eager: the a/b self-join below references grams twice in one action;
+    # a lazy cache would let both subtrees recompute the full shingle scan
+    # (functions.eager_cache — measured 2x the dominant stage at sf10)
+    grams = eager_cache(shingle_sets(df, text_col, id_col))
+    # the slim (id, band_key) frame is ALSO eager-cached: the self-join
+    # below references it twice, and without this the 32-permutation
+    # signature transform (the heaviest map stage after shingling —
+    # ~200 executor-seconds at sf10) runs once per join side; the cache is
+    # 16 bytes × 8 bands per doc, negligible next to the gram arrays
+    bands = eager_cache(minhash_bands(grams, id_col).drop("gh"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -315,7 +355,7 @@ def ngram_jaccard_pairs(
     copies) is not generated — exact dedup and minhash banding are the
     operators that own that shape. The small-scale oracle-of-record;
     minhash above is the 100 TB path."""
-    grams = shingle_sets(df, text_col, id_col).cache()
+    grams = eager_cache(shingle_sets(df, text_col, id_col))
     cand = ngram_candidate_pairs(grams, id_col, max_df, min_bp)
     ga = grams.select(F.col(id_col).alias("doc_a"), F.col("gh").alias("ng_a"))
     gb = grams.select(F.col(id_col).alias("doc_b"), F.col("gh").alias("ng_b"))
@@ -456,7 +496,7 @@ def simhash_pairs(
     Chunk width bounds the random-collision candidate mass at
     O(#chunks · n²/2^width) — see the constants block for the measured
     blowup narrower chunks caused."""
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    sigs = eager_cache(simhash_signatures(df, text_col, id_col))
     chunk_w = SIMHASH_BITS // SIM_CHUNKS
     chunks = sigs.select(
         id_col,

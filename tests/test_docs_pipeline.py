@@ -924,3 +924,32 @@ def test_upsample_epochs_deterministic_fanout(spark):
 
     with _pt.raises(ValueError):
         upsample_epochs(docs, 0)
+
+
+def test_shingle_hash_family_agnostic_pairs(spark, docs):
+    """minhash_lsh_pairs' OUTPUT is hash-family agnostic: Jaccard over
+    hashed shingle sets depends only on set intersections, so the
+    xxhash64 production path (oracle-free, ~10x cheaper than portable
+    md5 — SCALING.md sf10 decomposition) must produce the same verified
+    pair set with the same scores. (Minhash signatures differ, so the
+    CANDIDATE sets can differ; the Jaccard-verified survivors with
+    jaccard >= threshold shared by both candidate sets must agree — here
+    the corpus is small enough that both bandings surface every true
+    pair, giving exact equality.)"""
+    from es_household_retention_spark_job_spark.operators.dedup import (
+        SHINGLE_HASH_CONF,
+        minhash_lsh_pairs,
+    )
+
+    md5_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard_bp) for r in minhash_lsh_pairs(docs).collect()
+    }
+    spark.conf.set(SHINGLE_HASH_CONF, "xxhash64")
+    try:
+        fast_pairs = {
+            (r.doc_a, r.doc_b, r.jaccard_bp)
+            for r in minhash_lsh_pairs(docs).collect()
+        }
+    finally:
+        spark.conf.unset(SHINGLE_HASH_CONF)
+    assert md5_pairs == fast_pairs and md5_pairs
