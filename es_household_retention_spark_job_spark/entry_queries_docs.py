@@ -448,6 +448,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {h60_sql("'lsplit:' || CAST(rep_id AS VARCHAR)")} % 100 < 95
                 THEN 'val' ELSE 'test' END AS split
     FROM rep""",
+    extra=True,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val/test split (operators/dedup.py::
@@ -474,6 +475,7 @@ UPSAMPLE_X100 = 230
     SELECT doc_id, source,
            CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
     FROM n""",
+    extra=True,
 )
 def upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch repetition (operators/text.py::upsample_epochs):
@@ -522,6 +524,7 @@ _MIX_CASE = (
     SELECT doc_id, source, n_tokens, thresh_ppm
     FROM thr
     WHERE {h60_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thresh_ppm""",
+    extra=True,
 )
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data mixing (operators/text.py::mixture_sample): sample
