@@ -207,7 +207,7 @@ def quantile_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     v = orders.select(
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        cents("o_totalprice").alias("cents"),
         "o_orderkey",
     )
     w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")

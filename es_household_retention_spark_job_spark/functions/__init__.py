@@ -169,7 +169,14 @@ def eager_cache(df: DataFrame) -> DataFrame:
     executor-seconds per copy, stages side by side in the UI) with the
     cache populated only after the fact. Paying one upfront job pins the
     compute to exactly once; every later subtree reads blocks (0.1s for
-    the 0.5 GB sf10 gram cache)."""
+    the 0.5 GB sf10 gram cache).
+
+    Trade-offs, both deliberate: (a) building the plan now runs Spark
+    jobs (plan-only tooling like gen_plans pays the materialization);
+    (b) entries stay cached for the session — which is what makes
+    repeated bench passes and multi-query reuse warm — bounded by the
+    corpus-derived frames' size, and released per-session (the driver
+    gate runs each round in a fresh session)."""
     df = df.cache()
     df.count()
     return df

@@ -88,15 +88,20 @@ def exact_canonical(
 #: oracle-free production choice). Measured honestly at sf10 the swap is
 #: only ~5% of minhash_lsh's wall — the n-gram array construction, not
 #: the hash, dominates the shingle scan (SCALING.md round-6
-#: decomposition) — but the knob is free and the PAIR OUTPUT is
-#: hash-agnostic: Jaccard over hashed shingle sets depends only on set
-#: intersections, identical under any collision-free hash (equality
-#: pinned in tests).
+#: decomposition) — but the knob is free and the JACCARD-FAMILY pair
+#: output is hash-agnostic: Jaccard depends only on set intersections,
+#: identical under any collision-free hash (equality pinned in tests).
+#: SimHash is NOT hash-agnostic (bits are functions of hash values), so
+#: ``simhash_signatures`` pins md5 and ignores this conf.
 SHINGLE_HASH_CONF = "spark.spark_graft.shingleHash"
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_N,
+    hash_family: str | None = None,
 ) -> DataFrame:
     """(id, gh array<long>) — distinct word n-gram shingles, HASHED to
     60-bit longs inside this one projection. The shingle strings never
@@ -111,9 +116,8 @@ def shingle_sets(
     # transform-over-indices form re-tokenizes the doc per index, O(len²));
     # the hash runs on the materialized gram elements only
     grams = word_ngrams(tokens(text_col), n)
-    fast = (
-        df.sparkSession.conf.get(SHINGLE_HASH_CONF, "md5") == "xxhash64"
-    )
+    family = hash_family or df.sparkSession.conf.get(SHINGLE_HASH_CONF, "md5")
+    fast = family == "xxhash64"
     if fast:
         # mask to the same 60-bit range so every downstream modulus
         # (minhash perms, band keys, P31 reduction) sees the same domain
@@ -448,6 +452,17 @@ def duplicate_clusters(
         labels = stepped.drop("_ch")
         if changed == 0:
             break
+    else:
+        # returning non-converged labels would SILENTLY split a transitive
+        # cluster (and leakage_safe_split would then let its members
+        # straddle train/test — the exact failure that operator exists to
+        # prevent). max_iters is a runaway bound for diameter; hitting it
+        # is an input-shape surprise the caller must hear about.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — the pair graph has a "
+            "component with diameter > max_iters; raise max_iters"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),

@@ -444,7 +444,10 @@ def mixture_sample(
     # membership as an In predicate BEFORE anything else: it pushes into
     # both parquet scans (docs + totals subtree), so unlisted sources are
     # never tokenized or aggregated — at 100 TB the weights usually name a
-    # handful of sources out of thousands
+    # handful of sources out of thousands. This filter is ALSO what makes
+    # an unlisted source dropped rather than kept: without it the map
+    # lookup would yield a null weight, and least() skips nulls in both
+    # engines, reading as threshold 1e6 (keep everything).
     per_doc = df.where(F.col(source_col).isin(*weights_bp)).select(
         id_col, source_col, n_tok.alias("n_tokens")
     )
@@ -458,10 +461,6 @@ def mixture_sample(
     return (
         per_doc.join(F.broadcast(totals), source_col)
         .withColumn("_w_bp", wmap[F.col(source_col)].cast("long"))
-        # unlisted source → null weight → dropped HERE: least() skips nulls
-        # in both engines, so a null ppm would otherwise read as threshold
-        # 1e6 and keep the whole source instead of none of it
-        .where(F.col("_w_bp").isNotNull())
         .withColumn(
             "_target",
             F.expr(f"(CAST({int(total_tokens)} AS BIGINT) * _w_bp) div 10000"),

@@ -215,6 +215,29 @@ class _publish_lock:
                     )
                 time.sleep(0.05)
 
+    def verify_owned(self) -> None:
+        """Raise ``ConcurrentWriteError`` unless the lock file still holds
+        this acquisition's token. Called immediately before the manifest
+        replace: in the (probe→rename window)² race where a waiter
+        destroys a just-re-acquired fresh lock, the dispossessed writer
+        would otherwise proceed into the manifest read-modify-write
+        concurrently with the new owner — for DISJOINT bucket sets the
+        per-bucket conflict check cannot fire and the later write would
+        silently drop the earlier one's live entries. This check shrinks
+        the unprotected window from the whole merge to the microseconds
+        between it and ``os.replace``, which a breaker cannot cross (a
+        break requires LOCK_STALE_SECONDS of age)."""
+        try:
+            with open(self.lock_path) as f:
+                owner = f.read().split()[0]
+        except (FileNotFoundError, IndexError):
+            owner = None
+        if owner != self.token:
+            raise ConcurrentWriteError(
+                "publish lock was broken by another writer mid-publish; "
+                "retry the upsert against the new table state"
+            )
+
     def __exit__(self, *exc):
         try:
             with open(self.lock_path) as f:
@@ -286,7 +309,7 @@ def _publish(
     milliseconds; the O(n_buckets) vacuum file sweep runs AFTER the lock
     is released (at 400k buckets an in-lock sweep would outlive
     LOCK_STALE_SECONDS and invite a legitimate-looking lock break)."""
-    with _publish_lock(path):
+    with _publish_lock(path) as lk:
         manifest = _read_manifest(path) or _manifest_from_listing(path)
         if based_on is not None:
             for d in affected_dirs:
@@ -327,6 +350,7 @@ def _publish(
         grace = _gc_grace_seconds()
         deletable = [g for g in manifest["garbage"] if now - g["ts"] >= grace]
         manifest["garbage"] = [g for g in manifest["garbage"] if now - g["ts"] < grace]
+        lk.verify_owned()  # see verify_owned: no write with a broken lock
         _write_manifest(path, manifest)
     _vacuum(path, manifest, deletable)
 

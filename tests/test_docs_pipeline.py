@@ -953,3 +953,19 @@ def test_shingle_hash_family_agnostic_pairs(spark, docs):
     finally:
         spark.conf.unset(SHINGLE_HASH_CONF)
     assert md5_pairs == fast_pairs and md5_pairs
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iters must RAISE, not return
+    silently-wrong labels (which would let leakage_safe_split straddle a
+    cluster across train/test)."""
+    import pytest as _pt
+
+    pairs = spark.createDataFrame(
+        [(f"N{i:02d}", f"N{i + 1:02d}") for i in range(8)], "doc_a string, doc_b string"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iters=3)
+    # and with enough rounds the same graph converges to one component
+    rows = D.duplicate_clusters(pairs, max_iters=10).collect()
+    assert {r.cluster_id for r in rows} == {"N00"}
