@@ -509,7 +509,8 @@ _MIX_CASE = (
                CAST(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS BIGINT)
                    AS n_tokens
         FROM documents),
-    tot AS (SELECT source, SUM(n_tokens) AS src_tokens FROM tk GROUP BY source),
+    tot AS (SELECT source, SUM(n_tokens) AS src_tokens FROM tk GROUP BY source
+            HAVING SUM(n_tokens) > 0),
     j AS (SELECT tk.doc_id, tk.source, tk.n_tokens, tot.src_tokens,
                  CAST({_MIX_CASE} AS BIGINT) AS w_bp
           FROM tk JOIN tot USING (source)

@@ -413,6 +413,11 @@ def duplicate_clusters(
         .distinct()
         .cache()
     )
+    if max_iters < 1:
+        # for/else with zero iterations would hit the non-convergence
+        # branch with `changed` unbound (NameError instead of the intended
+        # diagnostic); reject the nonsensical bound up front
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -479,8 +484,15 @@ def simhash_signatures(
     """SIMHASH_BITS-wide SimHash per doc (60 bits — the full h60
     shingle hash): ±1 vote per bit position, bit set where the vote sum
     is positive. Explode + one
-    partially-aggregated groupBy(doc)."""
-    grams = shingle_sets(df, text_col, id_col)
+    partially-aggregated groupBy(doc).
+
+    The shingle hash family is PINNED to md5 here (``SHINGLE_HASH_CONF``
+    does not apply): SimHash bits are functions of the hash VALUES, so a
+    family switch silently changes every signature and the
+    Hamming-verified pair set — unlike the Jaccard family, where any
+    injective hash yields the same sets. Pinning keeps the output
+    byte-identical to the DuckDB oracle under any session conf."""
+    grams = shingle_sets(df, text_col, id_col, hash_family="md5")
     g32 = (F.col("g") % F.lit(1 << SIMHASH_BITS)).alias("g32")
     exploded = grams.select(id_col, F.explode("gh").alias("g")).select(id_col, g32)
     # the 32 per-bit vote sums and the bit-assembly CASE chain are built as

@@ -451,9 +451,13 @@ def mixture_sample(
     per_doc = df.where(F.col(source_col).isin(*weights_bp)).select(
         id_col, source_col, n_tok.alias("n_tokens")
     )
+    # a listed source whose docs total ZERO tokens (e.g. all-punctuation)
+    # must be dropped explicitly: Spark's integer div-by-zero yields NULL
+    # (doc silently filtered) while DuckDB's errors — the guard pins one
+    # semantics ("no tokens → no share of a token budget") on both engines
     totals = per_doc.groupBy(source_col).agg(
         F.sum("n_tokens").alias("_src_tokens")
-    )
+    ).where(F.col("_src_tokens") > 0)
     wmap = F.create_map(
         *[x for s, bp in sorted(weights_bp.items()) for x in (F.lit(s), F.lit(bp))]
     )

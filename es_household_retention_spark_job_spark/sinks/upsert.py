@@ -226,26 +226,34 @@ class _publish_lock:
         silently drop the earlier one's live entries. This check shrinks
         the unprotected window from the whole merge to the microseconds
         between it and ``os.replace``, which a breaker cannot cross (a
-        break requires LOCK_STALE_SECONDS of age)."""
-        try:
-            with open(self.lock_path) as f:
-                owner = f.read().split()[0]
-        except (FileNotFoundError, IndexError):
-            owner = None
+        break requires LOCK_STALE_SECONDS of age).
+
+        A MISSING lock file gets one short retry before aborting: a breaker
+        that renamed away a just-re-acquired fresh lock restores it via
+        ``os.link`` moments later, so the rightful owner can transiently
+        observe no file at all. Without the retry that window aborts a
+        healthy publish (fails closed — safe, but spurious)."""
+        owner = self._read_owner()
+        if owner is None:
+            time.sleep(0.1)  # breaker's link-restore lands within ms
+            owner = self._read_owner()
         if owner != self.token:
             raise ConcurrentWriteError(
                 "publish lock was broken by another writer mid-publish; "
                 "retry the upsert against the new table state"
             )
 
-    def __exit__(self, *exc):
+    def _read_owner(self) -> str | None:
         try:
             with open(self.lock_path) as f:
-                owner = f.read().split()[0]
+                return f.read().split()[0]
         except (FileNotFoundError, IndexError):
-            return  # broken by another writer; nothing of ours to release
+            return None
+
+    def __exit__(self, *exc):
+        owner = self._read_owner()
         if owner != self.token:
-            return  # their lock now, not ours
+            return  # broken/taken by another writer; not ours to release
         try:
             os.unlink(self.lock_path)
         except FileNotFoundError:

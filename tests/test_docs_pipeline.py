@@ -866,6 +866,44 @@ def test_mixture_sample_thresholds_and_edges(spark):
     assert 1200 <= got <= 2800, got
 
 
+def test_mixture_sample_zero_token_source_both_engines(spark):
+    """A LISTED source whose docs total ZERO tokens is an engine-divergence
+    edge: Spark's integer div-by-zero yields NULL (docs silently dropped)
+    while DuckDB's // by zero ERRORS. The src_tokens > 0 guard pins one
+    semantics — "no tokens, no share of the budget" — on BOTH sides;
+    verified by running the registered oracle SQL in DuckDB over the same
+    corpus (it must execute, not error, and agree exactly)."""
+    import duckdb
+    import pandas as pd
+
+    from es_household_retention_spark_job_spark.entry_queries import EXTRA_ORACLE_SQL
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        MIX_TOTAL_TOKENS,
+        MIX_WEIGHTS_BP,
+    )
+    from es_household_retention_spark_job_spark.operators.text import mixture_sample
+
+    from .conftest import assert_matches_oracle
+
+    rows = (
+        [(i, "alpha beta gamma delta five " * 2, "src0") for i in range(40)]
+        + [(100 + i, "gamma delta omega ", "src1") for i in range(40)]
+        # src2 IS listed (2000 bp) but every doc is punctuation-only
+        + [(200 + i, "!!! ??? ...", "src2") for i in range(10)]
+        + [(300 + i, "unlisted words here", "src9") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_sample(docs, MIX_WEIGHTS_BP, MIX_TOTAL_TOKENS)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    try:
+        assert_matches_oracle(out, con, EXTRA_ORACLE_SQL["mixture_sample"])
+    finally:
+        con.close()
+    srcs = {r.source for r in out.collect()}
+    assert "src2" not in srcs and "src9" not in srcs and srcs
+
+
 def test_leakage_safe_split_clusters_never_straddle(spark):
     """Docs in one near-dup cluster (even via transitivity) get ONE split;
     singletons split by their own id, matching corpus_split's marginal
@@ -955,6 +993,39 @@ def test_shingle_hash_family_agnostic_pairs(spark, docs):
     assert md5_pairs == fast_pairs and md5_pairs
 
 
+def test_simhash_pinned_under_shingle_hash_conf(spark, docs):
+    """SimHash signatures are NOT hash-family agnostic (the bits are
+    functions of the hash values, not of set intersections), so
+    simhash_signatures pins md5 regardless of SHINGLE_HASH_CONF — the
+    output must be byte-identical under the xxhash64 production conf, or
+    the Hamming-verified pair set silently diverges from the md5-based
+    DuckDB oracle."""
+    from es_household_retention_spark_job_spark.operators.dedup import (
+        SHINGLE_HASH_CONF,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    sample = docs.limit(40).cache()
+    base_sigs = {(r.doc_id, r.simhash) for r in simhash_signatures(sample).collect()}
+    base_pairs = {
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(sample).collect()
+    }
+    spark.conf.set(SHINGLE_HASH_CONF, "xxhash64")
+    try:
+        fast_sigs = {
+            (r.doc_id, r.simhash) for r in simhash_signatures(sample).collect()
+        }
+        fast_pairs = {
+            (r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(sample).collect()
+        }
+    finally:
+        spark.conf.unset(SHINGLE_HASH_CONF)
+    sample.unpersist()
+    assert base_sigs == fast_sigs and base_sigs
+    assert base_pairs == fast_pairs
+
+
 def test_duplicate_clusters_nonconvergence_raises(spark):
     """A component whose diameter exceeds max_iters must RAISE, not return
     silently-wrong labels (which would let leakage_safe_split straddle a
@@ -966,6 +1037,10 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
     )
     with _pt.raises(RuntimeError, match="did not converge"):
         D.duplicate_clusters(pairs, max_iters=3)
+    # a nonsensical bound is rejected up front (not a NameError from the
+    # for/else branch with `changed` unbound)
+    with _pt.raises(ValueError, match="max_iters"):
+        D.duplicate_clusters(pairs, max_iters=0)
     # and with enough rounds the same graph converges to one component
     rows = D.duplicate_clusters(pairs, max_iters=10).collect()
     assert {r.cluster_id for r in rows} == {"N00"}

@@ -462,6 +462,50 @@ def test_lock_token_ownership_and_atomic_break(tmp_path):
     assert not os.path.exists(lock_path)
 
 
+def test_verify_owned_survives_transient_missing_lock(tmp_path):
+    """Between a breaker's rename-claim of a just-re-acquired FRESH lock
+    and its os.link restore, the rightful owner can observe no lock file
+    at all. verify_owned retries once after a short sleep, so the healthy
+    publish proceeds instead of aborting spuriously; a lock that STAYS
+    missing (or holds a foreign token) still raises."""
+    import os
+    import threading
+    import time
+
+    import pytest as _pt
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+        _publish_lock,
+    )
+
+    path = str(tmp_path)
+    a = _publish_lock(path)
+    a.__enter__()
+
+    # simulate the breaker's rename→link-restore window: file vanishes,
+    # then reappears (same content) a few ms later
+    claim = a.lock_path + ".claim"
+    os.rename(a.lock_path, claim)
+    t = threading.Timer(0.03, lambda: os.rename(claim, a.lock_path))
+    t.start()
+    a.verify_owned()  # retry bridges the gap — no raise
+    t.join()
+
+    # permanently missing -> still fails closed
+    os.unlink(a.lock_path)
+    t0 = time.time()
+    with _pt.raises(ConcurrentWriteError):
+        a.verify_owned()
+    assert time.time() - t0 < 5  # one bounded retry, not a spin
+    # foreign token -> immediate failure (no retry needed)
+    with open(a.lock_path, "w") as f:
+        f.write("feedbeef 12345")
+    with _pt.raises(ConcurrentWriteError):
+        a.verify_owned()
+    os.unlink(a.lock_path)
+
+
 def test_paused_writer_broken_lock_conflict_detected(spark, tmp_path):
     """Lock-break / optimistic-conflict interplay: writer A stalls
     mid-publish long enough to look stale, writer B breaks A's lock and
