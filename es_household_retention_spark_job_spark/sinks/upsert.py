@@ -64,10 +64,19 @@ BUCKET_COL = "_bucket"
 DEFAULT_BUCKETS = 16
 LAYOUT_FILE = "_keyed_layout.json"
 MANIFEST_FILE = "_live_manifest.json"
+SNAPSHOT_PREFIX = "_manifest.v"
 
 
 def _gc_grace_seconds() -> float:
     return float(os.environ.get("SPARK_GRAFT_SINK_GC_GRACE", "300"))
+
+
+def _keep_versions() -> int:
+    """How many published versions stay time-travel readable (Delta's
+    ``delta.deletedFileRetentionDuration`` in version units rather than
+    time units — version count is what bounds the snapshot-sidecar space,
+    which is the actual scale cost here: K × O(n_buckets) filenames)."""
+    return max(1, int(os.environ.get("SPARK_GRAFT_SINK_KEEP_VERSIONS", "8")))
 
 
 def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -95,7 +104,12 @@ def _table_schema(df: DataFrame) -> StructType:
 def _write_layout(path: str, key: str, n_buckets: int, schema: StructType) -> None:
     from ..operators.multimodal import codec_backend
 
-    with open(os.path.join(path, LAYOUT_FILE), "w") as f:
+    # atomic replace: the layout is rewritten after every schema-evolving
+    # upsert, and a concurrent reader resolves it on every read — a direct
+    # truncating write exposes an empty/partial file in the truncate→write
+    # window (observed as a reader JSONDecodeError under stress)
+    tmp = os.path.join(path, f".{LAYOUT_FILE}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "key": key,
@@ -109,6 +123,7 @@ def _write_layout(path: str, key: str, n_buckets: int, schema: StructType) -> No
             },
             f,
         )
+    os.replace(tmp, os.path.join(path, LAYOUT_FILE))
 
 
 def _stored_schema(layout: dict) -> StructType | None:
@@ -260,6 +275,61 @@ class _publish_lock:
             pass
 
 
+def _snapshot_path(path: str, version: int) -> str:
+    return os.path.join(path, f"{SNAPSHOT_PREFIX}{version:08d}.json")
+
+
+def _snapshot_versions(path: str) -> list[int]:
+    """Retained time-travel versions, ascending."""
+    out = []
+    for f in os.listdir(path):
+        if f.startswith(SNAPSHOT_PREFIX) and f.endswith(".json"):
+            try:
+                out.append(int(f[len(SNAPSHOT_PREFIX) : -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _stamp_version(path: str, manifest: dict, now: float) -> None:
+    """Bump the manifest's version, write the version's immutable snapshot
+    sidecar (live file set only — garbage bookkeeping stays in the current
+    manifest), and expire snapshots beyond the retention window. Runs
+    UNDER the publish lock; all O(retained versions), i.e. O(K) file ops.
+
+    Snapshots are what make old versions readable: ``_vacuum`` keeps any
+    data file a retained snapshot references, so a time-travel reader gets
+    the same grace-window contract as a current-manifest reader, and an
+    expired version degrades to a clean "version not retained" error, never
+    a partial scan."""
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest["ts"] = now
+    snap = {"version": manifest["version"], "ts": now, "live": manifest["live"]}
+    tmp = os.path.join(path, f".snap.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, _snapshot_path(path, manifest["version"]))
+    for v in _snapshot_versions(path)[: -_keep_versions()]:
+        try:
+            os.unlink(_snapshot_path(path, v))
+        except FileNotFoundError:
+            pass
+
+
+def _snapshot_referenced(path: str) -> set[str]:
+    """Relative data-file paths referenced by any RETAINED snapshot — the
+    set vacuum must never delete while those versions are readable."""
+    refs: set[str] = set()
+    for v in _snapshot_versions(path):
+        try:
+            with open(_snapshot_path(path, v)) as f:
+                snap = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        refs.update(f"{d}/{x}" for d, fs in snap["live"].items() for x in fs)
+    return refs
+
+
 def _write_manifest(path: str, manifest: dict) -> None:
     """Atomic replace — a reader sees the old or the new manifest, never a
     torn one."""
@@ -351,13 +421,28 @@ def _publish(
             for old in manifest["live"].get(d, []):
                 manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
             manifest["live"][d] = new_files
-        # prune past-grace garbage entries from the manifest while we hold
-        # the lock (cheap, O(garbage)); their files are unlinked below,
-        # outside the lock. A crash between this write and the unlinks
-        # leaves unreferenced stray files — the stray sweep reclaims them.
+        # bump the version and publish this state's time-travel snapshot
+        # (also expires snapshots beyond the retention window — AFTER which
+        # the retained-reference set below is computed, so a just-expired
+        # version stops pinning its files in the same publish)
+        _stamp_version(path, manifest, now)
+        # prune garbage entries from the manifest while we hold the lock
+        # (cheap, O(garbage + K snapshots)); their files are unlinked below,
+        # outside the lock. A file stays garbage — undeleted AND tracked —
+        # while past-grace but still referenced by a retained snapshot:
+        # time travel must keep it readable, and dropping it from the
+        # garbage list would orphan it until the stray sweep. A crash
+        # between this write and the unlinks leaves unreferenced stray
+        # files — the stray sweep reclaims them.
         grace = _gc_grace_seconds()
-        deletable = [g for g in manifest["garbage"] if now - g["ts"] >= grace]
-        manifest["garbage"] = [g for g in manifest["garbage"] if now - g["ts"] < grace]
+        snap_refs = _snapshot_referenced(path)
+        deletable, kept = [], []
+        for g in manifest["garbage"]:
+            if now - g["ts"] >= grace and g["rel"] not in snap_refs:
+                deletable.append(g)
+            else:
+                kept.append(g)
+        manifest["garbage"] = kept
         lk.verify_owned()  # see verify_owned: no write with a broken lock
         _write_manifest(path, manifest)
     _vacuum(path, manifest, deletable)
@@ -380,9 +465,11 @@ def _vacuum(path: str, manifest: dict, deletable: list | None = None) -> None:
             os.unlink(os.path.join(path, g["rel"]))
         except FileNotFoundError:
             pass
-    referenced = {
-        f"{d}/{f}" for d, files in manifest["live"].items() for f in files
-    } | {g["rel"] for g in manifest["garbage"]}
+    referenced = (
+        {f"{d}/{f}" for d, files in manifest["live"].items() for f in files}
+        | {g["rel"] for g in manifest["garbage"]}
+        | _snapshot_referenced(path)  # time-travel-readable versions
+    )
     for d in _bucket_dirs(path):
         for f in os.listdir(os.path.join(path, d)):
             rel = f"{d}/{f}"
@@ -408,22 +495,66 @@ def write_keyed_table(
     bucketed = _with_bucket(df, key, n_buckets)
     bucketed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
     _write_layout(path, key, n_buckets, _table_schema(bucketed))
-    _write_manifest(path, _manifest_from_listing(path))
+    manifest = _manifest_from_listing(path)
+    _stamp_version(path, manifest, time.time())  # the initial load is v1
+    _write_manifest(path, manifest)
 
 
-def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read back without the layout column.
+def read_keyed_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read back without the layout column; ``version`` time-travels to a
+    retained published version (``table_history`` lists them).
 
     Reads with the PINNED unified schema from the sidecar: schema evolution
     rewrites only the buckets an upsert touches, so older buckets lack
     later-added columns in their footers — an inferred read (which samples
     files) could silently drop such a column. The explicit schema fills it
-    with nulls instead, with no mergeSchema footer sweep."""
+    with nulls instead, with no mergeSchema footer sweep. (For a
+    time-travel read the CURRENT schema still applies — a column added
+    after ``version`` reads as nulls, same as Delta.)
+
+    A time-travel scan holds the same contract as a current-manifest scan:
+    its files stay on disk while the version is retained (vacuum never
+    deletes snapshot-referenced files) plus the GC grace window after the
+    version expires."""
     try:
         schema = _stored_schema(_read_layout(path))
     except FileNotFoundError:  # plain bucketed parquet without a sidecar
         schema = None
-    return _read_live(spark, path, schema).drop(BUCKET_COL)
+    manifest = None
+    if version is not None:
+        try:
+            with open(_snapshot_path(path, version)) as f:
+                manifest = json.load(f)
+        except FileNotFoundError:
+            retained = _snapshot_versions(path)
+            raise ValueError(
+                f"version {version} is not retained at {path}; retained "
+                f"versions: {retained} (SPARK_GRAFT_SINK_KEEP_VERSIONS="
+                f"{_keep_versions()})"
+            ) from None
+    return _read_live(spark, path, schema, manifest=manifest).drop(BUCKET_COL)
+
+
+def table_history(path: str) -> list[dict]:
+    """Retained versions, oldest first: ``[{version, ts, n_files}]`` —
+    the sink's answer to ``DESCRIBE HISTORY``. O(retained versions)."""
+    out = []
+    for v in _snapshot_versions(path):
+        try:
+            with open(_snapshot_path(path, v)) as f:
+                snap = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        out.append(
+            {
+                "version": snap["version"],
+                "ts": snap["ts"],
+                "n_files": sum(len(fs) for fs in snap["live"].values()),
+            }
+        )
+    return out
 
 
 def _read_live(

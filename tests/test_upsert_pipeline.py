@@ -53,10 +53,12 @@ def test_compaction_single_file_per_bucket_same_data(spark, tmp_path, monkeypatc
 
     from es_household_retention_spark_job_spark.sinks.upsert import _with_bucket
 
-    # grace 0: compaction's vacuum may delete superseded files immediately,
-    # so the physical single-file-per-bucket assertion below holds (with the
-    # default 5-min grace they would legitimately linger as garbage)
+    # grace 0 + retention 1: compaction's vacuum may delete superseded files
+    # immediately, so the physical single-file-per-bucket assertion below
+    # holds (with the default 5-min grace / 8-version time-travel retention
+    # they would legitimately linger as garbage / snapshot-pinned files)
     monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "1")
 
     path = str(tmp_path / "tbl")
     base = spark.createDataFrame(
@@ -619,6 +621,9 @@ def test_vacuum_runs_outside_publish_lock(spark, tmp_path, monkeypatch):
     from es_household_retention_spark_job_spark.sinks import upsert as U
 
     monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    # retention 1: with the default 8-version time-travel window the
+    # superseded file would be snapshot-pinned, not deletable
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "1")
     path = str(tmp_path / "tbl")
     write_keyed_table(
         spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"),
@@ -653,3 +658,97 @@ def test_vacuum_runs_outside_publish_lock(spark, tmp_path, monkeypatch):
         if f.endswith(".parquet")
     }
     assert on_disk == live
+
+
+def test_time_travel_reads_history_and_expiry(spark, tmp_path, monkeypatch):
+    """Versioned snapshots: every publish (initial load, upsert, compaction)
+    is a numbered version; read_keyed_table(version=N) reproduces exactly
+    that state under the CURRENT schema (later-added columns read as null,
+    as in Delta); table_history lists retained versions; a version past the
+    retention window refuses with a clear error instead of a partial scan."""
+    import os
+
+    from es_household_retention_spark_job_spark.sinks.upsert import table_history
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "3")
+    path = str(tmp_path / "tbl")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=2,
+    )  # v1
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 10)], "k string, v int"), key="k"
+    )  # v2
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("c", 3, "new")], "k string, v int, w string"),
+        key="k",
+    )  # v3: insert + schema evolution
+
+    hist = table_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert all(h["ts"] > 0 and h["n_files"] > 0 for h in hist)
+
+    def snap(version=None):
+        df = read_keyed_table(spark, path, version=version)
+        return {r["k"]: (r["v"], r["w"] if "w" in df.columns else None)
+                for r in df.collect()}
+
+    assert snap(1) == {"a": (1, None), "b": (2, None)}
+    assert snap(2) == {"a": (10, None), "b": (2, None)}
+    assert snap(3) == {"a": (10, None), "b": (2, None), "c": (3, "new")}
+    assert snap() == snap(3)  # current == latest version
+
+    # v4 expires v1 (retention 3: keep 2..4)
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("b", 20)], "k string, v int"), key="k"
+    )
+    assert [h["version"] for h in table_history(path)] == [2, 3, 4]
+    with pytest.raises(ValueError, match="not retained"):
+        read_keyed_table(spark, path, version=1)
+    # retained versions still read exactly
+    assert snap(2) == {"a": (10, None), "b": (2, None)}
+    assert snap(4)["b"] == (20, None)
+
+
+def test_time_travel_pins_files_against_vacuum(spark, tmp_path, monkeypatch):
+    """Vacuum must never delete a data file a retained snapshot references,
+    even with GC grace 0 — a time-travel read is a first-class reader. Once
+    the version expires, the same files become reclaimable (next publish
+    frees them), so retention bounds disk growth."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "2")
+    path = str(tmp_path / "tbl")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1)], "k string, v int"), path, key="k",
+        n_buckets=1,
+    )  # v1
+
+    def parquet_files():
+        return {
+            f"{d}/{f}"
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        }
+
+    v1_files = parquet_files()
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 2)], "k string, v int"), key="k"
+    )  # v2: v1's file superseded but retained (window 2) despite grace 0
+    assert v1_files < parquet_files()
+    assert {r["v"] for r in read_keyed_table(spark, path, version=1).collect()} == {1}
+
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 3)], "k string, v int"), key="k"
+    )  # v3 expires v1 -> its exclusive file is freed by this publish
+    assert not (v1_files & parquet_files())
+    with pytest.raises(ValueError, match="not retained"):
+        read_keyed_table(spark, path, version=1)
+    assert {r["v"] for r in read_keyed_table(spark, path, version=2).collect()} == {2}
