@@ -17,6 +17,7 @@ import logging
 from datetime import datetime
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .operators import retention as R
 from .schemas import ENCOUNTER, PERSON, validate
@@ -97,3 +98,109 @@ def run_retention(
     n1 = run_phase1(spark, person_path, encounter_path, client_code, as_of)
     n2 = run_phase2(spark, person_path, encounter_path, client_code, as_of)
     return {"phase1_persons": n1, "phase2_persons": n2}
+
+
+def run_incremental(
+    spark: SparkSession,
+    person_path: str,
+    encounter_path: str,
+    delta_encounter,
+    client_code: str,
+    as_of: datetime,
+) -> dict[str, int]:
+    """CDC maintenance: fold a batch of NEWLY-ARRIVED encounters into an
+    already-processed person store without recomputing the world.
+
+    The reference pipeline is one-shot (processed persons fail the P8
+    predicate forever, HRP:196-205); when encounters keep arriving, a
+    processed household's stored history goes stale. This maintainer makes
+    the two-phase pipeline INCREMENTAL by exploiting its own idempotence
+    contract instead of adding a second compute path:
+
+    1. *Blast radius* (delta-sized work): qualifying delta encounters →
+       their persons → those persons' households → EVERY member of those
+       households (retention is a household-level property — one member's
+       new admit can flip months for all of them).
+    2. *Invalidate* (O(affected buckets)): upsert
+       ``household_retention_history = null`` for the affected members.
+       Under ``is_unprocessed`` three-valued logic a null history IS the
+       unprocessed state, so this is a write-ahead marker: a crash after it
+       leaves the members simply "not yet processed".
+    3. *Recompute*: ``run_retention`` — whose P8 predicate now selects
+       exactly the affected members (plus any genuinely-new persons), and
+       whose phase-1 recompute over the FULL encounter history of only
+       those households provably equals a from-scratch run restricted to
+       them (the pipeline never joins across households). Equivalence vs a
+       full recompute is pinned in tests/test_incremental_retention.py.
+
+    Note the deliberate contrast with the one-shot gate: a delta-touched
+    household is recomputed EVEN IF previously processed — staleness from
+    new data is exactly what this maintainer exists to repair — while
+    untouched processed households keep the one-shot "never reprocess"
+    contract.
+
+    ``delta_encounter``: DataFrame of the new encounter rows. They must
+    ALREADY be part of the store at ``encounter_path`` (ingest appends
+    first, then calls this) — the delta frame is only used to compute the
+    blast radius, never as the recompute input.
+
+    Scale shape: step 1 is one delta-scan + two semi-joins that broadcast
+    when the delta is small (the common CDC case — AQE picks the
+    strategy from the delta's actual size); step 2 touches only the
+    affected members' buckets; step 3's phase-1 joins prune the full
+    encounter scan to affected persons through the join itself. A daily
+    0.1% delta therefore costs ~0.1% of the backfill, not a rescan.
+
+    Returns ``{"affected_persons", "phase1_persons", "phase2_persons"}``.
+    """
+    person = read_keyed_table(spark, person_path)
+    validate(person, PERSON, allow_extra=True)
+    validate(delta_encounter, ENCOUNTER, allow_extra=True)
+
+    # 1. blast radius — persons touched by a QUALIFYING delta encounter
+    # (client + the 5y scan window; anything outside cannot change any
+    # month), widened to whole households
+    touched_persons = (
+        R.eligible_encounters(delta_encounter, client_code, as_of)
+        .select("person_id")
+        .distinct()
+    )
+    touched_households = (
+        person.join(touched_persons, "person_id", "left_semi")
+        .where(F.col("client_code") == client_code)
+        .select(F.col("household.household_id").alias("household_id"))
+        .distinct()
+    )
+    members = (
+        person.where(
+            (F.col("client_code") == client_code)
+            & F.col("household.household_id").isNotNull()
+        )
+        .join(
+            touched_households,
+            F.col("household.household_id") == touched_households.household_id,
+            "left_semi",
+        )
+        .select("person_id")
+    )
+    n_affected = members.count()
+    log.info("incremental: %d persons in touched households", n_affected)
+    if n_affected == 0:
+        log.info("incremental: no qualifying delta — skipping")
+        return {"affected_persons": 0, "phase1_persons": 0, "phase2_persons": 0}
+
+    # 2. invalidate: null history == unprocessed (P8 three-valued logic)
+    history_type = person.schema["household_retention_history"].dataType
+    upsert_parquet(
+        spark,
+        person_path,
+        members.select(
+            "person_id",
+            F.lit(None).cast(history_type).alias("household_retention_history"),
+        ),
+        key="person_id",
+    )
+
+    # 3. recompute via the existing idempotent two-phase pipeline
+    stats = run_retention(spark, person_path, encounter_path, client_code, as_of)
+    return {"affected_persons": n_affected, **stats}

@@ -1,0 +1,152 @@
+"""CDC incremental retention maintenance (pipeline.run_incremental):
+equivalence vs a from-scratch recompute, blast-radius minimality, no-op
+delta, and crash healing via the null-history write-ahead marker."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.pipeline import (
+    run_incremental,
+    run_retention,
+)
+from es_household_retention_spark_job_spark.sinks.upsert import (
+    read_keyed_table,
+    upsert_parquet,
+    write_keyed_table,
+)
+from es_household_retention_spark_job_spark.sources.fixtures import (
+    FIXTURE_AS_OF,
+    FIXTURE_CLIENT,
+    fixture_frames,
+)
+
+from .conftest import canon_val
+
+#: 2024-06-01 UTC in epoch ms — splits the fixture encounters so the delta
+#: includes E_S1 (P_S1's ONLY in-window DEMO encounter: the base run
+#: phase2-stamps P_S1 not-retained, and the delta must flip it back to a
+#: recomputed retained history — the hardest CDC transition)
+SPLIT_MS = 1_717_200_000_000
+
+
+def _state(spark, person_path):
+    """person_id -> canonicalized retention history for every person."""
+    rows = read_keyed_table(spark, person_path).select(
+        "person_id", "household_retention_history"
+    ).collect()
+    return {r["person_id"]: canon_val(r["household_retention_history"]) for r in rows}
+
+
+def _setup(spark, tmp_path, name, encounters, fresh=False):
+    """``fresh=True`` starts every person unprocessed (null history): the
+    incremental≡full theorem is stated over stores where delta-touched
+    households start unprocessed — a PRE-processed person (fixture P_X1)
+    is kept stale by the one-shot P8 gate but deliberately REFRESHED by
+    the CDC maintainer, which is the feature, not a divergence."""
+    person, _ = fixture_frames(spark)
+    if fresh:
+        htype = person.schema["household_retention_history"].dataType
+        person = person.withColumn(
+            "household_retention_history", F.lit(None).cast(htype)
+        )
+    p_path = str(tmp_path / f"{name}_person")
+    e_path = str(tmp_path / f"{name}_encounter")
+    write_keyed_table(person, p_path, key="person_id", n_buckets=4)
+    encounters.write.mode("overwrite").parquet(e_path)
+    return p_path, e_path
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    _, encounter = fixture_frames(spark)
+    base = encounter.where(F.col("admit_date") < SPLIT_MS)
+    delta = encounter.where(F.col("admit_date") >= SPLIT_MS)
+    assert 0 < delta.count() < encounter.count()  # both halves non-trivial
+
+    # reference: one-shot over the complete encounter history
+    p_full, e_full = _setup(spark, tmp_path, "full", encounter, fresh=True)
+    run_retention(spark, p_full, e_full, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    want = _state(spark, p_full)
+
+    # CDC path: process the base, append the delta, maintain incrementally
+    p_inc, e_inc = _setup(spark, tmp_path, "inc", base, fresh=True)
+    run_retention(spark, p_inc, e_inc, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    interim = _state(spark, p_inc)
+    assert interim != want  # the base state is genuinely stale
+    encounter.write.mode("overwrite").parquet(e_inc)  # ingest appends first
+    spark.catalog.refreshByPath(e_inc)
+    stats = run_incremental(
+        spark, p_inc, e_inc, delta, FIXTURE_CLIENT, FIXTURE_AS_OF
+    )
+    assert _state(spark, p_inc) == want
+
+    # blast radius: only members of delta-touched households were recomputed
+    person, _ = fixture_frames(spark)
+    touched = (
+        person.join(
+            delta.where(F.col("client_code") == FIXTURE_CLIENT)
+            .select("person_id")
+            .distinct(),
+            "person_id",
+            "left_semi",
+        )
+        .select(F.col("household.household_id").alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    members = (
+        person.where(F.col("client_code") == FIXTURE_CLIENT)
+        .join(touched, person["household.household_id"] == touched["h"], "left_semi")
+        .count()
+    )
+    assert stats["affected_persons"] == members
+    assert stats["affected_persons"] < person.count()  # not the world
+
+
+def test_incremental_noop_delta(spark, tmp_path):
+    """A delta with no qualifying encounters (wrong client / outside the 5y
+    scan window) must touch nothing — not even re-stamp."""
+    _, encounter = fixture_frames(spark)
+    p_path, e_path = _setup(spark, tmp_path, "noop", encounter)
+    run_retention(spark, p_path, e_path, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    before = _state(spark, p_path)
+
+    delta = encounter.where(F.col("client_code") == "OTHER")
+    assert delta.count() > 0
+    stats = run_incremental(
+        spark, p_path, e_path, delta, FIXTURE_CLIENT, FIXTURE_AS_OF
+    )
+    assert stats == {
+        "affected_persons": 0,
+        "phase1_persons": 0,
+        "phase2_persons": 0,
+    }
+    assert _state(spark, p_path) == before
+
+
+def test_incremental_crash_heals_on_rerun(spark, tmp_path):
+    """The null-history stamp is a write-ahead marker: a crash after the
+    invalidate but before the recompute leaves affected members simply
+    'unprocessed', and any later run_retention converges to the same
+    final state (the P8 predicate selects exactly the stamped members)."""
+    _, encounter = fixture_frames(spark)
+    p_path, e_path = _setup(spark, tmp_path, "crash", encounter)
+    run_retention(spark, p_path, e_path, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    want = _state(spark, p_path)
+
+    # simulate the crash window: invalidate two persons' histories by hand
+    person = read_keyed_table(spark, p_path)
+    htype = person.schema["household_retention_history"].dataType
+    upsert_parquet(
+        spark,
+        p_path,
+        person.where(F.col("person_id").isin("P_R1", "P_S1")).select(
+            "person_id",
+            F.lit(None).cast(htype).alias("household_retention_history"),
+        ),
+        key="person_id",
+    )
+    assert _state(spark, p_path) != want
+    run_retention(spark, p_path, e_path, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    assert _state(spark, p_path) == want
