@@ -1368,3 +1368,70 @@ def frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_canon.frame_idx").cast("long").alias("canonical_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full-text search (BM25)
+# --------------------------------------------------------------------------
+
+#: the decontamination/debug-style literal query set for the demo corpus
+BM25_QUERIES = [
+    ("q_join", "table scan join"),
+    ("q_stream", "window agg stream batch"),
+    ("q_cust", "customer value sort"),
+]
+BM25_K = 10
+
+
+def _bm25_oracle_sql() -> str:
+    """Generated from the SAME constants as the Spark operator (see
+    operators/search.py for the 44/20/6/18 integer derivation)."""
+    from .operators.search import SCORE_SCALE, _py_tokens
+
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in BM25_QUERIES
+        for t in sorted(set(_py_tokens(qtext)))
+    )
+    vocab = sorted({t for _, qt in BM25_QUERIES for t in _py_tokens(qt)})
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    return f"""WITH tk AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS toks
+        FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex WHERE term IN ({in_list}) GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    q(query_id, term) AS (VALUES {qvals}),
+    scored AS (SELECT q.query_id, tf.doc_id,
+                      (2*n_docs - 2*df + 1) * 44 * tf * total_dl AS num,
+                      (2*df + 1) * (20*total_dl*tf + 6*total_dl
+                                    + 18*dl*n_docs) AS den
+               FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+               CROSS JOIN corpus),
+    scores AS (SELECT query_id, doc_id,
+                      CAST(SUM((num // den) * {SCORE_SCALE}
+                               + ((num % den) * {SCORE_SCALE}) // den)
+                           AS BIGINT) AS score_x1e6
+               FROM scored GROUP BY query_id, doc_id),
+    ranked AS (SELECT query_id, doc_id, score_x1e6,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_x1e6 DESC, doc_id)
+                          AS rank
+               FROM scores)
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score_x1e6
+    FROM ranked WHERE rank <= {BM25_K}"""
+
+
+@register("bm25_search", _bm25_oracle_sql(), extra=True)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-lin top-k full-text retrieval (operators/search.py): the sparse
+    half of hybrid retrieval and the decontamination lookup primitive —
+    exact int64 scoring (transcendental-free idf surrogate) so ranks and
+    scores hash-match the DuckDB oracle bit-for-bit."""
+    from .operators.search import bm25_search as _search
+
+    return _search(_docs(spark, sf_dir), BM25_QUERIES, k=BM25_K)

@@ -1,0 +1,164 @@
+"""Full-text ranked retrieval: BM25 top-k search over the document corpus.
+
+The one retrieval primitive an LLM-data platform needs beyond embeddings:
+keyword search over the corpus for decontamination lookups ("is this eval
+question verbatim in the training set?"), curation debugging ("show me the
+docs that rank for X") and hybrid (sparse+dense) retrieval next to the
+``similarity`` ANN tier. Reference scope: the reference's ES backend gives
+this away (`match` queries score BM25 natively); mapping it to Spark means
+building the scorer from relational pieces.
+
+Scoring is **BM25-lin**: Okapi BM25 (k1=1.2, b=0.75) with the linear
+Robertson idf surrogate ``(N - df + 0.5)/(df + 0.5)`` in place of its log
+— the same transcendental-free discipline as ``tfidf_top_terms``
+(text.py): crossing ``ln`` would pit JVM Math.log against DuckDB's libm,
+and a last-ulp difference at a floor boundary could flip a rank. Every
+factor here is an exact rational, so the whole score is computed in int64
+(div/mod decomposition), per-term-floored at 1e6 and summed as integers —
+bit-identical across engines AND across aggregation orders (a float sum
+over a groupBy is order-nondeterministic; an int64 sum is not). A
+production deployment that needs textbook log-idf swaps one expression and
+keeps the plan.
+
+With k1+1 = 11/5, k1·(1-b) = 3/10, k1·b = 9/10 and avgdl = total/N, a
+term's contribution
+
+    idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+clears all denominators to the integer fraction
+
+    num = (2N - 2df + 1) · 44 · tf · total
+    den = (2df + 1) · (20·total·tf + 6·total + 18·dl·N)
+
+(multiply through by 20·total; 44 = 20·11/5, 6 = 20·3/10, 18 = 20·9/10).
+int64-exact while num and den·1e6 stay under 2^63 — bounds at ~N·total ≤
+1e12 (≈ sf100 of this corpus); beyond that the production swap to doubles
+loses only oracle-exactness, not correctness.
+
+Plan shape (all codegen, no UDFs): one corpus-stats partial agg (N, total
+— stays in-plan via a 1-row broadcast, no driver round-trip); one explode
+of doc tokens FILTERED to the query vocabulary before the tf groupBy, so
+the only full-width work is the scan+explode and every shuffle after the
+filter carries query-vocabulary-sized data; df and the query terms are
+broadcast; one groupBy(query, doc) integer sum; one top-k window per
+query. At 100 TB the explode+filter is the map side of one job — the
+classic "search without an index" scan; the indexed variant is a
+pre-materialized tf table (the same ``tf`` frame written bucketed by
+term), which this operator's internals compose from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import ensure_parallelism
+from .text import tokens
+
+#: BM25 parameters as exact rationals (k1 = 1.2, b = 0.75) — see module
+#: docstring for how they fold into the 44/20/6/18 integer constants.
+BM25_K1_NUM, BM25_K1_DEN = 6, 5
+BM25_B_NUM, BM25_B_DEN = 3, 4
+SCORE_SCALE = 1_000_000
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, doc_id, score_x1e6) for every doc matching ≥1 query term.
+
+    ``queries``: [(query_id, query_text)] — a handful of literal queries
+    (the decontamination/debug use case); terms are tokenized with the
+    corpus tokenizer and deduplicated (query term frequency is not
+    weighted, the common Lucene default).
+    """
+    docs = ensure_parallelism(docs)
+    qterms = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted({tok for tok in _py_tokens(qtext)})
+    ]
+    spark = docs.sparkSession
+    q = spark.createDataFrame(qterms, "query_id string, term string")
+    vocab = sorted({t for _, t in qterms})
+
+    with_dl = docs.select(
+        id_col,
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+        tokens(text_col).alias("toks"),
+    )
+    corpus = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    # explode filtered to the query vocabulary BEFORE the aggregation: the
+    # tf shuffle carries only (doc, query-term) rows, not the corpus
+    tf = (
+        with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(vocab))
+        .groupBy(id_col, "dl", "term")  # dl functionally dependent on doc
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "num",
+            (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+            * F.lit(44)
+            * F.col("tf")
+            * F.col("total_dl"),
+        )
+        .withColumn(
+            "den",
+            (2 * F.col("df") + 1)
+            * (
+                F.lit(20) * F.col("total_dl") * F.col("tf")
+                + F.lit(6) * F.col("total_dl")
+                + F.lit(18) * F.col("dl") * F.col("n_docs")
+            ),
+        )
+        # exact int64 1e6-scaled floor: (n div d)·1e6 + ((n mod d)·1e6) div d
+        .withColumn(
+            "contrib",
+            (
+                F.expr("num div den") * F.lit(SCORE_SCALE)
+                + F.expr(f"((num % den) * {SCORE_SCALE}) div den")
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("query_id", id_col).agg(
+        F.sum("contrib").alias("score_x1e6")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by BM25-lin: (query_id, doc_id, rank,
+    score_x1e6), deterministic (score desc, doc_id asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_x1e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        bm25_scores(docs, queries, text_col, id_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, F.col("rank").cast("int").alias("rank"), "score_x1e6")
+    )
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Driver-side mirror of ``tokens()`` for the literal query strings."""
+    import re
+
+    return re.findall("[a-z0-9]+", text.lower())

@@ -1,0 +1,106 @@
+"""BM25 full-text search: oracle equality on the testdata corpus plus
+behavioral contracts on a crafted micro-corpus (idf ordering, saturation,
+length normalization, tie-breaks, top-k)."""
+
+from __future__ import annotations
+
+from es_household_retention_spark_job_spark.entry_queries import (
+    EXTRA_ORACLE_SQL,
+    EXTRA_QUERIES,
+)
+from es_household_retention_spark_job_spark.operators.search import (
+    bm25_scores,
+    bm25_search,
+)
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def test_bm25_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        EXTRA_QUERIES["bm25_search"](spark, SF_DIR),
+        duck,
+        EXTRA_ORACLE_SQL["bm25_search"],
+        min_rows=1,
+    )
+
+
+def _corpus(spark):
+    rows = [
+        (1, "apple banana banana cherry"),
+        (2, "apple cherry cherry cherry"),
+        (3, "banana date date date date date date date date date"),
+        (4, "date fig grape"),
+        (5, "apple apple apple apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_idf_rare_term_outranks_common(spark):
+    """Two docs with identical tf and length for their respective query
+    terms: the doc matching the RARER term must score higher."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rare filler filler filler"),
+            (2, "common filler filler filler"),
+            (3, "common other words here"),
+            (4, "common more words again"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        (r.query_id, r.doc_id): r.score_x1e6
+        for r in bm25_scores(docs, [("q", "rare common")]).collect()
+    }
+    assert scores[("q", 1)] > scores[("q", 2)]  # df(rare)=1 < df(common)=3
+
+
+def test_bm25_tf_saturation_and_length_norm(spark):
+    """More occurrences score higher (monotone in tf), but a long doc with
+    the same tf scores LOWER than a short one (length normalization)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "kiwi pad"),
+            (2, "kiwi kiwi pad"),
+            (3, "kiwi pad pad pad pad pad pad pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {
+        r.doc_id: r.score_x1e6
+        for r in bm25_scores(docs, [("q", "kiwi")]).collect()
+    }
+    assert s[2] > s[1]  # tf 2 > tf 1 at comparable length
+    assert s[1] > s[3]  # same tf, much longer doc -> lower
+
+
+def test_bm25_topk_membership_and_ties(spark):
+    docs = _corpus(spark)
+    out = bm25_search(docs, [("qa", "apple"), ("qd", "date")], k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score_x1e6))
+    # doc 3 never mentions apple; doc 5 is the apple-heaviest
+    qa = sorted(by_q["qa"])
+    assert [d for _, d, _ in qa][0] == 5 and 3 not in [d for _, d, _ in qa]
+    assert len(qa) == 2  # k enforced even though 3 docs match
+    # ranks are 1..k and scores non-increasing
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+    # deterministic tie-break: equal scores order by doc_id ascending
+    tie_docs = spark.createDataFrame(
+        [(7, "pear plum"), (2, "pear plum"), (9, "pear plum")],
+        "doc_id long, text string",
+    )
+    tie = sorted(
+        (r.rank, r.doc_id)
+        for r in bm25_search(tie_docs, [("q", "pear")], k=3).collect()
+    )
+    assert tie == [(1, 2), (2, 7), (3, 9)]
+
+
+def test_bm25_no_matching_terms_empty(spark):
+    assert bm25_search(_corpus(spark), [("q", "zzz qqq")], k=5).count() == 0
