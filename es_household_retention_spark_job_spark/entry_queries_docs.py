@@ -1435,3 +1435,85 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.search import bm25_search as _search
 
     return _search(_docs(spark, sf_dir), BM25_QUERIES, k=BM25_K)
+
+
+def _hybrid_oracle_sql() -> str:
+    """Sparse (BM25 more-like-this) + dense (exact cosine kNN) candidate
+    generation fused by exact-integer RRF — every stage reuses the SAME
+    constants/CTE fragments as its standalone oracle."""
+    from .operators.search import RRF_C, SCORE_SCALE
+
+    dot = _DOT.format(a="qemb", b="c.emb")
+    return f"""WITH {_EMB_NORM_CTE},
+    qv AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+           FROM vecs WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    dscored AS (SELECT query_id, c.vec_id AS doc_id,
+                       {dot} / (qnrm * c.nrm) AS cos
+                FROM vecs c, qv WHERE c.vec_id <> query_id),
+    dranked AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, doc_id) AS rank
+                FROM dscored),
+    tk AS (SELECT doc_id, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS toks
+           FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+          FROM dl WHERE doc_id % {KNN_QUERY_MOD} = 0),
+    ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sscored AS (SELECT q.query_id, tf.doc_id,
+                       (2*n_docs - 2*df + 1) * 44 * tf * total_dl AS num,
+                       (2*df + 1) * (20*total_dl*tf + 6*total_dl
+                                     + 18*dl*n_docs) AS den
+                FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                CROSS JOIN corpus
+                WHERE tf.doc_id <> q.query_id),
+    ssum AS (SELECT query_id, doc_id,
+                    CAST(SUM((num // den) * {SCORE_SCALE}
+                             + ((num % den) * {SCORE_SCALE}) // den)
+                         AS BIGINT) AS score
+             FROM sscored GROUP BY query_id, doc_id),
+    sranked AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rank
+                FROM ssum),
+    rrf AS (SELECT query_id, doc_id, {SCORE_SCALE} // ({RRF_C} + rank) AS c
+            FROM sranked WHERE rank <= {KNN_K}
+            UNION ALL
+            SELECT query_id, doc_id, {SCORE_SCALE} // ({RRF_C} + rank) AS c
+            FROM dranked WHERE rank <= {KNN_K}),
+    fused AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_x1e6
+              FROM rrf GROUP BY query_id, doc_id),
+    final AS (SELECT query_id, doc_id, rrf_x1e6,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_x1e6 DESC, doc_id) AS rank
+              FROM fused)
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, rrf_x1e6
+    FROM final WHERE rank <= {KNN_K}"""
+
+
+@register("hybrid_mlt_search", _hybrid_oracle_sql(), extra=True)
+def hybrid_mlt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval: sparse BM25-lin over the query
+    doc's own tokens + dense exact-cosine kNN over its embedding, fused by
+    exact-integer reciprocal-rank fusion (operators/search.py::rrf_fuse).
+    Scores from a BM25 ranker and a cosine ranker are not comparable;
+    ranks are — RRF uses only ranks, and the integer floor keeps the whole
+    composition hash-checkable against the DuckDB oracle. The canonical
+    retrieval stack of a decontamination / dedup-adjudication service."""
+    from .operators import search as SE
+
+    docs, embs = _docs(spark, sf_dir), _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    dense = S.knn_bruteforce(embs, queries, k=KNN_K).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    sparse = SE.bm25_more_like_this(
+        docs, F.col("doc_id") % KNN_QUERY_MOD == 0, k=KNN_K
+    ).select("query_id", "doc_id", "rank")
+    return SE.rrf_fuse([sparse, dense], k=KNN_K)

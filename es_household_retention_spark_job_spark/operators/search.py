@@ -162,3 +162,122 @@ def _py_tokens(text: str) -> list[str]:
     import re
 
     return re.findall("[a-z0-9]+", text.lower())
+
+
+#: reciprocal-rank-fusion smoothing constant (the standard 60 from
+#: Cormack/Clarke/Buettcher 2009) — 1/(60+rank) floored at SCORE_SCALE
+#: keeps the fusion exact-integer like every score in this module
+RRF_C = 60
+
+
+def bm25_more_like_this(
+    docs: DataFrame,
+    query_pred,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse "more-like-this": for each query doc (rows matching
+    ``query_pred``), BM25-rank the OTHER docs using the query doc's own
+    distinct tokens as the query. Output (query_id, doc_id, rank,
+    score_x1e6), self excluded, ties by doc_id.
+
+    Differs from ``bm25_search`` only in where the query terms come from:
+    a frame derived from the corpus (broadcast both as the vocabulary
+    semi-join filter and as the scoring join) instead of literal strings —
+    the plan shape and the exact-int64 scoring are identical."""
+    docs = ensure_parallelism(docs)
+    with_dl = docs.select(
+        id_col,
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+        tokens(text_col).alias("toks"),
+    )
+    corpus = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    q = (
+        with_dl.where(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.array_distinct("toks")).alias("term"),
+        )
+    )
+    tf = (
+        with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .where(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "num",
+            (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+            * F.lit(44)
+            * F.col("tf")
+            * F.col("total_dl"),
+        )
+        .withColumn(
+            "den",
+            (2 * F.col("df") + 1)
+            * (
+                F.lit(20) * F.col("total_dl") * F.col("tf")
+                + F.lit(6) * F.col("total_dl")
+                + F.lit(18) * F.col("dl") * F.col("n_docs")
+            ),
+        )
+        .withColumn(
+            "contrib",
+            (
+                F.expr("num div den") * F.lit(SCORE_SCALE)
+                + F.expr(f"((num % den) * {SCORE_SCALE}) div den")
+            ).cast("long"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("contrib").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_x1e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.col("rank").cast("int").alias("rank"), "score_x1e6"
+        )
+    )
+
+
+def rrf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (query_id, <id>, rank) from
+    heterogeneous scorers — scores are NOT comparable across a BM25 ranker
+    and a cosine ranker, ranks are, which is exactly what RRF uses:
+    fused(d) = Σ_sources floor(SCORE_SCALE / (RRF_C + rank_source(d))).
+    Exact-integer, so the fusion hash-matches an oracle like its inputs.
+    Output (query_id, <id>, rank, rrf_x1e6), ties by id."""
+    parts = [
+        r.select(
+            "query_id",
+            id_col,
+            F.expr(f"{SCORE_SCALE} div ({RRF_C} + rank)").cast("long").alias("c"),
+        )
+        for r in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", id_col).agg(F.sum("c").alias("rrf_x1e6"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_x1e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.col("rank").cast("int").alias("rank"), "rrf_x1e6"
+        )
+    )

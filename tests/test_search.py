@@ -104,3 +104,40 @@ def test_bm25_topk_membership_and_ties(spark):
 
 def test_bm25_no_matching_terms_empty(spark):
     assert bm25_search(_corpus(spark), [("q", "zzz qqq")], k=5).count() == 0
+
+
+def test_hybrid_mlt_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        EXTRA_QUERIES["hybrid_mlt_search"](spark, SF_DIR),
+        duck,
+        EXTRA_ORACLE_SQL["hybrid_mlt_search"],
+        min_rows=1,
+    )
+
+
+def test_rrf_fusion_contract(spark):
+    """RRF: a doc ranked by BOTH sources outranks docs seen by only one
+    (at comparable ranks), and the fused score is the exact integer sum of
+    floor(SCALE/(C+rank)) contributions."""
+    from es_household_retention_spark_job_spark.operators.search import (
+        RRF_C,
+        SCORE_SCALE,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 10, 2), ("q", 13, 1), ("q", 14, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = {r.doc_id: (r.rank, r.rrf_x1e6) for r in rrf_fuse([a, b], k=5).collect()}
+    c = lambda r: SCORE_SCALE // (RRF_C + r)
+    assert out[10] == (1, c(1) + c(2))  # both sources -> top, exact sum
+    assert out[13][1] == c(1) and out[11][1] == c(2)
+    assert out[10][1] > max(out[13][1], out[11][1])
+    # deterministic tie-break on equal fused scores: doc_id asc
+    ranks = sorted((v[0], k) for k, v in out.items())
+    assert [k for _, k in ranks][0] == 10
