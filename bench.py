@@ -95,6 +95,12 @@ R6_QUERIES = [
     "quantile_contract_orders",
 ]
 
+#: round-7 additions (same isolation rationale)
+R7_QUERIES = [
+    "bm25_search",
+    "hybrid_mlt_search",
+]
+
 REPS = 7
 FAMILY_REPS = 3
 WARMUP_PASSES = 2
@@ -170,6 +176,11 @@ def main() -> None:
     )
     r6 = {n: s["median"] for n, s in r6_stats.items()}
 
+    r7_stats, _ = measure_suite(
+        {n: runner(n) for n in R7_QUERIES if n in all_queries}, FAMILY_REPS
+    )
+    r7 = {n: s["median"] for n, s in r7_stats.items()}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total_min = round(sum(s["min"] for s in stats.values()), 3)
@@ -200,6 +211,9 @@ def main() -> None:
         "r6_total": round(sum(r6.values()), 3),
         "r6": r6,
         "r6_stats": r6_stats,
+        "r7_total": round(sum(r7.values()), 3),
+        "r7": r7,
+        "r7_stats": r7_stats,
     }
     try:
         from es_household_retention_spark_job_spark.streaming.bench import streaming_bench

@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import ensure_parallelism
+from ..functions import eager_cache, ensure_parallelism
 from .text import tokens
 
 #: BM25 parameters as exact rationals (k1 = 1.2, b = 0.75) — see module
@@ -95,7 +95,12 @@ def bm25_scores(
     )
     # explode filtered to the query vocabulary BEFORE the aggregation: the
     # tf shuffle carries only (doc, query-term) rows, not the corpus
-    tf = (
+    # eager_cache: tf feeds both the df aggregation and the scoring join —
+    # without it Spark re-derives the subtree per consumer, running the
+    # corpus scan + explode TWICE (the dominant cost; same lesson as the
+    # banded-minhash self-join, functions.eager_cache docstring). The
+    # cached frame is query-vocabulary-sized, not corpus-sized.
+    tf = eager_cache(
         with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
         .where(F.col("term").isin(vocab))
         .groupBy(id_col, "dl", "term")  # dl functionally dependent on doc
@@ -202,7 +207,8 @@ def bm25_more_like_this(
             F.explode(F.array_distinct("toks")).alias("term"),
         )
     )
-    tf = (
+    # eager_cache: see bm25_scores — tf feeds df-agg AND scoring join
+    tf = eager_cache(
         with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
         .join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
         .groupBy(id_col, "dl", "term")
