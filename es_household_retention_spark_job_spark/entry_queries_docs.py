@@ -1381,6 +1381,7 @@ BM25_QUERIES = [
     ("q_cust", "customer value sort"),
 ]
 BM25_K = 10
+MLT_MAX_TERMS = 20  # Lucene MoreLikeThis-style rarest-terms cap
 
 
 def _bm25_oracle_sql() -> str:
@@ -1407,9 +1408,12 @@ def _bm25_oracle_sql() -> str:
     dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
     q(query_id, term) AS (VALUES {qvals}),
     scored AS (SELECT q.query_id, tf.doc_id,
-                      (2*n_docs - 2*df + 1) * 44 * tf * total_dl AS num,
-                      (2*df + 1) * (20*total_dl*tf + 6*total_dl
-                                    + 18*dl*n_docs) AS den
+                      CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 44 * tf
+                          * total_dl AS num,
+                      CAST(2*df + 1 AS HUGEINT)
+                          * (20 * CAST(total_dl AS HUGEINT) * tf
+                             + 6 * total_dl + 18 * CAST(dl AS HUGEINT)
+                                 * n_docs) AS den
                FROM tf JOIN q USING (term) JOIN dfreq USING (term)
                CROSS JOIN corpus),
     scores AS (SELECT query_id, doc_id,
@@ -1459,17 +1463,26 @@ def _hybrid_oracle_sql() -> str:
     dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
     corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                       CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
-    q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
-          FROM dl WHERE doc_id % {KNN_QUERY_MOD} = 0),
+    q0 AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+           FROM dl WHERE doc_id % {KNN_QUERY_MOD} = 0),
     ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
     tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM ex WHERE term IN (SELECT DISTINCT term FROM q)
+           FROM ex WHERE term IN (SELECT DISTINCT term FROM q0)
            GROUP BY doc_id, dl, term),
     dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    q AS (SELECT query_id, term
+          FROM (SELECT q0.query_id, q0.term,
+                       row_number() OVER (PARTITION BY q0.query_id
+                                          ORDER BY dfreq.df, q0.term) AS tr
+                FROM q0 JOIN dfreq USING (term))
+          WHERE tr <= {MLT_MAX_TERMS}),
     sscored AS (SELECT q.query_id, tf.doc_id,
-                       (2*n_docs - 2*df + 1) * 44 * tf * total_dl AS num,
-                       (2*df + 1) * (20*total_dl*tf + 6*total_dl
-                                     + 18*dl*n_docs) AS den
+                       CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 44 * tf
+                           * total_dl AS num,
+                       CAST(2*df + 1 AS HUGEINT)
+                           * (20 * CAST(total_dl AS HUGEINT) * tf
+                              + 6 * total_dl + 18 * CAST(dl AS HUGEINT)
+                                  * n_docs) AS den
                 FROM tf JOIN q USING (term) JOIN dfreq USING (term)
                 CROSS JOIN corpus
                 WHERE tf.doc_id <> q.query_id),
@@ -1514,6 +1527,9 @@ def hybrid_mlt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     sparse = SE.bm25_more_like_this(
-        docs, F.col("doc_id") % KNN_QUERY_MOD == 0, k=KNN_K
+        docs,
+        F.col("doc_id") % KNN_QUERY_MOD == 0,
+        k=KNN_K,
+        max_query_terms=MLT_MAX_TERMS,
     ).select("query_id", "doc_id", "rank")
     return SE.rrf_fuse([sparse, dense], k=KNN_K)

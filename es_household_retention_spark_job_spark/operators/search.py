@@ -31,9 +31,12 @@ clears all denominators to the integer fraction
     den = (2df + 1) · (20·total·tf + 6·total + 18·dl·N)
 
 (multiply through by 20·total; 44 = 20·11/5, 6 = 20·3/10, 18 = 20·9/10).
-int64-exact while num and den·1e6 stay under 2^63 — bounds at ~N·total ≤
-1e12 (≈ sf100 of this corpus); beyond that the production swap to doubles
-loses only oracle-exactness, not correctness.
+The fraction is evaluated in decimal128 (Spark DECIMAL(38,0) / DuckDB
+HUGEINT — both exact): an sf1 run overflowed the original int64 form at
+``(num % den)·1e6`` (den carries a df·total·tf product, ~1e13 at 50k
+docs), so int64 holds only to ~sf0.3 of this corpus; decimal128 is exact
+to ~1e38 — unbounded for any real corpus — and only the two divisions
+pay the wide-arithmetic cost.
 
 Plan shape (all codegen, no UDFs): one corpus-stats partial agg (N, total
 — stays in-plan via a 1-row broadcast, no driver round-trip); one explode
@@ -114,26 +117,28 @@ def bm25_scores(
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "num",
-            (2 * F.col("n_docs") - 2 * F.col("df") + 1)
-            * F.lit(44)
-            * F.col("tf")
-            * F.col("total_dl"),
+            F.expr(
+                "CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * tf"
+                " * CAST(total_dl AS DECIMAL(38,0))"
+            ),
         )
         .withColumn(
             "den",
-            (2 * F.col("df") + 1)
-            * (
-                F.lit(20) * F.col("total_dl") * F.col("tf")
-                + F.lit(6) * F.col("total_dl")
-                + F.lit(18) * F.col("dl") * F.col("n_docs")
+            F.expr(
+                "CAST(2*df + 1 AS DECIMAL(38,0))"
+                " * (20 * CAST(total_dl AS DECIMAL(38,0)) * tf"
+                "    + 6 * CAST(total_dl AS DECIMAL(38,0))"
+                "    + 18 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
             ),
         )
         # exact int64 1e6-scaled floor: (n div d)·1e6 + ((n mod d)·1e6) div d
         .withColumn(
             "contrib",
             (
-                F.expr("num div den") * F.lit(SCORE_SCALE)
-                + F.expr(f"((num % den) * {SCORE_SCALE}) div den")
+                F.expr("CAST(num div den AS BIGINT)") * F.lit(SCORE_SCALE)
+                + F.expr(
+                    f"CAST(((num % den) * {SCORE_SCALE}) div den AS BIGINT)"
+                )
             ).cast("long"),
         )
     )
@@ -179,18 +184,24 @@ def bm25_more_like_this(
     docs: DataFrame,
     query_pred,
     k: int = 10,
+    max_query_terms: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Sparse "more-like-this": for each query doc (rows matching
-    ``query_pred``), BM25-rank the OTHER docs using the query doc's own
-    distinct tokens as the query. Output (query_id, doc_id, rank,
-    score_x1e6), self excluded, ties by doc_id.
+    ``query_pred``), BM25-rank the OTHER docs using the query doc's
+    ``max_query_terms`` RAREST distinct tokens (df asc, term asc — the
+    Lucene MoreLikeThis design: rare terms are the discriminative ones,
+    and the cap bounds the scoring-join fan-out at Σ_topM df(t) per query
+    instead of the query doc's whole vocabulary). Output (query_id,
+    doc_id, rank, score_x1e6), self excluded, ties by doc_id.
 
     Differs from ``bm25_search`` only in where the query terms come from:
     a frame derived from the corpus (broadcast both as the vocabulary
     semi-join filter and as the scoring join) instead of literal strings —
-    the plan shape and the exact-int64 scoring are identical."""
+    the plan shape and the exact-scoring discipline are identical. The df
+    used for the rarity ranking is the same corpus df the scoring uses
+    (filtering tf by term VALUE does not change any term's corpus df)."""
     docs = ensure_parallelism(docs)
     with_dl = docs.select(
         id_col,
@@ -215,6 +226,18 @@ def bm25_more_like_this(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Lucene-style term selection: keep each query's max_query_terms rarest
+    # terms (a term absent from the corpus has no df row — and no effect on
+    # any score — so the inner join dropping it is correct)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    q = (
+        q.join(F.broadcast(dfreq), "term")
+        .withColumn("_tr", F.row_number().over(wq))
+        .where(F.col("_tr") <= max_query_terms)
+        .select("query_id", "term")
+    )
     scored = (
         tf.join(F.broadcast(q), "term")
         .where(F.col(id_col) != F.col("query_id"))
@@ -222,25 +245,27 @@ def bm25_more_like_this(
         .crossJoin(F.broadcast(corpus))
         .withColumn(
             "num",
-            (2 * F.col("n_docs") - 2 * F.col("df") + 1)
-            * F.lit(44)
-            * F.col("tf")
-            * F.col("total_dl"),
+            F.expr(
+                "CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * tf"
+                " * CAST(total_dl AS DECIMAL(38,0))"
+            ),
         )
         .withColumn(
             "den",
-            (2 * F.col("df") + 1)
-            * (
-                F.lit(20) * F.col("total_dl") * F.col("tf")
-                + F.lit(6) * F.col("total_dl")
-                + F.lit(18) * F.col("dl") * F.col("n_docs")
+            F.expr(
+                "CAST(2*df + 1 AS DECIMAL(38,0))"
+                " * (20 * CAST(total_dl AS DECIMAL(38,0)) * tf"
+                "    + 6 * CAST(total_dl AS DECIMAL(38,0))"
+                "    + 18 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
             ),
         )
         .withColumn(
             "contrib",
             (
-                F.expr("num div den") * F.lit(SCORE_SCALE)
-                + F.expr(f"((num % den) * {SCORE_SCALE}) div den")
+                F.expr("CAST(num div den AS BIGINT)") * F.lit(SCORE_SCALE)
+                + F.expr(
+                    f"CAST(((num % den) * {SCORE_SCALE}) div den AS BIGINT)"
+                )
             ).cast("long"),
         )
         .groupBy("query_id", id_col)
