@@ -141,3 +141,43 @@ def test_rrf_fusion_contract(spark):
     # deterministic tie-break on equal fused scores: doc_id asc
     ranks = sorted((v[0], k) for k, v in out.items())
     assert [k for _, k in ranks][0] == 10
+
+
+def test_indexed_bm25_equals_scan_based(spark, tmp_path):
+    """build_text_index + bm25_search_indexed must be byte-identical to the
+    scan-based bm25_search, and the indexed tf read must carry BOTH the
+    shard partition filter (pruning) and the term pushdown."""
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        BM25_K,
+        BM25_QUERIES,
+    )
+    from es_household_retention_spark_job_spark.operators.search import (
+        INDEX_SHARD_COL,
+        bm25_search_indexed,
+        build_text_index,
+        bm25_search as scan_search,
+    )
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "textindex")
+    build_text_index(docs, idx)
+
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+        for r in scan_search(docs, BM25_QUERIES, k=BM25_K).collect()
+    }
+    got_df = bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K)
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6) for r in got_df.collect()
+    }
+    assert got == want and got
+
+    # the pruning actually reaches the scan: partition filter on the shard
+    # column and a pushed filter on term
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert INDEX_SHARD_COL in plan
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*_shard", plan), plan[:2000]
+    assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(term", plan), plan[:2000]

@@ -14,6 +14,8 @@ EXTRA_PLANS = [
     "asof_purchase_view_auto",
     "funnel_view_click_purchase",
     "cube_revenue",
+    "bm25_search",
+    "hybrid_mlt_search",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
