@@ -335,9 +335,14 @@ def build_text_index(
     ).repartition(1).write.mode("overwrite").partitionBy(INDEX_SHARD_COL).parquet(
         f"{path}/df"
     )
+    # n_shards is an INDEX property (the partition function), not a query
+    # parameter: a reader pruning with a different shard count would
+    # silently miss terms. Persist it in the stats row.
     with_dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).withColumn("n_shards", F.lit(n_shards)).write.mode("overwrite").parquet(
+        f"{path}/stats"
+    )
 
 
 def bm25_search_indexed(
@@ -345,7 +350,6 @@ def bm25_search_indexed(
     path: str,
     queries: list[tuple[str, str]],
     k: int = 10,
-    n_shards: int = INDEX_SHARDS,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """``bm25_search`` over a ``build_text_index`` output: byte-identical
@@ -360,6 +364,11 @@ def bm25_search_indexed(
     ]
     q = spark.createDataFrame(qterms, "query_id string, term string")
     vocab = sorted({t for _, t in qterms})
+    corpus = spark.read.parquet(f"{path}/stats")
+    # the shard count is read from the index itself (a reader guessing a
+    # different partition function would silently miss terms)
+    n_shards = corpus.select("n_shards").first()["n_shards"]
+    corpus = corpus.drop("n_shards")
     # shard ids via a 1-task Spark job: the sharding hash is Spark's own
     # xxhash64 (not reproducible driver-side); collect is ≤ |vocab| ints
     shards = (
@@ -379,7 +388,6 @@ def bm25_search_indexed(
         .where(F.col("term").isin(vocab))
         .select("term", "df")
     )
-    corpus = spark.read.parquet(f"{path}/stats")
     scored = (
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(dfreq), "term")
@@ -431,6 +439,8 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "doc_id") -> Da
     fused(d) = Σ_sources floor(SCORE_SCALE / (RRF_C + rank_source(d))).
     Exact-integer, so the fusion hash-matches an oracle like its inputs.
     Output (query_id, <id>, rank, rrf_x1e6), ties by id."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
     parts = [
         r.select(
             "query_id",
