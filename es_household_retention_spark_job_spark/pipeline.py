@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .operators import retention as R
 from .schemas import ENCOUNTER, PERSON, validate
-from .sinks.upsert import read_keyed_table, upsert_parquet
+from .sinks.upsert import current_version, read_keyed_table, upsert_parquet
 
 log = logging.getLogger("retention.pipeline")
 
@@ -107,6 +107,7 @@ def run_incremental(
     delta_encounter,
     client_code: str,
     as_of: datetime,
+    include_new_persons: bool = False,
 ) -> dict[str, int]:
     """CDC maintenance: fold a batch of NEWLY-ARRIVED encounters into an
     already-processed person store without recomputing the world.
@@ -127,11 +128,21 @@ def run_incremental(
        unprocessed state, so this is a write-ahead marker: a crash after it
        leaves the members simply "not yet processed".
     3. *Recompute*: ``run_retention`` — whose P8 predicate now selects
-       exactly the affected members (plus any genuinely-new persons), and
-       whose phase-1 recompute over the FULL encounter history of only
-       those households provably equals a from-scratch run restricted to
-       them (the pipeline never joins across households). Equivalence vs a
-       full recompute is pinned in tests/test_incremental_retention.py.
+       exactly the affected members, and whose phase-1 recompute over the
+       FULL encounter history of only those households provably equals a
+       from-scratch run restricted to them (the pipeline never joins
+       across households). Equivalence vs a full recompute is pinned in
+       tests/test_incremental_retention.py.
+
+    Genuinely-new (never-processed) persons ride the recompute whenever it
+    runs — the P8 predicate selects them too. When the delta touches NO
+    household, the default is to skip the recompute entirely (keeping the
+    maintainer's cost delta-proportional; new-person onboarding belongs to
+    the regularly scheduled ``run_retention``). Pass
+    ``include_new_persons=True`` to run the pipeline unconditionally —
+    every otherwise-equivalent delta then gets identical new-person
+    behavior, at the cost of an O(store) eligibility scan even for an
+    empty delta.
 
     Note the deliberate contrast with the one-shot gate: a delta-touched
     household is recomputed EVEN IF previously processed — staleness from
@@ -151,11 +162,23 @@ def run_incremental(
     encounter scan to affected persons through the join itself. A daily
     0.1% delta therefore costs ~0.1% of the backfill, not a rescan.
 
-    Returns ``{"affected_persons", "phase1_persons", "phase2_persons"}``.
+    **Maintenance-invisible reads.** The returned ``pre_version`` is the
+    person table's committed version BEFORE any invalidate: a reader
+    pinned via ``read_keyed_table(spark, person_path, version=pre_version)``
+    never observes the transient null-history window between the
+    invalidate and the recompute's commit — maintenance is invisible until
+    it lands (pinned in tests/test_incremental_retention.py). The pin
+    stays readable while the version is retained
+    (``SPARK_GRAFT_SINK_KEEP_VERSIONS``; one incremental publishes ≤3 new
+    versions: invalidate + phase 1 + phase 2).
+
+    Returns ``{"affected_persons", "phase1_persons", "phase2_persons",
+    "pre_version"}``.
     """
     person = read_keyed_table(spark, person_path)
     validate(person, PERSON, allow_extra=True)
     validate(delta_encounter, ENCOUNTER, allow_extra=True)
+    pre_version = current_version(person_path)
 
     # 1. blast radius — persons touched by a QUALIFYING delta encounter
     # (client + the 5y scan window; anything outside cannot change any
@@ -186,21 +209,37 @@ def run_incremental(
     n_affected = members.count()
     log.info("incremental: %d persons in touched households", n_affected)
     if n_affected == 0:
-        log.info("incremental: no qualifying delta — skipping")
-        return {"affected_persons": 0, "phase1_persons": 0, "phase2_persons": 0}
-
-    # 2. invalidate: null history == unprocessed (P8 three-valued logic)
-    history_type = person.schema["household_retention_history"].dataType
-    upsert_parquet(
-        spark,
-        person_path,
-        members.select(
-            "person_id",
-            F.lit(None).cast(history_type).alias("household_retention_history"),
-        ),
-        key="person_id",
-    )
+        if not include_new_persons:
+            log.info("incremental: no qualifying delta — skipping")
+            return {
+                "affected_persons": 0,
+                "phase1_persons": 0,
+                "phase2_persons": 0,
+                "pre_version": pre_version,
+            }
+        log.info(
+            "incremental: no qualifying delta — running the pipeline for "
+            "genuinely-new persons (include_new_persons=True)"
+        )
+    else:
+        # 2. invalidate: null history == unprocessed (P8 three-valued logic)
+        history_type = person.schema["household_retention_history"].dataType
+        upsert_parquet(
+            spark,
+            person_path,
+            members.select(
+                "person_id",
+                F.lit(None).cast(history_type).alias(
+                    "household_retention_history"
+                ),
+            ),
+            key="person_id",
+        )
 
     # 3. recompute via the existing idempotent two-phase pipeline
     stats = run_retention(spark, person_path, encounter_path, client_code, as_of)
-    return {"affected_persons": n_affected, **stats}
+    return {
+        "affected_persons": n_affected,
+        "pre_version": pre_version,
+        **stats,
+    }

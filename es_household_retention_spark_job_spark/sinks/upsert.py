@@ -291,24 +291,48 @@ def _snapshot_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _stamp_version(path: str, manifest: dict, now: float) -> None:
-    """Bump the manifest's version, write the version's immutable snapshot
-    sidecar (live file set only — garbage bookkeeping stays in the current
-    manifest), and expire snapshots beyond the retention window. Runs
-    UNDER the publish lock; all O(retained versions), i.e. O(K) file ops.
+def _bump_version(manifest: dict, now: float) -> None:
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest["ts"] = now
+
+
+def _write_snapshot(
+    path: str, manifest: dict, schema: StructType | None = None
+) -> None:
+    """Write the version's immutable snapshot sidecar (live file set plus
+    the schema the version was PUBLISHED under — garbage bookkeeping stays
+    in the current manifest). Called only AFTER ``_write_manifest`` commits
+    the version: a snapshot must never exist for a version the manifest
+    never reached, or time travel would serve uncommitted state (a crash or
+    a broken-lock abort between a premature stamp and the manifest write
+    would leave exactly such a phantom). The inverse crash — manifest
+    committed, snapshot not yet written — degrades cleanly: that version
+    reads "not retained" and history simply has a gap.
 
     Snapshots are what make old versions readable: ``_vacuum`` keeps any
     data file a retained snapshot references, so a time-travel reader gets
     the same grace-window contract as a current-manifest reader, and an
     expired version degrades to a clean "version not retained" error, never
-    a partial scan."""
-    manifest["version"] = int(manifest.get("version", 0)) + 1
-    manifest["ts"] = now
-    snap = {"version": manifest["version"], "ts": now, "live": manifest["live"]}
+    a partial scan. The embedded schema gives a time-travel read the
+    version's OWN column set (Delta semantics) instead of the current one."""
+    snap = {
+        "version": manifest["version"],
+        "ts": manifest["ts"],
+        "live": manifest["live"],
+    }
+    if schema is not None:
+        snap["schema"] = schema.jsonValue()
     tmp = os.path.join(path, f".snap.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(snap, f)
     os.replace(tmp, _snapshot_path(path, manifest["version"]))
+
+
+def _expire_snapshots(path: str) -> None:
+    """Unlink snapshots beyond the retention window. Runs only after the
+    publish that displaced them COMMITTED (manifest written): expiring
+    before the commit point would permanently delete retained time-travel
+    versions for a publish that then aborts or crashes."""
     for v in _snapshot_versions(path)[: -_keep_versions()]:
         try:
             os.unlink(_snapshot_path(path, v))
@@ -316,11 +340,15 @@ def _stamp_version(path: str, manifest: dict, now: float) -> None:
             pass
 
 
-def _snapshot_referenced(path: str) -> set[str]:
+def _snapshot_referenced(path: str, only: set[int] | None = None) -> set[str]:
     """Relative data-file paths referenced by any RETAINED snapshot — the
-    set vacuum must never delete while those versions are readable."""
+    set vacuum must never delete while those versions are readable.
+    ``only`` restricts the sweep to the given versions (used by ``_publish``
+    to pin against the set that will remain retained after it commits)."""
     refs: set[str] = set()
     for v in _snapshot_versions(path):
+        if only is not None and v not in only:
+            continue
         try:
             with open(_snapshot_path(path, v)) as f:
                 snap = json.load(f)
@@ -349,7 +377,10 @@ def _bucket_dirs(path: str) -> list[str]:
 
 def _manifest_from_listing(path: str) -> dict:
     """Bootstrap a manifest from the directory layout (initial load, or a
-    legacy table written before manifests existed)."""
+    legacy table written before manifests existed). The version counter
+    resumes PAST any snapshot already on disk: reusing a number would make
+    the next publish overwrite an existing version's immutable snapshot
+    (and confuse the predictive retention pin in ``_publish``)."""
     live = {
         d: sorted(
             f
@@ -358,11 +389,16 @@ def _manifest_from_listing(path: str) -> dict:
         )
         for d in _bucket_dirs(path)
     }
-    return {"live": live, "garbage": []}
+    versions = _snapshot_versions(path)
+    return {"live": live, "garbage": [], "version": max(versions, default=0)}
 
 
 def _publish(
-    path: str, tmp: str, affected_dirs: list[str], based_on: dict | None = None
+    path: str,
+    tmp: str,
+    affected_dirs: list[str],
+    based_on: dict | None = None,
+    schema: StructType | None = None,
 ) -> None:
     """Move the rewritten buckets' files from ``tmp`` into the live tree
     under fresh unique names, then atomically point the manifest at them.
@@ -421,21 +457,26 @@ def _publish(
             for old in manifest["live"].get(d, []):
                 manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
             manifest["live"][d] = new_files
-        # bump the version and publish this state's time-travel snapshot
-        # (also expires snapshots beyond the retention window — AFTER which
-        # the retained-reference set below is computed, so a just-expired
-        # version stops pinning its files in the same publish)
-        _stamp_version(path, manifest, now)
+        _bump_version(manifest, now)
         # prune garbage entries from the manifest while we hold the lock
         # (cheap, O(garbage + K snapshots)); their files are unlinked below,
         # outside the lock. A file stays garbage — undeleted AND tracked —
         # while past-grace but still referenced by a retained snapshot:
         # time travel must keep it readable, and dropping it from the
-        # garbage list would orphan it until the stray sweep. A crash
-        # between this write and the unlinks leaves unreferenced stray
-        # files — the stray sweep reclaims them.
+        # garbage list would orphan it until the stray sweep. The reference
+        # set is the snapshots that will REMAIN retained after this publish
+        # commits (existing + the new version, last K) — computed
+        # predictively, so a version expiring in this publish stops pinning
+        # its files now, while the destructive expiry itself still runs
+        # only post-commit (an abort must not have deleted retained
+        # versions; the deletable list is discarded on abort too). A crash
+        # between the manifest write and the unlinks leaves unreferenced
+        # stray files — the stray sweep reclaims them.
         grace = _gc_grace_seconds()
-        snap_refs = _snapshot_referenced(path)
+        retained_after = set(
+            (_snapshot_versions(path) + [manifest["version"]])[-_keep_versions() :]
+        )
+        snap_refs = _snapshot_referenced(path, only=retained_after)
         deletable, kept = [], []
         for g in manifest["garbage"]:
             if now - g["ts"] >= grace and g["rel"] not in snap_refs:
@@ -445,6 +486,12 @@ def _publish(
         manifest["garbage"] = kept
         lk.verify_owned()  # see verify_owned: no write with a broken lock
         _write_manifest(path, manifest)
+        # COMMIT POINT. Only now publish the version's time-travel snapshot
+        # and expire displaced ones: an abort/crash above must never leave
+        # a phantom snapshot (uncommitted version readable) nor have
+        # destroyed retained versions for a publish that never happened.
+        _write_snapshot(path, manifest, schema)
+        _expire_snapshots(path)
     _vacuum(path, manifest, deletable)
 
 
@@ -494,10 +541,12 @@ def write_keyed_table(
     diverge from the layout and schema evolution stays metadata-only."""
     bucketed = _with_bucket(df, key, n_buckets)
     bucketed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
-    _write_layout(path, key, n_buckets, _table_schema(bucketed))
+    schema = _table_schema(bucketed)
+    _write_layout(path, key, n_buckets, schema)
     manifest = _manifest_from_listing(path)
-    _stamp_version(path, manifest, time.time())  # the initial load is v1
+    _bump_version(manifest, time.time())  # the initial load is v1
     _write_manifest(path, manifest)
+    _write_snapshot(path, manifest, schema)  # post-commit, like _publish
 
 
 def read_keyed_table(
@@ -510,9 +559,12 @@ def read_keyed_table(
     rewrites only the buckets an upsert touches, so older buckets lack
     later-added columns in their footers — an inferred read (which samples
     files) could silently drop such a column. The explicit schema fills it
-    with nulls instead, with no mergeSchema footer sweep. (For a
-    time-travel read the CURRENT schema still applies — a column added
-    after ``version`` reads as nulls, same as Delta.)
+    with nulls instead, with no mergeSchema footer sweep. A time-travel
+    read uses the schema EMBEDDED in the version's snapshot — the column
+    set the table had when that version was published (Delta semantics:
+    reading v1 does not show columns added in v2). Snapshots written
+    before schema embedding existed fall back to the current pinned schema
+    (later-added columns read as nulls).
 
     A time-travel scan holds the same contract as a current-manifest scan:
     its files stay on disk while the version is retained (vacuum never
@@ -534,7 +586,21 @@ def read_keyed_table(
                 f"versions: {retained} (SPARK_GRAFT_SINK_KEEP_VERSIONS="
                 f"{_keep_versions()})"
             ) from None
+        if manifest.get("schema"):
+            schema = StructType.fromJson(manifest["schema"])
     return _read_live(spark, path, schema, manifest=manifest).drop(BUCKET_COL)
+
+
+def current_version(path: str) -> int:
+    """Version of the table's latest committed publish (0 for a table with
+    no manifest yet). The pin for a maintenance-invisible read:
+    ``read_keyed_table(spark, path, version=current_version(path))`` keeps
+    serving this exact state across later upserts — including the
+    invalidate→recompute window of ``pipeline.run_incremental`` — for as
+    long as the version stays retained (``SPARK_GRAFT_SINK_KEEP_VERSIONS``)
+    plus the GC grace window after it expires."""
+    manifest = _read_manifest(path)
+    return int(manifest.get("version", 0)) if manifest else 0
 
 
 def table_history(path: str) -> list[dict]:
@@ -705,6 +771,10 @@ def _merge_and_publish(
             tmp,
             [f"{BUCKET_COL}={b}" for b in affected],
             based_on=snapshot,
+            # the version's snapshot carries the POST-upsert unified schema
+            # (new columns included) — what a time-travel read of this
+            # version reproduces
+            schema=_table_schema(merged),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -746,7 +816,7 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
         data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         # based_on: a concurrent upsert that rewrote one of these buckets
         # mid-compaction makes the compacted copy stale — abort, keep theirs
-        _publish(path, tmp, to_compact, based_on=manifest)
+        _publish(path, tmp, to_compact, based_on=manifest, schema=stored)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.refreshByPath(path)

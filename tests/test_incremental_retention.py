@@ -121,7 +121,9 @@ def test_incremental_noop_delta(spark, tmp_path):
         "affected_persons": 0,
         "phase1_persons": 0,
         "phase2_persons": 0,
+        "pre_version": stats["pre_version"],
     }
+    assert stats["pre_version"] >= 1
     assert _state(spark, p_path) == before
 
 
@@ -150,3 +152,86 @@ def test_incremental_crash_heals_on_rerun(spark, tmp_path):
     assert _state(spark, p_path) != want
     run_retention(spark, p_path, e_path, FIXTURE_CLIENT, FIXTURE_AS_OF)
     assert _state(spark, p_path) == want
+
+
+def test_incremental_pinned_reader_never_sees_maintenance(spark, tmp_path):
+    """Composing CDC with time travel: a reader pinned to ``pre_version``
+    (the version run_incremental captured before its invalidate) sees the
+    exact pre-maintenance table — no null-history invalidate window, no
+    half-recomputed state — while an unpinned reader sees the committed
+    recompute. Maintenance is invisible until it lands."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+    )
+
+    _, encounter = fixture_frames(spark)
+    base = encounter.where(F.col("admit_date") < SPLIT_MS)
+    delta = encounter.where(F.col("admit_date") >= SPLIT_MS)
+    p_path, e_path = _setup(spark, tmp_path, "pin", base, fresh=True)
+    run_retention(spark, p_path, e_path, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    before = _state(spark, p_path)
+    v_before = current_version(p_path)
+
+    encounter.write.mode("overwrite").parquet(e_path)
+    spark.catalog.refreshByPath(e_path)
+    stats = run_incremental(
+        spark, p_path, e_path, delta, FIXTURE_CLIENT, FIXTURE_AS_OF
+    )
+    assert stats["affected_persons"] > 0
+    assert stats["pre_version"] == v_before
+
+    # pinned read reproduces the pre-maintenance state exactly (in
+    # particular: no member has the transient null history the invalidate
+    # wrote), while the current read shows the recompute
+    pinned = read_keyed_table(spark, p_path, version=stats["pre_version"])
+    got = {
+        r["person_id"]: canon_val(r["household_retention_history"])
+        for r in pinned.select(
+            "person_id", "household_retention_history"
+        ).collect()
+    }
+    assert got == before
+    assert _state(spark, p_path) != before
+    assert current_version(p_path) > v_before
+
+
+def test_incremental_include_new_persons(spark, tmp_path):
+    """include_new_persons=True runs the idempotent pipeline even when the
+    delta touches no household, onboarding genuinely-new unprocessed
+    persons; the default keeps the empty-delta call delta-proportional
+    (skips them — the scheduled run_retention's job)."""
+    _, encounter = fixture_frames(spark)
+    p_path, e_path = _setup(spark, tmp_path, "newp", encounter)
+    run_retention(spark, p_path, e_path, FIXTURE_CLIENT, FIXTURE_AS_OF)
+
+    # a genuinely-new, never-processed person joins an existing household
+    person = read_keyed_table(spark, p_path)
+    htype = person.schema["household_retention_history"].dataType
+    newcomer = person.where(F.col("person_id") == "P_R1").select(
+        F.lit("P_NEW").alias("person_id"),
+        "client_code",
+        "household",
+        F.lit(None).cast(htype).alias("household_retention_history"),
+    )
+    upsert_parquet(spark, p_path, newcomer, key="person_id")
+
+    empty_delta = encounter.where(F.lit(False))
+
+    stats = run_incremental(
+        spark, p_path, e_path, empty_delta, FIXTURE_CLIENT, FIXTURE_AS_OF
+    )
+    assert stats["phase1_persons"] == 0  # default: delta-proportional skip
+    assert _state(spark, p_path)["P_NEW"] is None
+
+    stats = run_incremental(
+        spark,
+        p_path,
+        e_path,
+        empty_delta,
+        FIXTURE_CLIENT,
+        FIXTURE_AS_OF,
+        include_new_persons=True,
+    )
+    assert stats["affected_persons"] == 0
+    assert stats["phase1_persons"] == 1  # P_NEW onboarded
+    assert _state(spark, p_path)["P_NEW"] is not None

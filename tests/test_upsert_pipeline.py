@@ -663,9 +663,10 @@ def test_vacuum_runs_outside_publish_lock(spark, tmp_path, monkeypatch):
 def test_time_travel_reads_history_and_expiry(spark, tmp_path, monkeypatch):
     """Versioned snapshots: every publish (initial load, upsert, compaction)
     is a numbered version; read_keyed_table(version=N) reproduces exactly
-    that state under the CURRENT schema (later-added columns read as null,
-    as in Delta); table_history lists retained versions; a version past the
-    retention window refuses with a clear error instead of a partial scan."""
+    that state under the version's OWN schema (a column added in a later
+    version is absent, not null — Delta semantics); table_history lists
+    retained versions; a version past the retention window refuses with a
+    clear error instead of a partial scan."""
     import os
 
     from es_household_retention_spark_job_spark.sinks.upsert import table_history
@@ -701,6 +702,11 @@ def test_time_travel_reads_history_and_expiry(spark, tmp_path, monkeypatch):
     assert snap(2) == {"a": (10, None), "b": (2, None)}
     assert snap(3) == {"a": (10, None), "b": (2, None), "c": (3, "new")}
     assert snap() == snap(3)  # current == latest version
+    # per-version schema: v2 predates the w column and must NOT show it;
+    # v3 (the evolving publish) and the current read must
+    assert "w" not in read_keyed_table(spark, path, version=2).columns
+    assert "w" in read_keyed_table(spark, path, version=3).columns
+    assert "w" in read_keyed_table(spark, path).columns
 
     # v4 expires v1 (retention 3: keep 2..4)
     upsert_parquet(
@@ -752,3 +758,51 @@ def test_time_travel_pins_files_against_vacuum(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="not retained"):
         read_keyed_table(spark, path, version=1)
     assert {r["v"] for r in read_keyed_table(spark, path, version=2).collect()} == {2}
+
+
+def test_aborted_publish_leaves_no_phantom_snapshot(spark, tmp_path, monkeypatch):
+    """Snapshot-after-commit ordering: a publish that aborts AT the
+    manifest write (the commit point) must leave (a) no snapshot for the
+    never-committed version — a phantom snapshot would let time travel
+    serve uncommitted state — and (b) every previously retained snapshot
+    intact — expiry before the commit would destroy retained versions for
+    a publish that never happened."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "2")
+    path = str(tmp_path / "tbl")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1)], "k string, v int"), path, key="k",
+        n_buckets=1,
+    )  # v1
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 2)], "k string, v int"), key="k"
+    )  # v2 — retention 2 means the NEXT publish would expire v1
+    assert U._snapshot_versions(path) == [1, 2]
+
+    real_write = U._write_manifest
+
+    def boom(path_, manifest):
+        raise RuntimeError("injected commit failure")
+
+    monkeypatch.setattr(U, "_write_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected commit failure"):
+        upsert_parquet(
+            spark, path,
+            spark.createDataFrame([("a", 3)], "k string, v int"), key="k",
+        )
+    monkeypatch.setattr(U, "_write_manifest", real_write)
+
+    # no phantom v3 snapshot, no premature expiry of v1, manifest still v2
+    assert U._snapshot_versions(path) == [1, 2]
+    assert U.current_version(path) == 2
+    assert {r["v"] for r in read_keyed_table(spark, path).collect()} == {2}
+    assert {r["v"] for r in read_keyed_table(spark, path, version=1).collect()} == {1}
+
+    # the table is not wedged: a later publish commits v3 and only then
+    # expires v1
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 4)], "k string, v int"), key="k"
+    )
+    assert U._snapshot_versions(path) == [2, 3]
+    assert {r["v"] for r in read_keyed_table(spark, path, version=3).collect()} == {4}
