@@ -34,9 +34,19 @@ clears all denominators to the integer fraction
 The fraction is evaluated in decimal128 (Spark DECIMAL(38,0) / DuckDB
 HUGEINT — both exact): an sf1 run overflowed the original int64 form at
 ``(num % den)·1e6`` (den carries a df·total·tf product, ~1e13 at 50k
-docs), so int64 holds only to ~sf0.3 of this corpus; decimal128 is exact
-to ~1e38 — unbounded for any real corpus — and only the two divisions
-pay the wide-arithmetic cost.
+docs), so int64 holds only to ~sf0.3 of this corpus; decimal128 pushes
+the headroom to DECIMAL(38,0)'s 10^38. The PRECISE bound (not
+"unbounded"): the widest intermediate is ``(num % den)·SCORE_SCALE <
+den·1e6``, so scoring is exact while ``den = (2df+1)·(20·total·tf +
+6·total + 18·dl·N) < 10^32`` (and ``num < 10^38``, which den's bound
+implies for any N ≤ 10^11). At the 100 TB design point (N ~ 1e11 docs,
+total ~ 2e13 tokens) that holds up to df·tf products ~ 2.5e29 — beyond
+any natural document, but a PATHOLOGICAL row (a multi-GB single doc)
+could cross it, where non-ANSI Spark would return NULL and silently
+DROP that term from the sum while the DuckDB HUGEINT oracle errors.
+``_bm25_contrib`` therefore guards the branch: out-of-range rows RAISE
+(``assert_true``) instead of corrupting the ranking — the engines stay
+bit-identical or loudly fail together.
 
 Plan shape (all codegen, no UDFs): one corpus-stats partial agg (N, total
 — stays in-plan via a 1-row broadcast, no driver round-trip); one explode
@@ -63,6 +73,74 @@ from .text import tokens
 BM25_K1_NUM, BM25_K1_DEN = 6, 5
 BM25_B_NUM, BM25_B_DEN = 3, 4
 SCORE_SCALE = 1_000_000
+
+#: exactness guard: ``(num % den) * SCORE_SCALE`` must fit DECIMAL(38,0),
+#: i.e. den < 10^38 / SCORE_SCALE = 10^32 (module docstring derives the
+#: corpus terms). Rows beyond it raise instead of silently nulling.
+DEN_GUARD = 10**32
+
+
+def _bm25_contrib(scored: DataFrame) -> DataFrame:
+    """Append the exact decimal128 BM25-lin per-term contribution to a
+    frame carrying ``tf, dl, df, n_docs, total_dl`` columns — the single
+    definition of the 44/20/6/18 integer fraction shared by every scorer
+    in this module (scan-based, more-like-this, index-backed). The int64
+    1e6-scaled floor is ``(n div d)·1e6 + ((n mod d)·1e6) div d``.
+
+    Overflow posture: a decimal overflow in non-ANSI Spark yields NULL,
+    which ``F.sum`` would silently drop — flipping ranks while the DuckDB
+    HUGEINT oracle errors. The guard turns that into a loud
+    ``assert_true`` failure (codegen branch, no measurable cost): within
+    ``DEN_GUARD`` both engines are bit-identical, beyond it both fail."""
+    contrib = (
+        f"CAST(num div den AS BIGINT) * {SCORE_SCALE}"
+        f" + CAST(((num % den) * {SCORE_SCALE}) div den AS BIGINT)"
+    )
+    return (
+        scored.withColumn(
+            "num",
+            F.expr(
+                "CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * tf"
+                " * CAST(total_dl AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                "CAST(2*df + 1 AS DECIMAL(38,0))"
+                " * (20 * CAST(total_dl AS DECIMAL(38,0)) * tf"
+                "    + 6 * CAST(total_dl AS DECIMAL(38,0))"
+                "    + 18 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"CASE WHEN num IS NOT NULL AND den IS NOT NULL"
+                f" AND den <= {DEN_GUARD} THEN {contrib}"
+                f" ELSE CAST(assert_true(false, 'BM25 intermediate exceeds"
+                f" DECIMAL(38,0): den > 1e32 (see operators/search.py"
+                f" DEN_GUARD)') AS BIGINT) END"
+            ).cast("long"),
+        )
+    )
+
+
+def _rank_topk(scores: DataFrame, k: int, id_col: str, score_col: str) -> DataFrame:
+    """Deterministic per-query top-k: score desc, id asc; rank as int."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            score_col,
+        )
+    )
 
 
 def bm25_scores(
@@ -111,36 +189,10 @@ def bm25_scores(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    scored = (
+    scored = _bm25_contrib(
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "num",
-            F.expr(
-                "CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * tf"
-                " * CAST(total_dl AS DECIMAL(38,0))"
-            ),
-        )
-        .withColumn(
-            "den",
-            F.expr(
-                "CAST(2*df + 1 AS DECIMAL(38,0))"
-                " * (20 * CAST(total_dl AS DECIMAL(38,0)) * tf"
-                "    + 6 * CAST(total_dl AS DECIMAL(38,0))"
-                "    + 18 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
-            ),
-        )
-        # exact int64 1e6-scaled floor: (n div d)·1e6 + ((n mod d)·1e6) div d
-        .withColumn(
-            "contrib",
-            (
-                F.expr("CAST(num div den AS BIGINT)") * F.lit(SCORE_SCALE)
-                + F.expr(
-                    f"CAST(((num % den) * {SCORE_SCALE}) div den AS BIGINT)"
-                )
-            ).cast("long"),
-        )
     )
     return scored.groupBy("query_id", id_col).agg(
         F.sum("contrib").alias("score_x1e6")
@@ -156,14 +208,8 @@ def bm25_search(
 ) -> DataFrame:
     """Top-k docs per query by BM25-lin: (query_id, doc_id, rank,
     score_x1e6), deterministic (score desc, doc_id asc)."""
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_x1e6").desc(), F.col(id_col).asc()
-    )
-    return (
-        bm25_scores(docs, queries, text_col, id_col)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, F.col("rank").cast("int").alias("rank"), "score_x1e6")
+    return _rank_topk(
+        bm25_scores(docs, queries, text_col, id_col), k, id_col, "score_x1e6"
     )
 
 
@@ -239,48 +285,16 @@ def bm25_more_like_this(
         .select("query_id", "term")
     )
     scored = (
-        tf.join(F.broadcast(q), "term")
-        .where(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "num",
-            F.expr(
-                "CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * tf"
-                " * CAST(total_dl AS DECIMAL(38,0))"
-            ),
-        )
-        .withColumn(
-            "den",
-            F.expr(
-                "CAST(2*df + 1 AS DECIMAL(38,0))"
-                " * (20 * CAST(total_dl AS DECIMAL(38,0)) * tf"
-                "    + 6 * CAST(total_dl AS DECIMAL(38,0))"
-                "    + 18 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
-            ),
-        )
-        .withColumn(
-            "contrib",
-            (
-                F.expr("CAST(num div den AS BIGINT)") * F.lit(SCORE_SCALE)
-                + F.expr(
-                    f"CAST(((num % den) * {SCORE_SCALE}) div den AS BIGINT)"
-                )
-            ).cast("long"),
+        _bm25_contrib(
+            tf.join(F.broadcast(q), "term")
+            .where(F.col(id_col) != F.col("query_id"))
+            .join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(corpus))
         )
         .groupBy("query_id", id_col)
         .agg(F.sum("contrib").alias("score_x1e6"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_x1e6").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", id_col, F.col("rank").cast("int").alias("rank"), "score_x1e6"
-        )
-    )
+    return _rank_topk(scored, k, id_col, "score_x1e6")
 
 
 #: term-hash shards of the persisted inverted index: a query prunes its
@@ -345,6 +359,33 @@ def build_text_index(
     )
 
 
+#: (term, n_shards) -> shard id. The sharding hash is Spark's own xxhash64
+#: (not reproducible driver-side), so shard ids come from a tiny Spark job —
+#: but they are PURE (hash of the term, independent of any index), so the
+#: process memoizes them: repeated queries against any index resolve their
+#: shards without submitting a job. Bounded by the distinct query vocabulary
+#: of the process (strings + ints, not corpus data).
+_SHARD_ID_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _term_shards(spark, vocab: list[str], n_shards: int) -> set[int]:
+    """Shard ids for ``vocab``, resolving all cache misses in ONE 1-task
+    job (or none, when every term was seen before)."""
+    n_shards = int(n_shards)
+    missing = [t for t in vocab if (t, n_shards) not in _SHARD_ID_CACHE]
+    if missing:
+        rows = (
+            spark.createDataFrame([(t,) for t in missing], "term string")
+            .select(
+                "term", F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s")
+            )
+            .collect()
+        )
+        for r in rows:
+            _SHARD_ID_CACHE[(r["term"], n_shards)] = int(r["s"])
+    return {_SHARD_ID_CACHE[(t, n_shards)] for t in vocab}
+
+
 def bm25_search_indexed(
     spark,
     path: str,
@@ -369,14 +410,7 @@ def bm25_search_indexed(
     # different partition function would silently miss terms)
     n_shards = corpus.select("n_shards").first()["n_shards"]
     corpus = corpus.drop("n_shards")
-    # shard ids via a 1-task Spark job: the sharding hash is Spark's own
-    # xxhash64 (not reproducible driver-side); collect is ≤ |vocab| ints
-    shards = (
-        spark.createDataFrame([(t,) for t in vocab], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s"))
-        .distinct()
-    )
-    shard_ids = sorted(r["s"] for r in shards.collect())  # ≤ |vocab| ints
+    shard_ids = sorted(_term_shards(spark, vocab, n_shards))
     tf = (
         spark.read.parquet(f"{path}/tf")
         .where(F.col(INDEX_SHARD_COL).isin(shard_ids))
@@ -389,47 +423,15 @@ def bm25_search_indexed(
         .select("term", "df")
     )
     scored = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "num",
-            F.expr(
-                "CAST(2*n_docs - 2*df + 1 AS DECIMAL(38,0)) * 44 * tf"
-                " * CAST(total_dl AS DECIMAL(38,0))"
-            ),
-        )
-        .withColumn(
-            "den",
-            F.expr(
-                "CAST(2*df + 1 AS DECIMAL(38,0))"
-                " * (20 * CAST(total_dl AS DECIMAL(38,0)) * tf"
-                "    + 6 * CAST(total_dl AS DECIMAL(38,0))"
-                "    + 18 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
-            ),
-        )
-        .withColumn(
-            "contrib",
-            (
-                F.expr("CAST(num div den AS BIGINT)") * F.lit(SCORE_SCALE)
-                + F.expr(
-                    f"CAST(((num % den) * {SCORE_SCALE}) div den AS BIGINT)"
-                )
-            ).cast("long"),
+        _bm25_contrib(
+            tf.join(F.broadcast(q), "term")
+            .join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(corpus))
         )
         .groupBy("query_id", id_col)
         .agg(F.sum("contrib").alias("score_x1e6"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_x1e6").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", id_col, F.col("rank").cast("int").alias("rank"), "score_x1e6"
-        )
-    )
+    return _rank_topk(scored, k, id_col, "score_x1e6")
 
 
 def rrf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "doc_id") -> DataFrame:
@@ -453,13 +455,4 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "doc_id") -> Da
     for p in parts[1:]:
         u = u.unionByName(p)
     fused = u.groupBy("query_id", id_col).agg(F.sum("c").alias("rrf_x1e6"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_x1e6").desc(), F.col(id_col).asc()
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", id_col, F.col("rank").cast("int").alias("rank"), "rrf_x1e6"
-        )
-    )
+    return _rank_topk(fused, k, id_col, "rrf_x1e6")

@@ -181,3 +181,37 @@ def test_indexed_bm25_equals_scan_based(spark, tmp_path):
 
     assert re.search(r"PartitionFilters: \[[^\]]*_shard", plan), plan[:2000]
     assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(term", plan), plan[:2000]
+
+
+def test_bm25_overflow_guard_raises_not_nulls(spark):
+    """Beyond DEN_GUARD the decimal128 intermediates would overflow to NULL
+    in non-ANSI Spark and F.sum would silently drop the term (while the
+    DuckDB HUGEINT oracle errors). The guard must RAISE instead — for both
+    the outright-overflowed (NULL num/den) case and the subtler
+    den ∈ (1e32, 1e38) case where den itself is finite but
+    (num % den)·1e6 would overflow."""
+    import pytest as _pytest
+
+    from es_household_retention_spark_job_spark.operators.search import (
+        DEN_GUARD,
+        _bm25_contrib,
+    )
+
+    cols = "tf long, dl long, df long, n_docs long, total_dl long"
+
+    ok = spark.createDataFrame([(2, 10, 1, 5, 50)], cols)
+    assert _bm25_contrib(ok).select("contrib").first()["contrib"] > 0
+
+    # den finite but > DEN_GUARD: (2·0+1)·20·1e18·1e13 = 2e32
+    subtle = spark.createDataFrame([(10**13, 10, 0, 10**6, 10**18)], cols)
+    with _pytest.raises(Exception, match="DECIMAL"):
+        _bm25_contrib(subtle).select("contrib").collect()
+
+    # den overflows DECIMAL(38,0) outright -> NULL -> guard fires
+    hard = spark.createDataFrame(
+        [(10**14, 10**10, 10**11, 10**11, 10**18)], cols
+    )
+    with _pytest.raises(Exception, match="DECIMAL"):
+        _bm25_contrib(hard).select("contrib").collect()
+
+    assert DEN_GUARD == 10**32
