@@ -1441,6 +1441,43 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search(_docs(spark, sf_dir), BM25_QUERIES, k=BM25_K)
 
 
+#: sf_dir -> materialized index path for this process (the build is the
+#: one-corpus-pass cost the indexed search amortizes; rebuilt per process
+#: because the temp dir is process-scoped scratch, not a managed table)
+_TEXT_INDEX_BUILT: dict[str, str] = {}
+
+
+def _text_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    path = _TEXT_INDEX_BUILT.get(sf_dir)
+    if path is None:
+        from .operators.search import build_text_index
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_text_index_"), "idx"
+        )
+        build_text_index(_docs(spark, sf_dir), path)
+        _TEXT_INDEX_BUILT[sf_dir] = path
+    return path
+
+
+@register("bm25_search_indexed", _bm25_oracle_sql(), extra=True)
+def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ranking as bm25_search served from the persisted inverted
+    index (operators/search.py::build_text_index): shard partition pruning
+    + in-shard term pushdown replace the per-query corpus scan. Registered
+    against the IDENTICAL oracle SQL as the scan-based form — the claim is
+    path-independence (exactly the sessionize_events_chunked pattern): two
+    physical strategies, one bit-exact answer."""
+    from .operators.search import bm25_search_indexed as _search
+
+    return _search(
+        spark, _text_index_path(spark, sf_dir), BM25_QUERIES, k=BM25_K
+    )
+
+
 def _hybrid_oracle_sql() -> str:
     """Sparse (BM25 more-like-this) + dense (exact cosine kNN) candidate
     generation fused by exact-integer RRF — every stage reuses the SAME
@@ -1510,6 +1547,44 @@ def _hybrid_oracle_sql() -> str:
     FROM final WHERE rank <= {KNN_K}"""
 
 
+def _mlt_sparse_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid stack's shared sparse side: BM25-lin more-like-this over
+    each query doc's rarest terms (operators/search.py)."""
+    from .operators import search as SE
+
+    return SE.bm25_more_like_this(
+        _docs(spark, sf_dir),
+        F.col("doc_id") % KNN_QUERY_MOD == 0,
+        k=KNN_K,
+        max_query_terms=MLT_MAX_TERMS,
+    ).select("query_id", "doc_id", "rank")
+
+
+def _dense_ranks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine ranks — O(|Q|·N·dim) dense scoring; the
+    hash-matchable form (and the ANN variant's ground truth), NOT the
+    scale path: with |Q| ∝ corpus (vec_id % KNN_QUERY_MOD) it is
+    deliberately super-linear (measured 16.7× on 10× data, SCALING.md)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_bruteforce(embs, queries, k=KNN_K).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+
+def _dense_ranks_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN cosine ranks — the dense SCALE path: k-means coarse
+    quantizer, per-query probe of the nearest cells, exact re-rank within
+    them (operators/similarity.py::knn_ivf). Candidate generation is
+    bucket-join-shaped (no all-pairs); cost tracks the probed fraction,
+    not |Q|·N."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_ivf(embs, queries, k=KNN_K).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+
 @register("hybrid_mlt_search", _hybrid_oracle_sql(), extra=True)
 def hybrid_mlt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid more-like-this retrieval: sparse BM25-lin over the query
@@ -1517,19 +1592,75 @@ def hybrid_mlt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer reciprocal-rank fusion (operators/search.py::rrf_fuse).
     Scores from a BM25 ranker and a cosine ranker are not comparable;
     ranks are — RRF uses only ranks, and the integer floor keeps the whole
-    composition hash-checkable against the DuckDB oracle. The canonical
-    retrieval stack of a decontamination / dedup-adjudication service."""
+    composition hash-checkable against the DuckDB oracle. The EXACT form
+    of the retrieval stack — production runs hybrid_mlt_search_ann below,
+    which swaps only the dense candidate generator."""
     from .operators import search as SE
 
-    docs, embs = _docs(spark, sf_dir), _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
-    dense = S.knn_bruteforce(embs, queries, k=KNN_K).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
-    sparse = SE.bm25_more_like_this(
-        docs,
-        F.col("doc_id") % KNN_QUERY_MOD == 0,
-        k=KNN_K,
-        max_query_terms=MLT_MAX_TERMS,
-    ).select("query_id", "doc_id", "rank")
+    sparse = _mlt_sparse_ranks(spark, sf_dir)
+    dense = _dense_ranks_exact(spark, sf_dir)
     return SE.rrf_fuse([sparse, dense], k=KNN_K)
+
+
+@register("hybrid_mlt_search_ann", extra=True)  # rows-only by design: the
+# dense half is approximate (IVF probes), so there is no exact oracle for
+# the composition — its correctness evidence is hybrid_ann_eval's
+# recall-vs-exact-hybrid row (ground truth = the hash-matched
+# hybrid_mlt_search above), floor-gated in tests/test_search.py.
+def hybrid_mlt_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed hybrid retrieval — the 100 TB form of hybrid_mlt_search:
+    identical sparse side (BM25-lin more-like-this, vocab-filtered,
+    query-sized shuffles) and identical exact-integer RRF fusion; only the
+    dense candidate generator changes, from the O(|Q|·N·dim) brute-force
+    cross score to IVF probes + exact re-rank (sub-linear scanned
+    fraction, published by knn_ann_eval*). This is the composition a
+    production retrieval stack actually runs; the exact hybrid remains
+    registered as its ground truth."""
+    from .operators import search as SE
+
+    sparse = _mlt_sparse_ranks(spark, sf_dir)
+    dense = _dense_ranks_ivf(spark, sf_dir)
+    return SE.rrf_fuse([sparse, dense], k=KNN_K)
+
+
+@register("hybrid_ann_eval", extra=True)  # rows-only info row, the
+# knn_ann_eval pattern: the recall number IS the evidence.
+def hybrid_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the ANN-backed hybrid against the exact hybrid (whose
+    full composition hash-matches the DuckDB oracle): one row
+    ``(n_queries, n_hits, recall_bp)``, computed distributed — the
+    approx∩exact intersection is a semi-join on (query, doc), counts are
+    integers, every input is RNG-free so the row is deterministic. The
+    sparse side is computed ONCE (eager_cache) and fused with both dense
+    variants — the eval's cost over the two hybrids is one extra fusion,
+    not a second corpus scan. Floor recall_bp ≥ 9000 pinned in
+    tests/test_search.py."""
+    from .functions import eager_cache
+    from .operators import search as SE
+
+    sparse = eager_cache(_mlt_sparse_ranks(spark, sf_dir))
+    try:
+        exact = SE.rrf_fuse(
+            [sparse, _dense_ranks_exact(spark, sf_dir)], k=KNN_K
+        ).select("query_id", "doc_id")
+        approx = SE.rrf_fuse(
+            [sparse, _dense_ranks_ivf(spark, sf_dir)], k=KNN_K
+        ).select("query_id", "doc_id")
+        hits = approx.join(
+            F.broadcast(exact), ["query_id", "doc_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        nq = sparse.select("query_id").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries")
+        )
+        result = hits.crossJoin(F.broadcast(nq)).select(
+            "n_queries",
+            "n_hits",
+            F.floor(F.col("n_hits") * 10000 / (F.col("n_queries") * KNN_K))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        # materialize (1 row) while the sparse cache is alive, then release
+        rows = result.collect()
+    finally:
+        sparse.unpersist()
+    return spark.createDataFrame(rows, result.schema)

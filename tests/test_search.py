@@ -215,3 +215,44 @@ def test_bm25_overflow_guard_raises_not_nulls(spark):
         _bm25_contrib(hard).select("contrib").collect()
 
     assert DEN_GUARD == 10**32
+
+
+def test_hybrid_ann_recall_floor(spark):
+    """The ANN-backed hybrid (IVF dense candidates + RRF) must recover
+    ≥ 90% of the exact hybrid's fused top-k — the eval row that makes
+    hybrid_mlt_search_ann's rows-only registration meaningful (ground
+    truth is the oracle-hash-matched exact hybrid)."""
+    row = EXTRA_QUERIES["hybrid_ann_eval"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    row = row[0]
+    assert row["n_queries"] > 0
+    assert row["recall_bp"] >= 9000, row
+
+
+def test_hybrid_ann_same_contract_as_exact(spark):
+    """hybrid_mlt_search_ann is a drop-in for hybrid_mlt_search: same
+    schema, same per-query row bound, same deterministic ordering rules
+    (rank dense 1..k, ties by doc_id) — only the dense candidate
+    generator differs."""
+    exact = EXTRA_QUERIES["hybrid_mlt_search"](spark, SF_DIR)
+    ann = EXTRA_QUERIES["hybrid_mlt_search_ann"](spark, SF_DIR)
+    assert ann.schema == exact.schema
+    rows = ann.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)), q  # dense 1..k
+        # deterministic ordering: score desc, doc_id asc
+        rs = sorted(rs, key=lambda x: x["rank"])
+        for a, b in zip(rs, rs[1:]):
+            assert (a["rrf_x1e6"], -_ord(a["doc_id"])) >= (
+                b["rrf_x1e6"],
+                -_ord(b["doc_id"]),
+            ), q
+
+
+def _ord(doc_id) -> int:
+    return int(doc_id)
