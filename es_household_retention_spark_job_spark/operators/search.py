@@ -62,6 +62,8 @@ term), which this operator's internals compose from.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -156,6 +158,27 @@ def bm25_scores(
     corpus tokenizer and deduplicated (query term frequency is not
     weighted, the common Lucene default).
     """
+    q, tf, dfreq, corpus = _scan_query_tf(docs, queries, text_col, id_col)
+    scored = _bm25_contrib(
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    return scored.groupBy("query_id", id_col).agg(
+        F.sum("contrib").alias("score_x1e6")
+    )
+
+
+def _scan_query_tf(docs, queries, text_col, id_col):
+    """Shared scan-based plan head for literal-query scorers: broadcast
+    query-term frame, vocabulary-filtered tf (the explode is filtered to
+    the query vocabulary BEFORE the aggregation, so the tf shuffle carries
+    only (doc, query-term) rows, not the corpus), per-term df, and the
+    1-row corpus stats. eager_cache: tf feeds both the df aggregation and
+    the scoring join — without it Spark re-derives the subtree per
+    consumer, running the corpus scan + explode TWICE (the dominant cost;
+    same lesson as the banded-minhash self-join, functions.eager_cache
+    docstring). The cached frame is query-vocabulary-sized."""
     docs = ensure_parallelism(docs)
     qterms = [
         (qid, t)
@@ -174,13 +197,6 @@ def bm25_scores(
     corpus = with_dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
-    # explode filtered to the query vocabulary BEFORE the aggregation: the
-    # tf shuffle carries only (doc, query-term) rows, not the corpus
-    # eager_cache: tf feeds both the df aggregation and the scoring join —
-    # without it Spark re-derives the subtree per consumer, running the
-    # corpus scan + explode TWICE (the dominant cost; same lesson as the
-    # banded-minhash self-join, functions.eager_cache docstring). The
-    # cached frame is query-vocabulary-sized, not corpus-sized.
     tf = eager_cache(
         with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
         .where(F.col("term").isin(vocab))
@@ -188,15 +204,7 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored = _bm25_contrib(
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
-    )
-    return scored.groupBy("query_id", id_col).agg(
-        F.sum("contrib").alias("score_x1e6")
-    )
+    return q, tf, dfreq, corpus
 
 
 def bm25_search(
@@ -386,6 +394,103 @@ def _term_shards(spark, vocab: list[str], n_shards: int) -> set[int]:
     return {_SHARD_ID_CACHE[(t, n_shards)] for t in vocab}
 
 
+def append_text_index(
+    docs_delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance for APPEND-ONLY corpus growth: fold a
+    batch of NEW documents into an existing ``build_text_index`` output
+    without rescanning the indexed corpus. Complements rebuild-on-snapshot
+    (the default for snapshot-versioned corpora): append wins when the
+    delta is a small fraction of the corpus — measured in SCALING.md.
+
+    Why the layout makes this cheap: the tf table is keyed by (doc, term)
+    and the delta's doc_ids are new, so no existing tf row changes —
+    APPEND IS THE MERGE, and the delta's rows land in their term-shard
+    partitions next to the existing files. df is additive per term and
+    stats is additive in both fields, so those sidecars merge with a
+    vocabulary-sized union+sum — no corpus scan anywhere; total cost is
+    one pass over the DELTA.
+
+    Single-writer maintenance, like ``build_text_index``: df/ and stats/
+    are swapped in place, so a QUERY concurrent with an append may observe
+    a torn index (tf appended, df not yet). Run maintenance between query
+    windows, exactly like the dedup-signature rebuilds.
+
+    PRECONDITION (caller-enforced, same as any append-only ingest): the
+    delta's ``id_col`` values are disjoint from the indexed corpus. A
+    re-sent document would double-count its tf and df — dedup upstream
+    (``dedup_exact`` on content, or the keyed sink's upsert) before
+    appending."""
+    import shutil
+    import uuid as _uuid
+
+    spark = docs_delta.sparkSession
+    stats_old = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_shards = int(stats_old["n_shards"])
+    shard = F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).alias(
+        INDEX_SHARD_COL
+    )
+    with_dl = docs_delta.select(
+        id_col,
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+        tokens(text_col).alias("toks"),
+    )
+    delta_tf = eager_cache(
+        with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(id_col, "dl", "term", "tf", shard)
+    )
+    try:
+        # tf: append-is-merge — new files join the shard partitions; one
+        # shuffle on the shard column keeps it to ~one file per touched
+        # shard per append (compaction cadence = the rebuild cadence)
+        delta_tf.repartition(n_shards, F.col(INDEX_SHARD_COL)).write.mode(
+            "append"
+        ).partitionBy(INDEX_SHARD_COL).parquet(f"{path}/tf")
+
+        # df: additive per term — union the OLD df (vocabulary-sized, not
+        # corpus-sized) with the delta's per-term doc counts; write-then-
+        # swap because parquet can't overwrite a path it is reading
+        delta_df = delta_tf.groupBy(INDEX_SHARD_COL, "term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        merged_df = (
+            spark.read.parquet(f"{path}/df")
+            .unionByName(delta_df)
+            .groupBy(INDEX_SHARD_COL, "term")
+            .agg(F.sum("df").alias("df"))
+        )
+        tmp_df = f"{path}/df.__new_{_uuid.uuid4().hex[:8]}"
+        merged_df.repartition(1).write.mode("overwrite").partitionBy(
+            INDEX_SHARD_COL
+        ).parquet(tmp_df)
+        shutil.rmtree(f"{path}/df")
+        os.rename(tmp_df, f"{path}/df")
+
+        # stats: additive 1-row update (driver-side scalars, bounded)
+        d = with_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    int(stats_old["n_docs"]) + int(d["n"]),
+                    int(stats_old["total_dl"]) + int(d["t"] or 0),
+                    n_shards,
+                )
+            ],
+            "n_docs bigint, total_dl bigint, n_shards int",
+        ).write.mode("overwrite").parquet(f"{path}/stats.__new")
+        shutil.rmtree(f"{path}/stats")
+        os.rename(f"{path}/stats.__new", f"{path}/stats")
+    finally:
+        delta_tf.unpersist()
+
+
 def bm25_search_indexed(
     spark,
     path: str,
@@ -456,3 +561,55 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "doc_id") -> Da
         u = u.unionByName(p)
     fused = u.groupBy("query_id", id_col).agg(F.sum("c").alias("rrf_x1e6"))
     return _rank_topk(fused, k, id_col, "rrf_x1e6")
+
+
+def bm25_search_log(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Textbook Okapi BM25 (k1=1.2, b=0.75) with the Lucene log idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — the production-fidelity
+    OPT-IN variant of ``bm25_search``: identical plan shape (same
+    ``_scan_query_tf`` head, same broadcast/shuffle structure), one
+    swapped scoring expression, double-precision scores.
+
+    Deliberately NOT oracle-hash-checked: ``ln`` crosses libm
+    implementations (JVM StrictMath vs DuckDB's libm can differ in the
+    last ulp), and a float sum over a groupBy is accumulation-order-
+    nondeterministic — a last-ulp difference at a rank boundary could
+    flip a tie. Ranks are therefore contract-tested against the linear
+    surrogate (tests/test_search.py): the two agree wherever idf RATIOS
+    dominate, and diverge exactly where the linear form's exaggerated
+    rare-term weight does — ``(N-df+.5)/(df+.5)`` grows ~N/df while
+    ``ln`` compresses it, so a doc matching one ultra-rare term can
+    outrank a doc with several mid-rare terms under lin but not log.
+    Output (query_id, <id>, rank, score double); ties by id."""
+    q, tf, dfreq, corpus = _scan_query_tf(docs, queries, text_col, id_col)
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(11.0 / 5.0))
+            / (
+                F.col("tf")
+                + F.lit(3.0 / 10.0)
+                + F.lit(9.0 / 10.0)
+                * F.col("dl")
+                * F.col("n_docs")
+                / F.col("total_dl")
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return _rank_topk(scored, k, id_col, "score")

@@ -4,6 +4,8 @@ length normalization, tie-breaks, top-k)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from es_household_retention_spark_job_spark.entry_queries import (
     EXTRA_ORACLE_SQL,
     EXTRA_QUERIES,
@@ -256,3 +258,114 @@ def test_hybrid_ann_same_contract_as_exact(spark):
 
 def _ord(doc_id) -> int:
     return int(doc_id)
+
+
+def test_append_text_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental maintenance correctness: building an index on a corpus
+    prefix and appending the remainder must serve byte-identical search
+    results to (a) a from-scratch build over the full corpus and (b) the
+    scan-based bm25_search — tf, df AND the global stats (N, total_dl,
+    which enter every score) all merged exactly. Split by doc_id parity so
+    both halves are non-trivial; two appends exercise repeated
+    maintenance."""
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        BM25_K,
+        BM25_QUERIES,
+    )
+    from es_household_retention_spark_job_spark.operators.search import (
+        append_text_index,
+        bm25_search_indexed,
+        build_text_index,
+        bm25_search as scan_search,
+    )
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    part0 = docs.where(F.col("doc_id") % 3 == 0)
+    part1 = docs.where(F.col("doc_id") % 3 == 1)
+    part2 = docs.where(F.col("doc_id") % 3 == 2)
+    assert part0.count() and part1.count() and part2.count()
+
+    idx = str(tmp_path / "inc_index")
+    build_text_index(part0, idx)
+    append_text_index(part1, idx)
+    append_text_index(part2, idx)
+
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+        for r in scan_search(docs, BM25_QUERIES, k=BM25_K).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+        for r in bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K).collect()
+    }
+    assert got == want and got
+
+    # sidecar exactness: stats equals the full corpus's, df is the full
+    # corpus's per-term doc counts (spot-check via a full rebuild)
+    full = str(tmp_path / "full_index")
+    build_text_index(docs, full)
+    s_inc = spark.read.parquet(f"{idx}/stats").collect()[0]
+    s_full = spark.read.parquet(f"{full}/stats").collect()[0]
+    assert (s_inc["n_docs"], s_inc["total_dl"], s_inc["n_shards"]) == (
+        s_full["n_docs"],
+        s_full["total_dl"],
+        s_full["n_shards"],
+    )
+    df_inc = {
+        (r["term"]): r["df"]
+        for r in spark.read.parquet(f"{idx}/df").collect()
+    }
+    df_full = {
+        (r["term"]): r["df"]
+        for r in spark.read.parquet(f"{full}/df").collect()
+    }
+    assert df_inc == df_full
+
+
+def test_bm25_log_variant_rank_contract(spark):
+    """bm25_search_log (textbook ln-idf, float, opt-in) vs the hash-checked
+    linear surrogate: on the testdata queries the rankings agree (top-1
+    identical, top-k overlap ≥ 80%); on a corpus CRAFTED at the
+    documented divergence point they disagree exactly as predicted — the
+    linear idf grows ~N/df while ln compresses it, so one ultra-rare term
+    (df=1) outweighs three mid-rare terms (df=11) under lin but not log."""
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        BM25_K,
+        BM25_QUERIES,
+    )
+    from es_household_retention_spark_job_spark.operators.search import (
+        bm25_search,
+        bm25_search_log,
+    )
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lin = {}
+    for r in bm25_search(docs, BM25_QUERIES, k=BM25_K).collect():
+        lin.setdefault(r.query_id, {})[r.doc_id] = r.rank
+    log = {}
+    for r in bm25_search_log(docs, BM25_QUERIES, k=BM25_K).collect():
+        log.setdefault(r.query_id, {})[r.doc_id] = r.rank
+    assert set(lin) == set(log)
+    for q in lin:
+        a, b = set(lin[q]), set(log[q])
+        assert len(a & b) >= 0.8 * len(a), (q, a ^ b)
+        top1 = min(lin[q], key=lambda d: (lin[q][d], d))
+        assert min(log[q], key=lambda d: (log[q][d], d)) == top1, q
+
+    # crafted divergence: A="zebra..." (one df=1 term), B="lion tiger
+    # bear" (three df=11 terms), equal dl and tf so saturation cancels.
+    # N=100: idf_lin(1)=66.3 > 3*idf_lin(11)=23.3 but
+    # ln-idf(1)=4.21 < 3*ln-idf(11)=6.52.
+    rows = [(0, "zebra pad pad"), (1, "lion tiger bear")]
+    rows += [(i, "lion tiger bear pad pad pad") for i in range(2, 12)]
+    rows += [(i, "filler filler filler") for i in range(12, 100)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = [("q", "zebra lion tiger bear")]
+    lin1 = {r.doc_id: r.rank for r in bm25_search(corpus, qs, k=3).collect()}
+    log1 = {r.doc_id: r.rank for r in bm25_search_log(corpus, qs, k=3).collect()}
+    assert lin1[0] == 1, lin1          # lin: the ultra-rare term wins
+    assert log1[1] == 1, log1          # log: three mid-rare terms win
+    assert log1.get(0, 99) > log1[1]   # the divergence, both directions
+    assert lin1[1] > lin1[0]
