@@ -577,6 +577,42 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(embs, queries, k=KNN_K)
 
 
+#: sf_dir -> persisted ANN index path for this process (mirrors the text
+#: index memo: training runs once per corpus, queries amortize it)
+_ANN_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    path = _ANN_INDEX_BUILT.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_ann_index_"), "idx"
+        )
+        S.build_ann_index(_embs(spark, sf_dir), path)
+        _ANN_INDEX_BUILT[sf_dir] = path
+    return path
+
+
+@register("knn_ivf_indexed", extra=True)  # rows-only like knn_ivf: the
+# claim is path-independence — byte-equality with the per-call-trained
+# knn_ivf is pinned in tests/test_docs_pipeline.py, and knn_ivf's own
+# recall gates transfer unchanged.
+def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf served from the persisted vector index
+    (operators/similarity.py::build_ann_index): k-means training runs
+    once at build (the per-call cost the round-8 fixed-|Q| ladder showed
+    dominating) and the probe read prunes to the batch's probe-cell
+    partitions — the vector-side twin of bm25_search_indexed."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_ivf_indexed(
+        spark, _ann_index_path(spark, sf_dir), queries, k=KNN_K
+    )
+
+
 @register("knn_lsh", extra=True)  # approximate by design; see knn_ann_eval
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB path); recall vs brute

@@ -482,3 +482,96 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cos_bp") >= min_cos_bp)
     )
+
+
+#: partition column of the persisted IVF index's cell-bucketed vector table
+ANN_CELL_COL = "_cell"
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist the IVF structure — the vector-side twin of
+    ``build_text_index``: ``cells/`` holds (vec_id, _emb, _norm)
+    PARTITIONED by the assigned coarse-quantizer cell; ``centroids/``
+    holds the k×dim matrix (cell, centroid). K-means training (the cost
+    the fixed-|Q| ladder showed dominating per-call ``knn_ivf`` at
+    rehearsal scale, SCALING.md round 8) runs ONCE here and amortizes
+    across every later query batch; a query then reads ONLY its probe
+    cells' partitions (partition pruning — scan cost tracks the probed
+    fraction, not the corpus). Embeddings round-trip parquet as IEEE
+    doubles, so ``knn_ivf_indexed`` is byte-identical to a same-parameter
+    ``knn_ivf`` (pinned in tests). Rebuild on corpus snapshot, like the
+    text index; at 100 TB train the quantizer on a sample (kmeans cost is
+    iters × corpus scans) and raise n_cells so a cell ≈ one task."""
+    cents = kmeans_centroids(
+        corpus, k=n_cells, iters=iters, id_col=id_col, emb_col=emb_col
+    )
+    assigned = with_unit_meta(corpus, emb_col).select(
+        id_col,
+        "_emb",
+        "_norm",
+        _argmin_cell(F.col("_emb"), cents).alias(ANN_CELL_COL),
+    )
+    # one exchange on the cell -> one task / few files per cell partition
+    assigned.repartition(n_cells, F.col(ANN_CELL_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(ANN_CELL_COL).parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def knn_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``knn_ivf`` over a ``build_ann_index`` output: byte-identical ranks
+    without retraining or rescanning — the cell read carries a partition
+    filter restricted to the UNION of the batch's probe cells (≤ n_cells
+    ids, resolved by one query-batch-sized job; n_cells is an index
+    property read from ``centroids/``, like the text index's shard
+    count). n_probe stays a QUERY parameter: recall/cost is tuned per
+    batch against the same index."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [
+        list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+    q = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias(
+            ANN_CELL_COL
+        ),
+    )
+    probe_union = sorted(
+        r[ANN_CELL_COL]
+        for r in q.select(ANN_CELL_COL).distinct().collect()  # ≤ n_cells ints
+    )
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col(ANN_CELL_COL).isin(probe_union))
+        .select(
+            F.col(id_col).alias("neighbor_id"), "_emb", "_norm", ANN_CELL_COL
+        )
+    )
+    cand = (
+        cells.join(F.broadcast(q), ANN_CELL_COL)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return rerank_topk(cand, k)

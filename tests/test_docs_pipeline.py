@@ -1044,3 +1044,30 @@ def test_duplicate_clusters_nonconvergence_raises(spark):
     # and with enough rounds the same graph converges to one component
     rows = D.duplicate_clusters(pairs, max_iters=10).collect()
     assert {r.cluster_id for r in rows} == {"N00"}
+
+
+def test_knn_ivf_indexed_equals_per_call_ivf(spark, embs, tmp_path):
+    """build_ann_index + knn_ivf_indexed must be byte-identical to the
+    per-call-trained knn_ivf (same deterministic k-means, embeddings
+    round-trip parquet as exact IEEE doubles), and the cell read must
+    carry the probe-union partition filter — the pruning that makes the
+    persisted index corpus-fraction-, not corpus-, proportional."""
+    import re
+
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "annindex")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3)
+
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_ivf(embs, queries, k=5).collect()
+    }
+    got_df = S.knn_ivf_indexed(spark, idx, queries, k=5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in got_df.collect()
+    }
+    assert got == want and got
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*_cell", plan), plan[:2000]
