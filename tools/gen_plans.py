@@ -16,6 +16,9 @@ EXTRA_PLANS = [
     "cube_revenue",
     "bm25_search",
     "hybrid_mlt_search",
+    "hybrid_mlt_search_ann",
+    "bm25_search_indexed",
+    "knn_ivf_indexed",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
