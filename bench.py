@@ -101,6 +101,16 @@ R7_QUERIES = [
     "hybrid_mlt_search",
 ]
 
+#: round-8 retrieval-at-scale additions. The indexed entries memoize their
+#: index build per process (entry_queries_docs), so the warmup pass pays
+#: the build and the timed passes measure amortized query cost — the
+#: production posture these operators exist for.
+R8_QUERIES = [
+    "bm25_search_indexed",
+    "hybrid_mlt_search_ann",
+    "knn_ivf_indexed",
+]
+
 REPS = 7
 FAMILY_REPS = 3
 WARMUP_PASSES = 2
@@ -181,6 +191,11 @@ def main() -> None:
     )
     r7 = {n: s["median"] for n, s in r7_stats.items()}
 
+    r8_stats, _ = measure_suite(
+        {n: runner(n) for n in R8_QUERIES if n in all_queries}, FAMILY_REPS
+    )
+    r8 = {n: s["median"] for n, s in r8_stats.items()}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total_min = round(sum(s["min"] for s in stats.values()), 3)
@@ -214,6 +229,9 @@ def main() -> None:
         "r7_total": round(sum(r7.values()), 3),
         "r7": r7,
         "r7_stats": r7_stats,
+        "r8_total": round(sum(r8.values()), 3),
+        "r8": r8,
+        "r8_stats": r8_stats,
     }
     try:
         from es_household_retention_spark_job_spark.streaming.bench import streaming_bench

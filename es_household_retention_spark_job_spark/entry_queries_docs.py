@@ -1611,14 +1611,17 @@ def _dense_ranks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dense_ranks_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN cosine ranks — the dense SCALE path: k-means coarse
     quantizer, per-query probe of the nearest cells, exact re-rank within
-    them (operators/similarity.py::knn_ivf). Candidate generation is
-    bucket-join-shaped (no all-pairs); cost tracks the probed fraction,
-    not |Q|·N."""
+    them. Served from the PERSISTED index (build once per corpus,
+    memoized like the text index): byte-identical to per-call
+    ``knn_ivf`` (pinned in test_docs_pipeline) minus the per-call
+    training the round-8 ladder showed dominating. Candidate generation
+    is bucket-join-shaped (no all-pairs); query cost tracks the probed
+    fraction, not |Q|·N."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
-    return S.knn_ivf(embs, queries, k=KNN_K).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
+    return S.knn_ivf_indexed(
+        spark, _ann_index_path(spark, sf_dir), queries, k=KNN_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
 
 
 @register("hybrid_mlt_search", _hybrid_oracle_sql(), extra=True)

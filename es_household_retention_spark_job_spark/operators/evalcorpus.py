@@ -75,3 +75,42 @@ def clustered_embeddings(
     return spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
+
+
+#: Zipf exponent for the realistic-vocabulary document corpus
+ZIPF_S = 1.1
+
+
+def zipf_documents(
+    spark: SparkSession,
+    n_docs: int = 5000,
+    vocab_size: int = 20000,
+    doc_len: int = 40,
+    s: float = ZIPF_S,
+) -> DataFrame:
+    """(doc_id, text) with tokens drawn from a Zipf(s) distribution over a
+    ``vocab_size``-term vocabulary — the realistic-vocabulary complement
+    to the testdata ``documents`` table, whose ~40-word uniform
+    vocabulary is the designed WORST CASE for more-like-this retrieval
+    (every term is maximally common, so the rarest-terms cap cannot bound
+    the scoring join: each query term's postings list is ~the corpus).
+    Real corpora are Zipfian: a document's rarest terms have tiny df, so
+    Lucene-style term selection bounds the scoring fan-out at
+    Σ df(rarest M) ≪ |Q|·N — this corpus lets SCALING.md measure that
+    posture instead of asserting it.
+
+    Deterministic: fixed seed, inverse-CDF draws (numpy, driver-side —
+    n_docs·doc_len ints, well under the broadcast budget at the eval
+    sizes), then parallelized."""
+    import numpy as np
+
+    rng = np.random.default_rng(SEED + 1)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    p /= p.sum()
+    draws = rng.choice(vocab_size, size=(n_docs, doc_len), p=p)
+    rows = [
+        (i, " ".join(f"t{r}" for r in draws[i]))
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")

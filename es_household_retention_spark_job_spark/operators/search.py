@@ -239,6 +239,7 @@ def bm25_more_like_this(
     query_pred,
     k: int = 10,
     max_query_terms: int = 20,
+    max_doc_freq_ppm: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -255,7 +256,20 @@ def bm25_more_like_this(
     semi-join filter and as the scoring join) instead of literal strings —
     the plan shape and the exact-scoring discipline are identical. The df
     used for the rarity ranking is the same corpus df the scoring uses
-    (filtering tf by term VALUE does not change any term's corpus df)."""
+    (filtering tf by term VALUE does not change any term's corpus df).
+
+    ``max_doc_freq_ppm`` is Lucene MoreLikeThis's ``setMaxDocFreqPct`` as
+    parts-per-million: terms occurring in more than that fraction of the
+    corpus are dropped from query-term SELECTION entirely (exact-integer
+    ``df·1e6 ≤ ppm·N`` test, oracle-mirrorable). This is the knob that
+    BOUNDS the scoring join at scale: each surviving term's postings list
+    is ≤ ppm·N docs, so the fan-out is ≤ |Q|·M·ppm·N instead of |Q|·N per
+    term — on a Zipfian corpus the rarest-M cap alone achieves this
+    (rare terms have tiny df), but on boilerplate-heavy or small-
+    vocabulary corpora (the testdata table is the designed worst case:
+    ~40 uniformly-common terms) only a df ceiling prevents the
+    every-term-matches-everything quadratic — measured in SCALING.md
+    round 8. Default None preserves the registered oracle semantics."""
     docs = ensure_parallelism(docs)
     with_dl = docs.select(
         id_col,
@@ -283,11 +297,23 @@ def bm25_more_like_this(
     # Lucene-style term selection: keep each query's max_query_terms rarest
     # terms (a term absent from the corpus has no df row — and no effect on
     # any score — so the inner join dropping it is correct)
+    selectable = dfreq
+    if max_doc_freq_ppm is not None:
+        # df ceiling (Lucene maxDocFreq): too-common terms never become
+        # query terms — the scale bound on the scoring join (docstring)
+        selectable = (
+            dfreq.crossJoin(F.broadcast(corpus.select("n_docs")))
+            .where(
+                F.col("df") * F.lit(1_000_000)
+                <= F.lit(int(max_doc_freq_ppm)) * F.col("n_docs")
+            )
+            .select("term", "df")
+        )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("df").asc(), F.col("term").asc()
     )
     q = (
-        q.join(F.broadcast(dfreq), "term")
+        q.join(F.broadcast(selectable), "term")
         .withColumn("_tr", F.row_number().over(wq))
         .where(F.col("_tr") <= max_query_terms)
         .select("query_id", "term")

@@ -369,3 +369,52 @@ def test_bm25_log_variant_rank_contract(spark):
     assert log1[1] == 1, log1          # log: three mid-rare terms win
     assert log1.get(0, 99) > log1[1]   # the divergence, both directions
     assert lin1[1] > lin1[0]
+
+
+def test_mlt_max_doc_freq_ceiling(spark):
+    """Lucene maxDocFreq semantics: with a df ceiling, too-common terms
+    are excluded from query-term SELECTION (so candidates come only from
+    rarer shared terms); without it they participate. Exact-integer
+    df·1e6 ≤ ppm·N comparison."""
+    from es_household_retention_spark_job_spark.operators.search import (
+        bm25_more_like_this,
+    )
+
+    # 10 docs: 'common' in 6 (60%), 'rare' links docs 0<->1 only
+    rows = [
+        (0, "common rare pad"),
+        (1, "common rare pad"),
+        (2, "common aaa pad"),
+        (3, "common bbb pad"),
+        (4, "common ccc pad"),
+        (5, "common ddd pad"),
+        (6, "eee fff pad"),
+        (7, "ggg hhh pad"),
+        (8, "iii jjj pad"),
+        (9, "kkk lll pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = F.col("doc_id") == 0
+
+    # default: doc 0's terms include 'common' -> docs 2..5 are candidates
+    base = {
+        r.doc_id
+        for r in bm25_more_like_this(docs, pred, k=10).collect()
+    }
+    assert {1, 2, 3, 4, 5}.issubset(base)
+
+    # 50% ceiling: 'common' (60%) dropped, 'pad' (100%) dropped, 'rare'
+    # (20%) survives -> only doc 1 remains reachable
+    capped = {
+        r.doc_id
+        for r in bm25_more_like_this(
+            docs, pred, k=10, max_doc_freq_ppm=500_000
+        ).collect()
+    }
+    assert capped == {1}, capped
+
+    # ceiling below every df -> no query terms -> empty result, not error
+    none = bm25_more_like_this(
+        docs, pred, k=10, max_doc_freq_ppm=50_000
+    ).collect()
+    assert none == []
