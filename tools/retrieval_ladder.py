@@ -49,6 +49,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    ann_idx: dict[str, str] = {}
+
     def hybrid(sf: str, dense: str):
         docs = load_table(spark, sf, "documents")
         embs = load_table(spark, sf, "embeddings")
@@ -56,7 +58,14 @@ def main() -> None:
         if dense == "exact":
             d = S.knn_bruteforce(embs, queries, k=K)
         else:
-            d = S.knn_ivf(embs, queries, k=K)
+            # persisted IVF index (the registered hybrid_mlt_search_ann
+            # form): training amortized across batches, probe-pruned read
+            if sf not in ann_idx:
+                ann_idx[sf] = os.path.join(
+                    tempfile.mkdtemp(prefix="ladder_ann_"), "idx"
+                )
+                S.build_ann_index(embs, ann_idx[sf])
+            d = S.knn_ivf_indexed(spark, ann_idx[sf], queries, k=K)
         d = d.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
         sp = SE.bm25_more_like_this(
             docs, FIXED_PRED("doc_id"), k=K, max_query_terms=MLT_MAX_TERMS
