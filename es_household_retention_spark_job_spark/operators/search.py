@@ -62,7 +62,9 @@ term), which this operator's internals compose from.
 
 from __future__ import annotations
 
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -341,6 +343,55 @@ INDEX_SHARDS = 16
 INDEX_SHARD_COL = "_shard"
 
 
+#: atomically-replaced sidecar resolving the index's live state: the tf
+#: FILE LIST (per shard dir), the current df/stats generation dirs, and
+#: n_shards. Readers plan from the manifest, so ``append_text_index`` is
+#: reader-atomic: tf files appended and new-generation sidecars become
+#: visible only at the single ``os.replace`` — a concurrent query sees the
+#: whole append or none of it (the sink's MVCC contract, index-flavored).
+INDEX_MANIFEST = "_index_manifest.json"
+
+
+def _read_index_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, INDEX_MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_index_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, f".{INDEX_MANIFEST}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, INDEX_MANIFEST))
+
+
+def _list_tf_files(path: str) -> dict[str, list[str]]:
+    tf_root = os.path.join(path, "tf")
+    return {
+        d: sorted(
+            f
+            for f in os.listdir(os.path.join(tf_root, d))
+            if f.endswith(".parquet")
+        )
+        for d in os.listdir(tf_root)
+        if d.startswith(f"{INDEX_SHARD_COL}=")
+    }
+
+
+def _gc_index_gens(path: str, keep: set[str]) -> None:
+    """Remove df-*/stats-* generation dirs not in ``keep`` — called after
+    a manifest replace with {new gens} ∪ {immediately-previous gens}, so
+    an in-flight reader that planned against the previous manifest keeps
+    its files for one full maintenance cycle (the grace contract)."""
+    import shutil
+
+    for d in os.listdir(path):
+        if (d.startswith("df-") or d.startswith("stats-")) and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -349,15 +400,19 @@ def build_text_index(
     id_col: str = "doc_id",
 ) -> None:
     """Materialize the BM25 inverted index: ``tf/`` (doc, dl, term, tf)
-    partitioned by a term-hash shard, ``df/`` (term, df, same sharding)
-    and ``stats/`` (one row: n_docs, total_dl). This is the "indexed
-    variant" the scan-based ``bm25_search`` docstring promises: build cost
-    is one corpus pass (the same explode the scan-based search pays PER
-    QUERY BATCH), after which a query reads only its terms' shards —
-    partition pruning makes search latency vocabulary-, not corpus-,
-    proportional. Rebuild on corpus change (an LLM-data corpus is
-    snapshot-versioned, not row-mutated — rebuild IS the maintenance
-    story, same as the dedup signatures)."""
+    partitioned by a term-hash shard, generation-suffixed ``df-<gen>/``
+    (term, df, same sharding) and ``stats-<gen>/`` (one row: n_docs,
+    total_dl, n_shards), resolved through the atomically-replaced
+    ``_index_manifest.json``. This is the "indexed variant" the scan-based
+    ``bm25_search`` docstring promises: build cost is one corpus pass (the
+    same explode the scan-based search pays PER QUERY BATCH), after which
+    a query reads only its terms' shards — partition pruning makes search
+    latency vocabulary-, not corpus-, proportional.
+
+    Maintenance contract: a REBUILD (this function) overwrites ``tf/`` in
+    place and is stop-the-world — a new corpus snapshot gets a new index
+    path (rebuild-on-snapshot, same as the dedup signatures). An APPEND
+    (``append_text_index``) is reader-atomic via the manifest."""
     shard = F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).alias(
         INDEX_SHARD_COL
     )
@@ -372,25 +427,41 @@ def build_text_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(id_col, "dl", "term", "tf", shard)
     )
+    gen = uuid.uuid4().hex[:8]
+    df_dir, stats_dir = f"df-{gen}", f"stats-{gen}"
     # one shuffle on the shard column → one task and a handful of files
     # per shard directory (not |input tasks| × |shards| small files)
     tf.repartition(n_shards, F.col(INDEX_SHARD_COL)).write.mode(
         "overwrite"
     ).partitionBy(INDEX_SHARD_COL).parquet(f"{path}/tf")
+    # df derives from the just-written tf parquet (one extra disk-backed
+    # scan) instead of caching the corpus-sized tf frame — the
+    # scale-correct choice at rebuild cadence
     tf_r = docs.sparkSession.read.parquet(f"{path}/tf")
     tf_r.groupBy(INDEX_SHARD_COL, "term").agg(
         F.count(F.lit(1)).alias("df")
     ).repartition(1).write.mode("overwrite").partitionBy(INDEX_SHARD_COL).parquet(
-        f"{path}/df"
+        f"{path}/{df_dir}"
     )
     # n_shards is an INDEX property (the partition function), not a query
     # parameter: a reader pruning with a different shard count would
-    # silently miss terms. Persist it in the stats row.
+    # silently miss terms.
     with_dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).withColumn("n_shards", F.lit(n_shards)).write.mode("overwrite").parquet(
-        f"{path}/stats"
+        f"{path}/{stats_dir}"
     )
+    _write_index_manifest(
+        path,
+        {
+            "version": 1,
+            "n_shards": int(n_shards),
+            "tf": _list_tf_files(path),
+            "df": df_dir,
+            "stats": stats_dir,
+        },
+    )
+    _gc_index_gens(path, keep={df_dir, stats_dir})
 
 
 #: (term, n_shards) -> shard id. The sharding hash is Spark's own xxhash64
@@ -440,10 +511,14 @@ def append_text_index(
     vocabulary-sized union+sum — no corpus scan anywhere; total cost is
     one pass over the DELTA.
 
-    Single-writer maintenance, like ``build_text_index``: df/ and stats/
-    are swapped in place, so a QUERY concurrent with an append may observe
-    a torn index (tf appended, df not yet). Run maintenance between query
-    windows, exactly like the dedup-signature rebuilds.
+    READER-ATOMIC, single-writer: delta tf files are staged and moved into
+    the shard dirs (invisible — readers resolve the tf FILE LIST from the
+    manifest), the merged df and stats land as NEW generation dirs, and
+    one atomic manifest replace publishes all three together. A query
+    planned before the replace keeps reading the old file list + old
+    generations (kept for one maintenance cycle, then GC'd); a crash
+    anywhere before the replace leaves only invisible stray files and the
+    index serving its old consistent state.
 
     PRECONDITION (caller-enforced, same as any append-only ingest): the
     delta's ``id_col`` values are disjoint from the indexed corpus. A
@@ -451,11 +526,13 @@ def append_text_index(
     (``dedup_exact`` on content, or the keyed sink's upsert) before
     appending."""
     import shutil
-    import uuid as _uuid
 
     spark = docs_delta.sparkSession
-    stats_old = spark.read.parquet(f"{path}/stats").collect()[0]
-    n_shards = int(stats_old["n_shards"])
+    manifest = _read_index_manifest(path)
+    if manifest is None:  # index written before manifests existed
+        manifest = _bootstrap_index_manifest(spark, path)
+    n_shards = int(manifest["n_shards"])
+    stats_old = spark.read.parquet(f"{path}/{manifest['stats']}").collect()[0]
     shard = F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).alias(
         INDEX_SHARD_COL
     )
@@ -470,32 +547,52 @@ def append_text_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .select(id_col, "dl", "term", "tf", shard)
     )
+    gen = uuid.uuid4().hex[:8]
+    stage = f"{path}/.tf_stage_{gen}"
     try:
-        # tf: append-is-merge — new files join the shard partitions; one
-        # shuffle on the shard column keeps it to ~one file per touched
-        # shard per append (compaction cadence = the rebuild cadence)
+        # tf: append-is-merge — the delta's rows land as new files in
+        # their shard partitions (staged, then moved under gen names so
+        # the manifest can reference exactly them); one shuffle on the
+        # shard column keeps it to ~one file per touched shard per append
         delta_tf.repartition(n_shards, F.col(INDEX_SHARD_COL)).write.mode(
-            "append"
-        ).partitionBy(INDEX_SHARD_COL).parquet(f"{path}/tf")
+            "overwrite"
+        ).partitionBy(INDEX_SHARD_COL).parquet(stage)
+        new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
+        for d in os.listdir(stage):
+            if not d.startswith(f"{INDEX_SHARD_COL}="):
+                continue
+            os.makedirs(os.path.join(path, "tf", d), exist_ok=True)
+            for i, f in enumerate(
+                sorted(
+                    x
+                    for x in os.listdir(os.path.join(stage, d))
+                    if x.endswith(".parquet")
+                )
+            ):
+                name = f"gen-{gen}-{i:05d}.parquet"
+                os.rename(
+                    os.path.join(stage, d, f),
+                    os.path.join(path, "tf", d, name),
+                )
+                new_tf.setdefault(d, []).append(name)
 
         # df: additive per term — union the OLD df (vocabulary-sized, not
-        # corpus-sized) with the delta's per-term doc counts; write-then-
-        # swap because parquet can't overwrite a path it is reading
+        # corpus-sized) with the delta's per-term doc counts, into a NEW
+        # generation dir (the old one keeps serving concurrent readers)
+        df_dir, stats_dir = f"df-{gen}", f"stats-{gen}"
         delta_df = delta_tf.groupBy(INDEX_SHARD_COL, "term").agg(
             F.count(F.lit(1)).alias("df")
         )
-        merged_df = (
-            spark.read.parquet(f"{path}/df")
+        (
+            spark.read.parquet(f"{path}/{manifest['df']}")
             .unionByName(delta_df)
             .groupBy(INDEX_SHARD_COL, "term")
             .agg(F.sum("df").alias("df"))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy(INDEX_SHARD_COL)
+            .parquet(f"{path}/{df_dir}")
         )
-        tmp_df = f"{path}/df.__new_{_uuid.uuid4().hex[:8]}"
-        merged_df.repartition(1).write.mode("overwrite").partitionBy(
-            INDEX_SHARD_COL
-        ).parquet(tmp_df)
-        shutil.rmtree(f"{path}/df")
-        os.rename(tmp_df, f"{path}/df")
 
         # stats: additive 1-row update (driver-side scalars, bounded)
         d = with_dl.agg(
@@ -510,11 +607,41 @@ def append_text_index(
                 )
             ],
             "n_docs bigint, total_dl bigint, n_shards int",
-        ).write.mode("overwrite").parquet(f"{path}/stats.__new")
-        shutil.rmtree(f"{path}/stats")
-        os.rename(f"{path}/stats.__new", f"{path}/stats")
+        ).write.mode("overwrite").parquet(f"{path}/{stats_dir}")
+
+        # COMMIT: one atomic replace publishes tf additions + df + stats
+        _write_index_manifest(
+            path,
+            {
+                "version": int(manifest.get("version", 1)) + 1,
+                "n_shards": n_shards,
+                "tf": {d: sorted(fs) for d, fs in new_tf.items()},
+                "df": df_dir,
+                "stats": stats_dir,
+            },
+        )
+        # keep the immediately-previous generations for in-flight readers
+        _gc_index_gens(
+            path, keep={df_dir, stats_dir, manifest["df"], manifest["stats"]}
+        )
     finally:
         delta_tf.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _bootstrap_index_manifest(spark, path: str) -> dict:
+    """Adopt a legacy (pre-manifest) index layout: plain ``df/`` and
+    ``stats/`` dirs become generation 0."""
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    manifest = {
+        "version": 1,
+        "n_shards": int(stats["n_shards"]),
+        "tf": _list_tf_files(path),
+        "df": "df",
+        "stats": "stats",
+    }
+    _write_index_manifest(path, manifest)
+    return manifest
 
 
 def bm25_search_indexed(
@@ -528,7 +655,13 @@ def bm25_search_indexed(
     results (pinned in tests) without rescanning the corpus — the tf/df
     reads carry BOTH a shard partition filter (partition pruning: only
     the query terms' directories are listed) and the term predicate
-    (parquet row-group pushdown inside a shard)."""
+    (parquet row-group pushdown inside a shard).
+
+    The live file set resolves from ``_index_manifest.json`` AT PLAN TIME,
+    so a concurrent ``append_text_index`` is invisible until its single
+    manifest replace — a query sees the whole append or none of it, and a
+    plan resolved before the replace keeps its (still-on-disk) old
+    generations for one maintenance cycle."""
     qterms = [
         (qid, t)
         for qid, qtext in queries
@@ -536,19 +669,33 @@ def bm25_search_indexed(
     ]
     q = spark.createDataFrame(qterms, "query_id string, term string")
     vocab = sorted({t for _, t in qterms})
-    corpus = spark.read.parquet(f"{path}/stats")
-    # the shard count is read from the index itself (a reader guessing a
-    # different partition function would silently miss terms)
-    n_shards = corpus.select("n_shards").first()["n_shards"]
-    corpus = corpus.drop("n_shards")
+    manifest = _read_index_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_index_manifest(spark, path)
+    corpus = spark.read.parquet(f"{path}/{manifest['stats']}").drop("n_shards")
+    # the shard count is an index property (a reader guessing a different
+    # partition function would silently miss terms)
+    n_shards = int(manifest["n_shards"])
     shard_ids = sorted(_term_shards(spark, vocab, n_shards))
+    wanted = {f"{INDEX_SHARD_COL}={s}" for s in shard_ids}
+    files = [
+        os.path.join(path, "tf", d, f)
+        for d, fs in manifest["tf"].items()
+        if d in wanted
+        for f in fs
+    ]
+    if not files:  # no query term hashes into any populated shard
+        return spark.createDataFrame(
+            [], "query_id string, doc_id string, rank int, score_x1e6 long"
+        ).withColumnRenamed("doc_id", id_col)
     tf = (
-        spark.read.parquet(f"{path}/tf")
+        spark.read.option("basePath", f"{path}/tf")
+        .parquet(*files)
         .where(F.col(INDEX_SHARD_COL).isin(shard_ids))
         .where(F.col("term").isin(vocab))
     )
     dfreq = (
-        spark.read.parquet(f"{path}/df")
+        spark.read.parquet(f"{path}/{manifest['df']}")
         .where(F.col(INDEX_SHARD_COL).isin(shard_ids))
         .where(F.col("term").isin(vocab))
         .select("term", "df")

@@ -302,11 +302,17 @@ def test_append_text_index_equals_full_rebuild(spark, tmp_path):
     assert got == want and got
 
     # sidecar exactness: stats equals the full corpus's, df is the full
-    # corpus's per-term doc counts (spot-check via a full rebuild)
+    # corpus's per-term doc counts (spot-check via a full rebuild);
+    # current generations resolve through the manifest
+    from es_household_retention_spark_job_spark.operators.search import (
+        _read_index_manifest,
+    )
+
     full = str(tmp_path / "full_index")
     build_text_index(docs, full)
-    s_inc = spark.read.parquet(f"{idx}/stats").collect()[0]
-    s_full = spark.read.parquet(f"{full}/stats").collect()[0]
+    m_inc, m_full = _read_index_manifest(idx), _read_index_manifest(full)
+    s_inc = spark.read.parquet(f"{idx}/{m_inc['stats']}").collect()[0]
+    s_full = spark.read.parquet(f"{full}/{m_full['stats']}").collect()[0]
     assert (s_inc["n_docs"], s_inc["total_dl"], s_inc["n_shards"]) == (
         s_full["n_docs"],
         s_full["total_dl"],
@@ -314,11 +320,11 @@ def test_append_text_index_equals_full_rebuild(spark, tmp_path):
     )
     df_inc = {
         (r["term"]): r["df"]
-        for r in spark.read.parquet(f"{idx}/df").collect()
+        for r in spark.read.parquet(f"{idx}/{m_inc['df']}").collect()
     }
     df_full = {
         (r["term"]): r["df"]
-        for r in spark.read.parquet(f"{full}/df").collect()
+        for r in spark.read.parquet(f"{full}/{m_full['df']}").collect()
     }
     assert df_inc == df_full
 
@@ -418,3 +424,59 @@ def test_mlt_max_doc_freq_ceiling(spark):
         docs, pred, k=10, max_doc_freq_ppm=50_000
     ).collect()
     assert none == []
+
+
+def test_index_append_is_reader_atomic(spark, tmp_path, monkeypatch):
+    """The index MVCC contract: (a) a search planned BEFORE an append
+    commits keeps serving the old corpus's exact results (its file list
+    and sidecar generations were resolved from the old manifest and stay
+    on disk for one maintenance cycle); (b) an append that crashes before
+    its single manifest replace leaves only invisible stray files — a
+    fresh search still serves the old consistent state; (c) after a
+    successful append a fresh search serves the merged corpus."""
+    from es_household_retention_spark_job_spark.operators import search as SE
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 3 == 0)
+    delta = docs.where(F.col("doc_id") % 3 != 0)
+    merged = docs
+
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        BM25_K,
+        BM25_QUERIES,
+    )
+
+    idx = str(tmp_path / "mvcc_index")
+    SE.build_text_index(old, idx)
+
+    def rows(df):
+        return {(r.query_id, r[1], r.rank, r.score_x1e6) for r in df.collect()}
+
+    want_old = rows(SE.bm25_search(old, BM25_QUERIES, k=BM25_K))
+    want_merged = rows(SE.bm25_search(merged, BM25_QUERIES, k=BM25_K))
+    assert want_old != want_merged
+
+    # (a) plan now, append, collect later -> old state
+    pinned = SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K)
+    # (b) crashed append: fail AT the manifest replace (the commit point)
+    real_write = SE._write_index_manifest
+
+    def boom(path_, manifest):
+        raise RuntimeError("injected index commit failure")
+
+    monkeypatch.setattr(SE, "_write_index_manifest", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected index commit"):
+        SE.append_text_index(delta, idx)
+    monkeypatch.setattr(SE, "_write_index_manifest", real_write)
+    assert rows(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K)) == want_old
+
+    # (c) successful append: pinned plan still old, fresh plan merged
+    SE.append_text_index(delta, idx)
+    assert rows(pinned) == want_old
+    assert (
+        rows(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
+        == want_merged
+    )
