@@ -480,3 +480,43 @@ def test_index_append_is_reader_atomic(spark, tmp_path, monkeypatch):
         rows(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
         == want_merged
     )
+
+
+def test_indexed_mlt_equals_scan_based(spark, tmp_path):
+    """bm25_more_like_this_indexed must be byte-identical to the scan-based
+    more-like-this — default form, with the df ceiling, and after an
+    index append (the df sidecar is the whole-corpus df, so selection and
+    scoring match bit-for-bit)."""
+    from es_household_retention_spark_job_spark.operators.search import (
+        append_text_index,
+        bm25_more_like_this,
+        bm25_more_like_this_indexed,
+        build_text_index,
+    )
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pred = F.col("doc_id") % 50 == 0
+    idx = str(tmp_path / "mlt_index")
+    build_text_index(docs, idx)
+
+    def rows(df):
+        return {(r.query_id, r.doc_id, r.rank, r.score_x1e6) for r in df.collect()}
+
+    for kwargs in ({}, {"max_doc_freq_ppm": 600_000}, {"max_query_terms": 5}):
+        want = rows(bm25_more_like_this(docs, pred, k=5, **kwargs))
+        got = rows(
+            bm25_more_like_this_indexed(spark, idx, docs, pred, k=5, **kwargs)
+        )
+        assert got == want, kwargs
+        assert want  # non-vacuous
+
+    # after an append the index still serves the merged-corpus answer
+    part = docs.where(F.col("doc_id") % 7 == 0)
+    rest = docs.where(F.col("doc_id") % 7 != 0)
+    idx2 = str(tmp_path / "mlt_index2")
+    build_text_index(rest, idx2)
+    append_text_index(part, idx2)
+    want = rows(bm25_more_like_this(docs, pred, k=5))
+    got = rows(bm25_more_like_this_indexed(spark, idx2, docs, pred, k=5))
+    assert got == want and got
