@@ -24,6 +24,9 @@ and any oracle recompute identical planes; no RNG state is shipped.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+import uuid
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -488,6 +491,52 @@ def cosine_neardup_pairs(
 ANN_CELL_COL = "_cell"
 
 
+#: atomically-replaced sidecar resolving the vector index's live state —
+#: the cells/ FILE LIST and n_cells; same MVCC contract as the text
+#: index's manifest (appends invisible until one os.replace).
+ANN_MANIFEST = "_ann_manifest.json"
+
+
+def _read_ann_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, ANN_MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_ann_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, f".{ANN_MANIFEST}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, ANN_MANIFEST))
+
+
+def _list_cell_files(path: str) -> dict[str, list[str]]:
+    root = os.path.join(path, "cells")
+    return {
+        d: sorted(
+            f
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        )
+        for d in os.listdir(root)
+        if d.startswith(f"{ANN_CELL_COL}=")
+    }
+
+
+def _bootstrap_ann_manifest(spark, path: str) -> dict:
+    """Adopt a legacy (pre-manifest) vector index layout."""
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    manifest = {
+        "version": 1,
+        "n_cells": int(n_cells),
+        "cells": _list_cell_files(path),
+    }
+    _write_ann_manifest(path, manifest)
+    return manifest
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -495,6 +544,7 @@ def build_ann_index(
     iters: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Persist the IVF structure — the vector-side twin of
     ``build_text_index``: ``cells/`` holds (vec_id, _emb, _norm)
@@ -509,9 +559,10 @@ def build_ann_index(
     ``knn_ivf`` (pinned in tests). Rebuild on corpus snapshot, like the
     text index; at 100 TB train the quantizer on a sample (kmeans cost is
     iters × corpus scans) and raise n_cells so a cell ≈ one task."""
-    cents = kmeans_centroids(
+    cents = centroids or kmeans_centroids(
         corpus, k=n_cells, iters=iters, id_col=id_col, emb_col=emb_col
     )
+    n_cells = len(cents)
     assigned = with_unit_meta(corpus, emb_col).select(
         id_col,
         "_emb",
@@ -527,6 +578,10 @@ def build_ann_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_ann_manifest(
+        path,
+        {"version": 1, "n_cells": int(n_cells), "cells": _list_cell_files(path)},
+    )
 
 
 def knn_ivf_indexed(
@@ -561,8 +616,23 @@ def knn_ivf_indexed(
         r[ANN_CELL_COL]
         for r in q.select(ANN_CELL_COL).distinct().collect()  # ≤ n_cells ints
     )
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
+    files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        if d in wanted
+        for f in fs
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_bp long"
+        )
     cells = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.option("basePath", f"{path}/cells")
+        .parquet(*files)
         .where(F.col(ANN_CELL_COL).isin(probe_union))
         .select(
             F.col(id_col).alias("neighbor_id"), "_emb", "_norm", ANN_CELL_COL
@@ -575,3 +645,81 @@ def knn_ivf_indexed(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return rerank_topk(cand, k)
+
+
+def append_ann_index(
+    vecs_delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental vector-index maintenance for append-only corpus growth
+    — the IVF-standard move: assign NEW vectors to the EXISTING centroids
+    (no retraining) and land them in their cell partitions; the quantizer
+    stays frozen until the next rebuild. Reader-atomic exactly like
+    ``append_text_index``: delta files are staged, moved in under
+    generation names (invisible — readers plan from the manifest's cell
+    FILE LIST), and published by one atomic manifest replace; a crash
+    before it leaves only invisible strays.
+
+    Equivalence contract (pinned in tests): after appends, the index
+    serves byte-identical results to a ``build_ann_index`` over the full
+    corpus WITH THE SAME CENTROIDS (``centroids=`` override) — i.e.
+    append changes where training data ends, never assignment or scoring.
+    Recall drift: appended vectors use the base corpus's centroids, so if
+    the data distribution shifts the cells get lopsided — monitor with
+    ``knn_ann_eval`` and rebuild past the drift threshold (the documented
+    IVF maintenance trade).
+
+    PRECONDITION (caller-enforced): delta ``id_col`` values are disjoint
+    from the indexed corpus."""
+    import shutil
+
+    spark = vecs_delta.sparkSession
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [
+        list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+    assigned = with_unit_meta(vecs_delta, emb_col).select(
+        id_col,
+        "_emb",
+        "_norm",
+        _argmin_cell(F.col("_emb"), cents).alias(ANN_CELL_COL),
+    )
+    gen = uuid.uuid4().hex[:8]
+    stage = f"{path}/.cells_stage_{gen}"
+    try:
+        assigned.repartition(len(cents), F.col(ANN_CELL_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(ANN_CELL_COL).parquet(stage)
+        new_cells = {d: list(fs) for d, fs in manifest["cells"].items()}
+        for d in os.listdir(stage):
+            if not d.startswith(f"{ANN_CELL_COL}="):
+                continue
+            os.makedirs(os.path.join(path, "cells", d), exist_ok=True)
+            for i, f in enumerate(
+                sorted(
+                    x
+                    for x in os.listdir(os.path.join(stage, d))
+                    if x.endswith(".parquet")
+                )
+            ):
+                name = f"gen-{gen}-{i:05d}.parquet"
+                os.rename(
+                    os.path.join(stage, d, f),
+                    os.path.join(path, "cells", d, name),
+                )
+                new_cells.setdefault(d, []).append(name)
+        _write_ann_manifest(
+            path,
+            {
+                "version": int(manifest.get("version", 1)) + 1,
+                "n_cells": int(manifest["n_cells"]),
+                "cells": {d: sorted(fs) for d, fs in new_cells.items()},
+            },
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

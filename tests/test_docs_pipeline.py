@@ -1071,3 +1071,56 @@ def test_knn_ivf_indexed_equals_per_call_ivf(spark, embs, tmp_path):
 
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*_cell", plan), plan[:2000]
+
+
+def test_ann_index_append_equals_same_centroid_build(spark, embs, tmp_path):
+    """append_ann_index contract: assigning new vectors to the FROZEN
+    centroids and publishing via the manifest must serve byte-identical
+    search results to a full build over the merged corpus with the SAME
+    centroids — append moves where training data ends, never assignment
+    or scoring. Also: a crashed append (injected failure at the manifest
+    replace) is invisible to fresh searches."""
+    import pytest as _pytest
+
+    base = embs.where(F.col("vec_id") % 4 != 0)
+    delta = embs.where(F.col("vec_id") % 4 == 0)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+
+    idx = str(tmp_path / "ann_inc")
+    S.build_ann_index(base, idx, n_cells=16, iters=3)
+    base_cents = [
+        list(r["centroid"])
+        for r in sorted(
+            spark.read.parquet(f"{idx}/centroids").collect(),
+            key=lambda r: r["cell"],
+        )
+    ]
+
+    def rows(df):
+        return {
+            (r.query_id, r.neighbor_id, r.rank, r.cos_bp) for r in df.collect()
+        }
+
+    before = rows(S.knn_ivf_indexed(spark, idx, queries, k=5))
+
+    # crashed append: no manifest replace -> old state intact
+    real = S._write_ann_manifest
+
+    def boom(path_, manifest):
+        raise RuntimeError("injected ann commit failure")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "_write_ann_manifest", boom):
+        with _pytest.raises(RuntimeError, match="injected ann commit"):
+            S.append_ann_index(delta, idx)
+    assert rows(S.knn_ivf_indexed(spark, idx, queries, k=5)) == before
+
+    # real append -> equals a same-centroid full build
+    S.append_ann_index(delta, idx)
+    full = str(tmp_path / "ann_full")
+    S.build_ann_index(embs, full, centroids=base_cents)
+    got = rows(S.knn_ivf_indexed(spark, idx, queries, k=5))
+    want = rows(S.knn_ivf_indexed(spark, full, queries, k=5))
+    assert got == want and got
+    assert got != before  # the delta vectors are genuinely searchable
