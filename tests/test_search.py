@@ -520,3 +520,80 @@ def test_indexed_mlt_equals_scan_based(spark, tmp_path):
     want = rows(bm25_more_like_this(docs, pred, k=5))
     got = rows(bm25_more_like_this_indexed(spark, idx2, docs, pred, k=5))
     assert got == want and got
+
+
+def test_index_concurrent_reader_never_sees_torn_append(spark, tmp_path):
+    """Index MVCC under a real race: while a writer loops appends (each
+    adding one new doc containing a known term plus a fresh doc counter
+    term), a reader thread re-runs the search continuously. Every read
+    must see a CONSISTENT committed state: the result for the probe term
+    is the top-k of SOME append prefix — scores/df/stats all from the
+    same manifest version, never a mix (a torn tf-visible/df-stale read
+    would produce a (doc_count, score) pair no prefix ever produced)."""
+    import threading
+
+    from es_household_retention_spark_job_spark.operators import search as SE
+
+    idx = str(tmp_path / "race_index")
+    base = spark.createDataFrame(
+        [(0, "probe alpha"), (1, "filler beta")], "doc_id long, text string"
+    )
+    SE.build_text_index(base, idx, n_shards=4)
+
+    # expected (n_matching_docs -> full result set) for every prefix:
+    # prefix i has docs 0..i+1 where docs 0, 2, 3, ..., i+1 contain
+    # 'probe'. Precompute each prefix's exact result via the scan scorer.
+    prefixes = {}
+    rows = [(0, "probe alpha"), (1, "filler beta")]
+    for i in range(2, 8):
+        rows.append((i, f"probe extra{i}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        key = frozenset(
+            (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+            for r in SE.bm25_search(docs, [("q", "probe")], k=10).collect()
+        )
+        prefixes[i] = key
+    base_key = frozenset(
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+        for r in SE.bm25_search(base, [("q", "probe")], k=10).collect()
+    )
+    valid = {base_key} | set(prefixes.values())
+
+    stop = threading.Event()
+    errors: list[str] = []
+    seen: set[frozenset] = set()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = frozenset(
+                    (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+                    for r in SE.bm25_search_indexed(
+                        spark, idx, [("q", "probe")], k=10
+                    ).collect()
+                )
+            except Exception as e:  # noqa: BLE001 — a failed read is a tear
+                errors.append(f"read raised: {type(e).__name__}: {e}")
+                return
+            if got not in valid:
+                errors.append(f"torn state: {sorted(got)}")
+                return
+            seen.add(got)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(2, 8):
+            if not t.is_alive():
+                break
+            SE.append_text_index(
+                spark.createDataFrame(
+                    [(i, f"probe extra{i}")], "doc_id long, text string"
+                ),
+                idx,
+            )
+    finally:
+        stop.set()
+        t.join(120)
+    assert not errors, errors[:3]
+    assert len(seen) >= 2  # the reader genuinely raced across versions
