@@ -1678,28 +1678,43 @@ def hybrid_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import search as SE
 
     sparse = eager_cache(_mlt_sparse_ranks(spark, sf_dir))
+    exact = None
     try:
-        exact = SE.rrf_fuse(
-            [sparse, _dense_ranks_exact(spark, sf_dir)], k=KNN_K
-        ).select("query_id", "doc_id")
+        # exact feeds three consumers (hits semi-join, n_queries, n_exact)
+        exact = eager_cache(
+            SE.rrf_fuse(
+                [sparse, _dense_ranks_exact(spark, sf_dir)], k=KNN_K
+            ).select("query_id", "doc_id")
+        )
         approx = SE.rrf_fuse(
             [sparse, _dense_ranks_ivf(spark, sf_dir)], k=KNN_K
         ).select("query_id", "doc_id")
         hits = approx.join(
             F.broadcast(exact), ["query_id", "doc_id"], "left_semi"
         ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-        nq = sparse.select("query_id").distinct().agg(
+        nq = exact.select("query_id").distinct().agg(
             F.count(F.lit(1)).cast("long").alias("n_queries")
         )
-        result = hits.crossJoin(F.broadcast(nq)).select(
-            "n_queries",
-            "n_hits",
-            F.floor(F.col("n_hits") * 10000 / (F.col("n_queries") * KNN_K))
-            .cast("long")
-            .alias("recall_bp"),
+        # denominator = the ACTUAL exact-hybrid pair count, not
+        # n_queries·K: a query can fuse to fewer than K rows (or appear
+        # only on the dense side) and n_queries·K would then mis-scale
+        # the ratio in either direction
+        nx = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        result = (
+            hits.crossJoin(F.broadcast(nq))
+            .crossJoin(F.broadcast(nx))
+            .select(
+                "n_queries",
+                "n_hits",
+                F.floor(F.col("n_hits") * 10000 / F.col("n_exact"))
+                .cast("long")
+                .alias("recall_bp"),
+            )
         )
-        # materialize (1 row) while the sparse cache is alive, then release
+        # materialize (1 row) while the caches are alive, then release
         rows = result.collect()
     finally:
         sparse.unpersist()
+        if exact is not None:
+            exact.unpersist()
     return spark.createDataFrame(rows, result.schema)

@@ -38,8 +38,10 @@ docs), so int64 holds only to ~sf0.3 of this corpus; decimal128 pushes
 the headroom to DECIMAL(38,0)'s 10^38. The PRECISE bound (not
 "unbounded"): the widest intermediate is ``(num % den)·SCORE_SCALE <
 den·1e6``, so scoring is exact while ``den = (2df+1)·(20·total·tf +
-6·total + 18·dl·N) < 10^32`` (and ``num < 10^38``, which den's bound
-implies for any N ≤ 10^11). At the 100 TB design point (N ~ 1e11 docs,
+6·total + 18·dl·N) < 10^32`` AND ``num < 10^38`` — two separate
+conditions (num/den can reach ~1.5N, so den's bound alone does NOT cap
+num; num overflow shows up as NULL and trips the guard's null check,
+den's range is tested explicitly). At the 100 TB design point (N ~ 1e11 docs,
 total ~ 2e13 tokens) that holds up to df·tf products ~ 2.5e29 — beyond
 any natural document, but a PATHOLOGICAL row (a multi-GB single doc)
 could cross it, where non-ANSI Spark would return NULL and silently
@@ -656,17 +658,19 @@ def append_text_index(
 
 def _bootstrap_index_manifest(spark, path: str) -> dict:
     """Adopt a legacy (pre-manifest) index layout: plain ``df/`` and
-    ``stats/`` dirs become generation 0."""
+    ``stats/`` dirs become generation 0. Returns the manifest WITHOUT
+    persisting it — a reader must never write (a slow read racing a
+    concurrent append could otherwise clobber the append's committed
+    manifest with stale state); the only persisted manifests are a
+    build's and an append's own commits."""
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
-    manifest = {
+    return {
         "version": 1,
         "n_shards": int(stats["n_shards"]),
         "tf": _list_tf_files(path),
         "df": "df",
         "stats": "stats",
     }
-    _write_index_manifest(path, manifest)
-    return manifest
 
 
 def _empty_literal_search(spark, path: str, manifest: dict, id_col: str):
@@ -893,8 +897,11 @@ def bm25_more_like_this_indexed(
     n_shards = int(manifest["n_shards"])
     corpus = spark.read.parquet(f"{path}/{manifest['stats']}").drop("n_shards")
 
-    # (1)+(2) query docs' terms; driver-bounded by the batch vocabulary
-    q = (
+    # (1)+(2) query docs' terms; driver-bounded by the batch vocabulary.
+    # eager_cache: this batch-sized frame feeds THREE consumers (the
+    # qvocab collect, the selected-terms collect, and the scoring join) —
+    # uncached, each would re-run the query-doc scan+tokenize subtree
+    q = eager_cache(
         docs.where(query_pred)
         .select(
             F.col(id_col).alias("query_id"),

@@ -526,15 +526,16 @@ def _list_cell_files(path: str) -> dict[str, list[str]]:
 
 
 def _bootstrap_ann_manifest(spark, path: str) -> dict:
-    """Adopt a legacy (pre-manifest) vector index layout."""
+    """Adopt a legacy (pre-manifest) vector index layout. Returns the
+    manifest WITHOUT persisting it — a reader must never write (a slow
+    read racing a concurrent append could clobber the append's committed
+    manifest); only build/append commits persist manifests."""
     n_cells = spark.read.parquet(f"{path}/centroids").count()
-    manifest = {
+    return {
         "version": 1,
         "n_cells": int(n_cells),
         "cells": _list_cell_files(path),
     }
-    _write_ann_manifest(path, manifest)
-    return manifest
 
 
 def build_ann_index(
@@ -626,9 +627,12 @@ def knn_ivf_indexed(
         if d in wanted
         for f in fs
     ]
-    if not files:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cos_bp long"
+    if not files:  # type-correct empty: ids take the queries frame's type
+        return queries.where(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(0).cast("long").alias("cos_bp"),
         )
     cells = (
         spark.read.option("basePath", f"{path}/cells")
@@ -721,5 +725,19 @@ def append_ann_index(
                 "cells": {d: sorted(fs) for d, fs in new_cells.items()},
             },
         )
+        # stray sweep: cell files referenced by NO manifest are crashed
+        # appends' leftovers (moved in, never committed) — invisible to
+        # every reader, reclaim now (mirrors append_text_index)
+        referenced = {(d, f) for d, fs in new_cells.items() for f in fs}
+        root = os.path.join(path, "cells")
+        for d in os.listdir(root):
+            if not d.startswith(f"{ANN_CELL_COL}="):
+                continue
+            for f in os.listdir(os.path.join(root, d)):
+                if f.endswith(".parquet") and (d, f) not in referenced:
+                    try:
+                        os.unlink(os.path.join(root, d, f))
+                    except FileNotFoundError:
+                        pass
     finally:
         shutil.rmtree(stage, ignore_errors=True)

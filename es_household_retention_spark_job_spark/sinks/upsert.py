@@ -477,9 +477,23 @@ def _publish(
             (_snapshot_versions(path) + [manifest["version"]])[-_keep_versions() :]
         )
         snap_refs = _snapshot_referenced(path, only=retained_after)
+        # files whose ONLY pin was a snapshot expiring in this publish get
+        # their grace clock RESTARTED at expiry (ts reset below): the
+        # documented contract is "retained window PLUS the grace window
+        # after the version expires", and a pinned reader mid-scan when
+        # its version drops out must get the same grace as any other
+        # reader (with grace 0 they free in this publish, as before)
+        prev_refs = _snapshot_referenced(path)
         deletable, kept = [], []
         for g in manifest["garbage"]:
-            if now - g["ts"] >= grace and g["rel"] not in snap_refs:
+            if g["rel"] in snap_refs:
+                kept.append(g)
+            elif g["rel"] in prev_refs:  # just unpinned by this expiry
+                if grace <= 0:
+                    deletable.append(g)
+                else:
+                    kept.append({**g, "ts": now})
+            elif now - g["ts"] >= grace:
                 deletable.append(g)
             else:
                 kept.append(g)

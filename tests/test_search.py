@@ -620,9 +620,29 @@ def test_indexed_empty_results_are_type_correct(spark, tmp_path):
 
     full = SE.bm25_search_indexed(spark, idx, [("q", "the")], k=3)
     empty = SE.bm25_search_indexed(spark, idx, [("q", "zzznothing")], k=3)
-    # vocab missing entirely from every shard is only empty if its shard
-    # holds no files; the robust in-schema check is the MLT ceiling path
-    assert shape(empty) == shape(full) or empty.count() >= 0
+    assert shape(empty) == shape(full)
+    assert empty.count() == 0 and full.count() > 0
+
+    # the _empty_literal_search path itself (query shard has NO files):
+    # a one-doc index populates only its own terms' shards; probe for a
+    # term hashing into an unpopulated shard (deterministic: xxhash64)
+    tiny_idx = str(tmp_path / "tiny_index")
+    SE.build_text_index(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        tiny_idx,
+    )
+    m = SE._read_index_manifest(tiny_idx)
+    populated = set(m["tf"])
+    probe = next(
+        t
+        for t in (f"zz{i}" for i in range(200))
+        if f"_shard={next(iter(SE._term_shards(spark, [t], m['n_shards'])))}"
+        not in populated
+    )
+    tiny_full = SE.bm25_search_indexed(spark, tiny_idx, [("q", "alpha")], k=3)
+    tiny_empty = SE.bm25_search_indexed(spark, tiny_idx, [("q", probe)], k=3)
+    assert shape(tiny_empty) == shape(tiny_full)
+    assert tiny_empty.count() == 0 and tiny_full.count() == 1
 
     pred = F.col("doc_id") == docs.select(F.min("doc_id")).first()[0]
     full_mlt = SE.bm25_more_like_this_indexed(spark, idx, docs, pred, k=3)

@@ -806,3 +806,65 @@ def test_aborted_publish_leaves_no_phantom_snapshot(spark, tmp_path, monkeypatch
     )
     assert U._snapshot_versions(path) == [2, 3]
     assert {r["v"] for r in read_keyed_table(spark, path, version=3).collect()} == {4}
+
+
+def test_expired_version_files_get_post_expiry_grace(spark, tmp_path, monkeypatch):
+    """The documented pin contract is 'retained window PLUS the GC grace
+    window after the version expires'. Files whose garbage timestamps are
+    long past grace while snapshot-pinned must get a RESTARTED grace
+    clock at expiry (not immediate deletion) — a pinned reader mid-scan
+    when its version drops out of retention needs the same grace as any
+    other reader. With grace 0 the expiry publish still frees them."""
+    import json
+    import os
+    import time
+
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "2")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "300")
+    path = str(tmp_path / "tbl")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1)], "k string, v int"), path, key="k",
+        n_buckets=1,
+    )  # v1
+
+    def on_disk():
+        return {
+            f"{d}/{f}"
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        }
+
+    v1_files = on_disk()
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 2)], "k string, v int"), key="k"
+    )  # v2: v1's file becomes garbage, pinned by v1's snapshot (window 2)
+
+    # age every garbage entry far past the grace window while still pinned
+    m = U._read_manifest(path)
+    for g in m["garbage"]:
+        g["ts"] = time.time() - 10_000
+    U._write_manifest(path, m)
+
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 3)], "k string, v int"), key="k"
+    )  # v3: v1 EXPIRES here — its file is past-grace AND newly unpinned
+
+    assert v1_files <= on_disk(), "post-expiry grace violated: file deleted at expiry"
+    m = U._read_manifest(path)
+    v1_rels = {g["rel"] for g in m["garbage"] if g["rel"] in {f for f in v1_files}}
+    assert any(
+        time.time() - g["ts"] < 60
+        for g in m["garbage"]
+        if g["rel"] in v1_rels
+    ), "grace clock was not restarted at expiry"
+
+    # grace 0: the next publish reclaims (now - reset_ts >= 0)
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    upsert_parquet(
+        spark, path, spark.createDataFrame([("a", 4)], "k string, v int"), key="k"
+    )
+    assert not (v1_files & on_disk())
