@@ -1718,3 +1718,63 @@ def hybrid_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         if exact is not None:
             exact.unpersist()
     return spark.createDataFrame(rows, result.schema)
+
+
+# --------------------------------------------------------------------------
+# Round 8: RAG chunking + corpus-trained n-gram LM scoring
+# --------------------------------------------------------------------------
+
+_CHUNK_STRIDE = T.CHUNK_TOKENS - T.CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents",
+    f"""WITH {_TOKS_CTE},
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+    fs AS (SELECT doc_id, toks, n,
+                  list_filter(range(0, n, {_CHUNK_STRIDE}),
+                              s -> s = 0 OR s + {T.CHUNK_OVERLAP} < n) AS starts
+           FROM nz),
+    ex AS (SELECT doc_id, toks, n, CAST(i - 1 AS INT) AS chunk_idx,
+                  CAST(starts[CAST(i AS INT)] AS INT) AS chunk_start
+           FROM fs, unnest(range(1, len(starts) + 1)) AS u(i))
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(least({T.CHUNK_TOKENS}, n - chunk_start) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_start + 1,
+                                      chunk_start + {T.CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM ex""",
+    extra=True,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-prep chunker (operators/text.py::chunk_documents):
+    overlapping fixed-token windows with the trailing-suffix rule,
+    computed per row with array HOFs — zero shuffle, token-exact, so the
+    whole op hash-matches the DuckDB oracle."""
+    return T.chunk_documents(_docs(spark, sf_dir))
+
+
+@register(
+    "ngram_lm_score",
+    f"""WITH {_TOKS_CTE},
+    bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                  toks[CAST(i + 1 AS INT)] AS w2
+           FROM toks, unnest(range(1, len(toks))) AS u(i)),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+    c1f AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1f FROM c2 GROUP BY 1),
+    sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM((c2.c2 * {T.LM_PPM}) // c1f.c1f) // COUNT(*)
+                       AS BIGINT) AS lm_score_ppm
+           FROM bi JOIN c2 USING (w1, w2) JOIN c1f USING (w1)
+           GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, sc.lm_score_ppm
+    FROM documents d LEFT JOIN sc USING (doc_id)""",
+    extra=True,
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency surrogate
+    (operators/text.py::ngram_lm_score): KenLM-style curation signal
+    without the transcendental — exact-integer ppm conditional
+    probabilities, MLE counts trained on the corpus in the same job, so
+    scores hash-match the DuckDB oracle."""
+    return T.ngram_lm_score(_docs(spark, sf_dir))

@@ -562,3 +562,127 @@ def curation_verdict(
         keep_language.alias("keep_language"),
         (keep_quality & keep_repetition & keep_language).alias("keep"),
     )
+
+
+#: chunking defaults: 64-token windows, 16-token overlap (stride 48)
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed-size
+    windows — the RAG/embedding-prep chunker: (doc_id, chunk_idx,
+    chunk_start, n_tokens, chunk_text), deterministic and windowless
+    (one tokenize + one explode per row; no shuffle at all, the chunk
+    grid is computed per row with array HOFs).
+
+    Chunks start at stride = chunk_tokens − overlap intervals; a trailing
+    partial chunk is emitted ONLY if it adds tokens beyond the previous
+    chunk's end (start + overlap < n) — the LangChain-style rule that
+    avoids emitting a pure suffix of the prior window. Token-exact and
+    integer-only, so the whole op hash-matches a DuckDB oracle."""
+    if chunk_tokens <= overlap:
+        raise ValueError("chunk_tokens must exceed overlap")
+    stride = chunk_tokens - overlap
+    df = ensure_parallelism(df)
+    toks = tokens(text_col)
+    staged = df.select(id_col, toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s + overlap < F.size("_toks")),
+    )
+    ex = staged.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_toks") - F.col("chunk_start")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+#: fixed-point scale for n-gram LM conditional probabilities
+LM_PPM = 1_000_000
+
+
+def ngram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram-LM quality surrogate — the KenLM-style
+    fluency signal of a curation pipeline without the transcendental:
+    train bigram MLE counts on the corpus itself (one pass), then score
+    each document by the MEAN conditional probability of its bigrams,
+    in exact-integer ppm:
+
+        contrib(w1,w2) = floor(c2(w1,w2)·1e6 / c1f(w1))
+        lm_score_ppm   = floor(Σ contrib / n_bigrams)
+
+    where c1f(w1) = Σ_w2 c2(w1,w2) (bigram-first counts — the true MLE
+    denominator, derived from c2 so final-position tokens don't skew
+    it). Repetitive/templated text scores HIGH (its bigrams dominate the
+    corpus LM), unique prose scores low — the standard use is both-sided
+    trimming. Every step is int64 (counts, floored divisions, integer
+    sum), so scores hash-match the DuckDB oracle exactly and are
+    aggregation-order-independent.
+
+    Plan shape: one explode → bigram partial-agg (the big shuffle, ~|V|²
+    keys max but Zipf-bounded in practice); c1f derived from c2 (no
+    second corpus pass); one shuffle join of doc-bigrams to counts; one
+    per-doc agg; left join back so bigram-less docs (< 2 tokens) keep a
+    row with ``n_bigrams = 0`` and null score."""
+    df = ensure_parallelism(df)
+    staged = df.select(id_col, tokens(text_col).alias("_toks"))
+    bigrams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN transform(sequence(1, size(_toks) - 1),"
+        " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+        " ELSE array() END"
+    )
+    bi = staged.select(id_col, F.explode(bigrams).alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1f = c2.groupBy("w1").agg(F.sum("c2").alias("c1f"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1f, "w1")
+        .withColumn(
+            "contrib", F.expr(f"CAST((c2 * {LM_PPM}) DIV c1f AS BIGINT)")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(contrib) DIV count(1) AS BIGINT)").alias(
+                "lm_score_ppm"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "lm_score_ppm",
+        )
+    )

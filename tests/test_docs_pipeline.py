@@ -1124,3 +1124,75 @@ def test_ann_index_append_equals_same_centroid_build(spark, embs, tmp_path):
     want = rows(S.knn_ivf_indexed(spark, full, queries, k=5))
     assert got == want and got
     assert got != before  # the delta vectors are genuinely searchable
+
+
+def test_chunk_documents_boundary_rules(spark):
+    """Chunker contract: stride = chunk − overlap; trailing chunk emitted
+    iff it adds tokens past the previous chunk's end; full coverage of
+    every token; empty docs emit nothing."""
+    from es_household_retention_spark_job_spark.operators.text import (
+        chunk_documents,
+    )
+
+    n100 = " ".join(f"t{i}" for i in range(100))
+    n60 = " ".join(f"t{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, n100), (2, n60), (3, "one two three"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # doc 1 (100 toks): starts 0,48 (96+16 >= 100 suffix-dropped)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_start, r.n_tokens) for r in d1] == [(0, 64), (48, 52)]
+    assert d1[1].chunk_text.split(" ")[0] == "t48"
+    assert d1[1].chunk_text.split(" ")[-1] == "t99"
+    # doc 2 (60 toks): start 48 would add nothing past 0+64 -> one chunk
+    assert [(r.chunk_start, r.n_tokens) for r in by_doc[2]] == [(0, 60)]
+    # tiny doc: one short chunk; empty doc: no rows
+    assert [(r.chunk_start, r.n_tokens) for r in by_doc[3]] == [(0, 3)]
+    assert 4 not in by_doc
+    # coverage: every token of doc 1 appears in >= 1 chunk
+    covered = set()
+    for r in d1:
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_tokens))
+    assert covered == set(range(100))
+
+
+def test_ngram_lm_score_orders_fluency(spark):
+    """Corpus-trained bigram LM: a doc made of the corpus's dominant
+    bigrams scores higher than one of unique bigrams; < 2 tokens gives
+    n_bigrams 0 and null score; a fully deterministic corpus (every w1
+    followed by one w2) scores exactly LM_PPM."""
+    from es_household_retention_spark_job_spark.operators.text import (
+        LM_PPM,
+        ngram_lm_score,
+    )
+
+    # 'the' fans out to {cat x3, dog, fox, owl} so docs pairing it with a
+    # RARE successor score low; a bigram whose w1 is unique is trivially
+    # deterministic (prob 1), so discrimination requires shared w1s
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat sat"),
+            (2, "the cat sat"),
+            (3, "the dog the fox the owl"),
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.lm_score_ppm) for r in ngram_lm_score(docs).collect()}
+    assert out[4] == (0, None)
+    assert out[1][1] > out[3][1]  # templated > rare-successor text
+    assert out[2][1] > out[3][1]
+    assert all(v[1] is None or 0 <= v[1] <= LM_PPM for v in out.values())
+
+    det = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c a b")], "doc_id long, text string"
+    )
+    # every w1 has exactly one successor -> every conditional prob is 1
+    scores = {r.doc_id: r.lm_score_ppm for r in ngram_lm_score(det).collect()}
+    assert scores == {1: LM_PPM, 2: LM_PPM}
