@@ -509,6 +509,7 @@ def append_text_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    epoch: int | None = None,
 ) -> None:
     """Incremental index maintenance for APPEND-ONLY corpus growth: fold a
     batch of NEW documents into an existing ``build_text_index`` output
@@ -622,17 +623,24 @@ def append_text_index(
             "n_docs bigint, total_dl bigint, n_shards int",
         ).write.mode("overwrite").parquet(f"{path}/{stats_dir}")
 
-        # COMMIT: one atomic replace publishes tf additions + df + stats
-        _write_index_manifest(
-            path,
-            {
-                "version": int(manifest.get("version", 1)) + 1,
-                "n_shards": n_shards,
-                "tf": {d: sorted(fs) for d, fs in new_tf.items()},
-                "df": df_dir,
-                "stats": stats_dir,
-            },
+        # COMMIT: one atomic replace publishes tf additions + df + stats.
+        # ``epoch`` rides the same commit (streaming exactly-once: a
+        # replayed micro-batch is detected by epoch ≤ last_epoch BEFORE
+        # re-appending — see streaming.doc_stream.apply_index_batch);
+        # non-streaming appends carry the previous marker forward.
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_shards": n_shards,
+            "tf": {d: sorted(fs) for d, fs in new_tf.items()},
+            "df": df_dir,
+            "stats": stats_dir,
+        }
+        last_epoch = (
+            int(epoch) if epoch is not None else manifest.get("last_epoch")
         )
+        if last_epoch is not None:
+            new_manifest["last_epoch"] = int(last_epoch)
+        _write_index_manifest(path, new_manifest)
         # keep the immediately-previous generations for in-flight readers
         _gc_index_gens(
             path, keep={df_dir, stats_dir, manifest["df"], manifest["stats"]}

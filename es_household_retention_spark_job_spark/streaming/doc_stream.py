@@ -130,3 +130,49 @@ def corpus_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_index_batch(batch_df: DataFrame, epoch_id: int, index_path: str) -> bool:
+    """One micro-batch of streaming index maintenance: fold the batch into
+    the persisted BM25 index UNLESS this epoch already committed.
+
+    foreachBatch is at-least-once (a crash between the side effect and
+    the checkpoint commit replays the epoch), and a replayed
+    ``append_text_index`` would double-count tf/df — the idempotence
+    guard is the epoch id recorded INSIDE the index's own atomic manifest
+    commit: epoch ≤ last_epoch means the committed index already contains
+    this batch, so skip. (The classic idempotent-foreachBatch pattern;
+    free here because the index already has a single commit point.)
+    Returns whether the batch was applied (False = replay skipped)."""
+    from ..operators.search import _read_index_manifest, append_text_index
+
+    manifest = _read_index_manifest(index_path)
+    last = manifest.get("last_epoch") if manifest else None
+    if last is not None and int(epoch_id) <= int(last):
+        return False
+    append_text_index(batch_df, index_path, epoch=int(epoch_id))
+    return True
+
+
+def index_maintenance_sink(
+    curated: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the persisted full-text index: curated
+    first-seen documents fold into the index per micro-batch — the
+    streaming front door to ``bm25_search_indexed`` (crawler → curation →
+    searchable corpus with no batch rebuild in the loop). Exactly-once
+    across replays via ``apply_index_batch``; the index must exist
+    (``build_text_index`` over the initial corpus, possibly empty)."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_index_batch(batch_df, epoch_id, index_path)
+
+    writer = curated.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -468,3 +468,85 @@ def test_watermark_drops_late_rows_and_finalizes_windows(spark, tmp_path):
     assert got.get("2026-01-01 09:00:00") == 1, got  # in-watermark row kept
     assert got.get("2026-01-01 10:00:00") == 1, got
     assert got.get("2026-01-02 00:00:00") == 1, got
+
+
+def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
+    """Streaming front door to the searchable corpus: micro-batches of
+    documents fold into the persisted BM25 index (foreachBatch →
+    append_text_index) and the final index serves EXACTLY what a
+    scan-based search over (base ∪ streamed docs) serves. Replays are
+    idempotent: re-applying a committed epoch is a no-op (the epoch rides
+    the index's atomic manifest commit)."""
+    import os
+    import time
+
+    from es_household_retention_spark_job_spark.operators import search as SE
+    from es_household_retention_spark_job_spark.streaming import doc_stream
+
+    base_docs = spark.createDataFrame(
+        [(100, "retention cohort analysis monthly"),
+         (101, "household admission window logic")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "stream_index")
+    SE.build_text_index(base_docs, idx)
+
+    rows_by_batch = [
+        [{"doc_id": 1, "text": "cohort retention curve for households",
+          "lang": "en", "source": "s1", "n_chars": 38}],
+        [{"doc_id": 2, "text": "monthly admission cohort window",
+          "lang": "en", "source": "s1", "n_chars": 31}],
+    ]
+    d = tmp_path / "idx_docs_in"
+    d.mkdir()
+    base_ts = time.time() - 600
+    for i, rows in enumerate(rows_by_batch):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_ts + 60 * i, base_ts + 60 * i))
+
+    stream = doc_stream.stream_documents(spark, str(d), max_files_per_trigger=1)
+    delta = stream.select("doc_id", "text")  # the index's column contract
+    _drain(
+        doc_stream.index_maintenance_sink(
+            delta, idx, str(tmp_path / "idx_ckpt")
+        )
+    )
+
+    merged = base_docs.unionByName(
+        spark.createDataFrame(
+            [(1, "cohort retention curve for households"),
+             (2, "monthly admission cohort window")],
+            "doc_id long, text string",
+        )
+    )
+    queries = [("q1", "cohort retention"), ("q2", "admission window")]
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+        for r in SE.bm25_search(merged, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+        for r in SE.bm25_search_indexed(spark, idx, queries, k=5).collect()
+    }
+    assert got == want and got
+
+    # replay idempotence: re-applying the last committed epoch is a no-op
+    m = SE._read_index_manifest(idx)
+    last_epoch = m["last_epoch"]
+    replay = spark.createDataFrame(
+        [(2, "monthly admission cohort window")], "doc_id long, text string"
+    )
+    assert doc_stream.apply_index_batch(replay, last_epoch, idx) is False
+    assert SE._read_index_manifest(idx) == m  # manifest untouched
+    # and a NEW epoch applies
+    assert doc_stream.apply_index_batch(
+        spark.createDataFrame(
+            [(3, "fresh document entirely")], "doc_id long, text string"
+        ),
+        last_epoch + 1,
+        idx,
+    ) is True
+    assert SE._read_index_manifest(idx)["last_epoch"] == last_epoch + 1
