@@ -19,6 +19,8 @@ EXTRA_PLANS = [
     "hybrid_mlt_search_ann",
     "bm25_search_indexed",
     "knn_ivf_indexed",
+    "chunk_documents",
+    "ngram_lm_score",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
