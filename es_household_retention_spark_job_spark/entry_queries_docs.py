@@ -1647,17 +1647,24 @@ def hybrid_mlt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall-vs-exact-hybrid row (ground truth = the hash-matched
 # hybrid_mlt_search above), floor-gated in tests/test_search.py.
 def hybrid_mlt_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-backed hybrid retrieval — the 100 TB form of hybrid_mlt_search:
-    identical sparse side (BM25-lin more-like-this, vocab-filtered,
-    query-sized shuffles) and identical exact-integer RRF fusion; only the
-    dense candidate generator changes, from the O(|Q|·N·dim) brute-force
-    cross score to IVF probes + exact re-rank (sub-linear scanned
-    fraction, published by knn_ann_eval*). This is the composition a
-    production retrieval stack actually runs; the exact hybrid remains
-    registered as its ground truth."""
+    """ANN-backed hybrid retrieval — the 100 TB form of hybrid_mlt_search,
+    FULLY INDEX-SERVED: the sparse side reads the persisted inverted
+    index (bm25_more_like_this_indexed — byte-identical to the scan form,
+    so the exact-hybrid ground truth still applies) and the dense side
+    reads the persisted IVF index; both indexes build once per corpus and
+    amortize across query batches. Identical exact-integer RRF fusion.
+    This is the composition a production retrieval stack actually runs;
+    the exact hybrid remains registered as its ground truth."""
     from .operators import search as SE
 
-    sparse = _mlt_sparse_ranks(spark, sf_dir)
+    sparse = SE.bm25_more_like_this_indexed(
+        spark,
+        _text_index_path(spark, sf_dir),
+        _docs(spark, sf_dir),
+        F.col("doc_id") % KNN_QUERY_MOD == 0,
+        k=KNN_K,
+        max_query_terms=MLT_MAX_TERMS,
+    ).select("query_id", "doc_id", "rank")
     dense = _dense_ranks_ivf(spark, sf_dir)
     return SE.rrf_fuse([sparse, dense], k=KNN_K)
 

@@ -645,20 +645,7 @@ def append_text_index(
         _gc_index_gens(
             path, keep={df_dir, stats_dir, manifest["df"], manifest["stats"]}
         )
-        # stray sweep: tf files referenced by NO manifest are leftovers of
-        # crashed appends (moved in, never committed) — invisible to every
-        # reader (past and present plan from manifests), so reclaim now
-        referenced = {(d, f) for d, fs in new_tf.items() for f in fs}
-        tf_root = os.path.join(path, "tf")
-        for d in os.listdir(tf_root):
-            if not d.startswith(f"{INDEX_SHARD_COL}="):
-                continue
-            for f in os.listdir(os.path.join(tf_root, d)):
-                if f.endswith(".parquet") and (d, f) not in referenced:
-                    try:
-                        os.unlink(os.path.join(tf_root, d, f))
-                    except FileNotFoundError:
-                        pass
+        _sweep_stray_tf(path, new_manifest)
     finally:
         delta_tf.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
@@ -679,6 +666,105 @@ def _bootstrap_index_manifest(spark, path: str) -> dict:
         "df": "df",
         "stats": "stats",
     }
+
+
+def _sweep_stray_tf(path: str, manifest: dict) -> None:
+    """Delete tf files referenced by neither the committed manifest's
+    ``tf`` nor its ``prev_tf``: leftovers of crashed appends (moved in,
+    never committed) and compaction-replaced files past their one-cycle
+    grace. ``prev_tf`` (set by compaction) keeps the immediately-previous
+    file set alive for readers that planned against the prior manifest —
+    the same one-cycle grace as the df/stats generations."""
+    referenced = {(d, f) for d, fs in manifest["tf"].items() for f in fs}
+    referenced |= {
+        (d, f) for d, fs in manifest.get("prev_tf", {}).items() for f in fs
+    }
+    tf_root = os.path.join(path, "tf")
+    for d in os.listdir(tf_root):
+        if not d.startswith(f"{INDEX_SHARD_COL}="):
+            continue
+        for f in os.listdir(os.path.join(tf_root, d)):
+            if f.endswith(".parquet") and (d, f) not in referenced:
+                try:
+                    os.unlink(os.path.join(tf_root, d, f))
+                except FileNotFoundError:
+                    pass
+
+
+def compact_text_index(spark, path: str) -> int:
+    """Small-file compaction for the tf postings: every append leaves ~one
+    file per touched shard, so a high-frequency maintenance loop
+    read-amplifies queries (footer parse + seek per file); compaction
+    rewrites each multi-file shard into ONE term-sorted file — restoring
+    the term-clustered row-group skipping a fresh build has — from the tf
+    table itself (no re-tokenization, so it costs a tf pass, not a corpus
+    pass). Returns the number of shards compacted.
+
+    Reader-atomic like append: new files stage + move in under generation
+    names, ONE manifest replace publishes them, and the REPLACED files
+    stay on disk for one maintenance cycle via the manifest's ``prev_tf``
+    set (readers that planned against the prior manifest keep their
+    files; the next commit's sweep reclaims them). df/stats are untouched
+    — compaction changes layout, never content."""
+    import shutil
+
+    manifest = _read_index_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_index_manifest(spark, path)
+    multi = {d: fs for d, fs in manifest["tf"].items() if len(fs) > 1}
+    if not multi:
+        return 0
+    n_shards = int(manifest["n_shards"])
+    files = [
+        os.path.join(path, "tf", d, f) for d, fs in multi.items() for f in fs
+    ]
+    gen = uuid.uuid4().hex[:8]
+    stage = f"{path}/.tf_compact_{gen}"
+    try:
+        (
+            spark.read.option("basePath", f"{path}/tf")
+            .parquet(*files)
+            .repartition(len(multi), F.col(INDEX_SHARD_COL))
+            .sortWithinPartitions(INDEX_SHARD_COL, "term")
+            .write.mode("overwrite")
+            .partitionBy(INDEX_SHARD_COL)
+            .parquet(stage)
+        )
+        new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
+        for d in os.listdir(stage):
+            if not d.startswith(f"{INDEX_SHARD_COL}="):
+                continue
+            os.makedirs(os.path.join(path, "tf", d), exist_ok=True)
+            moved = []
+            for i, f in enumerate(
+                sorted(
+                    x
+                    for x in os.listdir(os.path.join(stage, d))
+                    if x.endswith(".parquet")
+                )
+            ):
+                name = f"gen-{gen}-{i:05d}.parquet"
+                os.rename(
+                    os.path.join(stage, d, f),
+                    os.path.join(path, "tf", d, name),
+                )
+                moved.append(name)
+            new_tf[d] = sorted(moved)  # REPLACES the shard's file set
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_shards": n_shards,
+            "tf": new_tf,
+            "df": manifest["df"],
+            "stats": manifest["stats"],
+            # one-cycle grace for the replaced files (see _sweep_stray_tf)
+            "prev_tf": manifest["tf"],
+        }
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        _write_index_manifest(path, new_manifest)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return len(multi)
 
 
 def _empty_literal_search(spark, path: str, manifest: dict, id_col: str):

@@ -680,3 +680,83 @@ def test_indexed_empty_results_are_type_correct(spark, tmp_path):
     assert stray_count() > 0  # the crash left invisible leftovers
     SE.append_text_index(docs.where(F.col("doc_id") % 89 == 0), idx)
     assert stray_count() == 0  # swept by the successful append
+
+
+def test_compact_text_index_preserves_results_with_grace(spark, tmp_path):
+    """Index compaction: multi-file shards (the residue of repeated
+    appends) rewrite to one term-sorted file each; search results are
+    byte-identical before/after; the REPLACED files stay on disk for one
+    maintenance cycle (prev_tf grace — readers that planned against the
+    prior manifest keep their files) and the next commit's sweep reclaims
+    them; compaction is idempotent."""
+    import os
+
+    from es_household_retention_spark_job_spark.entry_queries_docs import (
+        BM25_K,
+        BM25_QUERIES,
+    )
+    from es_household_retention_spark_job_spark.operators import search as SE
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "compact_index")
+    SE.build_text_index(docs.where(F.col("doc_id") % 4 == 0), idx)
+    for r in (1, 2, 3):
+        SE.append_text_index(docs.where(F.col("doc_id") % 4 == r), idx)
+
+    m_before = SE._read_index_manifest(idx)
+    assert any(len(fs) > 1 for fs in m_before["tf"].values())
+    old_files = {
+        (d, f) for d, fs in m_before["tf"].items() for f in fs if len(fs) > 1
+    }
+
+    def rows():
+        return {
+            (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+            for r in SE.bm25_search_indexed(
+                spark, idx, BM25_QUERIES, k=BM25_K
+            ).collect()
+        }
+
+    want = rows()
+    n = SE.compact_text_index(spark, idx)
+    assert n > 0
+    m_after = SE._read_index_manifest(idx)
+    assert all(len(fs) == 1 for fs in m_after["tf"].values())
+    assert m_after["prev_tf"] == m_before["tf"]
+    assert rows() == want
+
+    def on_disk():
+        return {
+            (d, f)
+            for d in os.listdir(os.path.join(idx, "tf"))
+            if d.startswith("_shard=")
+            for f in os.listdir(os.path.join(idx, "tf", d))
+            if f.endswith(".parquet")
+        }
+
+    assert old_files <= on_disk()  # one-cycle grace for replaced files
+
+    # the next committed append sweeps them and drops prev_tf
+    SE.append_text_index(
+        spark.createDataFrame(
+            [(999999, "entirely new appended document")],
+            "doc_id long, text string",
+        ),
+        idx,
+    )
+    assert not (old_files & on_disk())
+    assert "prev_tf" not in SE._read_index_manifest(idx)
+
+    # the final append re-fragmented the shards it touched; one more
+    # compaction round settles them, after which compaction is a no-op
+    assert SE.compact_text_index(spark, idx) <= 4
+    SE.append_text_index(  # drop the prev_tf marker via a fresh commit
+        spark.createDataFrame(
+            [(999998, "another brand new document")], "doc_id long, text string"
+        ),
+        idx,
+    )
+    SE.compact_text_index(spark, idx)
+    m = SE._read_index_manifest(idx)
+    assert all(len(fs) == 1 for fs in m["tf"].values())
