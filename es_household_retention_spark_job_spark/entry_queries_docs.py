@@ -567,6 +567,62 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(embs, queries, k=KNN_K)
 
 
+_SQ8_CODES_CTE = """q8 AS (
+    SELECT vec_id,
+           CASE WHEN amax > 0
+                THEN list_transform(emb,
+                     x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT))
+                ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+    FROM (SELECT vec_id, emb,
+                 list_reduce(list_prepend(0.0,
+                     list_transform(emb, x -> abs(x))),
+                     (a, b) -> greatest(a, b)) AS amax
+          FROM base))"""
+
+_SQ8_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (a, b) -> a + b)"
+)
+
+
+@register(
+    "knn_sq8",
+    f"""WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+    {_SQ8_CODES_CTE},
+    n8 AS (SELECT vec_id, q,
+                  sqrt(CAST({_SQ8_DOT.format(a="q", b="q")} AS DOUBLE)) AS nrm
+           FROM q8),
+    qv AS (SELECT vec_id AS query_id, q AS qq, nrm AS qnrm
+           FROM n8 WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      CAST({_SQ8_DOT.format(a="qq", b="c.q")} AS DOUBLE)
+                          / (qnrm * c.nrm) AS cos
+               FROM n8 c, qv WHERE c.vec_id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id)
+                          AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(floor(cos * {S.COS_SCALE}) AS BIGINT) AS cos_bp
+    FROM ranked WHERE rank <= {KNN_K}""",
+    extra=True,
+)
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over SQ8-quantized codes
+    (operators/similarity.py::knn_sq8): the memory-bound production
+    search over the quantize_int8 store — per-vector scales cancel in
+    cosine, so scoring is exact integer dot products and the whole
+    ranking hash-matches the DuckDB oracle (which requantizes
+    identically). Rank fidelity vs the float-exact top-k is gated in
+    tests/test_docs_pipeline.py."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_sq8(embs, queries, k=KNN_K)
+
+
 @register("knn_ivf", extra=True)  # approximate by design; see knn_ann_eval
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer + probe re-rank), the

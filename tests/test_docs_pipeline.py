@@ -1196,3 +1196,23 @@ def test_ngram_lm_score_orders_fluency(spark):
     # every w1 has exactly one successor -> every conditional prob is 1
     scores = {r.doc_id: r.lm_score_ppm for r in ngram_lm_score(det).collect()}
     assert scores == {1: LM_PPM, 2: LM_PPM}
+
+
+def test_knn_sq8_recall_vs_float_exact(spark, embs):
+    """SQ8 search fidelity: int8 quantization perturbs cosine by <= ~1%,
+    so the quantized top-k must recover >= 90% of the float-exact top-k
+    on the eval query set, with cos_bp within 200bp of the float score
+    for overlapping pairs."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_bp
+        for r in S.knn_bruteforce(embs, queries, k=5).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id): r.cos_bp
+        for r in S.knn_sq8(embs, queries, k=5).collect()
+    }
+    recall = len(set(sq8) & set(exact)) / len(exact)
+    assert recall >= 0.9, recall
+    for pair in set(sq8) & set(exact):
+        assert abs(sq8[pair] - exact[pair]) <= 200, pair
