@@ -567,11 +567,11 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(embs, queries, k=KNN_K)
 
 
-_SQ8_CODES_CTE = """q8 AS (
+_SQ8_CODES_CTE = f"""q8 AS (
     SELECT vec_id,
            CASE WHEN amax > 0
                 THEN list_transform(emb,
-                     x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT))
+                     x -> CAST(floor(x * ({float(E.QMAX)!r} / amax) + 0.5) AS BIGINT))
                 ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
     FROM (SELECT vec_id, emb,
                  list_reduce(list_prepend(0.0,
@@ -591,9 +591,12 @@ _SQ8_DOT = (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings),
     {_SQ8_CODES_CTE},
-    n8 AS (SELECT vec_id, q,
-                  sqrt(CAST({_SQ8_DOT.format(a="q", b="q")} AS DOUBLE)) AS nrm
-           FROM q8),
+    n8 AS (SELECT vec_id, q, nrm
+           FROM (SELECT vec_id, q,
+                        sqrt(CAST({_SQ8_DOT.format(a="q", b="q")} AS DOUBLE))
+                            AS nrm
+                 FROM q8)
+           WHERE nrm > 0),
     qv AS (SELECT vec_id AS query_id, q AS qq, nrm AS qnrm
            FROM n8 WHERE vec_id % {KNN_QUERY_MOD} = 0),
     scored AS (SELECT query_id, c.vec_id AS neighbor_id,

@@ -510,6 +510,7 @@ def append_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     epoch: int | None = None,
+    epoch_stream: str | None = None,
 ) -> None:
     """Incremental index maintenance for APPEND-ONLY corpus growth: fold a
     batch of NEW documents into an existing ``build_text_index`` output
@@ -572,23 +573,8 @@ def append_text_index(
             INDEX_SHARD_COL, "term"
         ).write.mode("overwrite").partitionBy(INDEX_SHARD_COL).parquet(stage)
         new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
-        for d in os.listdir(stage):
-            if not d.startswith(f"{INDEX_SHARD_COL}="):
-                continue
-            os.makedirs(os.path.join(path, "tf", d), exist_ok=True)
-            for i, f in enumerate(
-                sorted(
-                    x
-                    for x in os.listdir(os.path.join(stage, d))
-                    if x.endswith(".parquet")
-                )
-            ):
-                name = f"gen-{gen}-{i:05d}.parquet"
-                os.rename(
-                    os.path.join(stage, d, f),
-                    os.path.join(path, "tf", d, name),
-                )
-                new_tf.setdefault(d, []).append(name)
+        for d, names in _move_staged_tf(path, stage, gen).items():
+            new_tf.setdefault(d, []).extend(names)
 
         # df: additive per term — union the OLD df (vocabulary-sized, not
         # corpus-sized) with the delta's per-term doc counts, into a NEW
@@ -640,6 +626,13 @@ def append_text_index(
         )
         if last_epoch is not None:
             new_manifest["last_epoch"] = int(last_epoch)
+        stream = (
+            epoch_stream
+            if epoch_stream is not None
+            else manifest.get("epoch_stream")
+        )
+        if stream is not None:
+            new_manifest["epoch_stream"] = str(stream)
         _write_index_manifest(path, new_manifest)
         # keep the immediately-previous generations for in-flight readers
         _gc_index_gens(
@@ -666,6 +659,34 @@ def _bootstrap_index_manifest(spark, path: str) -> dict:
         "df": "df",
         "stats": "stats",
     }
+
+
+def _move_staged_tf(path: str, stage: str, gen: str) -> dict[str, list[str]]:
+    """Move a staged tf write's files into the live shard dirs under
+    generation names — the crash-safety-critical file-publication step
+    shared by append (extends shard lists) and compaction (replaces
+    them). Returns {shard_dir: [moved names]}; files stay INVISIBLE until
+    the caller's manifest commit references them."""
+    moved: dict[str, list[str]] = {}
+    for d in os.listdir(stage):
+        if not d.startswith(f"{INDEX_SHARD_COL}="):
+            continue
+        os.makedirs(os.path.join(path, "tf", d), exist_ok=True)
+        names = []
+        for i, f in enumerate(
+            sorted(
+                x
+                for x in os.listdir(os.path.join(stage, d))
+                if x.endswith(".parquet")
+            )
+        ):
+            name = f"gen-{gen}-{i:05d}.parquet"
+            os.rename(
+                os.path.join(stage, d, f), os.path.join(path, "tf", d, name)
+            )
+            names.append(name)
+        moved[d] = names
+    return moved
 
 
 def _sweep_stray_tf(path: str, manifest: dict) -> None:
@@ -731,25 +752,8 @@ def compact_text_index(spark, path: str) -> int:
             .parquet(stage)
         )
         new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
-        for d in os.listdir(stage):
-            if not d.startswith(f"{INDEX_SHARD_COL}="):
-                continue
-            os.makedirs(os.path.join(path, "tf", d), exist_ok=True)
-            moved = []
-            for i, f in enumerate(
-                sorted(
-                    x
-                    for x in os.listdir(os.path.join(stage, d))
-                    if x.endswith(".parquet")
-                )
-            ):
-                name = f"gen-{gen}-{i:05d}.parquet"
-                os.rename(
-                    os.path.join(stage, d, f),
-                    os.path.join(path, "tf", d, name),
-                )
-                moved.append(name)
-            new_tf[d] = sorted(moved)  # REPLACES the shard's file set
+        for d, names in _move_staged_tf(path, stage, gen).items():
+            new_tf[d] = sorted(names)  # REPLACES the shard's file set
         new_manifest = {
             "version": int(manifest.get("version", 1)) + 1,
             "n_shards": n_shards,
@@ -761,7 +765,13 @@ def compact_text_index(spark, path: str) -> int:
         }
         if manifest.get("last_epoch") is not None:
             new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = manifest["epoch_stream"]
         _write_index_manifest(path, new_manifest)
+        # reclaim crashed-compaction leftovers now (prev_tf in the just-
+        # committed manifest preserves the one-cycle grace for the files
+        # THIS compaction replaced; anything in neither set is a stray)
+        _sweep_stray_tf(path, new_manifest)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return len(multi)

@@ -751,6 +751,8 @@ def int8_codes(
     all-zero vectors → all-zero codes), emitted as an ``array<long>``
     column ``_q`` for search instead of the monitoring md5. Map-side,
     zero shuffle."""
+    from .embedding import QMAX
+
     base = df.select(id_col, as_double(F.col(emb_col)).alias("_emb"))
     with_amax = base.select(
         id_col,
@@ -759,7 +761,7 @@ def int8_codes(
             F.col("_emb"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
         ).alias("_amax"),
     )
-    scale = F.lit(127.0) / F.col("_amax")
+    scale = F.lit(float(QMAX)) / F.col("_amax")
     return with_amax.select(
         id_col,
         F.when(
@@ -804,18 +806,22 @@ def knn_sq8(
     division by the code norms. Rank quality vs the float-exact top-k is
     measured (recall gate in tests); the scores themselves are
     deterministic and hash-match the DuckDB oracle (int sums exact, the
-    sqrt/divide applied to identical operands). Output shape =
-    knn_bruteforce: (query_id, neighbor_id, rank, cos_bp)."""
+    sqrt/divide applied to identical operands). All-zero vectors (legal
+    per the quantize_int8 contract) have no cosine: they are EXCLUDED
+    from both sides explicitly — without the guard Spark's 0/0 is NULL
+    (sorts last) while DuckDB's is NaN (sorts FIRST under DESC), a
+    silent cross-engine rank flip. Output shape = knn_bruteforce:
+    (query_id, neighbor_id, rank, cos_bp)."""
     c = int8_codes(corpus, id_col, emb_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_q").alias("_cq"),
         F.sqrt(_int_dot(F.col("_q"), F.col("_q")).cast("double")).alias("_cn"),
-    )
+    ).where(F.col("_cn") > 0)
     q = int8_codes(queries, id_col, emb_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_q").alias("_qq"),
         F.sqrt(_int_dot(F.col("_q"), F.col("_q")).cast("double")).alias("_qn"),
-    )
+    ).where(F.col("_qn") > 0)
     cos = _int_dot(F.col("_qq"), F.col("_cq")).cast("double") / (
         F.col("_qn") * F.col("_cn")
     )

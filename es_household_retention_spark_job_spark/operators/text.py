@@ -659,18 +659,25 @@ def ngram_lm_score(
     bi = staged.select(id_col, F.explode(bigrams).alias("b")).select(
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # pre-aggregate per (doc, bigram) BEFORE the count joins: contrib is
+    # constant per (w1,w2), so floor(Σ k·contrib / Σ k) over per-doc
+    # multiplicities k equals the per-occurrence formulation exactly —
+    # and the very documents this signal targets (templated text
+    # repeating a few bigrams) shrink from one join row per OCCURRENCE
+    # to one per distinct bigram
+    dbi = bi.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = dbi.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
     c1f = c2.groupBy("w1").agg(F.sum("c2").alias("c1f"))
     scored = (
-        bi.join(c2, ["w1", "w2"])
+        dbi.join(c2, ["w1", "w2"])
         .join(c1f, "w1")
         .withColumn(
             "contrib", F.expr(f"CAST((c2 * {LM_PPM}) DIV c1f AS BIGINT)")
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.expr("CAST(sum(contrib) DIV count(1) AS BIGINT)").alias(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(k * contrib) DIV sum(k) AS BIGINT)").alias(
                 "lm_score_ppm"
             ),
         )

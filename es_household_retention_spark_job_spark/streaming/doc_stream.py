@@ -132,7 +132,12 @@ def corpus_append(
     return writer.start()
 
 
-def apply_index_batch(batch_df: DataFrame, epoch_id: int, index_path: str) -> bool:
+def apply_index_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    stream_id: str | None = None,
+) -> bool:
     """One micro-batch of streaming index maintenance: fold the batch into
     the persisted BM25 index UNLESS this epoch already committed.
 
@@ -143,14 +148,31 @@ def apply_index_batch(batch_df: DataFrame, epoch_id: int, index_path: str) -> bo
     commit: epoch ≤ last_epoch means the committed index already contains
     this batch, so skip. (The classic idempotent-foreachBatch pattern;
     free here because the index already has a single commit point.)
+
+    Epoch ids are only comparable WITHIN one streaming checkpoint: batch
+    ids restart at 0 under a new/lost checkpoint dir, so comparing them
+    against another run's last_epoch would silently DROP new documents as
+    "replays". ``stream_id`` (the checkpoint dir) therefore rides the
+    manifest next to the epoch: a batch from a DIFFERENT stream identity
+    is never treated as a replay (it appends, and exactly-once is only
+    per-stream — duplicate protection across checkpoint resets belongs to
+    the upstream curation dedup). One maintaining stream per index at a
+    time remains the operating contract, same as any single-writer sink.
     Returns whether the batch was applied (False = replay skipped)."""
     from ..operators.search import _read_index_manifest, append_text_index
 
     manifest = _read_index_manifest(index_path)
     last = manifest.get("last_epoch") if manifest else None
-    if last is not None and int(epoch_id) <= int(last):
+    same_stream = (
+        manifest is not None
+        and stream_id is not None
+        and manifest.get("epoch_stream") == str(stream_id)
+    ) or (stream_id is None and manifest is not None)
+    if last is not None and same_stream and int(epoch_id) <= int(last):
         return False
-    append_text_index(batch_df, index_path, epoch=int(epoch_id))
+    append_text_index(
+        batch_df, index_path, epoch=int(epoch_id), epoch_stream=stream_id
+    )
     return True
 
 
@@ -168,7 +190,7 @@ def index_maintenance_sink(
     (``build_text_index`` over the initial corpus, possibly empty)."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_index_batch(batch_df, epoch_id, index_path)
+        apply_index_batch(batch_df, epoch_id, index_path, stream_id=checkpoint_dir)
 
     writer = curated.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
