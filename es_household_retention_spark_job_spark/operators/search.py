@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Window
@@ -382,16 +383,55 @@ def _list_tf_files(path: str) -> dict[str, list[str]]:
     }
 
 
+def _index_gc_grace() -> float:
+    """Seconds a displaced tf file / df-stats generation stays on disk for
+    in-flight readers (``SPARK_GRAFT_INDEX_GC_GRACE``, default 300 — the
+    same knob shape as the keyed sink's ``SPARK_GRAFT_SINK_GC_GRACE``)."""
+    return float(os.environ.get("SPARK_GRAFT_INDEX_GC_GRACE", "300"))
+
+
+def _roll_retired(manifest: dict, now: float, new_entry: dict | None) -> list[dict]:
+    """The manifest's ``retired`` ledger rolled forward for a new commit:
+    entries still inside the time-based grace window are CARRIED (their tf
+    files / generation dirs stay referenced, so GC keeps them); entries
+    past the grace drop out, making their files sweepable by this commit's
+    GC. ``new_entry`` records what THIS commit displaces, timestamped now.
+
+    Grace is wall-clock, not maintenance-cycles: a reader that planned
+    from the previous manifest keeps its files for at least the grace
+    window even under a fast append/compact loop (round-8's cycle-counted
+    grace could reclaim a slow reader's files after two quick commits).
+    Legacy ``prev_tf`` manifests (the old one-cycle grace) convert to a
+    retired entry stamped now — conservative: the grace restarts."""
+    grace = _index_gc_grace()
+    retired = [
+        e
+        for e in manifest.get("retired", [])
+        if now - float(e.get("ts", 0)) < grace
+    ]
+    if manifest.get("prev_tf"):
+        retired.append({"ts": now, "tf": manifest["prev_tf"], "gens": []})
+    if new_entry is not None and (new_entry.get("tf") or new_entry.get("gens")):
+        retired.append(new_entry)
+    return retired
+
+
 def _gc_index_gens(path: str, keep: set[str]) -> None:
     """Remove df-*/stats-* generation dirs not in ``keep`` — called after
-    a manifest replace with {new gens} ∪ {immediately-previous gens}, so
-    an in-flight reader that planned against the previous manifest keeps
-    its files for one full maintenance cycle (the grace contract)."""
+    a manifest replace with {current gens} ∪ {retired-ledger gens still
+    inside the grace window}, so an in-flight reader that planned against
+    a previous manifest keeps its files for the full time-based grace."""
     import shutil
 
     for d in os.listdir(path):
         if (d.startswith("df-") or d.startswith("stats-")) and d not in keep:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _retired_gens(manifest: dict) -> set[str]:
+    return {
+        g for e in manifest.get("retired", []) for g in e.get("gens", [])
+    }
 
 
 def build_text_index(
@@ -614,29 +654,40 @@ def append_text_index(
         # replayed micro-batch is detected by epoch ≤ last_epoch BEFORE
         # re-appending — see streaming.doc_stream.apply_index_batch);
         # non-streaming appends carry the previous marker forward.
+        now = time.time()
         new_manifest = {
             "version": int(manifest.get("version", 1)) + 1,
             "n_shards": n_shards,
             "tf": {d: sorted(fs) for d, fs in new_tf.items()},
             "df": df_dir,
             "stats": stats_dir,
+            # the displaced df/stats generations enter the time-based
+            # retired ledger: readers that planned from the previous
+            # manifest keep them for the full grace window, not just one
+            # maintenance cycle
+            "retired": _roll_retired(
+                manifest,
+                now,
+                {"ts": now, "tf": {}, "gens": [manifest["df"], manifest["stats"]]},
+            ),
         }
-        last_epoch = (
-            int(epoch) if epoch is not None else manifest.get("last_epoch")
-        )
-        if last_epoch is not None:
-            new_manifest["last_epoch"] = int(last_epoch)
-        stream = (
-            epoch_stream
-            if epoch_stream is not None
-            else manifest.get("epoch_stream")
-        )
-        if stream is not None:
-            new_manifest["epoch_stream"] = str(stream)
+        if epoch is not None:
+            # the epoch marker and its stream label commit TOGETHER: an
+            # anonymous epoch (no epoch_stream) must not inherit a prior
+            # stream's label — epoch counters are only comparable within
+            # one stream identity, and mislabeling this commit would make
+            # that stream's next batch look like a replay
+            new_manifest["last_epoch"] = int(epoch)
+            if epoch_stream is not None:
+                new_manifest["epoch_stream"] = str(epoch_stream)
+        else:  # non-streaming append: carry the previous marker forward
+            if manifest.get("last_epoch") is not None:
+                new_manifest["last_epoch"] = int(manifest["last_epoch"])
+            if manifest.get("epoch_stream") is not None:
+                new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
         _write_index_manifest(path, new_manifest)
-        # keep the immediately-previous generations for in-flight readers
         _gc_index_gens(
-            path, keep={df_dir, stats_dir, manifest["df"], manifest["stats"]}
+            path, keep={df_dir, stats_dir} | _retired_gens(new_manifest)
         )
         _sweep_stray_tf(path, new_manifest)
     finally:
@@ -650,12 +701,21 @@ def _bootstrap_index_manifest(spark, path: str) -> dict:
     persisting it — a reader must never write (a slow read racing a
     concurrent append could otherwise clobber the append's committed
     manifest with stale state); the only persisted manifests are a
-    build's and an append's own commits."""
+    build's and an append's own commits.
+
+    ``gen-*`` files are EXCLUDED from the adopted tf list: on a
+    pre-manifest layout they can only be a crashed append's
+    moved-but-never-committed strays (a committed append would have
+    written the manifest referencing them), and adopting them would serve
+    tf rows inconsistent with the legacy df/stats."""
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     return {
         "version": 1,
         "n_shards": int(stats["n_shards"]),
-        "tf": _list_tf_files(path),
+        "tf": {
+            d: [f for f in fs if not f.startswith("gen-")]
+            for d, fs in _list_tf_files(path).items()
+        },
         "df": "df",
         "stats": "stats",
     }
@@ -691,14 +751,23 @@ def _move_staged_tf(path: str, stage: str, gen: str) -> dict[str, list[str]]:
 
 def _sweep_stray_tf(path: str, manifest: dict) -> None:
     """Delete tf files referenced by neither the committed manifest's
-    ``tf`` nor its ``prev_tf``: leftovers of crashed appends (moved in,
-    never committed) and compaction-replaced files past their one-cycle
-    grace. ``prev_tf`` (set by compaction) keeps the immediately-previous
-    file set alive for readers that planned against the prior manifest —
-    the same one-cycle grace as the df/stats generations."""
+    ``tf`` nor its ``retired`` ledger: leftovers of crashed appends
+    (moved in, never committed) and compaction-replaced files whose
+    time-based grace has expired. The retired ledger (rolled by
+    ``_roll_retired`` on every commit) keeps displaced file sets alive
+    for ``SPARK_GRAFT_INDEX_GC_GRACE`` seconds so a slow reader that
+    planned from a previous manifest keeps its files even under a fast
+    maintenance loop; legacy ``prev_tf`` is honored for manifests written
+    before the ledger existed."""
     referenced = {(d, f) for d, fs in manifest["tf"].items() for f in fs}
     referenced |= {
         (d, f) for d, fs in manifest.get("prev_tf", {}).items() for f in fs
+    }
+    referenced |= {
+        (d, f)
+        for e in manifest.get("retired", [])
+        for d, fs in e.get("tf", {}).items()
+        for f in fs
     }
     tf_root = os.path.join(path, "tf")
     for d in os.listdir(tf_root):
@@ -723,10 +792,11 @@ def compact_text_index(spark, path: str) -> int:
 
     Reader-atomic like append: new files stage + move in under generation
     names, ONE manifest replace publishes them, and the REPLACED files
-    stay on disk for one maintenance cycle via the manifest's ``prev_tf``
-    set (readers that planned against the prior manifest keep their
-    files; the next commit's sweep reclaims them). df/stats are untouched
-    — compaction changes layout, never content."""
+    stay on disk via the manifest's time-based ``retired`` ledger
+    (readers that planned against the prior manifest keep their files for
+    ``SPARK_GRAFT_INDEX_GC_GRACE`` seconds; a later commit's sweep
+    reclaims them once the grace expires). df/stats are untouched —
+    compaction changes layout, never content."""
     import shutil
 
     manifest = _read_index_manifest(path)
@@ -754,24 +824,38 @@ def compact_text_index(spark, path: str) -> int:
         new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
         for d, names in _move_staged_tf(path, stage, gen).items():
             new_tf[d] = sorted(names)  # REPLACES the shard's file set
+        now = time.time()
         new_manifest = {
             "version": int(manifest.get("version", 1)) + 1,
             "n_shards": n_shards,
             "tf": new_tf,
             "df": manifest["df"],
             "stats": manifest["stats"],
-            # one-cycle grace for the replaced files (see _sweep_stray_tf)
-            "prev_tf": manifest["tf"],
+            # time-based grace for the replaced files (see _sweep_stray_tf)
+            "retired": _roll_retired(
+                manifest,
+                now,
+                {
+                    "ts": now,
+                    "tf": {d: manifest["tf"][d] for d in multi},
+                    "gens": [],
+                },
+            ),
         }
         if manifest.get("last_epoch") is not None:
             new_manifest["last_epoch"] = int(manifest["last_epoch"])
         if manifest.get("epoch_stream") is not None:
             new_manifest["epoch_stream"] = manifest["epoch_stream"]
         _write_index_manifest(path, new_manifest)
-        # reclaim crashed-compaction leftovers now (prev_tf in the just-
-        # committed manifest preserves the one-cycle grace for the files
-        # THIS compaction replaced; anything in neither set is a stray)
+        # reclaim crashed-compaction leftovers now (the retired ledger in
+        # the just-committed manifest preserves the grace window for the
+        # files THIS compaction replaced; anything referenced by neither
+        # the live tf nor an in-grace retired entry is a stray)
         _sweep_stray_tf(path, new_manifest)
+        _gc_index_gens(
+            path,
+            keep={manifest["df"], manifest["stats"]} | _retired_gens(new_manifest),
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return len(multi)

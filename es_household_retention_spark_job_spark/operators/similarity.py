@@ -512,8 +512,10 @@ def _write_ann_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, ANN_MANIFEST))
 
 
-def _list_cell_files(path: str) -> dict[str, list[str]]:
-    root = os.path.join(path, "cells")
+def _list_cell_files(path: str, sub: str = "cells") -> dict[str, list[str]]:
+    root = os.path.join(path, sub)
+    if not os.path.isdir(root):
+        return {}
     return {
         d: sorted(
             f
@@ -529,13 +531,48 @@ def _bootstrap_ann_manifest(spark, path: str) -> dict:
     """Adopt a legacy (pre-manifest) vector index layout. Returns the
     manifest WITHOUT persisting it — a reader must never write (a slow
     read racing a concurrent append could clobber the append's committed
-    manifest); only build/append commits persist manifests."""
+    manifest); only build/append commits persist manifests.
+
+    ``gen-*`` cell files are EXCLUDED: on a pre-manifest layout they can
+    only be a crashed append's moved-but-never-committed strays (a
+    committed append would have left a manifest), so adopting them would
+    serve vectors the index never committed."""
     n_cells = spark.read.parquet(f"{path}/centroids").count()
     return {
         "version": 1,
         "n_cells": int(n_cells),
-        "cells": _list_cell_files(path),
+        "cells": {
+            d: [f for f in fs if not f.startswith("gen-")]
+            for d, fs in _list_cell_files(path).items()
+        },
     }
+
+
+def _assigned_cells(
+    corpus: DataFrame, cents: list[list[float]], id_col: str, emb_col: str
+) -> DataFrame:
+    """(id, _emb, _norm, cell) — the corpus with its coarse-quantizer
+    assignment, map-side (the centroid matrix is one folded literal)."""
+    return with_unit_meta(corpus, emb_col).select(
+        id_col,
+        "_emb",
+        "_norm",
+        _argmin_cell(F.col("_emb"), cents).alias(ANN_CELL_COL),
+    )
+
+
+def _codes_for(assigned: DataFrame, id_col: str) -> DataFrame:
+    """SQ8 sidecar rows (id, _q, _cn code-norm, cell) for an
+    assigned-cells frame — ``int8_codes``'s quantizer with the cell
+    assignment riding through, plus the code norm computed once at write
+    time (it is per-vector constant; storing it saves every query the
+    fold)."""
+    return int8_codes(assigned, id_col, "_emb", keep=(ANN_CELL_COL,)).select(
+        id_col,
+        "_q",
+        F.sqrt(_int_dot(F.col("_q"), F.col("_q")).cast("double")).alias("_cn"),
+        ANN_CELL_COL,
+    )
 
 
 def build_ann_index(
@@ -564,16 +601,23 @@ def build_ann_index(
         corpus, k=n_cells, iters=iters, id_col=id_col, emb_col=emb_col
     )
     n_cells = len(cents)
-    assigned = with_unit_meta(corpus, emb_col).select(
-        id_col,
-        "_emb",
-        "_norm",
-        _argmin_cell(F.col("_emb"), cents).alias(ANN_CELL_COL),
-    )
-    # one exchange on the cell -> one task / few files per cell partition
-    assigned.repartition(n_cells, F.col(ANN_CELL_COL)).write.mode(
+    assigned = _assigned_cells(corpus, cents, id_col, emb_col)
+    # one exchange on the cell -> one task / few files per cell partition;
+    # sortWithinPartitions(vec_id) clusters row groups by id so the SQ8
+    # re-rank's id In-filter can skip row groups inside a probe cell
+    assigned.repartition(n_cells, F.col(ANN_CELL_COL)).sortWithinPartitions(
+        ANN_CELL_COL, id_col
+    ).write.mode("overwrite").partitionBy(ANN_CELL_COL).parquet(f"{path}/cells")
+    # codes/: the SQ8 sidecar — int8 codes + code norm, same cell
+    # partitioning. Parquet dictionary-encodes the ≤255 distinct code
+    # values to ~1 byte each, so a probe-pruned code scan reads ~8× fewer
+    # bytes than the double-precision cells (measured in SCALING.md);
+    # knn_sq8_indexed scores codes only and re-ranks top-R from cells/.
+    _codes_for(assigned, id_col).repartition(
+        n_cells, F.col(ANN_CELL_COL)
+    ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
         "overwrite"
-    ).partitionBy(ANN_CELL_COL).parquet(f"{path}/cells")
+    ).partitionBy(ANN_CELL_COL).parquet(f"{path}/codes")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -581,7 +625,12 @@ def build_ann_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_ann_manifest(
         path,
-        {"version": 1, "n_cells": int(n_cells), "cells": _list_cell_files(path)},
+        {
+            "version": 1,
+            "n_cells": int(n_cells),
+            "cells": _list_cell_files(path),
+            "codes": _list_cell_files(path, "codes"),
+        },
     )
 
 
@@ -651,11 +700,93 @@ def knn_ivf_indexed(
     return rerank_topk(cand, k)
 
 
+def _move_staged_cells(
+    path: str, stage: str, gen: str, sub: str
+) -> dict[str, list[str]]:
+    """Move a staged cell-partitioned write's files into the live ``sub``
+    tree under generation names — same publication contract as the text
+    index's ``_move_staged_tf``: files stay INVISIBLE until the caller's
+    manifest commit references them."""
+    moved: dict[str, list[str]] = {}
+    for d in os.listdir(stage):
+        if not d.startswith(f"{ANN_CELL_COL}="):
+            continue
+        os.makedirs(os.path.join(path, sub, d), exist_ok=True)
+        names = []
+        for i, f in enumerate(
+            sorted(
+                x
+                for x in os.listdir(os.path.join(stage, d))
+                if x.endswith(".parquet")
+            )
+        ):
+            name = f"gen-{gen}-{i:05d}.parquet"
+            os.rename(
+                os.path.join(stage, d, f), os.path.join(path, sub, d, name)
+            )
+            names.append(name)
+        moved[d] = names
+    return moved
+
+
+def _ann_roll_retired(
+    manifest: dict, now: float, new_entry: dict | None
+) -> list[dict]:
+    """The ANN manifest's retired-file ledger rolled forward — the vector
+    twin of the text index's ``_roll_retired``: entries inside the
+    wall-clock grace (``SPARK_GRAFT_INDEX_GC_GRACE``, shared knob) are
+    carried so a reader that planned from a previous manifest keeps its
+    files; expired entries drop out and become sweepable."""
+    from .search import _index_gc_grace
+
+    grace = _index_gc_grace()
+    retired = [
+        e
+        for e in manifest.get("retired", [])
+        if now - float(e.get("ts", 0)) < grace
+    ]
+    if new_entry is not None and (
+        new_entry.get("cells") or new_entry.get("codes")
+    ):
+        retired.append(new_entry)
+    return retired
+
+
+def _sweep_stray_ann(path: str, manifest: dict) -> None:
+    """Delete cells/codes files referenced by neither the committed
+    manifest nor its retired ledger: crashed appends' leftovers and
+    compaction-replaced files past the time-based grace."""
+    for key in ("cells", "codes"):
+        referenced = {
+            (d, f) for d, fs in manifest.get(key, {}).items() for f in fs
+        }
+        referenced |= {
+            (d, f)
+            for e in manifest.get("retired", [])
+            for d, fs in e.get(key, {}).items()
+            for f in fs
+        }
+        root = os.path.join(path, key)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if not d.startswith(f"{ANN_CELL_COL}="):
+                continue
+            for f in os.listdir(os.path.join(root, d)):
+                if f.endswith(".parquet") and (d, f) not in referenced:
+                    try:
+                        os.unlink(os.path.join(root, d, f))
+                    except FileNotFoundError:
+                        pass
+
+
 def append_ann_index(
     vecs_delta: DataFrame,
     path: str,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    epoch: int | None = None,
+    epoch_stream: str | None = None,
 ) -> None:
     """Incremental vector-index maintenance for append-only corpus growth
     — the IVF-standard move: assign NEW vectors to the EXISTING centroids
@@ -664,7 +795,16 @@ def append_ann_index(
     ``append_text_index``: delta files are staged, moved in under
     generation names (invisible — readers plan from the manifest's cell
     FILE LIST), and published by one atomic manifest replace; a crash
-    before it leaves only invisible strays.
+    before it leaves only invisible strays. The SQ8 ``codes/`` sidecar
+    (when the index has one) is maintained in the SAME commit, so
+    ``knn_sq8_indexed`` and ``knn_ivf_indexed`` can never observe
+    different corpus states.
+
+    ``epoch``/``epoch_stream`` ride the manifest commit for streaming
+    exactly-once, identical to ``append_text_index``: a replayed
+    micro-batch is detected by epoch ≤ last_epoch within the same stream
+    identity BEFORE re-appending (see
+    ``streaming.doc_stream.apply_ann_index_batch``).
 
     Equivalence contract (pinned in tests): after appends, the index
     serves byte-identical results to a ``build_ann_index`` over the full
@@ -678,6 +818,7 @@ def append_ann_index(
     PRECONDITION (caller-enforced): delta ``id_col`` values are disjoint
     from the indexed corpus."""
     import shutil
+    import time
 
     spark = vecs_delta.sparkSession
     manifest = _read_ann_manifest(path)
@@ -687,75 +828,162 @@ def append_ann_index(
     cents = [
         list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
     ]
-    assigned = with_unit_meta(vecs_delta, emb_col).select(
-        id_col,
-        "_emb",
-        "_norm",
-        _argmin_cell(F.col("_emb"), cents).alias(ANN_CELL_COL),
-    )
+    assigned = _assigned_cells(vecs_delta, cents, id_col, emb_col).persist()
+    has_codes = "codes" in manifest
     gen = uuid.uuid4().hex[:8]
     stage = f"{path}/.cells_stage_{gen}"
+    stage_codes = f"{path}/.codes_stage_{gen}"
     try:
-        assigned.repartition(len(cents), F.col(ANN_CELL_COL)).write.mode(
-            "overwrite"
-        ).partitionBy(ANN_CELL_COL).parquet(stage)
+        assigned.repartition(len(cents), F.col(ANN_CELL_COL)).sortWithinPartitions(
+            ANN_CELL_COL, id_col
+        ).write.mode("overwrite").partitionBy(ANN_CELL_COL).parquet(stage)
         new_cells = {d: list(fs) for d, fs in manifest["cells"].items()}
-        for d in os.listdir(stage):
-            if not d.startswith(f"{ANN_CELL_COL}="):
+        for d, names in _move_staged_cells(path, stage, gen, "cells").items():
+            new_cells.setdefault(d, []).extend(names)
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_cells": int(manifest["n_cells"]),
+            "cells": {d: sorted(fs) for d, fs in new_cells.items()},
+        }
+        if has_codes:  # maintain the SQ8 sidecar in the same commit
+            _codes_for(assigned, id_col).repartition(
+                len(cents), F.col(ANN_CELL_COL)
+            ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+                "overwrite"
+            ).partitionBy(ANN_CELL_COL).parquet(stage_codes)
+            new_codes = {d: list(fs) for d, fs in manifest["codes"].items()}
+            for d, names in _move_staged_cells(
+                path, stage_codes, gen, "codes"
+            ).items():
+                new_codes.setdefault(d, []).extend(names)
+            new_manifest["codes"] = {
+                d: sorted(fs) for d, fs in new_codes.items()
+            }
+        new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
+        if epoch is not None:
+            # epoch marker + stream label commit together (anonymous
+            # epochs must not inherit a prior stream's label — see
+            # append_text_index)
+            new_manifest["last_epoch"] = int(epoch)
+            if epoch_stream is not None:
+                new_manifest["epoch_stream"] = str(epoch_stream)
+        else:
+            if manifest.get("last_epoch") is not None:
+                new_manifest["last_epoch"] = int(manifest["last_epoch"])
+            if manifest.get("epoch_stream") is not None:
+                new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _write_ann_manifest(path, new_manifest)
+        # reclaim crashed appends' never-committed leftovers (invisible
+        # to every reader); retired-ledger files stay until their grace
+        # expires
+        _sweep_stray_ann(path, new_manifest)
+    finally:
+        assigned.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage_codes, ignore_errors=True)
+
+
+def compact_ann_index(spark, path: str) -> int:
+    """Small-file compaction for the vector index: every append leaves
+    ~one file per touched cell (and codes cell), so a high-frequency
+    maintenance loop read-amplifies probes exactly like the text index's
+    tf shards did before ``compact_text_index``. Rewrites each multi-file
+    cell dir (cells/ and codes/) into ONE id-sorted file — restoring the
+    id-clustered row-group stats the SQ8 re-rank's In-filter prunes with
+    — from the stored rows (no re-assignment, no re-quantization: layout
+    changes, content never). Returns the number of cell dirs compacted.
+
+    Reader-atomic like append: staged files move in under generation
+    names, ONE manifest replace publishes them, and the REPLACED files
+    stay on disk via the time-based retired ledger
+    (``SPARK_GRAFT_INDEX_GC_GRACE``) for readers that planned from the
+    prior manifest."""
+    import shutil
+    import time
+
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    todo = {
+        key: {d: fs for d, fs in manifest.get(key, {}).items() if len(fs) > 1}
+        for key in ("cells", "codes")
+    }
+    n_compacted = sum(len(m) for m in todo.values())
+    if n_compacted == 0:
+        return 0
+    gen = uuid.uuid4().hex[:8]
+    new_manifest = {
+        "version": int(manifest.get("version", 1)) + 1,
+        "n_cells": int(manifest["n_cells"]),
+        "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
+    }
+    if "codes" in manifest:
+        new_manifest["codes"] = {
+            d: list(fs) for d, fs in manifest["codes"].items()
+        }
+    stages = []
+    try:
+        for key, multi in todo.items():
+            if not multi:
                 continue
-            os.makedirs(os.path.join(path, "cells", d), exist_ok=True)
-            for i, f in enumerate(
-                sorted(
-                    x
-                    for x in os.listdir(os.path.join(stage, d))
-                    if x.endswith(".parquet")
-                )
-            ):
-                name = f"gen-{gen}-{i:05d}.parquet"
-                os.rename(
-                    os.path.join(stage, d, f),
-                    os.path.join(path, "cells", d, name),
-                )
-                new_cells.setdefault(d, []).append(name)
-        _write_ann_manifest(
-            path,
+            stage = f"{path}/.{key}_compact_{gen}"
+            stages.append(stage)
+            files = [
+                os.path.join(path, key, d, f)
+                for d, fs in multi.items()
+                for f in fs
+            ]
+            df = spark.read.option("basePath", f"{path}/{key}").parquet(*files)
+            id_field = next(
+                c
+                for c in df.columns
+                if c not in ("_emb", "_norm", "_q", "_cn", ANN_CELL_COL)
+            )
+            df.repartition(len(multi), F.col(ANN_CELL_COL)).sortWithinPartitions(
+                ANN_CELL_COL, id_field
+            ).write.mode("overwrite").partitionBy(ANN_CELL_COL).parquet(stage)
+            for d, names in _move_staged_cells(path, stage, gen, key).items():
+                new_manifest[key][d] = sorted(names)  # REPLACES the set
+        now = time.time()
+        new_manifest["retired"] = _ann_roll_retired(
+            manifest,
+            now,
             {
-                "version": int(manifest.get("version", 1)) + 1,
-                "n_cells": int(manifest["n_cells"]),
-                "cells": {d: sorted(fs) for d, fs in new_cells.items()},
+                "ts": now,
+                "cells": todo["cells"],
+                "codes": todo["codes"],
             },
         )
-        # stray sweep: cell files referenced by NO manifest are crashed
-        # appends' leftovers (moved in, never committed) — invisible to
-        # every reader, reclaim now (mirrors append_text_index)
-        referenced = {(d, f) for d, fs in new_cells.items() for f in fs}
-        root = os.path.join(path, "cells")
-        for d in os.listdir(root):
-            if not d.startswith(f"{ANN_CELL_COL}="):
-                continue
-            for f in os.listdir(os.path.join(root, d)):
-                if f.endswith(".parquet") and (d, f) not in referenced:
-                    try:
-                        os.unlink(os.path.join(root, d, f))
-                    except FileNotFoundError:
-                        pass
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _write_ann_manifest(path, new_manifest)
+        _sweep_stray_ann(path, new_manifest)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        for stage in stages:
+            shutil.rmtree(stage, ignore_errors=True)
+    return n_compacted
 
 
 def int8_codes(
-    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 codes — the SAME quantizer as
     ``embedding.quantize_int8`` (scale = 127/max|x|, round half up;
     all-zero vectors → all-zero codes), emitted as an ``array<long>``
     column ``_q`` for search instead of the monitoring md5. Map-side,
-    zero shuffle."""
+    zero shuffle; ``keep`` columns ride through unchanged (so the index
+    builder can keep the cell assignment without a join)."""
     from .embedding import QMAX
 
-    base = df.select(id_col, as_double(F.col(emb_col)).alias("_emb"))
+    base = df.select(id_col, *keep, as_double(F.col(emb_col)).alias("_emb"))
     with_amax = base.select(
         id_col,
+        *keep,
         "_emb",
         F.aggregate(
             F.col("_emb"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
@@ -764,6 +992,7 @@ def int8_codes(
     scale = F.lit(float(QMAX)) / F.col("_amax")
     return with_amax.select(
         id_col,
+        *keep,
         F.when(
             F.col("_amax") > 0,
             F.transform(

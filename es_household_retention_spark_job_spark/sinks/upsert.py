@@ -378,9 +378,13 @@ def _bucket_dirs(path: str) -> list[str]:
 def _manifest_from_listing(path: str) -> dict:
     """Bootstrap a manifest from the directory layout (initial load, or a
     legacy table written before manifests existed). The version counter
-    resumes PAST any snapshot already on disk: reusing a number would make
+    resumes PAST any snapshot still on disk: reusing a number would make
     the next publish overwrite an existing version's immutable snapshot
-    (and confuse the predictive retention pin in ``_publish``)."""
+    (and confuse the predictive retention pin in ``_publish``). This
+    protects the legacy-table bootstrap path, where snapshots survive; on
+    ``write_keyed_table``'s re-initialization path the overwrite has
+    already deleted them, so THAT caller captures the counter before the
+    overwrite and resumes from it."""
     live = {
         d: sorted(
             f
@@ -553,12 +557,21 @@ def write_keyed_table(
     function (key column + bucket count) and the unified column schema are
     TABLE properties, persisted in a sidecar so later upserts can never
     diverge from the layout and schema evolution stays metadata-only."""
+    # capture the version counter BEFORE the overwrite deletes the table
+    # root (snapshots included): a re-initialized table resumes PAST any
+    # version it ever published, so an external consumer that recorded
+    # version numbers (or a pinned reader about to fail) never sees a
+    # number reused for different content
+    prior_version = (
+        max(_snapshot_versions(path), default=0) if os.path.isdir(path) else 0
+    )
     bucketed = _with_bucket(df, key, n_buckets)
     bucketed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
     schema = _table_schema(bucketed)
     _write_layout(path, key, n_buckets, schema)
     manifest = _manifest_from_listing(path)
-    _bump_version(manifest, time.time())  # the initial load is v1
+    manifest["version"] = max(int(manifest.get("version", 0)), prior_version)
+    _bump_version(manifest, time.time())  # a fresh table's initial load is v1
     _write_manifest(path, manifest)
     _write_snapshot(path, manifest, schema)  # post-commit, like _publish
 

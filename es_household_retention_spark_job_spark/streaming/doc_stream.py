@@ -163,11 +163,16 @@ def apply_index_batch(
 
     manifest = _read_index_manifest(index_path)
     last = manifest.get("last_epoch") if manifest else None
-    same_stream = (
-        manifest is not None
-        and stream_id is not None
-        and manifest.get("epoch_stream") == str(stream_id)
-    ) or (stream_id is None and manifest is not None)
+    # epochs are comparable only within one stream identity: with no
+    # stream_id of our own, honor last_epoch only when the manifest's
+    # epoch was ALSO committed anonymously — if some other identified
+    # stream committed it, the counters are incomparable and treating the
+    # batch as a replay would silently drop it. (Anonymous-vs-anonymous
+    # keeps the legacy single-caller replay protection.)
+    same_stream = manifest is not None and (
+        (stream_id is not None and manifest.get("epoch_stream") == str(stream_id))
+        or (stream_id is None and manifest.get("epoch_stream") is None)
+    )
     if last is not None and same_stream and int(epoch_id) <= int(last):
         return False
     append_text_index(

@@ -1216,3 +1216,40 @@ def test_knn_sq8_recall_vs_float_exact(spark, embs):
     assert recall >= 0.9, recall
     for pair in set(sq8) & set(exact):
         assert abs(sq8[pair] - exact[pair]) <= 200, pair
+
+
+def test_ann_legacy_bootstrap_excludes_crashed_append_strays(spark, embs, tmp_path):
+    """Pre-manifest (legacy) ANN index adoption mirrors the text index's
+    rule: ``gen-*`` cell files on a manifest-less layout can only be a
+    crashed append's moved-but-never-committed strays, so the bootstrap
+    must exclude them — the adopted file list must equal exactly what the
+    last committed build published."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "ann_legacy")
+    S.build_ann_index(embs, idx, n_cells=8, iters=2)
+    committed = S._read_ann_manifest(idx)["cells"]
+
+    # make the index legacy, then inject a crashed-append stray
+    os.unlink(os.path.join(idx, S.ANN_MANIFEST))
+    cell_root = os.path.join(idx, "cells")
+    injected = False
+    for d in sorted(os.listdir(cell_root)):
+        if not d.startswith(f"{S.ANN_CELL_COL}="):
+            continue
+        fs = sorted(
+            f
+            for f in os.listdir(os.path.join(cell_root, d))
+            if f.endswith(".parquet")
+        )
+        if fs:
+            shutil.copyfile(
+                os.path.join(cell_root, d, fs[0]),
+                os.path.join(cell_root, d, "gen-deadbeef-00000.parquet"),
+            )
+            injected = True
+            break
+    assert injected
+    m = S._bootstrap_ann_manifest(spark, idx)
+    assert m["cells"] == committed  # stray excluded, nothing else dropped

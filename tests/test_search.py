@@ -682,12 +682,15 @@ def test_indexed_empty_results_are_type_correct(spark, tmp_path):
     assert stray_count() == 0  # swept by the successful append
 
 
-def test_compact_text_index_preserves_results_with_grace(spark, tmp_path):
+def test_compact_text_index_preserves_results_with_grace(
+    spark, tmp_path, monkeypatch
+):
     """Index compaction: multi-file shards (the residue of repeated
     appends) rewrite to one term-sorted file each; search results are
-    byte-identical before/after; the REPLACED files stay on disk for one
-    maintenance cycle (prev_tf grace — readers that planned against the
-    prior manifest keep their files) and the next commit's sweep reclaims
+    byte-identical before/after; the REPLACED files stay on disk for the
+    TIME-BASED grace window (the manifest's retired ledger — a reader
+    that planned against the prior manifest keeps its files even under a
+    fast maintenance loop), and a commit after the grace expires reclaims
     them; compaction is idempotent."""
     import os
 
@@ -723,7 +726,11 @@ def test_compact_text_index_preserves_results_with_grace(spark, tmp_path):
     assert n > 0
     m_after = SE._read_index_manifest(idx)
     assert all(len(fs) == 1 for fs in m_after["tf"].values())
-    assert m_after["prev_tf"] == m_before["tf"]
+    replaced = {d: fs for d, fs in m_before["tf"].items() if len(fs) > 1}
+    assert any(
+        e.get("tf") == replaced and "ts" in e
+        for e in m_after.get("retired", [])
+    )
     assert rows() == want
 
     def on_disk():
@@ -735,9 +742,11 @@ def test_compact_text_index_preserves_results_with_grace(spark, tmp_path):
             if f.endswith(".parquet")
         }
 
-    assert old_files <= on_disk()  # one-cycle grace for replaced files
+    assert old_files <= on_disk()  # replaced files held for the grace
 
-    # the next committed append sweeps them and drops prev_tf
+    # a FAST next commit does NOT reclaim them: the grace is wall-clock
+    # (default 300s), not maintenance cycles — the round-8 cycle-counted
+    # grace would have swept them here, stranding a slow reader
     SE.append_text_index(
         spark.createDataFrame(
             [(999999, "entirely new appended document")],
@@ -745,18 +754,79 @@ def test_compact_text_index_preserves_results_with_grace(spark, tmp_path):
         ),
         idx,
     )
-    assert not (old_files & on_disk())
-    assert "prev_tf" not in SE._read_index_manifest(idx)
+    assert old_files <= on_disk()
 
-    # the final append re-fragmented the shards it touched; one more
-    # compaction round settles them, after which compaction is a no-op
-    assert SE.compact_text_index(spark, idx) <= 4
-    SE.append_text_index(  # drop the prev_tf marker via a fresh commit
+    # once the grace EXPIRES, the next commit reclaims them and the
+    # expired ledger entries drop out of the manifest
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_GC_GRACE", "0")
+    SE.append_text_index(
         spark.createDataFrame(
             [(999998, "another brand new document")], "doc_id long, text string"
         ),
         idx,
     )
+    assert not (old_files & on_disk())
+    m_now = SE._read_index_manifest(idx)
+    assert all(e.get("tf") != replaced for e in m_now.get("retired", []))
+
+    # the appends re-fragmented the shards they touched; one more
+    # compaction round settles them, after which compaction is a no-op
+    SE.compact_text_index(spark, idx)
     SE.compact_text_index(spark, idx)
     m = SE._read_index_manifest(idx)
     assert all(len(fs) == 1 for fs in m["tf"].values())
+
+
+def test_legacy_bootstrap_excludes_crashed_append_strays(spark, tmp_path):
+    """Pre-manifest (legacy) index adoption: ``gen-*`` tf files can only
+    be a crashed append's moved-but-never-committed strays on that
+    layout, so the bootstrap must exclude them — adopting one would serve
+    tf rows inconsistent with the legacy df/stats (here: a duplicated tf
+    file would double a document's term frequencies)."""
+    import os
+    import shutil
+
+    from es_household_retention_spark_job_spark.operators import search as SE
+
+    docs = _corpus(spark)
+    idx = str(tmp_path / "legacy_idx")
+    SE.build_text_index(docs, idx, n_shards=4)
+    queries = [("q1", "apple cherry"), ("q2", "banana date")]
+
+    def rows():
+        return {
+            (r.query_id, r.doc_id, r.rank, r.score_x1e6)
+            for r in SE.bm25_search_indexed(spark, idx, queries, k=5).collect()
+        }
+
+    want = rows()
+    # make the index legacy (no manifest, plain df/stats dirs), then
+    # inject a crashed-append stray: an existing tf file duplicated under
+    # a gen- name
+    m0 = SE._read_index_manifest(idx)
+    os.rename(os.path.join(idx, m0["df"]), os.path.join(idx, "df"))
+    os.rename(os.path.join(idx, m0["stats"]), os.path.join(idx, "stats"))
+    os.unlink(os.path.join(idx, SE.INDEX_MANIFEST))
+    tf_root = os.path.join(idx, "tf")
+    injected = False
+    for d in sorted(os.listdir(tf_root)):
+        if not d.startswith(f"{SE.INDEX_SHARD_COL}="):
+            continue
+        fs = sorted(
+            f
+            for f in os.listdir(os.path.join(tf_root, d))
+            if f.endswith(".parquet")
+        )
+        if fs:
+            shutil.copyfile(
+                os.path.join(tf_root, d, fs[0]),
+                os.path.join(tf_root, d, "gen-deadbeef-00000.parquet"),
+            )
+            injected = True
+            break
+    assert injected
+    m = SE._bootstrap_index_manifest(spark, idx)
+    assert all(
+        not f.startswith("gen-") for fs in m["tf"].values() for f in fs
+    )
+    assert rows() == want  # the stray's doubled tf never reaches scoring

@@ -533,20 +533,42 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
     }
     assert got == want and got
 
-    # replay idempotence: re-applying the last committed epoch is a no-op
+    # replay idempotence: re-applying the last committed epoch FROM THE
+    # SAME STREAM IDENTITY is a no-op
     m = SE._read_index_manifest(idx)
     last_epoch = m["last_epoch"]
+    sid = str(tmp_path / "idx_ckpt")  # the maintenance sink's identity
+    assert m["epoch_stream"] == sid
     replay = spark.createDataFrame(
         [(2, "monthly admission cohort window")], "doc_id long, text string"
     )
-    assert doc_stream.apply_index_batch(replay, last_epoch, idx) is False
+    assert (
+        doc_stream.apply_index_batch(replay, last_epoch, idx, stream_id=sid)
+        is False
+    )
     assert SE._read_index_manifest(idx) == m  # manifest untouched
-    # and a NEW epoch applies
+    # a NEW epoch from the same stream applies
     assert doc_stream.apply_index_batch(
         spark.createDataFrame(
             [(3, "fresh document entirely")], "doc_id long, text string"
         ),
         last_epoch + 1,
         idx,
+        stream_id=sid,
     ) is True
     assert SE._read_index_manifest(idx)["last_epoch"] == last_epoch + 1
+    # an ANONYMOUS call against an identified-stream manifest must NOT
+    # treat the (incomparable) epoch counters as a replay — even epoch 0
+    # appends rather than being silently dropped
+    assert doc_stream.apply_index_batch(
+        spark.createDataFrame(
+            [(4, "anonymous caller document")], "doc_id long, text string"
+        ),
+        0,
+        idx,
+    ) is True
+    m2 = SE._read_index_manifest(idx)
+    # the anonymous epoch commits WITHOUT inheriting the old stream label
+    # (labeling it would make the identified stream's next batch look
+    # like a replay)
+    assert m2["last_epoch"] == 0 and "epoch_stream" not in m2

@@ -868,3 +868,33 @@ def test_expired_version_files_get_post_expiry_grace(spark, tmp_path, monkeypatc
         spark, path, spark.createDataFrame([("a", 4)], "k string, v int"), key="k"
     )
     assert not (v1_files & on_disk())
+
+
+def test_reinit_resumes_version_counter(spark, tmp_path):
+    """Re-initializing a table with write_keyed_table must resume the
+    version counter PAST any version the table ever published (captured
+    before the overwrite deletes the snapshots): an external consumer
+    that recorded (version, content) pairs never sees a number reused
+    for different content."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([("a", 1)], "k string, v int")
+    write_keyed_table(base, path, key="k", n_buckets=2)
+    assert current_version(path) == 1
+    for i, row in enumerate([("b", 2), ("c", 3)]):
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([row], "k string, v int"),
+            key="k",
+            n_buckets=2,
+        )
+    assert current_version(path) == 3
+
+    write_keyed_table(base, path, key="k", n_buckets=2)  # re-init
+    assert current_version(path) == 4  # past v3, not back to v1
+    got = {r["k"] for r in read_keyed_table(spark, path).collect()}
+    assert got == {"a"}  # content-wise a clean slate
