@@ -672,6 +672,73 @@ def knn_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_sq8_indexed", extra=True)  # approximate by design (IVF
+# probes bound cell recall; rerank bounds quantization rank noise) — the
+# recall-vs-exact evidence is knn_sq8_indexed_eval below, floor-gated in
+# tests/test_docs_pipeline.py.
+def knn_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 × IVF composition (operators/similarity.py::knn_sq8_indexed)
+    — the actual 100 TB posture for quantized search: integer-scored
+    codes read ONLY from the probe-union cells' dictionary-encoded
+    ``codes/`` sidecar (probe-pruned AND ~8× fewer bytes than doubles),
+    then an exact double-precision re-rank of the top-R from the
+    id-pushdown-pruned ``cells/`` rows. Replaces round 8's full-corpus
+    ``knn_sq8`` scan as the production path; the full scan stays
+    registered as the oracle-hashed scoring ground truth."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_sq8_indexed(
+        spark, _ann_index_path(spark, sf_dir), queries, k=KNN_K
+    )
+
+
+@register("knn_sq8_indexed_eval", extra=True)  # rows-only info row, the
+# knn_ann_eval pattern: the recall number IS the evidence.
+def knn_sq8_indexed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQ8×IVF composition against the exact
+    (oracle-hashed) brute force: one deterministic row
+    ``(n_queries, n_hits, recall_bp)`` — approx∩exact via a broadcast
+    semi-join on (query, neighbor), integer counts only. Bounds BOTH
+    approximation sources at once (probe cell recall and SQ8 rank noise
+    surviving the exact re-rank); floor pinned in
+    tests/test_docs_pipeline.py."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    from .functions import eager_cache
+
+    exact = eager_cache(
+        S.knn_bruteforce(embs, queries, k=KNN_K).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    try:
+        approx = S.knn_sq8_indexed(
+            spark, _ann_index_path(spark, sf_dir), queries, k=KNN_K
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        nq = exact.select("query_id").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries")
+        )
+        nx = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        result = (
+            hits.crossJoin(F.broadcast(nq))
+            .crossJoin(F.broadcast(nx))
+            .select(
+                "n_queries",
+                "n_hits",
+                F.floor(F.col("n_hits") * 10000 / F.col("n_exact"))
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+        rows = result.collect()  # 1 row, while the cache is alive
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(rows, result.schema)
+
+
 @register("knn_lsh", extra=True)  # approximate by design; see knn_ann_eval
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB path); recall vs brute

@@ -1072,3 +1072,163 @@ def knn_sq8(
             F.floor(F.col("cos") * COS_SCALE).cast("long").alias("cos_bp"),
         )
     )
+
+
+#: above this many re-rank candidate ids, the In-literal filter on the
+#: double-precision cell read costs more than its row-group pushdown saves
+#: (the text index's _ISIN_PUSHDOWN_MAX trade, integer edition)
+_ID_ISIN_MAX = 20000
+
+
+def knn_sq8_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 scoring COMPOSED with the persisted IVF index — the 100 TB
+    posture ``knn_sq8``'s full-corpus scan lacks: candidate generation
+    reads ONLY the probe-union cells' ``codes/`` sidecar (probe-pruned
+    AND ~8× fewer bytes than the double-precision cells — parquet
+    dictionary-encodes the ≤255 distinct code values to ~a byte each),
+    scores exact integer dot products, keeps the top ``rerank`` per query
+    (default 4k), and exactly re-ranks those few from the full-precision
+    ``cells/`` rows. The FAISS IVF-SQ8 + refine pattern, expressed as two
+    pruned scans and two windows.
+
+    Output shape = ``knn_bruteforce`` (query_id, neighbor_id, rank,
+    cos_bp) with EXACT double-precision cosines (the re-rank recomputes
+    them), so score values are directly comparable with the exact paths;
+    recall vs ``knn_bruteforce`` is a function of n_probe (cell recall)
+    and rerank (quantization rank noise), gated in tests and published in
+    EXTRA_CORRECTNESS.json.
+
+    Driver-bounded materializations, in the repo's allowed class: the
+    k×dim centroid matrix, the probe-cell union (≤ n_cells ints), and the
+    top-R candidate pairs (≤ |queries|·rerank (query, neighbor) ids —
+    query-batch-sized by construction; they seed the re-rank join and,
+    when ≤ ``_ID_ISIN_MAX``, an In-filter that row-group-prunes the
+    id-sorted cell files). All-zero vectors carry no cosine and are
+    excluded on both sides, matching ``knn_sq8``'s contract."""
+    R = int(rerank) if rerank is not None else 4 * k
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    if not manifest.get("codes"):
+        raise ValueError(
+            f"vector index at {path} has no SQ8 codes sidecar; rebuild it "
+            "with build_ann_index (codes are written at build time)"
+        )
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [
+        list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+
+    def empty():
+        return queries.where(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(0).cast("long").alias("cos_bp"),
+        )
+
+    qbase = with_unit_meta(queries, emb_col)
+    qprobed = qbase.select(
+        id_col,
+        "_emb",
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias(
+            ANN_CELL_COL
+        ),
+    )
+    qcoded = (
+        int8_codes(qprobed, id_col, "_emb", keep=(ANN_CELL_COL,))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_q").alias("_qq"),
+            F.sqrt(_int_dot(F.col("_q"), F.col("_q")).cast("double")).alias(
+                "_qn"
+            ),
+            ANN_CELL_COL,
+        )
+        .where(F.col("_qn") > 0)
+    )
+    probe_union = sorted(
+        r[ANN_CELL_COL]
+        for r in qcoded.select(ANN_CELL_COL).distinct().collect()
+    )
+    wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
+    code_files = [
+        os.path.join(path, "codes", d, f)
+        for d, fs in manifest["codes"].items()
+        if d in wanted
+        for f in fs
+    ]
+    if not code_files:
+        return empty()
+    codes = (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(*code_files)
+        .where(F.col(ANN_CELL_COL).isin(probe_union))
+        .where(F.col("_cn") > 0)
+        .select(F.col(id_col).alias("neighbor_id"), "_q", "_cn", ANN_CELL_COL)
+    )
+    qcos = _int_dot(F.col("_qq"), F.col("_q")).cast("double") / (
+        F.col("_qn") * F.col("_cn")
+    )
+    approx = (
+        codes.join(F.broadcast(qcoded), ANN_CELL_COL)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qcos.alias("_qcos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_qcos").desc(), F.col("neighbor_id").asc()
+    )
+    cand_rows = (
+        approx.withColumn("_ar", F.row_number().over(w))
+        .where(F.col("_ar") <= R)
+        .select("query_id", "neighbor_id")
+        .collect()  # ≤ |queries|·R pairs — the documented bounded collect
+    )
+    if not cand_rows:
+        return empty()
+    cand = spark.createDataFrame(
+        cand_rows,
+        queries.where(F.lit(False))
+        .select(
+            F.col(id_col).alias("query_id"), F.col(id_col).alias("neighbor_id")
+        )
+        .schema,
+    )
+    cell_files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        if d in wanted
+        for f in fs
+    ]
+    doubles = (
+        spark.read.option("basePath", f"{path}/cells")
+        .parquet(*cell_files)
+        .where(F.col(ANN_CELL_COL).isin(probe_union))
+    )
+    ids = sorted({r["neighbor_id"] for r in cand_rows})
+    if len(ids) <= _ID_ISIN_MAX:
+        # id In-filter: with build/append/compact sorting cells by id
+        # inside each cell, this skips row groups — the re-rank reads
+        # candidate row groups, not whole probe cells
+        doubles = doubles.where(F.col(id_col).isin(ids))
+    doubles = doubles.select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_norm"
+    )
+    qd = qbase.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    full = doubles.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(qd), "query_id"
+    )
+    return rerank_topk(full, k)

@@ -162,23 +162,32 @@ def apply_index_batch(
     from ..operators.search import _read_index_manifest, append_text_index
 
     manifest = _read_index_manifest(index_path)
-    last = manifest.get("last_epoch") if manifest else None
-    # epochs are comparable only within one stream identity: with no
-    # stream_id of our own, honor last_epoch only when the manifest's
-    # epoch was ALSO committed anonymously — if some other identified
-    # stream committed it, the counters are incomparable and treating the
-    # batch as a replay would silently drop it. (Anonymous-vs-anonymous
-    # keeps the legacy single-caller replay protection.)
-    same_stream = manifest is not None and (
-        (stream_id is not None and manifest.get("epoch_stream") == str(stream_id))
-        or (stream_id is None and manifest.get("epoch_stream") is None)
-    )
-    if last is not None and same_stream and int(epoch_id) <= int(last):
+    if _epoch_is_replay(manifest, epoch_id, stream_id):
         return False
     append_text_index(
         batch_df, index_path, epoch=int(epoch_id), epoch_stream=stream_id
     )
     return True
+
+
+def _epoch_is_replay(
+    manifest: dict | None, epoch_id: int, stream_id: str | None
+) -> bool:
+    """Shared replay detector for index-maintenance sinks. Epochs are
+    comparable only within one stream identity: with no stream_id of our
+    own, honor last_epoch only when the manifest's epoch was ALSO
+    committed anonymously — if some other identified stream committed
+    it, the counters are incomparable and treating the batch as a replay
+    would silently drop it. (Anonymous-vs-anonymous keeps the legacy
+    single-caller replay protection.)"""
+    if manifest is None:
+        return False
+    last = manifest.get("last_epoch")
+    same_stream = (
+        stream_id is not None
+        and manifest.get("epoch_stream") == str(stream_id)
+    ) or (stream_id is None and manifest.get("epoch_stream") is None)
+    return last is not None and same_stream and int(epoch_id) <= int(last)
 
 
 def index_maintenance_sink(
@@ -198,6 +207,73 @@ def index_maintenance_sink(
         apply_index_batch(batch_df, epoch_id, index_path, stream_id=checkpoint_dir)
 
     writer = curated.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+VEC = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def stream_vectors(spark: SparkSession, in_dir: str, **kw) -> DataFrame:
+    from .ingest import stream_ndjson
+
+    return stream_ndjson(spark, in_dir, VEC, **kw)
+
+
+def apply_ann_index_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    stream_id: str | None = None,
+) -> bool:
+    """One micro-batch of streaming VECTOR-index maintenance: fold the
+    batch into the persisted IVF index unless this epoch already
+    committed — the ``apply_index_batch`` contract applied to
+    ``append_ann_index`` (same at-least-once foreachBatch hazard, same
+    idempotence guard: the epoch id + stream identity ride the index's
+    own atomic manifest commit, and cross-stream epoch counters are
+    never compared). New vectors are assigned to the FROZEN centroids
+    (the IVF maintenance trade — monitor recall drift and rebuild past
+    the threshold). Returns whether the batch was applied."""
+    from ..operators.similarity import _read_ann_manifest, append_ann_index
+
+    manifest = _read_ann_manifest(index_path)
+    if _epoch_is_replay(manifest, epoch_id, stream_id):
+        return False
+    append_ann_index(
+        batch_df, index_path, epoch=int(epoch_id), epoch_stream=stream_id
+    )
+    return True
+
+
+def ann_index_maintenance_sink(
+    vecs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the persisted IVF vector index: incoming
+    embeddings fold into their cells per micro-batch — the vector twin of
+    ``index_maintenance_sink`` (embedder → searchable corpus with no
+    batch rebuild in the loop; ``knn_ivf_indexed`` / ``knn_sq8_indexed``
+    readers stay manifest-atomic throughout). Exactly-once across
+    replays via ``apply_ann_index_batch``; the index must exist
+    (``build_ann_index`` over the initial corpus)."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_ann_index_batch(
+            batch_df, epoch_id, index_path, stream_id=checkpoint_dir
+        )
+
+    writer = vecs.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

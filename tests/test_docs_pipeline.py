@@ -1253,3 +1253,154 @@ def test_ann_legacy_bootstrap_excludes_crashed_append_strays(spark, embs, tmp_pa
     assert injected
     m = S._bootstrap_ann_manifest(spark, idx)
     assert m["cells"] == committed  # stray excluded, nothing else dropped
+
+
+def test_knn_sq8_indexed_recall_and_pruning(spark, embs, tmp_path):
+    """The SQ8 × IVF composition: recall@k vs the exact brute force holds
+    the same floor as plain IVF (the exact re-rank absorbs quantization
+    rank noise below rerank depth), the code scan is probe-cell
+    partition-pruned, and the double-precision re-rank read carries the
+    candidate-id In-pushdown — the two prunings that make this the
+    100 TB plan knn_sq8's full scan is not."""
+    import re
+
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "sq8index")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3)
+
+    got_df = S.knn_sq8_indexed(spark, idx, queries, k=5)
+    got = {(r.query_id, r.neighbor_id) for r in got_df.collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(embs, queries, k=5).collect()
+    }
+    assert got and len(got & exact) / len(exact) >= 0.9
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*_cell", plan), plan[:2000]
+    assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(vec_id", plan), plan[:2000]
+
+    # re-ranked scores are EXACT doubles: every (query, neighbor) pair the
+    # composition shares with brute force carries the identical cos_bp
+    exact_bp = {
+        (r.query_id, r.neighbor_id): r.cos_bp
+        for r in S.knn_bruteforce(embs, queries, k=5).collect()
+    }
+    for r in got_df.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_bp:
+            assert r.cos_bp == exact_bp[key]
+
+    # the missing-codes contract: a legacy index without the sidecar
+    # raises instead of silently scanning doubles
+    import os
+    import shutil
+
+    legacy = str(tmp_path / "sq8legacy")
+    shutil.copytree(idx, legacy)
+    shutil.rmtree(os.path.join(legacy, "codes"))
+    m = S._read_ann_manifest(legacy)
+    del m["codes"]
+    S._write_ann_manifest(legacy, m)
+    with pytest.raises(ValueError, match="no SQ8 codes"):
+        S.knn_sq8_indexed(spark, legacy, queries, k=5)
+
+
+def test_knn_sq8_indexed_eval_floor(spark):
+    """The registered eval row (recall of the SQ8×IVF composition vs the
+    oracle-hashed brute force) holds ≥ 0.9 at the driver scale."""
+    from es_household_retention_spark_job_spark.entry_queries import (
+        EXTRA_QUERIES,
+    )
+
+    from .conftest import SF_DIR
+
+    row = EXTRA_QUERIES["knn_sq8_indexed_eval"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    assert row[0]["n_queries"] > 0
+    assert row[0]["recall_bp"] >= 9000, row
+
+
+def test_compact_ann_index_preserves_results_with_grace(
+    spark, embs, tmp_path, monkeypatch
+):
+    """ANN-index compaction (the vector twin of compact_text_index):
+    multi-file cells left by appends rewrite to one id-sorted file per
+    cell (cells/ AND codes/ in one commit); knn_ivf_indexed and
+    knn_sq8_indexed results are byte-identical before/after; replaced
+    files survive a fast next commit (time-based grace) and are
+    reclaimed once the grace expires; compaction is idempotent."""
+    import os
+
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ann_compact")
+    S.build_ann_index(embs.where(F.col("vec_id") % 3 == 0), idx, n_cells=8, iters=2)
+    for r in (1, 2):
+        S.append_ann_index(embs.where(F.col("vec_id") % 3 == r), idx)
+
+    m_before = S._read_ann_manifest(idx)
+    assert any(len(fs) > 1 for fs in m_before["cells"].values())
+    assert any(len(fs) > 1 for fs in m_before["codes"].values())
+    old_files = {
+        (key, d, f)
+        for key in ("cells", "codes")
+        for d, fs in m_before[key].items()
+        if len(fs) > 1
+        for f in fs
+    }
+
+    def rows():
+        return (
+            {
+                (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+                for r in S.knn_ivf_indexed(spark, idx, queries, k=5).collect()
+            },
+            {
+                (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+                for r in S.knn_sq8_indexed(spark, idx, queries, k=5).collect()
+            },
+        )
+
+    want = rows()
+    n = S.compact_ann_index(spark, idx)
+    assert n > 0
+    m_after = S._read_ann_manifest(idx)
+    assert all(len(fs) == 1 for fs in m_after["cells"].values())
+    assert all(len(fs) == 1 for fs in m_after["codes"].values())
+    assert rows() == want
+
+    def on_disk():
+        found = set()
+        for key in ("cells", "codes"):
+            root = os.path.join(idx, key)
+            for d in os.listdir(root):
+                if d.startswith(f"{S.ANN_CELL_COL}="):
+                    for f in os.listdir(os.path.join(root, d)):
+                        if f.endswith(".parquet"):
+                            found.add((key, d, f))
+        return found
+
+    assert old_files <= on_disk()  # grace holds the replaced files
+
+    # a FAST next commit must NOT reclaim them (wall-clock grace)
+    S.append_ann_index(
+        embs.where(F.col("vec_id") % 97 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        ),
+        idx,
+    )
+    assert old_files <= on_disk()
+
+    # expired grace -> the next commit reclaims
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_GC_GRACE", "0")
+    S.append_ann_index(
+        embs.where(F.col("vec_id") % 89 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 2000000
+        ),
+        idx,
+    )
+    assert not (old_files & on_disk())
+
+    # settle and verify idempotence
+    S.compact_ann_index(spark, idx)
+    assert S.compact_ann_index(spark, idx) == 0

@@ -572,3 +572,100 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
     # (labeling it would make the identified stream's next batch look
     # like a replay)
     assert m2["last_epoch"] == 0 and "epoch_stream" not in m2
+
+
+def test_ann_streaming_maintenance(spark, tmp_path):
+    """Streaming IVF-index maintenance: embedding micro-batches fold into
+    the persisted vector index via the reader-atomic append; after the
+    stream drains, the index serves byte-identical results to a
+    same-centroid full build over the merged corpus (the append contract,
+    now reached through foreachBatch); a replayed epoch from the same
+    stream identity is a no-op."""
+    from es_household_retention_spark_job_spark.operators import (
+        similarity as S,
+    )
+    from es_household_retention_spark_job_spark.streaming import doc_stream
+
+    embs = load_table(spark, SF_DIR, "embeddings")
+    base = embs.where(F.col("vec_id") % 4 != 0).select(
+        "vec_id", "embedding"
+    )
+    delta = embs.where(F.col("vec_id") % 4 == 0).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("embedding")
+    )
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+
+    idx = str(tmp_path / "ann_stream_idx")
+    S.build_ann_index(base, idx, n_cells=8, iters=2)
+    base_cents = [
+        list(r["centroid"])
+        for r in sorted(
+            spark.read.parquet(f"{idx}/centroids").collect(),
+            key=lambda r: r["cell"],
+        )
+    ]
+
+    # two NDJSON micro-batches of new vectors
+    d = tmp_path / "vec_in"
+    d.mkdir()
+    delta_rows = delta.collect()
+    half = len(delta_rows) // 2
+    base_ts = time.time() - 600
+    for i, chunk in enumerate((delta_rows[:half], delta_rows[half:])):
+        p = d / f"v{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                    )
+                    + "\n"
+                )
+        os.utime(p, (base_ts + 60 * i, base_ts + 60 * i))
+
+    stream = doc_stream.stream_vectors(spark, str(d), max_files_per_trigger=1)
+    _drain(
+        doc_stream.ann_index_maintenance_sink(
+            stream, idx, str(tmp_path / "vec_ckpt")
+        )
+    )
+
+    def rows(path):
+        return {
+            (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+            for r in S.knn_ivf_indexed(spark, path, queries, k=5).collect()
+        }
+
+    full = str(tmp_path / "ann_stream_full")
+    S.build_ann_index(
+        embs.select("vec_id", "embedding"), full, centroids=base_cents
+    )
+    got = rows(idx)
+    assert got == rows(full) and got
+
+    # and the SQ8 sidecar was maintained in the same commits
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_sq8_indexed(spark, idx, queries, k=5).collect()
+    }
+    sq8_full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_sq8_indexed(spark, full, queries, k=5).collect()
+    }
+    assert sq8 == sq8_full and sq8
+
+    # replay idempotence through the ANN epoch guard
+    m = S._read_ann_manifest(idx)
+    sid = str(tmp_path / "vec_ckpt")
+    assert m["epoch_stream"] == sid
+    replay = spark.createDataFrame(
+        [(delta_rows[0]["vec_id"], list(delta_rows[0]["embedding"]))],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        doc_stream.apply_ann_index_batch(
+            replay, m["last_epoch"], idx, stream_id=sid
+        )
+        is False
+    )
+    assert S._read_ann_manifest(idx) == m
