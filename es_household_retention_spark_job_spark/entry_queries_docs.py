@@ -1546,21 +1546,27 @@ BM25_K = 10
 MLT_MAX_TERMS = 20  # Lucene MoreLikeThis-style rarest-terms cap
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(
+    queries: list[tuple[str, str]] | None = None, source: str = "documents"
+) -> str:
     """Generated from the SAME constants as the Spark operator (see
-    operators/search.py for the 44/20/6/18 integer derivation)."""
+    operators/search.py for the 44/20/6/18 integer derivation).
+    ``source`` is the corpus relation — the pre-registered ``documents``
+    view by default, or an inline VALUES subquery for generated corpora
+    (the Zipf row below)."""
     from .operators.search import SCORE_SCALE, _py_tokens
 
+    queries = queries if queries is not None else BM25_QUERIES
     qvals = ", ".join(
         f"('{qid}', '{t}')"
-        for qid, qtext in BM25_QUERIES
+        for qid, qtext in queries
         for t in sorted(set(_py_tokens(qtext)))
     )
-    vocab = sorted({t for _, qt in BM25_QUERIES for t in _py_tokens(qt)})
+    vocab = sorted({t for _, qt in queries for t in _py_tokens(qt)})
     in_list = ", ".join(f"'{t}'" for t in vocab)
     return f"""WITH tk AS (
         SELECT doc_id, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS toks
-        FROM documents),
+        FROM {source}),
     dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
     corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                       CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
@@ -1638,6 +1644,88 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search(
         spark, _text_index_path(spark, sf_dir), BM25_QUERIES, k=BM25_K
     )
+
+
+@register("bm25_search_auto", _bm25_oracle_sql(), extra=True)
+def bm25_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-ROUTED BM25 search (operators/search.py::bm25_search_auto):
+    the scan-vs-index crossover measured in SCALING.md made into an
+    automatic plan choice — the index's own df sidecar prices the
+    postings read against the corpus token count, no caller knob.
+    Registered against the IDENTICAL oracle SQL as both endpoints: the
+    claim is that routing is purely physical (byte-identical output
+    whichever plan the statistics pick); per-regime choices are pinned
+    in tests/test_search.py."""
+    from .operators.search import bm25_search_auto as _search
+
+    return _search(
+        spark,
+        _text_index_path(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERIES,
+        k=BM25_K,
+    )
+
+
+# -- Zipf-corpus registered retrieval row (round 9) -----------------------
+# The testdata documents table's ~40-term uniform vocabulary is the
+# designed ADVERSARIAL regime for retrieval (every term maximally
+# common); the representative Zipfian regime was previously ladder-only
+# (SCALING.md). This row oracle-pins it: both engines score the
+# byte-identical generated corpus (Spark from the rows, DuckDB from an
+# embedded VALUES clause), so the hash gate covers the regime real
+# corpora live in.
+
+_ZIPF_N_DOCS, _ZIPF_VOCAB, _ZIPF_DOC_LEN = 800, 5000, 30
+
+
+def _zipf_corpus_rows() -> list[tuple[int, str]]:
+    from .operators.evalcorpus import zipf_rows
+
+    rows = getattr(_zipf_corpus_rows, "_memo", None)
+    if rows is None:
+        rows = zipf_rows(_ZIPF_N_DOCS, _ZIPF_VOCAB, _ZIPF_DOC_LEN)
+        _zipf_corpus_rows._memo = rows
+    return rows
+
+
+def _zipf_queries() -> list[tuple[str, str]]:
+    """Two deterministic queries over the tail: the six alphabetically-
+    first terms with document frequency in [2, 5] — rare enough that the
+    rarest-terms/idf machinery matters, common enough that results are
+    non-vacuous."""
+    from collections import Counter
+
+    dfc = Counter(
+        t for _, text in _zipf_corpus_rows() for t in set(text.split())
+    )
+    rare = sorted(t for t, c in dfc.items() if 2 <= c <= 5)[:6]
+    return [("zq1", " ".join(rare[:3])), ("zq2", " ".join(rare[3:6]))]
+
+
+def _zipf_values_source() -> str:
+    vals = ", ".join(
+        f"({i}, '{text}')" for i, text in _zipf_corpus_rows()
+    )
+    return f"(SELECT * FROM (VALUES {vals}) AS z(doc_id, text))"
+
+
+@register(
+    "bm25_search_zipf",
+    _bm25_oracle_sql(queries=_zipf_queries(), source=_zipf_values_source()),
+    extra=True,
+)
+def bm25_search_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search over the deterministic Zipf-vocabulary corpus
+    (operators/evalcorpus.py::zipf_rows) — the representative-regime
+    twin of the driver-gated bm25_search row, hash-checked end to end
+    (the oracle embeds the identical corpus as VALUES)."""
+    from .operators.search import bm25_search as _search
+
+    docs = spark.createDataFrame(
+        _zipf_corpus_rows(), "doc_id long, text string"
+    )
+    return _search(docs, _zipf_queries(), k=BM25_K)
 
 
 def _hybrid_oracle_sql() -> str:

@@ -102,6 +102,22 @@ def zipf_documents(
     Deterministic: fixed seed, inverse-CDF draws (numpy, driver-side —
     n_docs·doc_len ints, well under the broadcast budget at the eval
     sizes), then parallelized."""
+    return spark.createDataFrame(
+        zipf_rows(n_docs, vocab_size, doc_len, s),
+        "doc_id long, text string",
+    )
+
+
+def zipf_rows(
+    n_docs: int = 5000,
+    vocab_size: int = 20000,
+    doc_len: int = 40,
+    s: float = ZIPF_S,
+) -> list[tuple[int, str]]:
+    """The Zipf corpus as plain Python rows (no Spark) — shared by the
+    Spark frame above AND the DuckDB oracle's embedded VALUES clause, so
+    the registered Zipf retrieval row is hash-checkable: both engines
+    score the byte-identical corpus."""
     import numpy as np
 
     rng = np.random.default_rng(SEED + 1)
@@ -109,8 +125,6 @@ def zipf_documents(
     p = ranks ** (-s)
     p /= p.sum()
     draws = rng.choice(vocab_size, size=(n_docs, doc_len), p=p)
-    rows = [
-        (i, " ".join(f"t{r}" for r in draws[i]))
-        for i in range(n_docs)
+    return [
+        (i, " ".join(f"t{r}" for r in draws[i])) for i in range(n_docs)
     ]
-    return spark.createDataFrame(rows, "doc_id long, text string")

@@ -551,6 +551,7 @@ def append_text_index(
     id_col: str = "doc_id",
     epoch: int | None = None,
     epoch_stream: str | None = None,
+    check_overlap: bool = False,
 ) -> None:
     """Incremental index maintenance for APPEND-ONLY corpus growth: fold a
     batch of NEW documents into an existing ``build_text_index`` output
@@ -575,17 +576,36 @@ def append_text_index(
     anywhere before the replace leaves only invisible stray files and the
     index serving its old consistent state.
 
-    PRECONDITION (caller-enforced, same as any append-only ingest): the
-    delta's ``id_col`` values are disjoint from the indexed corpus. A
-    re-sent document would double-count its tf and df — dedup upstream
-    (``dedup_exact`` on content, or the keyed sink's upsert) before
-    appending."""
+    PRECONDITION: the delta's ``id_col`` values are disjoint from the
+    indexed corpus. A re-sent document would double-count its tf and df —
+    dedup upstream (``dedup_exact`` on content, or the keyed sink's
+    upsert) before appending. ``check_overlap=True`` makes the contract
+    SELF-ENFORCING: the delta ids are semi-joined against the indexed tf
+    table's doc ids (a column-pruned pass — only the id column's pages
+    are read) and any overlap raises BEFORE any file lands, naming the
+    count. Opt-in because the check costs an index pass per append; a
+    100 TB deployment amortizes it with a per-commit id bloom sidecar
+    (bloom says definitely-absent for the common case, the exact
+    semi-join verifies only flagged ids)."""
     import shutil
 
     spark = docs_delta.sparkSession
     manifest = _read_index_manifest(path)
     if manifest is None:  # index written before manifests existed
         manifest = _bootstrap_index_manifest(spark, path)
+    if check_overlap:
+        _assert_ids_disjoint(
+            spark,
+            [
+                os.path.join(path, "tf", d, f)
+                for d, fs in manifest["tf"].items()
+                for f in fs
+            ],
+            f"{path}/tf",
+            docs_delta.select(id_col).distinct(),
+            id_col,
+            "append_text_index",
+        )
     n_shards = int(manifest["n_shards"])
     stats_old = spark.read.parquet(f"{path}/{manifest['stats']}").collect()[0]
     shard = F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).alias(
@@ -693,6 +713,34 @@ def append_text_index(
     finally:
         delta_tf.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _assert_ids_disjoint(
+    spark, files: list[str], base_path: str, delta_ids: DataFrame, id_col: str, op: str
+) -> None:
+    """Raise ``ValueError`` if any delta id already exists in the indexed
+    files — the opt-in self-enforcing append precondition. The read
+    projects ONLY the id column (parquet column pruning: other columns'
+    pages are never fetched) and the delta side is broadcast, so the
+    cost is one id-column pass over the index, paid only when the caller
+    asks for the guarantee."""
+    if not files:
+        return
+    indexed = (
+        spark.read.option("basePath", base_path).parquet(*files).select(id_col)
+    )
+    n = (
+        indexed.join(F.broadcast(delta_ids), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if n:
+        raise ValueError(
+            f"{op}: {n} delta id(s) already present in the index — a "
+            f"re-sent document would double-count; dedup upstream or "
+            f"rebuild (check_overlap caught this before any file landed)"
+        )
 
 
 def _bootstrap_index_manifest(spark, path: str) -> dict:
@@ -1168,3 +1216,209 @@ def bm25_more_like_this_indexed(
         .agg(F.sum("contrib").alias("score_x1e6"))
     )
     return _rank_topk(scored, k, id_col, "score_x1e6")
+
+
+# --------------------------------------------------------------------------
+# Cost-based scan-vs-index routing (round 9)
+# --------------------------------------------------------------------------
+
+#: session conf key for the routing threshold: the indexed read pays off
+#: while the query terms' postings are a small fraction of the corpus
+#: postings; past it the sequential corpus scan wins. Calibrated against
+#: the measured ladder (SCALING.md round 8: Zipf 50k corpus — Q=10 index
+#: wins, Q=100 parity, Q=1000 scan wins; sf10 rehearsal — an 11.7M-row
+#: postings read vs a ~50M-token corpus correctly routes to scan).
+ROUTE_RATIO_CONF = "spark.spark_graft.indexRouteRatio"
+ROUTE_RATIO_DEFAULT = 0.1
+
+
+def _route_ratio(spark) -> float:
+    try:
+        return float(spark.conf.get(ROUTE_RATIO_CONF))
+    except Exception:
+        return ROUTE_RATIO_DEFAULT
+
+
+def choose_search_route(
+    spark, path: str, vocab: list[str], manifest: dict | None = None
+) -> tuple[str, int, int]:
+    """('index'|'scan', Σdf, total_dl) for a literal query vocabulary —
+    the cost model behind ``bm25_search_auto``. The statistic is free:
+    the index's vocabulary-sized df sidecar gives the exact postings-read
+    size Σdf(vocab) in one pruned job, and ``stats`` holds the corpus
+    token count the scan plan must tokenize. Route to the index iff
+    Σdf ≤ ratio·total_dl (conf ``spark.spark_graft.indexRouteRatio``,
+    default 0.1 — the measured parity region; per-row postings-read cost
+    carries seek/footer overhead a sequential codegen scan does not, so
+    parity sits well below 1.0)."""
+    if manifest is None:
+        manifest = _read_index_manifest(path)
+        if manifest is None:
+            manifest = _bootstrap_index_manifest(spark, path)
+    stats = spark.read.parquet(f"{path}/{manifest['stats']}").collect()[0]
+    total_dl = int(stats["total_dl"])
+    if not vocab:
+        return "index", 0, total_dl  # empty result, trivially index-served
+    n_shards = int(manifest["n_shards"])
+    shards = sorted(_term_shards(spark, vocab, n_shards))
+    dfreq = spark.read.parquet(f"{path}/{manifest['df']}").where(
+        F.col(INDEX_SHARD_COL).isin(shards)
+    )
+    if len(vocab) <= _ISIN_PUSHDOWN_MAX:
+        dfreq = dfreq.where(F.col("term").isin(vocab))
+    else:
+        t = spark.createDataFrame([(x,) for x in vocab], "term string")
+        dfreq = dfreq.join(F.broadcast(t), "term", "left_semi")
+    sum_df = int(dfreq.agg(F.sum("df")).collect()[0][0] or 0)
+    route = (
+        "index" if sum_df <= _route_ratio(spark) * total_dl else "scan"
+    )
+    return route, sum_df, total_dl
+
+
+def bm25_search_auto(
+    spark,
+    path: str,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cost-routed BM25 search: serves the batch from the persisted index
+    when the query vocabulary's postings are a small fraction of the
+    corpus (``choose_search_route``), from the corpus scan otherwise —
+    the measured crossover (SCALING.md) made into a plan choice the
+    caller no longer has to make, the ``sessionize_auto`` pattern for
+    retrieval. Output is byte-identical under either route (the two
+    endpoints are pinned equal in tests), so routing is purely
+    physical."""
+    vocab = sorted(
+        {t for _, qtext in queries for t in _py_tokens(qtext)}
+    )
+    route, _, _ = choose_search_route(spark, path, vocab)
+    if route == "index":
+        return bm25_search_indexed(spark, path, queries, k=k, id_col=id_col)
+    return bm25_search(
+        docs, queries, k=k, text_col=text_col, id_col=id_col
+    )
+
+
+def choose_mlt_route(
+    spark,
+    path: str,
+    docs: DataFrame,
+    query_pred,
+    max_query_terms: int = 20,
+    max_doc_freq_ppm: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    manifest: dict | None = None,
+) -> tuple[str, int, int]:
+    """('index'|'scan', Σdf over SELECTED terms, total_dl) for a
+    more-like-this batch. Selection-aware: the estimate applies the SAME
+    rarest-``max_query_terms`` cap and optional df ceiling the MLT forms
+    apply (vocabulary-sized frames end to end — the query docs' term
+    scan is batch-sized with the predicate pushed down, df comes from
+    the sidecar), then sums df over the DISTINCT selected terms: exactly
+    the postings rows the indexed plan would read. The scan plan's cost
+    proxy is the corpus token count it must re-tokenize."""
+    if manifest is None:
+        manifest = _read_index_manifest(path)
+        if manifest is None:
+            manifest = _bootstrap_index_manifest(spark, path)
+    stats = spark.read.parquet(f"{path}/{manifest['stats']}").collect()[0]
+    total_dl = int(stats["total_dl"])
+    q = docs.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    qvocab = sorted(r["term"] for r in q.select("term").distinct().collect())
+    if not qvocab:
+        return "index", 0, total_dl
+    n_shards = int(manifest["n_shards"])
+    q_shards = sorted(_term_shards(spark, qvocab, n_shards))
+    dfreq = spark.read.parquet(f"{path}/{manifest['df']}").where(
+        F.col(INDEX_SHARD_COL).isin(q_shards)
+    )
+    if len(qvocab) <= _ISIN_PUSHDOWN_MAX:
+        dfreq = dfreq.where(F.col("term").isin(qvocab))
+    else:
+        t = spark.createDataFrame([(x,) for x in qvocab], "term string")
+        dfreq = dfreq.join(F.broadcast(t), "term", "left_semi")
+    selectable = dfreq.select("term", "df")
+    if max_doc_freq_ppm is not None:
+        n_docs = int(stats["n_docs"])
+        selectable = selectable.where(
+            F.col("df") * F.lit(1_000_000)
+            <= F.lit(int(max_doc_freq_ppm) * n_docs)
+        )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    sum_df = int(
+        q.join(F.broadcast(selectable), "term")
+        .withColumn("_tr", F.row_number().over(wq))
+        .where(F.col("_tr") <= max_query_terms)
+        .select("term", "df")
+        .distinct()
+        .agg(F.sum("df"))
+        .collect()[0][0]
+        or 0
+    )
+    route = (
+        "index" if sum_df <= _route_ratio(spark) * total_dl else "scan"
+    )
+    return route, sum_df, total_dl
+
+
+def bm25_more_like_this_auto(
+    spark,
+    path: str,
+    docs: DataFrame,
+    query_pred,
+    k: int = 10,
+    max_query_terms: int = 20,
+    max_doc_freq_ppm: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cost-routed more-like-this: ``bm25_more_like_this_indexed`` when
+    the selected terms' postings are a small corpus fraction (the
+    adjudication-batch regime the ladder showed the index winning),
+    ``bm25_more_like_this`` when a corpus-fraction batch's vocabulary
+    covers the index (the Q=1000 / adversarial-corpus regime where
+    scanning IS the right plan). Byte-identical output either way —
+    the endpoints are pinned equal in tests — so the choice is purely
+    physical, driven by the index's own statistics."""
+    route, _, _ = choose_mlt_route(
+        spark,
+        path,
+        docs,
+        query_pred,
+        max_query_terms=max_query_terms,
+        max_doc_freq_ppm=max_doc_freq_ppm,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    if route == "index":
+        return bm25_more_like_this_indexed(
+            spark,
+            path,
+            docs,
+            query_pred,
+            k=k,
+            max_query_terms=max_query_terms,
+            max_doc_freq_ppm=max_doc_freq_ppm,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    return bm25_more_like_this(
+        docs,
+        query_pred,
+        k=k,
+        max_query_terms=max_query_terms,
+        max_doc_freq_ppm=max_doc_freq_ppm,
+        text_col=text_col,
+        id_col=id_col,
+    )

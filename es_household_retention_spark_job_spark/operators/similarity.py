@@ -787,6 +787,7 @@ def append_ann_index(
     emb_col: str = "embedding",
     epoch: int | None = None,
     epoch_stream: str | None = None,
+    check_overlap: bool = False,
 ) -> None:
     """Incremental vector-index maintenance for append-only corpus growth
     — the IVF-standard move: assign NEW vectors to the EXISTING centroids
@@ -815,8 +816,11 @@ def append_ann_index(
     ``knn_ann_eval`` and rebuild past the drift threshold (the documented
     IVF maintenance trade).
 
-    PRECONDITION (caller-enforced): delta ``id_col`` values are disjoint
-    from the indexed corpus."""
+    PRECONDITION: delta ``id_col`` values are disjoint from the indexed
+    corpus (a re-sent vector would appear twice in its cell and once per
+    bucket in results). ``check_overlap=True`` self-enforces it with a
+    column-pruned id semi-join against the indexed cells — the text
+    index's opt-in guard (see ``append_text_index``), vector edition."""
     import shutil
     import time
 
@@ -824,6 +828,21 @@ def append_ann_index(
     manifest = _read_ann_manifest(path)
     if manifest is None:
         manifest = _bootstrap_ann_manifest(spark, path)
+    if check_overlap:
+        from .search import _assert_ids_disjoint
+
+        _assert_ids_disjoint(
+            spark,
+            [
+                os.path.join(path, "cells", d, f)
+                for d, fs in manifest["cells"].items()
+                for f in fs
+            ],
+            f"{path}/cells",
+            vecs_delta.select(id_col).distinct(),
+            id_col,
+            "append_ann_index",
+        )
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cents = [
         list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])

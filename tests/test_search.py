@@ -830,3 +830,164 @@ def test_legacy_bootstrap_excludes_crashed_append_strays(spark, tmp_path):
         not f.startswith("gen-") for fs in m["tf"].values() for f in fs
     )
     assert rows() == want  # the stray's doubled tf never reaches scoring
+
+
+def test_auto_routing_picks_measured_cheaper_plan(spark, tmp_path):
+    """Cost-based scan-vs-index routing: the df-sidecar statistic must
+    route a rare-terms batch (postings ≪ corpus) to the index and a
+    common-terms batch (postings ≈ corpus — the measured regime where
+    scanning wins) to the scan, and the routed output must be
+    byte-identical to BOTH endpoints in BOTH regimes."""
+    from es_household_retention_spark_job_spark.operators import search as SE
+
+    # 400 docs: five corpus-wide common terms + one unique term each —
+    # a rare tail and a common head, so both regimes are reachable
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon unique{i:04d}")
+            for i in range(400)
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "route_idx")
+    SE.build_text_index(docs, idx, n_shards=8)
+
+    rare_q = [("q1", "unique0007 unique0123"), ("q2", "unique0200")]
+    common_q = [("q1", "alpha beta gamma delta epsilon")]
+
+    def vocab(qs):
+        return sorted({t for _, x in qs for t in SE._py_tokens(x)})
+
+    route, sum_df, total = SE.choose_search_route(spark, idx, vocab(rare_q))
+    assert route == "index" and 0 < sum_df <= 0.1 * total, (route, sum_df, total)
+    route, sum_df, total = SE.choose_search_route(spark, idx, vocab(common_q))
+    assert route == "scan" and sum_df > 0.1 * total, (route, sum_df, total)
+
+    def rows(df):
+        return {
+            (r.query_id, r.doc_id, r.rank, r.score_x1e6) for r in df.collect()
+        }
+
+    for qs in (rare_q, common_q):
+        auto = rows(SE.bm25_search_auto(spark, idx, docs, qs, k=5))
+        assert auto == rows(SE.bm25_search(docs, qs, k=5))
+        assert auto == rows(SE.bm25_search_indexed(spark, idx, qs, k=5))
+        assert auto  # non-vacuous in both regimes
+
+    # conf override moves the threshold (the knob is per-session)
+    spark.conf.set(SE.ROUTE_RATIO_CONF, "0.999")
+    try:
+        route, _, _ = SE.choose_search_route(spark, idx, vocab(common_q))
+        assert route == "index"
+    finally:
+        spark.conf.unset(SE.ROUTE_RATIO_CONF)
+
+
+def test_auto_mlt_routing_and_byte_identity(spark, tmp_path):
+    """MLT routing is SELECTION-aware: with a tight rarest-terms cap the
+    selected postings are tiny (index); with a cap that admits the
+    common head the selected postings cover the corpus (scan). Output is
+    byte-identical to both endpoints in both regimes."""
+    from es_household_retention_spark_job_spark.operators import search as SE
+
+    # rare terms shared by PAIRS of docs (df=2), so a rarest-1 query
+    # still has one non-self match and the m=1 regime is non-vacuous
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon unique{i // 2:04d}")
+            for i in range(400)
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "route_mlt_idx")
+    SE.build_text_index(docs, idx, n_shards=8)
+    pred = F.col("doc_id") % 100 == 0  # 4 query docs
+
+    route, sum_df, total = SE.choose_mlt_route(
+        spark, idx, docs, pred, max_query_terms=1
+    )
+    assert route == "index" and 0 < sum_df <= 0.1 * total, (route, sum_df, total)
+    route, sum_df, total = SE.choose_mlt_route(
+        spark, idx, docs, pred, max_query_terms=20
+    )
+    assert route == "scan" and sum_df > 0.1 * total, (route, sum_df, total)
+
+    def rows(df):
+        return {
+            (r.query_id, r.doc_id, r.rank, r.score_x1e6) for r in df.collect()
+        }
+
+    for m in (1, 20):
+        auto = rows(
+            SE.bm25_more_like_this_auto(
+                spark, idx, docs, pred, k=5, max_query_terms=m
+            )
+        )
+        assert auto == rows(
+            SE.bm25_more_like_this(docs, pred, k=5, max_query_terms=m)
+        )
+        assert auto == rows(
+            SE.bm25_more_like_this_indexed(
+                spark, idx, docs, pred, k=5, max_query_terms=m
+            )
+        )
+        assert auto
+
+
+def test_append_overlap_check_catches_resent_docs(spark, tmp_path):
+    """The opt-in self-enforcing append precondition: a delta containing
+    an already-indexed id must raise BEFORE any file lands (index state
+    unchanged, byte-identical results), while a disjoint delta passes
+    the check and appends normally. Covers the text index and the ANN
+    twin."""
+    import pytest as _pytest
+
+    from es_household_retention_spark_job_spark.operators import search as SE
+    from es_household_retention_spark_job_spark.operators import (
+        similarity as S,
+    )
+    from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+    docs = _corpus(spark)
+    idx = str(tmp_path / "guard_idx")
+    SE.build_text_index(docs, idx, n_shards=4)
+    m_before = SE._read_index_manifest(idx)
+
+    resent = spark.createDataFrame(
+        [(2, "a resent document"), (99, "a new one")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="1 delta id"):
+        SE.append_text_index(resent, idx, check_overlap=True)
+    assert SE._read_index_manifest(idx) == m_before  # nothing landed
+
+    fresh = spark.createDataFrame(
+        [(99, "a brand new document")], "doc_id long, text string"
+    )
+    SE.append_text_index(fresh, idx, check_overlap=True)
+    assert SE._read_index_manifest(idx)["version"] == m_before["version"] + 1
+
+    # ANN twin
+    embs = load_table(spark, SF_DIR, "embeddings")
+    aidx = str(tmp_path / "guard_ann")
+    S.build_ann_index(embs.where(F.col("vec_id") < 400), aidx, n_cells=4, iters=1)
+    am = S._read_ann_manifest(aidx)
+    overlap = embs.where(F.col("vec_id").isin([10, 999991]))
+    with _pytest.raises(ValueError, match="delta id"):
+        S.append_ann_index(overlap, aidx, check_overlap=True)
+    assert S._read_ann_manifest(aidx) == am
+    S.append_ann_index(
+        embs.where(F.col("vec_id").between(400, 450)), aidx, check_overlap=True
+    )
+    assert S._read_ann_manifest(aidx)["version"] == am["version"] + 1
+
+
+def test_bm25_zipf_matches_oracle(spark, duck):
+    """The Zipf-regime registered row hash-matches its embedded-corpus
+    oracle (both engines score byte-identical generated rows)."""
+    assert_matches_oracle(
+        EXTRA_QUERIES["bm25_search_zipf"](spark, SF_DIR),
+        duck,
+        EXTRA_ORACLE_SQL["bm25_search_zipf"],
+        min_rows=1,
+    )
