@@ -111,6 +111,14 @@ R8_QUERIES = [
     "knn_ivf_indexed",
 ]
 
+#: round-9 additions: the SQ8×IVF composition, cost-routed retrieval, and
+#: the Zipf-regime oracle row (same isolation rationale as R6-R8)
+R9_QUERIES = [
+    "knn_sq8_indexed",
+    "bm25_search_auto",
+    "bm25_search_zipf",
+]
+
 REPS = 7
 FAMILY_REPS = 3
 WARMUP_PASSES = 2
@@ -196,6 +204,11 @@ def main() -> None:
     )
     r8 = {n: s["median"] for n, s in r8_stats.items()}
 
+    r9_stats, _ = measure_suite(
+        {n: runner(n) for n in R9_QUERIES if n in all_queries}, FAMILY_REPS
+    )
+    r9 = {n: s["median"] for n, s in r9_stats.items()}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total_min = round(sum(s["min"] for s in stats.values()), 3)
@@ -232,6 +245,9 @@ def main() -> None:
         "r8_total": round(sum(r8.values()), 3),
         "r8": r8,
         "r8_stats": r8_stats,
+        "r9_total": round(sum(r9.values()), 3),
+        "r9": r9,
+        "r9_stats": r9_stats,
     }
     try:
         from es_household_retention_spark_job_spark.streaming.bench import streaming_bench
@@ -239,6 +255,23 @@ def main() -> None:
         full_stats["streaming"] = streaming_bench(spark, sf_dir)
     except Exception as exc:  # streaming bench must never sink the batch run
         full_stats["streaming"] = {"err": repr(exc)}
+
+    # provenance stamp: which commit this artifact measured (lets the sf1
+    # carry-through below, and any cross-round reader, detect staleness)
+    try:
+        import subprocess
+
+        full_stats["git"] = (
+            subprocess.check_output(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stderr=subprocess.DEVNULL,
+            )
+            .decode()
+            .strip()
+        )
+    except Exception:
+        pass
 
     # full-stats artifact: BENCH_LOCAL.json for the default sf0.1 run;
     # override with SPARK_GRAFT_BENCH_OUT for the committed per-SF
@@ -253,19 +286,37 @@ def main() -> None:
 
     # the printed line must stay SHORT — the driver captures a fixed-size
     # tail of stdout and a long line truncates from the head (BENCH_r04)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": full_stats["value"],
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "total_min": total_min,
-                "estimator": "median",
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": full_stats["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "total_min": total_min,
+        "estimator": "median",
+    }
+    # sf1 carry-through (round 9): the sf0.1 headline's ±10-20% host noise
+    # hides sub-15% regressions (SCALING.md); the compute-dominated sf1
+    # suite is the regression gate that can see them. It runs once per
+    # round (SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_BENCH_OUT=
+    # BENCH_SF1.json after tools/gen_sf1.py) and its committed headline +
+    # provenance commit ride the default run's printed line, so each
+    # round's BENCH_r{N}.json carries BOTH scales.
+    if sf_val == 0.1:
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
+                )
+            ) as fh:
+                sf1 = json.load(fh)
+            line["sf1_value"] = sf1["value"]
+            line["sf1_total_min"] = sf1.get("total_min")
+            if sf1.get("git"):
+                line["sf1_git"] = sf1["git"]
+        except Exception:
+            pass
+    print(json.dumps(line))
     spark.stop()
 
 
