@@ -123,6 +123,17 @@ REPS = 7
 FAMILY_REPS = 3
 WARMUP_PASSES = 2
 
+#: SPARK_GRAFT_BENCH_SECTIONS: comma-separated subset of
+#: headline,families,r6,r7,r8,r9,streaming (default: all). The once-per-
+#: round sf1 regression run uses headline,families,r6,streaming — the
+#: sections whose sf1 cost measures real plans. The r7-r9 retrieval
+#: demos derive |Q| as a CORPUS FRACTION (the oracle needs a
+#: corpus-determined query set), so at sf1 they spend ~45 min measuring
+#: a super-linear-BY-CONSTRUCTION worst case (hybrid_mlt_search_ann
+#: measured 540s/rep); their production fixed-|Q| sf1 posture is
+#: measured instead by tools/retrieval_ladder.py and tools/sq8_ladder.py
+#: (SCALING.md).
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -179,34 +190,36 @@ def main() -> None:
     def runner(name: str):
         return lambda: force(all_queries[name](spark, sf_dir))
 
-    stats, pass_totals = measure_suite(
-        {n: runner(n) for n in BENCH_QUERIES if n in all_queries}, REPS
+    sections = set(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_SECTIONS",
+            "headline,families,r6,r7,r8,r9,streaming",
+        ).split(",")
     )
+
+    def section(names, key, reps):
+        if key not in sections:
+            return {}, []
+        return measure_suite(
+            {n: runner(n) for n in names if n in all_queries}, reps
+        )
+
+    stats, pass_totals = section(BENCH_QUERIES, "headline", REPS)
     timings = {n: s["median"] for n, s in stats.items()}
 
-    family_stats, _ = measure_suite(
-        {n: runner(n) for n in FAMILY_QUERIES if n in all_queries}, FAMILY_REPS
-    )
+    family_stats, _ = section(FAMILY_QUERIES, "families", FAMILY_REPS)
     families = {n: s["median"] for n, s in family_stats.items()}
 
-    r6_stats, _ = measure_suite(
-        {n: runner(n) for n in R6_QUERIES if n in all_queries}, FAMILY_REPS
-    )
+    r6_stats, _ = section(R6_QUERIES, "r6", FAMILY_REPS)
     r6 = {n: s["median"] for n, s in r6_stats.items()}
 
-    r7_stats, _ = measure_suite(
-        {n: runner(n) for n in R7_QUERIES if n in all_queries}, FAMILY_REPS
-    )
+    r7_stats, _ = section(R7_QUERIES, "r7", FAMILY_REPS)
     r7 = {n: s["median"] for n, s in r7_stats.items()}
 
-    r8_stats, _ = measure_suite(
-        {n: runner(n) for n in R8_QUERIES if n in all_queries}, FAMILY_REPS
-    )
+    r8_stats, _ = section(R8_QUERIES, "r8", FAMILY_REPS)
     r8 = {n: s["median"] for n, s in r8_stats.items()}
 
-    r9_stats, _ = measure_suite(
-        {n: runner(n) for n in R9_QUERIES if n in all_queries}, FAMILY_REPS
-    )
+    r9_stats, _ = section(R9_QUERIES, "r9", FAMILY_REPS)
     r9 = {n: s["median"] for n, s in r9_stats.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -214,6 +227,8 @@ def main() -> None:
     total_min = round(sum(s["min"] for s in stats.values()), 3)
     # trimmed spread (drop the slowest pass) is reported alongside the raw
     # spread: with 2 warmup passes both should now agree to ~2x
+    if not pass_totals:  # headline section skipped via BENCH_SECTIONS
+        pass_totals = [0.0]
     trimmed = sorted(pass_totals)[:-1] if len(pass_totals) > 2 else pass_totals
     full_stats = {
         "metric": "headline_queries_total",
@@ -228,10 +243,14 @@ def main() -> None:
         "pass_totals": pass_totals,
         "total_spread_pct": round(
             100 * (max(pass_totals) / min(pass_totals) - 1), 1
-        ),
+        )
+        if min(pass_totals)
+        else None,
         "total_spread_trimmed_pct": round(
             100 * (max(trimmed) / min(trimmed) - 1), 1
-        ),
+        )
+        if min(trimmed)
+        else None,
         "query_stats": stats,
         "families_total": round(sum(families.values()), 3),
         "families": families,
@@ -249,12 +268,15 @@ def main() -> None:
         "r9": r9,
         "r9_stats": r9_stats,
     }
-    try:
-        from es_household_retention_spark_job_spark.streaming.bench import streaming_bench
+    if "streaming" in sections:
+        try:
+            from es_household_retention_spark_job_spark.streaming.bench import (
+                streaming_bench,
+            )
 
-        full_stats["streaming"] = streaming_bench(spark, sf_dir)
-    except Exception as exc:  # streaming bench must never sink the batch run
-        full_stats["streaming"] = {"err": repr(exc)}
+            full_stats["streaming"] = streaming_bench(spark, sf_dir)
+        except Exception as exc:  # must never sink the batch run
+            full_stats["streaming"] = {"err": repr(exc)}
 
     # provenance stamp: which commit this artifact measured (lets the sf1
     # carry-through below, and any cross-round reader, detect staleness)

@@ -1861,17 +1861,20 @@ def hybrid_mlt_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall-vs-exact-hybrid row (ground truth = the hash-matched
 # hybrid_mlt_search above), floor-gated in tests/test_search.py.
 def hybrid_mlt_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-backed hybrid retrieval — the 100 TB form of hybrid_mlt_search,
-    FULLY INDEX-SERVED: the sparse side reads the persisted inverted
-    index (bm25_more_like_this_indexed — byte-identical to the scan form,
-    so the exact-hybrid ground truth still applies) and the dense side
-    reads the persisted IVF index; both indexes build once per corpus and
-    amortize across query batches. Identical exact-integer RRF fusion.
-    This is the composition a production retrieval stack actually runs;
-    the exact hybrid remains registered as its ground truth."""
+    """ANN-backed hybrid retrieval — the 100 TB form of hybrid_mlt_search:
+    the sparse side is COST-ROUTED over the persisted inverted index
+    (bm25_more_like_this_auto — byte-identical to the scan form either
+    way, so the exact-hybrid ground truth still applies; round 9 swapped
+    the unconditional indexed read after the sf1 full-section bench
+    caught it picking the losing plan for a corpus-fraction |Q| batch:
+    540s indexed vs ~135s scan — the measured crossover the router
+    prices) and the dense side reads the persisted IVF index. Identical
+    exact-integer RRF fusion. This is the composition a production
+    retrieval stack actually runs; the exact hybrid remains registered
+    as its ground truth."""
     from .operators import search as SE
 
-    sparse = SE.bm25_more_like_this_indexed(
+    sparse = SE.bm25_more_like_this_auto(
         spark,
         _text_index_path(spark, sf_dir),
         _docs(spark, sf_dir),

@@ -1,0 +1,105 @@
+"""SQ8 × IVF composition ladder: bytes + wall-clock evidence for the
+round-9 ``knn_sq8_indexed`` plan against its three alternatives on the
+same persisted index and a FIXED 40-query batch (the production
+adjudication-batch shape, like tools/retrieval_ladder.py):
+
+1. ``knn_sq8`` — full-corpus quantized scan (round 8's plan, the one the
+   verdict graded weak);
+2. ``knn_ivf_indexed`` — probe-pruned double-precision scoring;
+3. ``knn_sq8_indexed`` — probe-pruned code scoring + exact top-R re-rank;
+4. ``knn_bruteforce`` — the exact ground truth (recall denominators).
+
+Also reports the on-disk byte ratio cells/ : codes/ (what a probe READS
+per cell in each representation — parquet dictionary-encodes the ≤255
+distinct code values, doubles are incompressible) and the recall@k of
+each approximate path vs brute force on the same queries.
+
+Usage: python tools/sq8_ladder.py [sf_dir ...]   (default sf0.1, /tmp/sf1)
+Prints markdown rows for SCALING.md. Warm pass then timed pass per cell
+(the repo-wide gen_scaling protocol).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SFS = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf1"]
+K = 5
+FIXED_PRED = lambda c: (F.col(c) % 50 == 0) & (F.col(c) < 2000)  # noqa: E731
+
+
+def du(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def main() -> None:
+    from es_household_retention_spark_job_spark.operators import similarity as S
+    from es_household_retention_spark_job_spark.session import get_spark
+
+    spark = get_spark(app_name="sq8-ladder", cpus=32, shuffle_partitions=64)
+
+    def timed(fn):
+        fn()  # warm
+        t0 = time.perf_counter()
+        n = fn()
+        return time.perf_counter() - t0, n
+
+    for sf_dir in SFS:
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = embs.where(FIXED_PRED("vec_id"))
+        n_corpus = embs.count()
+        idx = os.path.join(tempfile.mkdtemp(prefix="sq8_ladder_"), "idx")
+        t0 = time.perf_counter()
+        S.build_ann_index(embs, idx)
+        t_build = time.perf_counter() - t0
+        cells_b, codes_b = du(f"{idx}/cells"), du(f"{idx}/codes")
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.knn_bruteforce(embs, queries, k=K).collect()
+        }
+
+        rows = {}
+        for name, fn in (
+            ("knn_sq8 (full scan)", lambda: S.knn_sq8(embs, queries, k=K)),
+            (
+                "knn_ivf_indexed",
+                lambda: S.knn_ivf_indexed(spark, idx, queries, k=K),
+            ),
+            (
+                "knn_sq8_indexed",
+                lambda: S.knn_sq8_indexed(spark, idx, queries, k=K),
+            ),
+        ):
+            def run(fn=fn):
+                return {
+                    (r.query_id, r.neighbor_id) for r in fn().collect()
+                }
+            dt, got = timed(run)
+            rows[name] = (dt, len(got & exact) / len(exact) if exact else 1.0)
+
+        print(f"\n### {sf_dir} — corpus {n_corpus}, |Q| fixed {queries.count()}")
+        print(
+            f"index build {t_build:.2f}s; cells {cells_b/1e6:.2f} MB, "
+            f"codes {codes_b/1e6:.2f} MB (ratio {cells_b/codes_b:.2f}x)"
+        )
+        print("| path | sec | recall@5 |")
+        print("|---|---|---|")
+        for name, (dt, rec) in rows.items():
+            print(f"| {name} | {dt:.2f}s | {rec:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
