@@ -1728,6 +1728,80 @@ def bm25_search_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search(docs, _zipf_queries(), k=BM25_K)
 
 
+_ZIPF_MLT_MOD = 100  # 8 query docs of 800 — the adjudication-batch shape
+
+
+def _zipf_mlt_oracle_sql() -> str:
+    """Standalone MLT oracle over the embedded Zipf corpus — the sparse
+    CTE chain of ``_hybrid_oracle_sql`` (same 44/20/6/18 constants,
+    HUGEINT-exact) with the generated rows as VALUES, so the rarest-terms
+    selection + scoring is hash-checked in the REPRESENTATIVE (Zipfian
+    df) regime, not only the adversarial uniform testdata one."""
+    from .operators.search import SCORE_SCALE
+
+    return f"""WITH tk AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS toks
+        FROM {_zipf_values_source()}),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    q0 AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+           FROM dl WHERE doc_id % {_ZIPF_MLT_MOD} = 0),
+    ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+    tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex WHERE term IN (SELECT DISTINCT term FROM q0)
+           GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    q AS (SELECT query_id, term
+          FROM (SELECT q0.query_id, q0.term,
+                       row_number() OVER (PARTITION BY q0.query_id
+                                          ORDER BY dfreq.df, q0.term) AS tr
+                FROM q0 JOIN dfreq USING (term))
+          WHERE tr <= {MLT_MAX_TERMS}),
+    sscored AS (SELECT q.query_id, tf.doc_id,
+                       CAST(2*n_docs - 2*df + 1 AS HUGEINT) * 44 * tf
+                           * total_dl AS num,
+                       CAST(2*df + 1 AS HUGEINT)
+                           * (20 * CAST(total_dl AS HUGEINT) * tf
+                              + 6 * total_dl + 18 * CAST(dl AS HUGEINT)
+                                  * n_docs) AS den
+                FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+                CROSS JOIN corpus
+                WHERE tf.doc_id <> q.query_id),
+    ssum AS (SELECT query_id, doc_id,
+                    CAST(SUM((num // den) * {SCORE_SCALE}
+                             + ((num % den) * {SCORE_SCALE}) // den)
+                         AS BIGINT) AS score_x1e6
+             FROM sscored GROUP BY query_id, doc_id),
+    ranked AS (SELECT query_id, doc_id, score_x1e6,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_x1e6 DESC, doc_id)
+                          AS rank
+               FROM ssum)
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score_x1e6
+    FROM ranked WHERE rank <= {BM25_K}"""
+
+
+@register("mlt_search_zipf", _zipf_mlt_oracle_sql(), extra=True)
+def mlt_search_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this over the deterministic Zipf corpus — hash-checked
+    end to end: the rarest-``MLT_MAX_TERMS`` selection actually selects
+    the tail here (df spans 1..corpus under Zipf), exercising the
+    regime the uniform testdata corpus cannot (where every term's df is
+    ~N/2 and selection barely discriminates)."""
+    from .operators.search import bm25_more_like_this
+
+    docs = spark.createDataFrame(
+        _zipf_corpus_rows(), "doc_id long, text string"
+    )
+    return bm25_more_like_this(
+        docs,
+        F.col("doc_id") % _ZIPF_MLT_MOD == 0,
+        k=BM25_K,
+        max_query_terms=MLT_MAX_TERMS,
+    )
+
+
 def _hybrid_oracle_sql() -> str:
     """Sparse (BM25 more-like-this) + dense (exact cosine kNN) candidate
     generation fused by exact-integer RRF — every stage reuses the SAME

@@ -991,3 +991,14 @@ def test_bm25_zipf_matches_oracle(spark, duck):
         EXTRA_ORACLE_SQL["bm25_search_zipf"],
         min_rows=1,
     )
+
+
+def test_mlt_zipf_matches_oracle(spark, duck):
+    """The Zipf-regime MLT row hash-matches its embedded-corpus oracle —
+    rarest-terms selection over a genuinely Zipfian df distribution."""
+    assert_matches_oracle(
+        EXTRA_QUERIES["mlt_search_zipf"](spark, SF_DIR),
+        duck,
+        EXTRA_ORACLE_SQL["mlt_search_zipf"],
+        min_rows=1,
+    )
