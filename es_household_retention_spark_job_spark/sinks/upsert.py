@@ -66,6 +66,85 @@ LAYOUT_FILE = "_keyed_layout.json"
 MANIFEST_FILE = "_live_manifest.json"
 SNAPSHOT_PREFIX = "_manifest.v"
 
+#: merge-on-read supersession column: MoR delta rows carry the publish
+#: sequence that wrote them; base rows (and CoW rewrites) lack the column
+#: and read as null = oldest. Per key, the highest _seq row wins at read.
+SEQ_COL = "_seq"
+
+#: delete tombstone: a MoR delete appends delta rows carrying only
+#: (key, _seq, _tombstone=true); when such a row is a key's latest by
+#: ``_seq``, the key is dead — filtered by ``_resolve`` at read time and
+#: physically dropped at the next compaction / CoW rewrite of its bucket
+#: (the Hudi-delete / Delta-deletion-vector shape). Null = live.
+TOMBSTONE_COL = "_tombstone"
+
+RESERVED_COLS = (SEQ_COL, TOMBSTONE_COL, BUCKET_COL)
+
+
+def _sink_write_mode() -> str:
+    """``SPARK_GRAFT_SINK_WRITE_MODE``: ``cow`` (default — upserts rewrite
+    every affected bucket in full, reads are plain unions) or ``mor``
+    (merge-on-read — upserts APPEND per-bucket delta files holding only
+    the merged affected rows, reads reconcile per key, compaction folds
+    deltas back into one file per bucket). MoR converts the maintenance
+    write from O(affected-bucket rows) to O(delta rows) — the CDC write
+    floor the sf10 rehearsal measured (SCALING.md round 9: any realistic
+    blast radius touches every bucket, so CoW pays a full store rewrite
+    per upsert) — at the price of a per-key window on reads until the
+    next compaction. The Hudi-MoR / Delta-deletion-vector trade, on this
+    sink's existing manifest (multi-file buckets + compaction were
+    already the layout's maintenance story)."""
+    return os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+
+
+def _with_seq_field(schema: StructType, present: bool) -> StructType:
+    """The pinned schema with the MoR internal columns (``_seq``,
+    ``_tombstone``) present/absent. Their presence in the PINNED schema is
+    the read-side flag for "this table (or this time-travel version) may
+    carry live delta files": while any delta file is live the columns must
+    stay pinned (files in buckets a later CoW write never touched still
+    need their ``_seq``/``_tombstone`` read back for reconciliation), and
+    once compaction folds the last delta they must go (so plain reads stop
+    paying the reconciliation window). Maintained by ``_publish`` under
+    the lock, from the manifest's delta ledger — not by writers from
+    their own output."""
+    from pyspark.sql.types import BooleanType
+
+    fields = [
+        f
+        for f in schema.fields
+        if f.name not in (SEQ_COL, TOMBSTONE_COL, BUCKET_COL)
+    ]
+    if present:
+        fields.append(StructField(SEQ_COL, LongType(), True))
+        fields.append(StructField(TOMBSTONE_COL, BooleanType(), True))
+    if any(f.name == BUCKET_COL for f in schema.fields):
+        fields.append(StructField(BUCKET_COL, LongType(), True))
+    return StructType(fields)
+
+
+def _resolve(df: DataFrame, key: str) -> DataFrame:
+    """Merge-on-read reconciliation: keep each key's highest-``_seq`` row
+    (null = base/CoW rows, oldest), then drop keys whose winning row is a
+    delete tombstone. No-op for tables that never took a MoR delta (no
+    ``_seq`` column → no window, plans unchanged). Returns rows with
+    ``_seq`` retained (callers drop it) and ``_tombstone`` consumed."""
+    if SEQ_COL not in df.columns:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(SEQ_COL).desc_nulls_last())
+    out = (
+        df.withColumn("_mor_rn", F.row_number().over(w))
+        .where(F.col("_mor_rn") == 1)
+        .drop("_mor_rn")
+    )
+    if TOMBSTONE_COL in out.columns:
+        out = out.where(
+            ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        ).drop(TOMBSTONE_COL)
+    return out
+
 
 def _gc_grace_seconds() -> float:
     return float(os.environ.get("SPARK_GRAFT_SINK_GC_GRACE", "300"))
@@ -403,12 +482,32 @@ def _publish(
     affected_dirs: list[str],
     based_on: dict | None = None,
     schema: StructType | None = None,
-) -> None:
+    append_only: bool = False,
+) -> StructType | None:
     """Move the rewritten buckets' files from ``tmp`` into the live tree
     under fresh unique names, then atomically point the manifest at them.
     The files a reader may currently hold are NEVER touched here — they are
     queued as timestamped garbage and deleted by ``_vacuum`` only after the
     grace window.
+
+    ``append_only`` (the merge-on-read delta publish): the staged files
+    EXTEND each affected bucket's live list instead of replacing it, and
+    nothing becomes garbage — the bucket's prior files stay live and the
+    read-side ``_resolve`` supersedes their matched rows by ``_seq``.
+    Lock, per-bucket conflict check, version bump, snapshot, and vacuum
+    semantics are identical. Delta files are additionally recorded in the
+    manifest's ``mor`` ledger (``{bucket_dir: [delta files]}``); a replace
+    publish of a bucket (CoW upsert, compaction) clears its ledger entry.
+
+    Returns the FINAL pinned schema for this commit — ``schema`` with the
+    ``_seq`` field forced present iff the ledger is non-empty after this
+    publish. A CoW writer cannot decide this from its own output: deltas
+    may stay live in buckets it never touched, and dropping ``_seq`` from
+    the pinned schema would silently skip their read-time reconciliation
+    (duplicate keys). Conversely, once the ledger empties, keeping
+    ``_seq`` would tax every later read with a useless reconciliation
+    window. Both the snapshot written here and the caller's layout
+    rewrite must use the returned schema.
 
     Concurrency: the manifest read-modify-write runs under an exclusive
     lock, and ``based_on`` (the manifest snapshot this write's MERGE was
@@ -458,9 +557,17 @@ def _publish(
                     # which is the property the sweep's safety rests on.
                     os.utime(dst)
                     new_files.append(name)
-            for old in manifest["live"].get(d, []):
-                manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
-            manifest["live"][d] = new_files
+            if append_only:
+                manifest["live"][d] = manifest["live"].get(d, []) + new_files
+                if new_files:
+                    mor = manifest.setdefault("mor", {})
+                    mor[d] = mor.get(d, []) + new_files
+            else:
+                for old in manifest["live"].get(d, []):
+                    manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
+                manifest["live"][d] = new_files
+                # a full bucket rewrite folds/supersedes its deltas
+                manifest.get("mor", {}).pop(d, None)
         _bump_version(manifest, now)
         # prune garbage entries from the manifest while we hold the lock
         # (cheap, O(garbage + K snapshots)); their files are unlinked below,
@@ -502,6 +609,8 @@ def _publish(
             else:
                 kept.append(g)
         manifest["garbage"] = kept
+        if schema is not None:
+            schema = _with_seq_field(schema, bool(manifest.get("mor")))
         lk.verify_owned()  # see verify_owned: no write with a broken lock
         _write_manifest(path, manifest)
         # COMMIT POINT. Only now publish the version's time-travel snapshot
@@ -511,6 +620,7 @@ def _publish(
         _write_snapshot(path, manifest, schema)
         _expire_snapshots(path)
     _vacuum(path, manifest, deletable)
+    return schema
 
 
 def _vacuum(path: str, manifest: dict, deletable: list | None = None) -> None:
@@ -557,6 +667,8 @@ def write_keyed_table(
     function (key column + bucket count) and the unified column schema are
     TABLE properties, persisted in a sidecar so later upserts can never
     diverge from the layout and schema evolution stays metadata-only."""
+    if any(c in df.columns for c in RESERVED_COLS):
+        raise ValueError(f"columns {RESERVED_COLS} are reserved by the sink")
     # capture the version counter BEFORE the overwrite deletes the table
     # root (snapshots included): a re-initialized table resumes PAST any
     # version it ever published, so an external consumer that recorded
@@ -615,7 +727,15 @@ def read_keyed_table(
             ) from None
         if manifest.get("schema"):
             schema = StructType.fromJson(manifest["schema"])
-    return _read_live(spark, path, schema, manifest=manifest).drop(BUCKET_COL)
+    df = _read_live(spark, path, schema, manifest=manifest)
+    if SEQ_COL in df.columns:
+        # merge-on-read reconciliation (per-key latest delta wins); the
+        # supersession column is internal and never reaches callers
+        try:
+            df = _resolve(df, _read_layout(path)["key"])
+        except FileNotFoundError:
+            pass  # no layout → never took a MoR delta
+    return df.drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
 
 
 def current_version(path: str) -> int:
@@ -732,6 +852,8 @@ def upsert_parquet(
                     f"conflicts with stored type {stored_types[f.name]}"
                 )
 
+    if any(c in updates.columns for c in RESERVED_COLS):
+        raise ValueError(f"columns {RESERVED_COLS} are reserved by the sink")
     # persist the update lineage: it is consumed twice (affected-bucket
     # discovery + the merge write) and may be arbitrarily expensive (the
     # whole phase-1 DAG, or a streaming micro-batch recompute)
@@ -740,7 +862,15 @@ def upsert_parquet(
         affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
         if not affected:
             return
-        _merge_and_publish(spark, path, u, key, affected, stored)
+        _merge_and_publish(
+            spark,
+            path,
+            u,
+            key,
+            affected,
+            stored,
+            mor=_sink_write_mode() == "mor",
+        )
     finally:
         u.unpersist()
 
@@ -752,6 +882,7 @@ def _merge_and_publish(
     key: str,
     affected: list,
     stored: StructType | None,
+    mor: bool = False,
 ) -> None:
     # the manifest snapshot this merge is computed FROM: both the target
     # read and the publish-time conflict check use this one snapshot, so a
@@ -761,6 +892,21 @@ def _merge_and_publish(
     # an earlier schema evolution lack the newer columns in their footers,
     # and an inferred read could drop them (Spark samples files for schema)
     target = _read_live(spark, path, stored, buckets=affected, manifest=snapshot)
+    if mor:
+        # merge-on-read: only the MATCHED base rows enter the merge — the
+        # unmatched rows of every affected bucket stay untouched on disk,
+        # which is the entire point (write cost O(delta), not O(bucket)).
+        # Prune BEFORE the reconciliation window so its key shuffle is
+        # O(matched rows), not O(affected-bucket rows).
+        target = target.join(
+            u.select(key).distinct(), key, "left_semi"
+        )
+    # reconcile any prior MoR deltas BEFORE merging (a duplicate-key
+    # target would corrupt the full-outer merge); the supersession column
+    # is internal — MoR re-stamps it below, CoW rewrites resolved rows
+    target = _resolve(target, key)
+    if SEQ_COL in target.columns:
+        target = target.drop(SEQ_COL)
 
     t_cols = [c for c in target.columns if c != BUCKET_COL]
     u_cols = [c for c in u.columns if c != BUCKET_COL]
@@ -783,6 +929,18 @@ def _merge_and_publish(
         F.coalesce(F.col(f"u.{BUCKET_COL}"), F.col(f"t.{BUCKET_COL}")).alias(BUCKET_COL)
     )
     merged = merged.select(*select)
+    if mor:
+        # stamp the delta rows with this publish's sequence: any prior
+        # row for the same key (base: null _seq; older delta: lower _seq)
+        # is superseded at read time by _resolve. snapshot.version+1 is
+        # safe under concurrency: an overlapping-bucket writer is rejected
+        # by the per-bucket conflict check, and a key lives in exactly one
+        # bucket, so disjoint-bucket writers sharing a sequence cannot
+        # collide on any key.
+        merged = merged.withColumn(
+            SEQ_COL,
+            F.lit(int(snapshot.get("version", 0)) + 1).cast("long"),
+        )
 
     # bucket-align the write: the merge output is partitioned by the join
     # key, so every task holds rows of every bucket and partitionBy would
@@ -793,15 +951,18 @@ def _merge_and_publish(
     tmp = f"{path}.__upsert_tmp_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-        _publish(
+        final_schema = _publish(
             path,
             tmp,
             [f"{BUCKET_COL}={b}" for b in affected],
             based_on=snapshot,
             # the version's snapshot carries the POST-upsert unified schema
             # (new columns included) — what a time-travel read of this
-            # version reproduces
+            # version reproduces. _publish decides _seq presence from the
+            # post-commit delta ledger (deltas may live in buckets this
+            # write never touched) and returns the authoritative schema.
             schema=_table_schema(merged),
+            append_only=mor,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -809,10 +970,93 @@ def _merge_and_publish(
     # new columns (present only in the rewritten buckets' files; the sidecar
     # schema makes them visible as nulls everywhere else)
     layout = _read_layout(path)
-    _write_layout(path, layout["key"], layout["n_buckets"], _table_schema(merged))
+    _write_layout(path, layout["key"], layout["n_buckets"], final_schema)
     # Spark caches file listings per path (FileStatusCache); the swap above
     # happened behind its back.
     spark.catalog.refreshByPath(path)
+
+
+def delete_keys(
+    spark: SparkSession, path: str, keys: DataFrame, key: str | None = None
+) -> int:
+    """Delete rows by key — the primitive an ES ``delete``/delete-by-query
+    maps onto, and the takedown/right-to-erasure operation a training-data
+    store needs as much as upsert. Returns the number of distinct keys
+    submitted (idempotent: deleting an absent key is a no-op).
+
+    Honors ``SPARK_GRAFT_SINK_WRITE_MODE``:
+
+    * ``cow`` (default): anti-join rewrite of ONLY the affected buckets
+      (manifest-pruned read, same O(affected buckets) cost envelope as a
+      CoW upsert); rows are physically gone at commit.
+    * ``mor``: appends per-bucket tombstone delta rows carrying only
+      ``(key, _seq, _tombstone=true)`` — O(deleted keys) write. Reads
+      hide the key immediately (``_resolve`` drops keys whose winning row
+      is a tombstone); the bytes die physically at the next compaction or
+      CoW rewrite of the bucket. For erasure-compliance the physical
+      deadline is therefore the compaction cadence, not the delete call —
+      the same contract as Delta deletion vectors + VACUUM.
+
+    Versioned like any publish: time travel to a pre-delete version still
+    serves the rows while that version is retained (run compaction +
+    version expiry + vacuum grace for hard erasure of history).
+
+    Upsert-after-delete inserts the key fresh (a later delta/rewrite
+    outranks the tombstone by ``_seq``) — ES delete-then-index semantics.
+    """
+    layout = _read_layout(path)
+    if key is None:
+        key = layout["key"]
+    elif layout["key"] != key:
+        raise ValueError(
+            f"delete key {key!r} does not match table layout key "
+            f"{layout['key']!r}"
+        )
+    n_buckets = layout["n_buckets"]
+    stored = _stored_schema(layout)
+    k = _with_bucket(keys.select(key).distinct(), key, n_buckets).persist()
+    try:
+        n_keys = k.count()
+        if not n_keys:
+            return 0
+        affected = [
+            r[BUCKET_COL] for r in k.select(BUCKET_COL).distinct().collect()
+        ]
+        snapshot = _read_manifest(path) or _manifest_from_listing(path)
+        mor = _sink_write_mode() == "mor"
+        if mor:
+            out = k.withColumn(
+                SEQ_COL,
+                F.lit(int(snapshot.get("version", 0)) + 1).cast("long"),
+            ).withColumn(TOMBSTONE_COL, F.lit(True))
+        else:
+            target = _read_live(
+                spark, path, stored, buckets=affected, manifest=snapshot
+            )
+            target = _resolve(target, key)
+            if SEQ_COL in target.columns:
+                target = target.drop(SEQ_COL)
+            out = target.join(k.select(key), key, "left_anti")
+        out = out.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        tmp = f"{path}.__delete_tmp_{uuid.uuid4().hex[:8]}"
+        try:
+            out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            final_schema = _publish(
+                path,
+                tmp,
+                [f"{BUCKET_COL}={b}" for b in affected],
+                based_on=snapshot,
+                schema=stored,
+                append_only=mor,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if final_schema is not None:
+            _write_layout(path, layout["key"], layout["n_buckets"], final_schema)
+        spark.catalog.refreshByPath(path)
+        return n_keys
+    finally:
+        k.unpersist()
 
 
 def compact_keyed_table(spark: SparkSession, path: str) -> int:
@@ -827,24 +1071,47 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     every bucket either old or fully rewritten, never mixed."""
     layout = _read_layout(path)  # asserts this IS a keyed table; untouched
     manifest = _read_manifest(path) or _manifest_from_listing(path)
-    to_compact = [d for d, fs in manifest["live"].items() if len(fs) > 1]
+    # multi-file buckets, plus SINGLE-file buckets whose one file is a MoR
+    # delta (an insert into a previously empty bucket): those carry real
+    # _seq values, and folding every ledger entry is what lets _publish
+    # drop _seq from the pinned schema — ending the read-time
+    # reconciliation window for the whole table
+    to_compact = [
+        d
+        for d, fs in manifest["live"].items()
+        if len(fs) > 1 or manifest.get("mor", {}).get(d)
+    ]
     if not to_compact:
         return 0
     ids = [int(d.split("=", 1)[1]) for d in to_compact]
     # pinned schema: a compaction must not drop columns that older files in
     # a bucket lack (see read_keyed_table)
     stored = _stored_schema(layout)
+    data = _read_live(spark, path, stored, buckets=ids, manifest=manifest)
+    if SEQ_COL in data.columns:
+        # compaction IS the merge-on-read merge: fold delta rows into
+        # their base (latest _seq per key wins) and write resolved rows —
+        # the column reads back null (= oldest) for them, so later deltas
+        # still supersede correctly
+        data = _resolve(data, layout["key"]).drop(SEQ_COL)
     # one task per bucket → exactly one output file per bucket directory
-    data = _read_live(
-        spark, path, stored, buckets=ids, manifest=manifest
-    ).repartition(len(ids), BUCKET_COL)
+    data = data.repartition(len(ids), BUCKET_COL)
     tmp = f"{path}.__compact_tmp_{uuid.uuid4().hex[:8]}"
     try:
         data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         # based_on: a concurrent upsert that rewrote one of these buckets
         # mid-compaction makes the compacted copy stale — abort, keep theirs
-        _publish(path, tmp, to_compact, based_on=manifest, schema=stored)
+        final_schema = _publish(
+            path, tmp, to_compact, based_on=manifest, schema=stored
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    if final_schema is not None and [f.name for f in final_schema.fields] != [
+        f.name for f in (stored.fields if stored else [])
+    ]:
+        # this compaction folded the table's last deltas: _publish dropped
+        # _seq from the pinned schema — persist that so plain reads stop
+        # planning the reconciliation window
+        _write_layout(path, layout["key"], layout["n_buckets"], final_schema)
     spark.catalog.refreshByPath(path)
     return len(to_compact)

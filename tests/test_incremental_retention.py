@@ -235,3 +235,38 @@ def test_incremental_include_new_persons(spark, tmp_path):
     assert stats["affected_persons"] == 0
     assert stats["phase1_persons"] == 1  # P_NEW onboarded
     assert _state(spark, p_path)["P_NEW"] is not None
+
+
+def test_incremental_under_merge_on_read_equals_full(spark, tmp_path, monkeypatch):
+    """The CDC maintenance path under the sink's merge-on-read write mode
+    (SPARK_GRAFT_SINK_WRITE_MODE=mor): the invalidate + phase-1 + phase-2
+    upserts land as per-bucket delta appends instead of bucket rewrites —
+    the O(delta) write posture the sf10 rehearsal motivated (SCALING.md
+    round 9) — and the final reconciled state is IDENTICAL to the CoW
+    from-scratch reference."""
+    _, encounter = fixture_frames(spark)
+    base = encounter.where(F.col("admit_date") < SPLIT_MS)
+    delta = encounter.where(F.col("admit_date") >= SPLIT_MS)
+
+    # reference computed under default CoW
+    p_full, e_full = _setup(spark, tmp_path, "mfull", encounter, fresh=True)
+    run_retention(spark, p_full, e_full, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    want = _state(spark, p_full)
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    p_inc, e_inc = _setup(spark, tmp_path, "minc", base, fresh=True)
+    run_retention(spark, p_inc, e_inc, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    encounter.write.mode("overwrite").parquet(e_inc)
+    spark.catalog.refreshByPath(e_inc)
+    run_incremental(spark, p_inc, e_inc, delta, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    assert _state(spark, p_inc) == want
+
+    # MoR left the person store carrying reconciled delta files: compaction
+    # folds them without changing the state
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        compact_keyed_table,
+    )
+
+    compact_keyed_table(spark, p_inc)
+    spark.catalog.refreshByPath(p_inc)
+    assert _state(spark, p_inc) == want

@@ -898,3 +898,463 @@ def test_reinit_resumes_version_counter(spark, tmp_path):
     assert current_version(path) == 4  # past v3, not back to v1
     got = {r["k"] for r in read_keyed_table(spark, path).collect()}
     assert got == {"a"}  # content-wise a clean slate
+
+
+def _mor(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+
+
+def test_mor_upsert_appends_deltas_and_preserves_semantics(
+    spark, tmp_path, monkeypatch
+):
+    """Merge-on-read upsert: identical MERGE semantics to copy-on-write
+    (partial update, insert-with-nulls) with O(delta) writes — the base
+    files of every affected bucket stay on disk AND stay live (no
+    rewrite, no garbage); reads reconcile per key; a later delta for the
+    same key supersedes the earlier one; switching back to CoW on a
+    table carrying deltas still merges correctly."""
+    import os
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "mor_tbl")
+    base = spark.createDataFrame(
+        [(f"k{i}", i, f"w{i}") for i in range(200)], "k string, v int, w string"
+    )
+    write_keyed_table(base, path, key="k", n_buckets=4)
+    m0 = _read_manifest(path)
+    base_files = {d: list(fs) for d, fs in m0["live"].items()}
+
+    _mor(monkeypatch)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 300), ("k999", 999)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    m1 = _read_manifest(path)
+    # every base file is still live and untouched; delta files appended
+    for d, fs in base_files.items():
+        assert set(fs) <= set(m1["live"][d]), d
+    assert not m1["garbage"]
+    assert sum(len(fs) for fs in m1["live"].values()) > sum(
+        len(fs) for fs in base_files.values()
+    )
+
+    got = {r["k"]: (r["v"], r["w"]) for r in read_keyed_table(spark, path).collect()}
+    assert len(got) == 201
+    assert got["k3"] == (300, "w3")  # partial update preserves w
+    assert got["k999"] == (999, None)  # insert, missing column null
+    assert got["k7"] == (7, "w7")  # untouched rows intact
+    assert "_seq" not in read_keyed_table(spark, path).columns
+
+    # a later delta for the same key wins
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 301)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert got["k3"] == 301 and len(got) == 201
+
+    # CoW on a delta-carrying table: resolves, merges, rewrites
+    monkeypatch.delenv("SPARK_GRAFT_SINK_WRITE_MODE")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 302), ("k5", 500)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in read_keyed_table(spark, path).collect()}
+    assert got["k3"] == (302, "w3") and got["k5"] == (500, "w5")
+    assert len(got) == 201
+
+
+def test_mor_compaction_folds_deltas(spark, tmp_path, monkeypatch):
+    """compact_keyed_table IS the MoR merge: it resolves per-key latest
+    rows, writes one file per bucket, and the table reads identically
+    before and after; idempotent."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _read_manifest,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "1")
+    path = str(tmp_path / "mor_compact")
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "k string, v int"
+    )
+    write_keyed_table(base, path, key="k", n_buckets=4)
+    _mor(monkeypatch)
+    for j in range(3):
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(f"k{i}", 1000 * (j + 1) + i) for i in range(0, 100, 7)],
+                "k string, v int",
+            ),
+            key="k",
+            n_buckets=4,
+        )
+    spark.catalog.refreshByPath(path)
+    before = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert before["k0"] == 3000 and before["k1"] == 1  # latest delta wins
+    n = compact_keyed_table(spark, path)
+    assert n > 0
+    spark.catalog.refreshByPath(path)
+    m = _read_manifest(path)
+    assert all(len(fs) == 1 for fs in m["live"].values()), m["live"]
+    after = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert after == before
+    assert compact_keyed_table(spark, path) == 0
+
+
+def test_mor_random_sequences_match_dict_model(spark, tmp_path, monkeypatch):
+    """The CoW dict-model property holds verbatim under merge-on-read —
+    including schema evolution mid-sequence and a mid-sequence compaction
+    (the MoR maintenance op)."""
+    import random
+
+    _mor(monkeypatch)
+    rng = random.Random(20260815)
+    keys = [f"K{i}" for i in range(6)]
+    all_cols = ["v", "w", "z"]
+    model: dict[str, dict[str, int | None]] = {}
+    path = str(tmp_path / "mor_prop")
+
+    for batch_no in range(5):
+        cols = ["v"] if batch_no == 0 else rng.sample(
+            all_cols[: 2 + (batch_no >= 2)], rng.randint(1, 2)
+        )
+        batch_keys = rng.sample(keys, rng.randint(1, 4))
+        rows = [
+            tuple([k] + [rng.randint(0, 99) for _ in cols]) for k in batch_keys
+        ]
+        schema = "person_id string, " + ", ".join(f"{c} long" for c in cols)
+        upsert_parquet(
+            spark, path, spark.createDataFrame(rows, schema), n_buckets=4
+        )
+        for row in rows:
+            k, vals = row[0], dict(zip(cols, row[1:]))
+            model.setdefault(k, {})
+            model[k].update(vals)
+        if batch_no == 2:
+            compact_keyed_table(spark, path)
+            spark.catalog.refreshByPath(path)
+
+    got = {
+        r["person_id"]: {c: r[c] for c in all_cols if c in r.asDict()}
+        for r in read_keyed_table(spark, path).collect()
+    }
+    assert set(got) == set(model)
+    for k, expect in model.items():
+        for c in all_cols:
+            assert got[k].get(c) == expect.get(c), (k, c, got[k], expect)
+
+
+def test_mor_time_travel_and_history(spark, tmp_path, monkeypatch):
+    """MoR publishes version like any other commit: a pinned read of the
+    pre-delta version reproduces the old state (its snapshot's live set
+    simply excludes the delta files)."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+    )
+
+    path = str(tmp_path / "mor_tt")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=2,
+    )
+    v1 = current_version(path)
+    _mor(monkeypatch)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("a", 10)], "k string, v int"),
+        key="k",
+        n_buckets=2,
+    )
+    assert current_version(path) == v1 + 1
+    now = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert now == {"a": 10, "b": 2}
+    pinned = {
+        r["k"]: r["v"]
+        for r in read_keyed_table(spark, path, version=v1).collect()
+    }
+    assert pinned == {"a": 1, "b": 2}
+
+
+def _buckets_of(spark, keys, n):
+    """The sink's bucket id for each key (computed with the sink's own
+    bucket function — Spark-side xxhash64, not reimplemented here)."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        BUCKET_COL,
+        _with_bucket,
+    )
+
+    df = _with_bucket(
+        spark.createDataFrame([(k,) for k in keys], "k string"), "k", n
+    )
+    return {r["k"]: r[BUCKET_COL] for r in df.collect()}
+
+
+def test_mor_delta_survives_cow_in_other_bucket(spark, tmp_path, monkeypatch):
+    """THE schema-pinning hazard: a CoW upsert that touches only bucket X
+    must not drop ``_seq`` from the pinned schema while bucket Y still
+    carries a live delta file — otherwise Y's delta rows read without
+    their sequence, reconciliation silently no-ops, and the table serves
+    DUPLICATE keys. _publish owns the decision from the manifest's delta
+    ledger, not from the CoW writer's own (seq-less) output."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        SEQ_COL,
+        _read_layout,
+        _read_manifest,
+        _stored_schema,
+    )
+
+    n = 2
+    path = str(tmp_path / "mor_cross")
+    keys = [f"k{i}" for i in range(20)]
+    b = _buckets_of(spark, keys, n)
+    a = next(k for k in keys if b[k] == 0)  # MoR-delta key, bucket 0
+    c = next(k for k in keys if b[k] == 1)  # CoW key, bucket 1
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(a, 111)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SINK_WRITE_MODE")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(c, 222)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    # the delta file in bucket 0 is still live → pinned schema keeps _seq
+    assert SEQ_COL in [f.name for f in _stored_schema(_read_layout(path)).fields]
+    rows = read_keyed_table(spark, path).collect()
+    got = {r["k"]: r["v"] for r in rows}
+    assert len(rows) == len(keys)  # no duplicate keys: delta reconciled
+    assert got[a] == 111 and got[c] == 222
+
+    # compaction folds the last delta → ledger empties → _seq leaves the
+    # pinned schema → later reads skip the reconciliation window entirely
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        compact_keyed_table,
+    )
+
+    compact_keyed_table(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert not _read_manifest(path).get("mor")
+    assert SEQ_COL not in [
+        f.name for f in _stored_schema(_read_layout(path)).fields
+    ]
+    got2 = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert got2 == got
+
+
+def test_mor_insert_into_empty_bucket_compacts(spark, tmp_path, monkeypatch):
+    """A MoR insert into a previously EMPTY bucket leaves a single-file
+    bucket whose one file is a delta: compaction must fold it anyway
+    (len(files)==1 alone would skip it, leaving real _seq values live and
+    the pinned schema stuck carrying the column forever)."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        SEQ_COL,
+        _read_layout,
+        _read_manifest,
+        _stored_schema,
+        compact_keyed_table,
+    )
+
+    n = 4
+    probe = [f"p{i}" for i in range(40)]
+    b = _buckets_of(spark, probe, n)
+    base_keys = [k for k in probe if b[k] == 0][:5]
+    new_key = next(k for k in probe if b[k] == 3)
+    path = str(tmp_path / "mor_empty_bucket")
+    write_keyed_table(
+        spark.createDataFrame([(k, 1) for k in base_keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(new_key, 9)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    m = _read_manifest(path)
+    d3 = f"_bucket=3"
+    assert m["live"][d3] == m["mor"][d3] and len(m["live"][d3]) == 1
+    assert compact_keyed_table(spark, path) >= 1
+    spark.catalog.refreshByPath(path)
+    assert not _read_manifest(path).get("mor")
+    assert SEQ_COL not in [
+        f.name for f in _stored_schema(_read_layout(path)).fields
+    ]
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert got[new_key] == 9 and len(got) == len(base_keys) + 1
+
+
+def test_sink_rejects_reserved_columns(spark, tmp_path):
+    from es_household_retention_spark_job_spark.sinks.upsert import SEQ_COL
+
+    df = spark.createDataFrame([("a", 1)], f"k string, {SEQ_COL} int")
+    with pytest.raises(ValueError, match="reserved"):
+        write_keyed_table(df, str(tmp_path / "r1"), key="k", n_buckets=2)
+    path = str(tmp_path / "r2")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_parquet(spark, path, df, key="k", n_buckets=2)
+
+
+def test_delete_keys_cow(spark, tmp_path):
+    """CoW delete: anti-join rewrite of only the affected buckets; rows
+    physically gone at commit; absent keys are a no-op; versioned like
+    any publish (time travel to the pre-delete version still serves)."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _read_manifest,
+        current_version,
+        delete_keys,
+    )
+
+    path = str(tmp_path / "del_cow")
+    write_keyed_table(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(50)], "k string, v int"
+        ),
+        path,
+        key="k",
+        n_buckets=4,
+    )
+    v1 = current_version(path)
+    n = delete_keys(
+        spark, path, spark.createDataFrame([("k3",), ("k7",), ("nope",)], "k string")
+    )
+    assert n == 3
+    got = {r["k"] for r in read_keyed_table(spark, path).collect()}
+    assert "k3" not in got and "k7" not in got and len(got) == 48
+    # physically gone: the raw live files contain no trace of the keys
+    m = _read_manifest(path)
+    raw = spark.read.parquet(
+        *[f"{path}/{d}/{f}" for d, fs in m["live"].items() for f in fs]
+    )
+    assert raw.where(F.col("k").isin("k3", "k7")).count() == 0
+    # pre-delete version still serves the rows
+    old = {r["k"] for r in read_keyed_table(spark, path, version=v1).collect()}
+    assert "k3" in old and len(old) == 50
+
+
+def test_delete_keys_mor_tombstones(spark, tmp_path, monkeypatch):
+    """MoR delete: O(deleted keys) tombstone append — base files untouched,
+    reads hide the key immediately, upsert-after-delete resurrects it
+    fresh, and compaction physically drops the bytes (and the internal
+    columns from the pinned schema)."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        SEQ_COL,
+        _read_layout,
+        _read_manifest,
+        _stored_schema,
+        compact_keyed_table,
+        delete_keys,
+    )
+
+    path = str(tmp_path / "del_mor")
+    write_keyed_table(
+        spark.createDataFrame(
+            [(f"k{i}", i, f"w{i}") for i in range(50)],
+            "k string, v int, w string",
+        ),
+        path,
+        key="k",
+        n_buckets=4,
+    )
+    m0 = _read_manifest(path)
+    base_files = {d: list(fs) for d, fs in m0["live"].items()}
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    assert delete_keys(
+        spark, path, spark.createDataFrame([("k3",), ("k7",)], "k string")
+    ) == 2
+    m1 = _read_manifest(path)
+    for d, fs in base_files.items():
+        assert set(fs) <= set(m1["live"][d])  # nothing rewritten
+    assert not m1["garbage"]
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, path).collect()}
+    assert "k3" not in got and "k7" not in got and len(got) == 48
+
+    # upsert-after-delete: key comes back fresh (old columns NOT revived)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 999)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    rows = {r["k"]: (r["v"], r["w"]) for r in read_keyed_table(spark, path).collect()}
+    assert rows["k3"] == (999, None)  # w NOT resurrected from pre-delete row
+    assert len(rows) == 49
+
+    # compaction: tombstoned bytes die, internal cols leave the schema
+    assert compact_keyed_table(spark, path) > 0
+    spark.catalog.refreshByPath(path)
+    assert not _read_manifest(path).get("mor")
+    assert SEQ_COL not in [
+        f.name for f in _stored_schema(_read_layout(path)).fields
+    ]
+    m2 = _read_manifest(path)
+    raw = spark.read.parquet(
+        *[f"{path}/{d}/{f}" for d, fs in m2["live"].items() for f in fs]
+    )
+    assert raw.where(F.col("k") == "k7").count() == 0
+    after = {r["k"]: (r["v"], r["w"]) for r in read_keyed_table(spark, path).collect()}
+    assert after == rows
+
+
+def test_delete_whole_bucket_cow(spark, tmp_path):
+    """Deleting every key of a bucket leaves an empty live list for it —
+    reads stay correct."""
+    from es_household_retention_spark_job_spark.sinks.upsert import delete_keys
+
+    n = 2
+    path = str(tmp_path / "del_all_bucket")
+    keys = [f"k{i}" for i in range(30)]
+    b = _buckets_of(spark, keys, n)
+    b0 = [k for k in keys if b[k] == 0]
+    write_keyed_table(
+        spark.createDataFrame([(k, 1) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    delete_keys(spark, path, spark.createDataFrame([(k,) for k in b0], "k string"))
+    got = {r["k"] for r in read_keyed_table(spark, path).collect()}
+    assert got == set(keys) - set(b0)

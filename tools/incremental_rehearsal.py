@@ -12,12 +12,20 @@ store size, and the equality verdict vs an independent full backfill over
 the complete store.
 
 Usage: python tools/incremental_rehearsal.py [sf_dir=/root/testdata/sf0.1]
-       [delta_days=30]
+       [delta_days=30] [mode=cow]
+
+``mode=mor`` switches the sink to merge-on-read for the INCREMENTAL step
+only (backfills stay copy-on-write — they are the reference): the CDC
+upserts land as per-bucket delta appends instead of full bucket rewrites,
+the write-floor fix SCALING.md's sf10 section motivated. Reported extra:
+``compact_sec`` (the deferred maintenance fold) — the honest MoR total is
+incremental + amortized compaction.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -64,6 +72,7 @@ def checksum(spark, person_path: str) -> int:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     delta_days = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    mode = sys.argv[3] if len(sys.argv) > 3 else "cow"
     spark = get_spark(app_name="incr-rehearsal", cpus=32, shuffle_partitions=64)
 
     person, encounter = retention_inputs(spark, sf_dir)
@@ -101,15 +110,29 @@ def main() -> None:
         write_keyed_table(person, p_inc, key="person_id", n_buckets=64)
         run_retention(spark, p_inc, enc_base, CLIENT, TESTDATA_AS_OF)
         delta = enc.where(F.col("admit_date") >= cutoff_ms)
+        if mode == "mor":
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
         t0 = time.time()
         stats = run_incremental(
             spark, p_inc, enc_all, delta, CLIENT, TESTDATA_AS_OF
         )
         t_incremental = time.time() - t0
+        os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        t_compact = None
+        if mode == "mor":
+            from es_household_retention_spark_job_spark.sinks.upsert import (
+                compact_keyed_table,
+            )
+
+            t0 = time.time()
+            compact_keyed_table(spark, p_inc)
+            t_compact = round(time.time() - t0, 2)
         got = checksum(spark, p_inc)
 
         out = {
             "sf_dir": sf_dir,
+            "mode": mode,
+            "compact_sec": t_compact,
             "persons": person.count(),
             "encounters": n_all,
             "delta_encounters": n_all - n_base,
