@@ -162,6 +162,15 @@ def run_incremental(
     encounter scan to affected persons through the join itself. A daily
     0.1% delta therefore costs ~0.1% of the backfill, not a rescan.
 
+    The WRITE side is the store's trade to make: under the default
+    copy-on-write sink any realistic affected-key set hashes into every
+    bucket, so the three upserts each rewrite the whole store — an
+    O(store) floor independent of delta size (measured at sf10,
+    SCALING.md). Set ``SPARK_GRAFT_SINK_WRITE_MODE=mor`` to land them as
+    per-bucket delta appends (O(delta) writes; reads reconcile per key
+    until the next ``compact_keyed_table``) — state-identical to the CoW
+    run, pinned in tests/test_incremental_retention.py.
+
     **Maintenance-invisible reads.** The returned ``pre_version`` is the
     person table's committed version BEFORE any invalidate: a reader
     pinned via ``read_keyed_table(spark, person_path, version=pre_version)``

@@ -398,6 +398,10 @@ def _write_snapshot(
         "version": manifest["version"],
         "ts": manifest["ts"],
         "live": manifest["live"],
+        # the MoR delta ledger AS OF this version: lets a time-travel read
+        # confine reconciliation to delta-carrying buckets, same as a
+        # current read (absent in pre-ledger snapshots → full resolve)
+        "mor": manifest.get("mor", {}),
     }
     if schema is not None:
         snap["schema"] = schema.jsonValue()
@@ -727,14 +731,44 @@ def read_keyed_table(
             ) from None
         if manifest.get("schema"):
             schema = StructType.fromJson(manifest["schema"])
+    if manifest is None:
+        manifest = _read_manifest(path)
     df = _read_live(spark, path, schema, manifest=manifest)
     if SEQ_COL in df.columns:
         # merge-on-read reconciliation (per-key latest delta wins); the
         # supersession column is internal and never reaches callers
         try:
-            df = _resolve(df, _read_layout(path)["key"])
+            key = _read_layout(path)["key"]
         except FileNotFoundError:
-            pass  # no layout → never took a MoR delta
+            key = None  # no layout → never took a MoR delta
+        if key is not None and manifest is not None and "mor" in manifest:
+            # confine the reconciliation window to DELTA-CARRYING buckets:
+            # clean buckets stay a bare columnar scan (no exchange, filter
+            # pushdown intact — Catalyst pushes a caller's filters into
+            # both union children). At scale this is the Hudi read-
+            # optimized/realtime split per file group: the read tax is
+            # O(dirty buckets), set by compaction cadence, not O(table).
+            dirty_dirs = set(manifest.get("mor") or {})
+            clean_ids = [
+                int(d.split("=", 1)[1])
+                for d in manifest["live"]
+                if d not in dirty_dirs
+            ]
+            dirty_ids = [int(d.split("=", 1)[1]) for d in dirty_dirs]
+            clean = _read_live(
+                spark, path, schema, buckets=clean_ids, manifest=manifest
+            )
+            dirty = _read_live(
+                spark, path, schema, buckets=dirty_ids, manifest=manifest
+            )
+            # _resolve consumes _tombstone on the dirty side; clean base
+            # rows carry it only as an all-null pinned column — drop for
+            # a matching union shape
+            df = clean.drop(TOMBSTONE_COL).unionByName(_resolve(dirty, key))
+        elif key is not None:
+            # pre-ledger snapshot/manifest: no per-bucket knowledge —
+            # resolve the whole read (always correct)
+            df = _resolve(df, key)
     return df.drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
 
 

@@ -1358,3 +1358,41 @@ def test_delete_whole_bucket_cow(spark, tmp_path):
     delete_keys(spark, path, spark.createDataFrame([(k,) for k in b0], "k string"))
     got = {r["k"] for r in read_keyed_table(spark, path).collect()}
     assert got == set(keys) - set(b0)
+
+
+def test_mor_read_resolves_only_dirty_buckets(spark, tmp_path, monkeypatch):
+    """The MoR read tax is confined to delta-carrying buckets: the plan is
+    a UNION of a bare scan (clean buckets — no exchange, pushdown intact)
+    and one reconciliation window (dirty buckets only). A full-table
+    window would tax every read with an O(table) key shuffle that
+    compaction cadence could never claw back for clean buckets."""
+    n = 4
+    path = str(tmp_path / "mor_split")
+    keys = [f"k{i}" for i in range(40)]
+    b = _buckets_of(spark, keys, n)
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    target = keys[0]
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(target, 7)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    df = read_keyed_table(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan  # split read, not a full-table resolve
+    # exactly one reconciliation window operator (WindowGroupLimit rows
+    # also contain the substring "Window" — count the operator itself)
+    assert plan.count("Window [row_number") == 1
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got[target] == 7 and len(got) == len(keys)
+    # keys of OTHER buckets are served by the clean (window-free) side
+    clean_key = next(k for k in keys if b[k] != b[target])
+    assert got[clean_key] == 0
