@@ -359,3 +359,4 @@ def rolling_active_households(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``register`` from this module).
 from . import entry_queries_generic  # noqa: E402,F401
 from . import entry_queries_docs  # noqa: E402,F401
+from . import entry_queries_sink  # noqa: E402,F401

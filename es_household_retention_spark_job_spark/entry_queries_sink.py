@@ -1,0 +1,155 @@
+"""Oracle-pinned registry rows for the keyed sink's READ surface (round 9):
+the change data feed (``read_changes``) and the point-lookup path
+(``read_keyed_table(keys=...)``).
+
+The sink itself (S7/S8 — write modes, MVCC manifest, concurrency, time
+travel) is pytest-covered in tests/test_upsert_pipeline.py; what these rows
+add is HASH-level oracle coverage of the derived read results. Both rows
+share one deterministic table build per process: load ``customer`` into the
+bucketed-merge layout, then apply a scripted merge-on-read batch (scattered
+updates + out-of-range inserts + keyed deletes). Because every mutation is
+an arithmetic function of ``c_custkey``, DuckDB can reproduce the expected
+feed / lookup result straight from the source parquet — no sink required on
+the oracle side, which is exactly the point: the sink's read surface is
+checked against a definition that never touches the sink.
+
+Mutation script (MoR write mode, so the reads reconcile real delta files):
+  * update  — every ``c_custkey % 7 == 0`` row gets ``c_acctbal + 100``
+  * insert  — every ``c_custkey % 13 == 0`` row re-keyed to ``+1_000_000``
+  * delete  — every ``c_custkey % 11 == 0`` key (after the upsert, so keys
+    divisible by 77 are updated-then-deleted; the v0→current diff correctly
+    reports a plain delete carrying the ORIGINAL preimage)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import register
+
+_BUCKETS = 8
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+#: sf_dir -> (table_path, v0) for this process (process-scoped scratch,
+#: same lifecycle pattern as entry_queries_docs._TEXT_INDEX_BUILT)
+_SINK_TABLE_BUILT: dict[str, tuple[str, int]] = {}
+
+
+def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    built = _SINK_TABLE_BUILT.get(sf_dir)
+    if built is not None:
+        return built
+    from .sinks.upsert import (
+        current_version,
+        delete_keys,
+        upsert_parquet,
+        write_keyed_table,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_sink_cdf_"), "t")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _customer(spark, sf_dir)
+    write_keyed_table(cust, path, key="c_custkey", n_buckets=_BUCKETS)
+    v0 = current_version(path)
+    updates = cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = cust.where(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    prev = os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE")
+    os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+    try:
+        upsert_parquet(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            key="c_custkey",
+            n_buckets=_BUCKETS,
+        )
+        delete_keys(
+            spark,
+            path,
+            cust.where(F.col("c_custkey") % 11 == 0).select("c_custkey"),
+            key="c_custkey",
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        else:
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = prev
+    _SINK_TABLE_BUILT[sf_dir] = (path, v0)
+    return path, v0
+
+
+_CDF_SQL = """
+WITH src AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+SELECT c_custkey, c_name, c_acctbal,
+       'update_preimage' AS _change_type
+  FROM src WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+       'update_postimage' AS _change_type
+  FROM src WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 'delete' AS _change_type
+  FROM src WHERE c_custkey % 11 = 0
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+       'insert' AS _change_type
+  FROM src WHERE c_custkey % 13 = 0
+"""
+
+
+@register("sink_change_feed", _CDF_SQL, extra=True)
+def sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two retained versions
+    (sinks/upsert.py::read_changes, Delta-CDF row shape): inserts, deletes
+    with preimage, and preimage/postimage update pairs, diffed over
+    RESOLVED states so merge-on-read delta files are invisible. The oracle
+    recomputes the expected feed from the source parquet alone."""
+    from .sinks.upsert import read_changes
+
+    path, v0 = _mutated_table(spark, sf_dir)
+    return read_changes(spark, path, v0)
+
+
+_LOOKUP_SQL = """
+SELECT c_custkey, c_name,
+       c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END
+         AS c_acctbal
+  FROM customer
+ WHERE c_custkey % 97 = 0 AND c_custkey % 11 <> 0
+"""
+
+
+@register("sink_point_lookup", _LOOKUP_SQL, extra=True)
+def sink_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup (sinks/upsert.py::read_keyed_table(keys=...)) against
+    the MoR-dirty current state: only the buckets the probe keys hash to
+    are opened (manifest-level pruning pinned in test_upsert_pipeline),
+    and the reconciliation window runs only over those buckets' deltas.
+    Probe = every source key divisible by 97; deleted keys must be absent,
+    updated keys must serve the post-update value."""
+    from .sinks.upsert import read_keyed_table
+
+    path, _ = _mutated_table(spark, sf_dir)
+    probe = [
+        r[0]
+        for r in _customer(spark, sf_dir)
+        .where(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    return read_keyed_table(spark, path, keys=sorted(probe))

@@ -58,7 +58,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 BUCKET_COL = "_bucket"
 DEFAULT_BUCKETS = 16
@@ -692,8 +692,153 @@ def write_keyed_table(
     _write_snapshot(path, manifest, schema)  # post-commit, like _publish
 
 
+def _resolved_state(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None,
+    manifest: dict | None,
+    layout: dict | None,
+    restrict: list | None = None,
+) -> DataFrame:
+    """The table's RESOLVED user-visible state as of ``manifest`` (current
+    or a time-travel snapshot), confined to ``restrict`` bucket ids when
+    given; internal columns dropped. Under merge-on-read the
+    reconciliation window is confined to DELTA-CARRYING buckets: clean
+    buckets stay a bare columnar scan (no exchange, filter pushdown
+    intact — Catalyst pushes a caller's filters into both union
+    children). At scale this is the Hudi read-optimized/realtime split
+    per file group: the read tax is O(dirty buckets), set by compaction
+    cadence, not O(table)."""
+    df = _read_live(spark, path, schema, buckets=restrict, manifest=manifest)
+    if SEQ_COL in df.columns:
+        # merge-on-read reconciliation (per-key latest delta wins); the
+        # supersession column is internal and never reaches callers
+        key = layout["key"] if layout else None  # no layout → no MoR delta
+        if key is not None and manifest is not None and "mor" in manifest:
+            ledger = manifest.get("mor") or {}
+            dirty_dirs = sorted(ledger)
+            clean_ids = [
+                int(d.split("=", 1)[1])
+                for d in manifest["live"]
+                if d not in ledger
+            ]
+            if restrict is not None:  # point lookup: only looked-up buckets
+                keep = set(restrict)
+                clean_ids = [b for b in clean_ids if b in keep]
+                dirty_dirs = [
+                    d for d in dirty_dirs if int(d.split("=", 1)[1]) in keep
+                ]
+            clean = _read_live(
+                spark, path, schema, buckets=clean_ids, manifest=manifest
+            )
+            # _resolve consumes _tombstone on the resolved side; base rows
+            # carry it only as an all-null pinned column — drop for a
+            # matching union shape
+            df = clean.drop(TOMBSTONE_COL).unionByName(
+                _resolve_dirty(spark, path, schema, manifest, key, dirty_dirs)
+            )
+        elif key is not None:
+            # pre-ledger snapshot/manifest: no per-bucket knowledge —
+            # resolve the whole read (always correct)
+            df = _resolve(df, key)
+    return df.drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
+
+
+def _mor_broadcast_max() -> int:
+    """``SPARK_GRAFT_MOR_BROADCAST_MAX``: largest total DELTA-file bytes
+    (parquet, per read) reconciled via the broadcast anti-join plan; above
+    it the read falls back to the full per-key window over dirty buckets.
+    The broadcast is delta KEYS only, so the driver/executor memory is a
+    fraction of this figure."""
+    return int(os.environ.get("SPARK_GRAFT_MOR_BROADCAST_MAX", str(64 << 20)))
+
+
+def _read_files(
+    spark: SparkSession, path: str, schema: StructType | None, files: list[str]
+) -> DataFrame:
+    if not files:
+        empty_schema = schema or StructType([StructField(BUCKET_COL, LongType())])
+        return spark.createDataFrame([], empty_schema)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.option("basePath", path).parquet(*files)
+
+
+def _resolve_dirty(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None,
+    manifest: dict,
+    key: str,
+    dirty_dirs: list[str],
+) -> DataFrame:
+    """Reconciled state of the DELTA-CARRYING buckets. Two plans:
+
+    * **Broadcast anti-join** (deltas small — the CDC case): the ledger
+      splits each dirty bucket's live files into base vs delta; base rows
+      whose key appears in ANY delta row are superseded (an anti-join
+      against the broadcast delta key set — tombstoned keys included, so
+      deletes can't resurrect), and the per-key window runs over DELTA
+      ROWS ONLY. The base side is never shuffled: a maintenance append of
+      k rows costs readers O(k) window work + a broadcast, not an
+      O(bucket-rows) key exchange per action. This is what makes
+      write-then-reread loops (run_incremental's three publishes with
+      interleaved phase reads) affordable under MoR.
+    * **Full window** (deltas above ``SPARK_GRAFT_MOR_BROADCAST_MAX``, or
+      ledger files unreadable): the always-correct per-key window over
+      all dirty-bucket rows.
+    """
+    ledger = manifest.get("mor") or {}
+    delta_files = [
+        os.path.join(path, d, f) for d in dirty_dirs for f in ledger[d]
+    ]
+    base_files = [
+        os.path.join(path, d, f)
+        for d in dirty_dirs
+        for f in manifest["live"].get(d, [])
+        if f not in set(ledger[d])
+    ]
+    try:
+        delta_bytes = sum(os.path.getsize(f) for f in delta_files)
+    except OSError:
+        delta_bytes = None  # raced a GC — take the manifest-listed path
+    if delta_bytes is not None and delta_bytes <= _mor_broadcast_max():
+        delta = _read_files(spark, path, schema, delta_files)
+        base = _read_files(spark, path, schema, base_files)
+        superseded = delta.select(key).distinct()
+        base = base.join(F.broadcast(superseded), on=key, how="anti")
+        return base.drop(TOMBSTONE_COL).unionByName(_resolve(delta, key))
+    dirty_ids = [int(d.split("=", 1)[1]) for d in dirty_dirs]
+    dirty = _read_live(spark, path, schema, buckets=dirty_ids, manifest=manifest)
+    return _resolve(dirty, key)
+
+
+#: largest key list served by an In-filter before the point-lookup read
+#: switches to a broadcast semi-join (same adaptive pattern as the search
+#: index's term filter): a multi-thousand-element In expression bloats the
+#: plan and defeats codegen, while a broadcast join stays O(|keys|) map-side
+LOOKUP_ISIN_MAX = 256
+
+
+def _lookup_buckets(
+    spark: SparkSession, keys: list, key: str, key_type, n_buckets: int
+) -> list[int]:
+    """The bucket ids a key list hashes to — computed IN-ENGINE (one
+    |keys|-row local-relation job) so the bucketing function has exactly
+    one definition (`_with_bucket`'s xxhash64/pmod); a driver-side Python
+    reimplementation would silently diverge on hash semantics. The
+    collect is bounded by min(|keys|, n_buckets) ints."""
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], StructType([StructField(key, key_type, False)])
+    )
+    rows = _with_bucket(kdf, key, n_buckets).select(BUCKET_COL).distinct().collect()
+    return sorted(r[0] for r in rows)
+
+
 def read_keyed_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    keys: list | None = None,
 ) -> DataFrame:
     """Read back without the layout column; ``version`` time-travels to a
     retained published version (``table_history`` lists them).
@@ -712,11 +857,35 @@ def read_keyed_table(
     A time-travel scan holds the same contract as a current-manifest scan:
     its files stay on disk while the version is retained (vacuum never
     deletes snapshot-referenced files) plus the GC grace window after the
-    version expires."""
+    version expires.
+
+    ``keys`` is the POINT-LOOKUP path: only the buckets those keys hash to
+    are read at all (manifest-level pruning — at production bucket counts
+    a k-key lookup opens ≤k buckets, not the table), the key predicate is
+    pushed into the parquet scan (In-filter for small lists, broadcast
+    semi-join beyond ``LOOKUP_ISIN_MAX``), and under merge-on-read only
+    the looked-up buckets that actually carry deltas pay the
+    reconciliation window. Composes with ``version``. This is the serving
+    shape: O(|keys| buckets) I/O regardless of table size."""
     try:
-        schema = _stored_schema(_read_layout(path))
+        layout = _read_layout(path)
+        schema = _stored_schema(layout)
     except FileNotFoundError:  # plain bucketed parquet without a sidecar
-        schema = None
+        layout, schema = None, None
+    restrict = None  # bucket ids the read is confined to (None = all)
+    if keys is not None:
+        if layout is None:
+            raise ValueError(
+                f"point lookup requires a keyed layout sidecar at {path}"
+            )
+        if not keys:
+            raise ValueError("keys must be a non-empty list (or None)")
+        lkey, n_buckets = layout["key"], int(layout["n_buckets"])
+        key_type = (
+            (schema[lkey].dataType if schema and lkey in schema.names else None)
+            or StringType()
+        )
+        restrict = _lookup_buckets(spark, keys, lkey, key_type, n_buckets)
     manifest = None
     if version is not None:
         try:
@@ -733,43 +902,20 @@ def read_keyed_table(
             schema = StructType.fromJson(manifest["schema"])
     if manifest is None:
         manifest = _read_manifest(path)
-    df = _read_live(spark, path, schema, manifest=manifest)
-    if SEQ_COL in df.columns:
-        # merge-on-read reconciliation (per-key latest delta wins); the
-        # supersession column is internal and never reaches callers
-        try:
-            key = _read_layout(path)["key"]
-        except FileNotFoundError:
-            key = None  # no layout → never took a MoR delta
-        if key is not None and manifest is not None and "mor" in manifest:
-            # confine the reconciliation window to DELTA-CARRYING buckets:
-            # clean buckets stay a bare columnar scan (no exchange, filter
-            # pushdown intact — Catalyst pushes a caller's filters into
-            # both union children). At scale this is the Hudi read-
-            # optimized/realtime split per file group: the read tax is
-            # O(dirty buckets), set by compaction cadence, not O(table).
-            dirty_dirs = set(manifest.get("mor") or {})
-            clean_ids = [
-                int(d.split("=", 1)[1])
-                for d in manifest["live"]
-                if d not in dirty_dirs
-            ]
-            dirty_ids = [int(d.split("=", 1)[1]) for d in dirty_dirs]
-            clean = _read_live(
-                spark, path, schema, buckets=clean_ids, manifest=manifest
+    df = _resolved_state(spark, path, schema, manifest, layout, restrict)
+    if keys is not None:
+        lkey = layout["key"]
+        if len(keys) <= LOOKUP_ISIN_MAX:
+            # In-filter reaches the parquet scan (PushedFilters: In(key,..))
+            df = df.where(F.col(lkey).isin(list(keys)))
+        else:
+            key_type = df.schema[lkey].dataType
+            kdf = spark.createDataFrame(
+                [(k,) for k in set(keys)],
+                StructType([StructField(lkey, key_type, False)]),
             )
-            dirty = _read_live(
-                spark, path, schema, buckets=dirty_ids, manifest=manifest
-            )
-            # _resolve consumes _tombstone on the dirty side; clean base
-            # rows carry it only as an all-null pinned column — drop for
-            # a matching union shape
-            df = clean.drop(TOMBSTONE_COL).unionByName(_resolve(dirty, key))
-        elif key is not None:
-            # pre-ledger snapshot/manifest: no per-bucket knowledge —
-            # resolve the whole read (always correct)
-            df = _resolve(df, key)
-    return df.drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
+            df = df.join(F.broadcast(kdf), on=lkey, how="semi")
+    return df
 
 
 def current_version(path: str) -> int:
@@ -802,6 +948,135 @@ def table_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+#: change-feed marker column; values: insert / delete / update_preimage /
+#: update_postimage (Delta CDF's vocabulary — downstream consumers expect it)
+CHANGE_TYPE_COL = "_change_type"
+
+
+def _version_manifest(path: str, version: int) -> dict:
+    try:
+        with open(_snapshot_path(path, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version {version} is not retained at {path}; retained "
+            f"versions: {_snapshot_versions(path)} "
+            f"(SPARK_GRAFT_SINK_KEEP_VERSIONS={_keep_versions()})"
+        ) from None
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed: every key whose resolved value differs between two
+    retained versions, as rows carrying ``_change_type`` in
+    ``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``
+    (Delta CDF's row shape — preimage+postimage pairs for updates, so a
+    downstream incremental aggregate can retract-then-apply). This is what
+    turns the sink into a PIPELINE SOURCE: a consumer remembers the last
+    version it saw and folds ``read_changes(last, current)`` instead of
+    re-scanning the table — the same contract ``pipeline.run_incremental``
+    offers upstream, now available downstream of every keyed table.
+
+    Scale shape: the diff is BUCKET-CONFINED — a bucket whose live file
+    list is identical in both snapshots cannot contain a change and is
+    never opened, so the full-outer key diff shuffles only changed-bucket
+    rows. Under merge-on-read a CDC upsert dirties only the buckets its
+    delta rows hash to, making the feed's cost O(changed data), not
+    O(table); under copy-on-write a realistic upsert rewrites most
+    buckets, and the diff honestly pays that blast radius (the write
+    amplification and the feed amplification are the same trade, chosen
+    by ``SPARK_GRAFT_SINK_WRITE_MODE``).
+
+    Values are compared with null-safe struct equality over the UNION of
+    both versions' column sets (schema evolution: a column added between
+    the versions compares as null-before vs value-after, so a CoW bucket
+    rewrite that only materializes the new column as all-nulls does NOT
+    report phantom updates). Deletes report the preimage row.
+
+    ``to_version=None`` means the current committed version. Both
+    versions must still be retained (``SPARK_GRAFT_SINK_KEEP_VERSIONS``)."""
+    layout = _read_layout(path)  # change feed requires a keyed table
+    key = layout["key"]
+    from_man = _version_manifest(path, from_version)
+    if to_version is not None:
+        to_man = _version_manifest(path, to_version)
+    else:
+        to_man = _read_manifest(path)
+        if to_man is None:
+            raise ValueError(f"no committed manifest at {path}")
+    from_schema = (
+        StructType.fromJson(from_man["schema"])
+        if from_man.get("schema")
+        else _stored_schema(layout)
+    )
+    to_schema = (
+        StructType.fromJson(to_man["schema"])
+        if to_man.get("schema")
+        else _stored_schema(layout)
+    )
+    from_live, to_live = from_man.get("live", {}), to_man.get("live", {})
+    changed = sorted(
+        int(d.split("=", 1)[1])
+        for d in set(from_live) | set(to_live)
+        if sorted(from_live.get(d, [])) != sorted(to_live.get(d, []))
+    )
+    before = _resolved_state(spark, path, from_schema, from_man, layout, changed)
+    after = _resolved_state(spark, path, to_schema, to_man, layout, changed)
+    # align both sides on the UNION of user column sets (null-filled),
+    # so adds/drops between versions diff as null-vs-value per column
+    cols = [key] + sorted(
+        (set(before.columns) | set(after.columns)) - {key}
+    )
+    types = {f.name: f.dataType for f in before.schema.fields}
+    for f in after.schema.fields:
+        types.setdefault(f.name, f.dataType)
+
+    def _aligned(df: DataFrame, present_col: str) -> DataFrame:
+        out = df
+        for c in cols:
+            if c not in df.columns:
+                out = out.withColumn(c, F.lit(None).cast(types[c]))
+        # presence marker: after the outer join an absent row and a
+        # present all-null row would build the same struct of nulls
+        return out.select(*cols, F.lit(True).alias(present_col))
+
+    val_cols = [c for c in cols if c != key]
+    j = _aligned(before, "_b").alias("b").join(
+        _aligned(after, "_a").alias("a"), on=key, how="full_outer"
+    )
+    b_row = F.struct(*[F.col(f"b.{c}").alias(c) for c in val_cols])
+    a_row = F.struct(*[F.col(f"a.{c}").alias(c) for c in val_cols])
+    entry = lambda ct, row: F.struct(  # noqa: E731
+        F.lit(ct).alias(CHANGE_TYPE_COL), row.alias("_row")
+    )
+    changes = (
+        j.withColumn(
+            "_entries",
+            F.when(F.col("b._b").isNull(), F.array(entry("insert", a_row)))
+            .when(F.col("a._a").isNull(), F.array(entry("delete", b_row)))
+            .when(
+                ~b_row.eqNullSafe(a_row),
+                F.array(
+                    entry("update_preimage", b_row),
+                    entry("update_postimage", a_row),
+                ),
+            )
+            .otherwise(F.array()),  # same value in a changed bucket
+        )
+        .select(key, F.explode("_entries").alias("_e"))
+        .select(
+            key,
+            *[F.col(f"_e._row.{c}").alias(c) for c in val_cols],
+            F.col(f"_e.{CHANGE_TYPE_COL}").alias(CHANGE_TYPE_COL),
+        )
+    )
+    return changes
 
 
 def _read_live(

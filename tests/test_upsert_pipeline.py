@@ -1396,3 +1396,236 @@ def test_mor_read_resolves_only_dirty_buckets(spark, tmp_path, monkeypatch):
     # keys of OTHER buckets are served by the clean (window-free) side
     clean_key = next(k for k in keys if b[k] != b[target])
     assert got[clean_key] == 0
+
+
+def test_point_lookup_reads_only_hashed_buckets(spark, tmp_path):
+    """keys= is the serving path: the scan's file set is confined to the
+    buckets the keys hash to (manifest-level pruning), and the key
+    predicate reaches the parquet scan as an In pushdown. An unpruned
+    lookup would make every point read an O(table) scan."""
+    n = 8
+    path = str(tmp_path / "lookup")
+    keys = [f"k{i}" for i in range(64)]
+    b = _buckets_of(spark, keys, n)
+    write_keyed_table(
+        spark.createDataFrame([(k, len(k)) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    probe = [keys[0], next(k for k in keys if b[k] != b[keys[0]])]
+    df = read_keyed_table(spark, path, keys=probe)
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {k: len(k) for k in probe}
+    want_buckets = {f"_bucket={b[k]}" for k in probe}
+    touched = {f.split("/")[-2] for f in df.inputFiles()}
+    assert touched == want_buckets  # only the hashed buckets are opened
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(k" in plan or "In(k, " in plan
+
+
+def test_point_lookup_mor_and_time_travel(spark, tmp_path, monkeypatch):
+    """Point lookups compose with merge-on-read (the looked-up bucket's
+    deltas win) and with version= (pre-upsert value served)."""
+    n = 4
+    path = str(tmp_path / "lookup_mor")
+    keys = [f"k{i}" for i in range(40)]
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+    )
+
+    v0 = current_version(path)
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    target = keys[7]
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(target, 9)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    now = read_keyed_table(spark, path, keys=[target]).collect()
+    assert [(r["k"], r["v"]) for r in now] == [(target, 9)]
+    then = read_keyed_table(spark, path, version=v0, keys=[target]).collect()
+    assert [(r["k"], r["v"]) for r in then] == [(target, 0)]
+
+
+def test_point_lookup_large_key_list_semi_join(spark, tmp_path):
+    """Beyond LOOKUP_ISIN_MAX the lookup switches to a broadcast semi-join
+    (a thousands-element In expression bloats the plan); results are
+    identical and unknown keys are simply absent."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        LOOKUP_ISIN_MAX,
+    )
+
+    n = 4
+    path = str(tmp_path / "lookup_big")
+    keys = [f"k{i}" for i in range(LOOKUP_ISIN_MAX + 40)]
+    write_keyed_table(
+        spark.createDataFrame([(k, 1) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    probe = keys[: LOOKUP_ISIN_MAX + 10] + ["missing0", "missing1"]
+    df = read_keyed_table(spark, path, keys=probe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    got = {r["k"] for r in df.collect()}
+    assert got == set(probe) - {"missing0", "missing1"}
+
+
+def _changes(spark, path, v0, v1=None):
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        read_changes,
+    )
+
+    rows = read_changes(spark, path, v0, v1).collect()
+    return sorted((r["k"], r["v"], r["_change_type"]) for r in rows)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_change_feed_insert_update_delete(spark, tmp_path, monkeypatch, mode):
+    """read_changes turns the sink into a pipeline source: inserts,
+    preimage/postimage update pairs, and deletes between two retained
+    versions — identical under CoW and MoR writes (the feed reads
+    RESOLVED states, so delta files vs rewrites is invisible)."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+        delete_keys,
+    )
+
+    n = 4
+    path = str(tmp_path / f"cdf_{mode}")
+    keys = [f"k{i}" for i in range(30)]
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    v0 = current_version(path)
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", mode)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 7), ("new1", 1)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    delete_keys(spark, path, spark.createDataFrame([("k5",)], "k string"))
+    assert _changes(spark, path, v0) == [
+        ("k3", 0, "update_preimage"),
+        ("k3", 7, "update_postimage"),
+        ("k5", 0, "delete"),
+        ("new1", 1, "insert"),
+    ]
+    # the feed is version-addressed: the sub-range containing only the
+    # delete reports only the delete
+    v1 = current_version(path)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 8)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    assert _changes(spark, path, v1) == [
+        ("k3", 7, "update_preimage"),
+        ("k3", 8, "update_postimage"),
+    ]
+    # same-version diff: empty, schema intact
+    empty = spark.sparkContext  # noqa: F841  (keep spark referenced)
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        read_changes,
+    )
+
+    df = read_changes(spark, path, v1, v1)
+    assert df.count() == 0
+    assert df.columns == ["k", "v", "_change_type"]
+
+
+def test_change_feed_is_bucket_confined(spark, tmp_path):
+    """A bucket whose live file list is identical in both snapshots is
+    never opened: the diff's input files all live under changed buckets.
+    (Under MoR an upsert dirties only the delta's hashed buckets, so the
+    feed reads O(changed data); CoW rewrites make every touched bucket
+    'changed' — same blast radius as the write itself.)"""
+    import os as _os
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+        read_changes,
+    )
+
+    n = 8
+    path = str(tmp_path / "cdf_pruned")
+    keys = [f"k{i}" for i in range(64)]
+    b = _buckets_of(spark, keys, n)
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    v0 = current_version(path)
+    _os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+    try:
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([("k0", 5)], "k string, v int"),
+            key="k",
+            n_buckets=n,
+        )
+    finally:
+        _os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+    df = read_changes(spark, path, v0)
+    touched = {f.split("/")[-2] for f in df.inputFiles()}
+    assert touched == {f"_bucket={b['k0']}"}  # only the dirtied bucket
+    assert _changes(spark, path, v0) == [
+        ("k0", 0, "update_preimage"),
+        ("k0", 5, "update_postimage"),
+    ]
+
+
+def test_change_feed_schema_evolution_no_phantom_updates(spark, tmp_path):
+    """A schema-evolving upsert rewrites whole buckets (CoW), materializing
+    the new column as nulls for untouched keys in those buckets. The feed
+    compares over the UNION column set with null-safe equality, so those
+    keys do NOT appear as phantom updates — only the actually-changed key
+    does, with the new column populated."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+        read_changes,
+    )
+
+    n = 2
+    path = str(tmp_path / "cdf_evolve")
+    keys = [f"k{i}" for i in range(20)]
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    v0 = current_version(path)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k4", 1, "x")], "k string, v int, extra string"),
+        key="k",
+        n_buckets=n,
+    )
+    rows = read_changes(spark, path, v0).collect()
+    got = sorted((r["k"], r["v"], r["extra"], r["_change_type"]) for r in rows)
+    assert got == [
+        ("k4", 0, None, "update_preimage"),
+        ("k4", 1, "x", "update_postimage"),
+    ]

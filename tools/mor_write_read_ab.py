@@ -1,0 +1,128 @@
+"""Write/read trade A/B for the keyed sink's two write modes, measured on a
+POPULATED retention store (histories filled by a real backfill — wide rows,
+the regime where a copy-on-write rewrite actually costs something).
+
+Times, per mode, on the same store state:
+  * ``write_sec`` — upsert_parquet of a scattered DELTA-keys CDC batch
+    (hash-scattered keys: the realistic shape that touches every bucket,
+    the CoW write floor SCALING.md's sf10 rehearsal attributed)
+  * ``read_sec`` — a full read AFTER the upsert (MoR pays its
+    reconciliation window here; CoW reads stay clean scans)
+  * MoR only: ``compact_sec`` and ``read_after_compact_sec`` (the deferred
+    maintenance that ends the read tax)
+
+Together with tools/incremental_rehearsal.py (which couples the two sides
+through run_incremental's three publishes + interleaved reads) this
+separates WHERE each mode's cost lives: MoR converts O(affected-bucket
+rows) writes into O(delta) appends, CoW converts reads into window-free
+scans — the crossover is the store's write:read ratio.
+
+Usage: python tools/mor_write_read_ab.py [sf_dir] [delta_keys=1000]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from es_household_retention_spark_job_spark.clock import TESTDATA_AS_OF  # noqa: E402
+from es_household_retention_spark_job_spark.pipeline import run_retention  # noqa: E402
+from es_household_retention_spark_job_spark.session import get_spark  # noqa: E402
+from es_household_retention_spark_job_spark.sinks.upsert import (  # noqa: E402
+    compact_keyed_table,
+    read_keyed_table,
+    upsert_parquet,
+    write_keyed_table,
+)
+from es_household_retention_spark_job_spark.sources.tpch import (  # noqa: E402
+    retention_inputs,
+)
+
+
+def _full_read(spark, path) -> int:
+    """A read that MATERIALIZES every column (checksum over the wide
+    history struct) — a bare count() is column-pruned to a footer scan
+    and would measure nothing."""
+    df = read_keyed_table(spark, path)
+    return (
+        df.select(
+            F.xxhash64(
+                F.col("person_id"),
+                F.to_json(F.col("household_retention_history")),
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)"))
+        .first()[0]
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_delta = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    spark = get_spark(app_name="mor-ab", cpus=32, shuffle_partitions=64)
+    person, encounter = retention_inputs(spark, sf_dir)
+    htype = person.schema["household_retention_history"].dataType
+    person = person.withColumn(
+        "household_retention_history", F.lit(None).cast(htype)
+    )
+    work = Path(tempfile.mkdtemp(prefix="mor_ab_"))
+    out = {"sf_dir": sf_dir, "delta_keys": n_delta, "persons": person.count()}
+    try:
+        enc_path = str(work / "encounter")
+        encounter.write.mode("overwrite").parquet(enc_path)
+        base = str(work / "store_base")
+        write_keyed_table(person, base, key="person_id", n_buckets=64)
+        run_retention(spark, base, enc_path, "HOUSEHOLD", TESTDATA_AS_OF)
+        for mode in ("cow", "mor"):
+            p = str(work / f"store_{mode}")
+            shutil.copytree(base, p)
+            # hash-scattered delta over populated rows: flip the processed
+            # flag so the merge is a genuine matched-row update
+            delta = (
+                read_keyed_table(spark, p)
+                .select("person_id")
+                .limit(n_delta)
+                .withColumn("processing_complete", F.lit(False))
+            )
+            delta.count()  # plan cost paid outside the timed region
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
+            t0 = time.time()
+            upsert_parquet(spark, p, delta, key="person_id", n_buckets=64)
+            w = time.time() - t0
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+            t0 = time.time()
+            checksum = _full_read(spark, p)
+            r = time.time() - t0
+            n = read_keyed_table(spark, p).count()
+            comp = r_post = None
+            if mode == "mor":
+                t0 = time.time()
+                compact_keyed_table(spark, p)
+                comp = round(time.time() - t0, 2)
+                t0 = time.time()
+                assert _full_read(spark, p) == checksum  # compaction is invisible
+                r_post = round(time.time() - t0, 2)
+            out[mode] = {
+                "write_sec": round(w, 2),
+                "read_sec": round(r, 2),
+                "rows": n,
+                "state_checksum": checksum,
+                "compact_sec": comp,
+                "read_after_compact_sec": r_post,
+            }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
