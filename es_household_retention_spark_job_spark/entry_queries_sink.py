@@ -36,20 +36,28 @@ _BUCKETS = 8
 
 
 def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # c_bal_x100: exact integer cents (the repo's standard float-free
+    # aggregation currency) so the INCREMENTAL fold's retract/apply sums
+    # are associative and oracle-exact
     return spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_name", "c_acctbal"
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_bal_x100"),
     )
 
 
-#: sf_dir -> (table_path, v0) for this process (process-scoped scratch,
-#: same lifecycle pattern as entry_queries_docs._TEXT_INDEX_BUILT)
-_SINK_TABLE_BUILT: dict[str, tuple[str, int]] = {}
+#: sf_dir -> (table_path, v0, agg_path) for this process (process-scoped
+#: scratch, same lifecycle pattern as entry_queries_docs._TEXT_INDEX_BUILT)
+_SINK_TABLE_BUILT: dict[str, tuple[str, int, str]] = {}
 
 
-def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, str]:
     built = _SINK_TABLE_BUILT.get(sf_dir)
     if built is not None:
         return built
+    from .sinks.incremental_agg import fold_aggregate
     from .sinks.upsert import (
         current_version,
         delete_keys,
@@ -58,12 +66,21 @@ def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     )
 
     path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_sink_cdf_"), "t")
+    agg_path = f"{path}_agg"
     shutil.rmtree(path, ignore_errors=True)
     cust = _customer(spark, sf_dir)
     write_keyed_table(cust, path, key="c_custkey", n_buckets=_BUCKETS)
     v0 = current_version(path)
-    updates = cust.where(F.col("c_custkey") % 7 == 0).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 100
+    # bootstrap the maintained aggregate at the PRE-mutation state, so the
+    # registered sink_incremental_agg row exercises a genuine change-feed
+    # FOLD across the mutations below, not a recompute
+    fold_aggregate(
+        spark, path, agg_path, "c_nationkey", ("c_bal_x100",), n_buckets=4
+    )
+    updates = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_bal_x100", F.col("c_bal_x100") + 10_000)
     )
     inserts = cust.where(F.col("c_custkey") % 13 == 0).withColumn(
         "c_custkey", F.col("c_custkey") + 1_000_000
@@ -89,25 +106,31 @@ def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
             os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
         else:
             os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = prev
-    _SINK_TABLE_BUILT[sf_dir] = (path, v0)
-    return path, v0
+    _SINK_TABLE_BUILT[sf_dir] = (path, v0, agg_path)
+    return path, v0, agg_path
 
 
 _CDF_SQL = """
-WITH src AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
-SELECT c_custkey, c_name, c_acctbal,
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS c_bal_x100
+    FROM customer
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_bal_x100,
        'update_preimage' AS _change_type
   FROM src WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
 UNION ALL
-SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+       c_bal_x100 + 10000 AS c_bal_x100,
        'update_postimage' AS _change_type
   FROM src WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
 UNION ALL
-SELECT c_custkey, c_name, c_acctbal, 'delete' AS _change_type
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_bal_x100,
+       'delete' AS _change_type
   FROM src WHERE c_custkey % 11 = 0
 UNION ALL
-SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
-       'insert' AS _change_type
+SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
+       c_bal_x100, 'insert' AS _change_type
   FROM src WHERE c_custkey % 13 = 0
 """
 
@@ -121,14 +144,16 @@ def sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the expected feed from the source parquet alone."""
     from .sinks.upsert import read_changes
 
-    path, v0 = _mutated_table(spark, sf_dir)
+    path, v0, _ = _mutated_table(spark, sf_dir)
     return read_changes(spark, path, v0)
 
 
 _LOOKUP_SQL = """
-SELECT c_custkey, c_name,
+SELECT c_custkey, c_name, c_nationkey,
        c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END
-         AS c_acctbal
+         AS c_acctbal,
+       CAST(round(c_acctbal * 100) AS BIGINT)
+         + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS c_bal_x100
   FROM customer
  WHERE c_custkey % 97 = 0 AND c_custkey % 11 <> 0
 """
@@ -144,7 +169,7 @@ def sink_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated keys must serve the post-update value."""
     from .sinks.upsert import read_keyed_table
 
-    path, _ = _mutated_table(spark, sf_dir)
+    path, _, _ = _mutated_table(spark, sf_dir)
     probe = [
         r[0]
         for r in _customer(spark, sf_dir)
@@ -153,3 +178,39 @@ def sink_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return read_keyed_table(spark, path, keys=sorted(probe))
+
+
+_AGG_SQL = """
+WITH final AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal
+    FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(bal) AS BIGINT) AS sum_c_bal_x100
+  FROM final GROUP BY c_nationkey
+"""
+
+
+@register("sink_incremental_agg", _AGG_SQL, extra=True)
+def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate
+    (sinks/incremental_agg.py::fold_aggregate): count + exact-cents sum of
+    customer balances by nation, BOOTSTRAPPED at the pre-mutation version
+    and brought current by folding the change feed (retract/apply over
+    insert/delete/update pre+postimage rows) — the aggregate never
+    re-reads the source. The oracle recomputes the post-mutation aggregate
+    from the source parquet; a hash match proves fold == recompute."""
+    from .sinks.incremental_agg import fold_aggregate, read_aggregate
+
+    path, _, agg_path = _mutated_table(spark, sf_dir)
+    fold_aggregate(
+        spark, path, agg_path, "c_nationkey", ("c_bal_x100",), n_buckets=4
+    )
+    return read_aggregate(spark, agg_path).select(
+        "c_nationkey", "cnt", "sum_c_bal_x100"
+    )

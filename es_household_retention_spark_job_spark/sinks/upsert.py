@@ -402,6 +402,10 @@ def _write_snapshot(
         # confine reconciliation to delta-carrying buckets, same as a
         # current read (absent in pre-ledger snapshots → full resolve)
         "mor": manifest.get("mor", {}),
+        # application commit metadata AS OF this version (Delta txn-style):
+        # a downstream consumer auditing its cursor history can read the
+        # value each retained version committed with
+        "app": manifest.get("app", {}),
     }
     if schema is not None:
         snap["schema"] = schema.jsonValue()
@@ -487,6 +491,8 @@ def _publish(
     based_on: dict | None = None,
     schema: StructType | None = None,
     append_only: bool = False,
+    app_meta: dict | None = None,
+    app_meta_expect: dict | None = None,
 ) -> StructType | None:
     """Move the rewritten buckets' files from ``tmp`` into the live tree
     under fresh unique names, then atomically point the manifest at them.
@@ -539,6 +545,23 @@ def _publish(
                         f"bucket {d} was rewritten concurrently; retry the "
                         "upsert against the new table state"
                     )
+        if app_meta_expect is not None:
+            # application-level optimistic concurrency (Delta's txn action):
+            # the commit applies only if the named app-meta keys still hold
+            # the values this write was computed FROM. This is what makes a
+            # change-feed fold exactly-once — two folds racing from the same
+            # cursor cannot both commit even when they touch DISJOINT
+            # buckets (the per-bucket check above can't see that conflict).
+            # Checked before any live-tree mutation, so an abort leaves no
+            # strays.
+            app_now = manifest.get("app", {})
+            for k, v in app_meta_expect.items():
+                if app_now.get(k) != v:
+                    raise ConcurrentWriteError(
+                        f"app meta {k!r} is {app_now.get(k)!r}, expected "
+                        f"{v!r}; the state this write was computed from has "
+                        "been superseded — recompute and retry"
+                    )
         now = time.time()
         for d in affected_dirs:
             src_dir = os.path.join(tmp, d)
@@ -572,6 +595,8 @@ def _publish(
                 manifest["live"][d] = new_files
                 # a full bucket rewrite folds/supersedes its deltas
                 manifest.get("mor", {}).pop(d, None)
+        if app_meta:
+            manifest.setdefault("app", {}).update(app_meta)
         _bump_version(manifest, now)
         # prune garbage entries from the manifest while we hold the lock
         # (cheap, O(garbage + K snapshots)); their files are unlinked below,
@@ -665,12 +690,19 @@ def _vacuum(path: str, manifest: dict, deletable: list | None = None) -> None:
 
 
 def write_keyed_table(
-    df: DataFrame, path: str, key: str = "person_id", n_buckets: int = DEFAULT_BUCKETS
+    df: DataFrame,
+    path: str,
+    key: str = "person_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    app_meta: dict | None = None,
 ) -> None:
     """Initial load of a keyed table in the bucketed-merge layout. The bucket
     function (key column + bucket count) and the unified column schema are
     TABLE properties, persisted in a sidecar so later upserts can never
-    diverge from the layout and schema evolution stays metadata-only."""
+    diverge from the layout and schema evolution stays metadata-only.
+
+    ``app_meta`` rides the initial commit (see ``upsert_parquet``) — a
+    bootstrap that records its source cursor atomically with the data."""
     if any(c in df.columns for c in RESERVED_COLS):
         raise ValueError(f"columns {RESERVED_COLS} are reserved by the sink")
     # capture the version counter BEFORE the overwrite deletes the table
@@ -687,6 +719,8 @@ def write_keyed_table(
     _write_layout(path, key, n_buckets, schema)
     manifest = _manifest_from_listing(path)
     manifest["version"] = max(int(manifest.get("version", 0)), prior_version)
+    if app_meta:
+        manifest["app"] = dict(app_meta)
     _bump_version(manifest, time.time())  # a fresh table's initial load is v1
     _write_manifest(path, manifest)
     _write_snapshot(path, manifest, schema)  # post-commit, like _publish
@@ -930,6 +964,16 @@ def current_version(path: str) -> int:
     return int(manifest.get("version", 0)) if manifest else 0
 
 
+def table_app_meta(path: str) -> dict:
+    """Application metadata of the latest committed publish (empty for a
+    table that never committed any). Written atomically WITH the commit
+    (``app_meta=`` on ``write_keyed_table``/``upsert_parquet``), so a
+    consumer cursor stored here can never disagree with the data it
+    describes — the Delta ``txn`` pattern for exactly-once folds."""
+    manifest = _read_manifest(path)
+    return dict(manifest.get("app", {})) if manifest else {}
+
+
 def table_history(path: str) -> list[dict]:
     """Retained versions, oldest first: ``[{version, ts, n_files}]`` —
     the sink's answer to ``DESCRIBE HISTORY``. O(retained versions)."""
@@ -1121,6 +1165,8 @@ def upsert_parquet(
     updates: DataFrame,
     key: str = "person_id",
     n_buckets: int = DEFAULT_BUCKETS,
+    app_meta: dict | None = None,
+    app_meta_expect: dict | None = None,
 ) -> None:
     """ES-style partial upsert: merge ``updates`` into the keyed table at
     ``path``. Columns present in ``updates`` replace stored values for
@@ -1131,9 +1177,18 @@ def upsert_parquet(
 
     The merged data is fully materialized into a temp directory BEFORE any
     target directory is touched, so a failure mid-write leaves the target
-    intact (write-then-swap; per-bucket atomic on a POSIX fs)."""
+    intact (write-then-swap; per-bucket atomic on a POSIX fs).
+
+    ``app_meta`` (Delta ``txn``-style) merges the given keys into the
+    table's application metadata ATOMICALLY with this commit;
+    ``app_meta_expect`` makes the commit conditional on the named keys
+    still holding the given values (app-level optimistic concurrency —
+    ``ConcurrentWriteError`` otherwise). Together these give a downstream
+    consumer exactly-once folds: store the source cursor in the same
+    commit that applies its data, and a racing fold from the same cursor
+    cannot double-apply even when it touches disjoint buckets."""
     if not os.path.exists(path):
-        write_keyed_table(updates, path, key, n_buckets)
+        write_keyed_table(updates, path, key, n_buckets, app_meta=app_meta)
         return
 
     layout = _read_layout(path)
@@ -1170,6 +1225,19 @@ def upsert_parquet(
     try:
         affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
         if not affected:
+            if app_meta:
+                # an empty batch still commits its cursor advance (a fold
+                # over a change window that nets to zero must not refold
+                # forever); no files move — _publish with no affected dirs
+                # is a pure manifest commit (tmp is never opened)
+                _publish(
+                    path,
+                    f"{path}.__empty_commit__",
+                    [],
+                    schema=stored,
+                    app_meta=app_meta,
+                    app_meta_expect=app_meta_expect,
+                )
             return
         _merge_and_publish(
             spark,
@@ -1179,6 +1247,8 @@ def upsert_parquet(
             affected,
             stored,
             mor=_sink_write_mode() == "mor",
+            app_meta=app_meta,
+            app_meta_expect=app_meta_expect,
         )
     finally:
         u.unpersist()
@@ -1192,6 +1262,8 @@ def _merge_and_publish(
     affected: list,
     stored: StructType | None,
     mor: bool = False,
+    app_meta: dict | None = None,
+    app_meta_expect: dict | None = None,
 ) -> None:
     # the manifest snapshot this merge is computed FROM: both the target
     # read and the publish-time conflict check use this one snapshot, so a
@@ -1272,6 +1344,8 @@ def _merge_and_publish(
             # write never touched) and returns the authoritative schema.
             schema=_table_schema(merged),
             append_only=mor,
+            app_meta=app_meta,
+            app_meta_expect=app_meta_expect,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

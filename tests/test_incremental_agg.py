@@ -1,0 +1,205 @@
+"""Incremental materialized aggregates (sinks/incremental_agg.py): fold
+equals recompute under both write modes, exactly-once cursor semantics via
+commit app-metadata, group death/revival, net-zero windows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.sinks.incremental_agg import (
+    CURSOR_KEY,
+    SOURCE_KEY,
+    fold_aggregate,
+    read_aggregate,
+)
+from es_household_retention_spark_job_spark.sinks.upsert import (
+    ConcurrentWriteError,
+    current_version,
+    delete_keys,
+    read_keyed_table,
+    table_app_meta,
+    upsert_parquet,
+    write_keyed_table,
+)
+
+
+def _source(spark, path, n=60, groups=5):
+    rows = [(f"k{i}", i % groups, (i + 1) * 10) for i in range(n)]
+    write_keyed_table(
+        spark.createDataFrame(rows, "k string, g int, v long"),
+        path,
+        key="k",
+        n_buckets=8,
+    )
+
+
+def _recompute(spark, path):
+    rows = (
+        read_keyed_table(spark, path)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+        .collect()
+    )
+    return {r["g"]: (r["cnt"], r["sum_v"]) for r in rows}
+
+
+def _agg_state(spark, agg_path):
+    rows = read_aggregate(spark, agg_path).collect()
+    return {r["g"]: (r["cnt"], r["sum_v"]) for r in rows}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_fold_matches_recompute_across_batches(spark, tmp_path, monkeypatch, mode):
+    """Bootstrap + three folded mutation batches (updates, group moves,
+    inserts, deletes) == a from-scratch recompute, under both source write
+    modes — the fold never reads the source table, only its change feed."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src)
+    v = fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=4)
+    assert v == current_version(src)
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", mode)
+    # batch 1: value updates + a group MOVE (k7: g 2 -> 4) + inserts
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame(
+            [("k3", 3, 999), ("k7", 4, 70), ("new1", 0, 5), ("new2", 4, 6)],
+            "k string, g int, v long",
+        ),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=4)
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    # batch 2: deletes (including one key updated in batch 1)
+    delete_keys(
+        spark, src, spark.createDataFrame([("k3",), ("k10",)], "k string")
+    )
+    fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=4)
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+    # batch 3: two source publishes folded in ONE fold call
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame([("k11", 1, 1)], "k string, g int, v long"),
+        key="k",
+        n_buckets=8,
+    )
+    delete_keys(spark, src, spark.createDataFrame([("new1",)], "k string"))
+    fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=4)
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+
+def test_fold_noop_at_unchanged_cursor(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src, n=20)
+    v = fold_aggregate(spark, src, agg, "g", ("v",))
+    v_agg = current_version(agg)
+    assert fold_aggregate(spark, src, agg, "g", ("v",)) == v
+    assert current_version(agg) == v_agg  # no phantom publish
+
+
+def test_stale_cursor_commit_rejected(spark, tmp_path):
+    """The exactly-once guarantee: a commit conditioned on a cursor that
+    has since advanced aborts instead of double-applying — even though its
+    buckets may be disjoint from the racing fold's."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src, n=20)
+    fold_aggregate(spark, src, agg, "g", ("v",))
+    with pytest.raises(ConcurrentWriteError, match="fold_source_version"):
+        upsert_parquet(
+            spark,
+            agg,
+            spark.createDataFrame([(0, 1, 1)], "g int, cnt long, sum_v long"),
+            key="g",
+            app_meta={CURSOR_KEY: 99},
+            app_meta_expect={CURSOR_KEY: -1},  # computed from a stale state
+        )
+    # the aborted commit changed nothing
+    assert table_app_meta(agg)[CURSOR_KEY] == current_version(src)
+
+
+def test_group_death_keeps_zero_row_and_revives(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src, n=10, groups=5)  # g=4: k4, k9
+    fold_aggregate(spark, src, agg, "g", ("v",))
+    delete_keys(spark, src, spark.createDataFrame([("k4",), ("k9",)], "k string"))
+    fold_aggregate(spark, src, agg, "g", ("v",))
+    assert 4 not in _agg_state(spark, agg)  # consumer view filters cnt=0
+    raw = {
+        r["g"]: (r["cnt"], r["sum_v"])
+        for r in read_keyed_table(spark, agg).collect()
+    }
+    assert raw[4] == (0, 0)  # zero row retained, sums zeroed (not null)
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame([("k4", 4, 50)], "k string, g int, v long"),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", ("v",))
+    assert _agg_state(spark, agg)[4] == (1, 50)
+
+
+def test_net_zero_window_advances_cursor(spark, tmp_path):
+    """A source publish whose resolved values are unchanged (same-value
+    rewrite) yields an empty change set; the fold must still advance its
+    cursor (empty-batch commit) or the feed window would grow forever."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src, n=10)
+    fold_aggregate(spark, src, agg, "g", ("v",))
+    # rewrite k1 with its CURRENT value: version bumps, no resolved change
+    cur = read_keyed_table(spark, src).where(F.col("k") == "k1")
+    upsert_parquet(spark, src, cur, key="k", n_buckets=8)
+    v = current_version(src)
+    assert fold_aggregate(spark, src, agg, "g", ("v",)) == v
+    assert table_app_meta(agg)[CURSOR_KEY] == v
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+
+def test_app_meta_in_snapshot_and_source_guard(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src, n=10)
+    fold_aggregate(spark, src, agg, "g", ("v",))
+    meta = table_app_meta(agg)
+    assert meta[CURSOR_KEY] == current_version(src)
+    assert meta[SOURCE_KEY] == os.path.abspath(src)
+    # the version snapshot carries the app meta (auditable cursor history)
+    snaps = [f for f in os.listdir(agg) if f.startswith("_manifest.v")]
+    with open(os.path.join(agg, sorted(snaps)[-1])) as f:
+        assert json.load(f)["app"][CURSOR_KEY] == meta[CURSOR_KEY]
+    # folding a DIFFERENT source into the same aggregate is rejected
+    other = str(tmp_path / "other")
+    _source(spark, other, n=10)
+    with pytest.raises(ValueError, match="folds"):
+        fold_aggregate(spark, other, agg, "g", ("v",))
+
+
+def test_null_group_rejected(spark, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    write_keyed_table(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", None, 20)], "k string, g int, v long"
+        ),
+        src,
+        key="k",
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="null values in group column"):
+        fold_aggregate(spark, src, agg, "g", ("v",))

@@ -48,6 +48,20 @@ from es_household_retention_spark_job_spark.sources.tpch import (  # noqa: E402
 )
 
 
+def _parquet_files(path: str) -> dict[str, int]:
+    """{relpath: bytes} of every data file under the table root — the diff
+    across an upsert is the write amplification measurement wall-clock
+    can't show on NVMe (reads and writes cost alike locally; on an object
+    store the written bytes are the dominant cost and the durable claim)."""
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = os.path.getsize(p)
+    return out
+
+
 def _full_read(spark, path) -> int:
     """A read that MATERIALIZES every column (checksum over the wide
     history struct) — a bare count() is column-pruned to a footer scan
@@ -85,19 +99,28 @@ def main() -> None:
         for mode in ("cow", "mor"):
             p = str(work / f"store_{mode}")
             shutil.copytree(base, p)
-            # hash-scattered delta over populated rows: flip the processed
-            # flag so the merge is a genuine matched-row update
+            # hash-scattered delta over populated rows: every ~(N/n_delta)th
+            # key BY HASH, so the batch touches all buckets — the realistic
+            # CDC shape (a .limit() here would satisfy from one bucket's
+            # scan and understate the CoW rewrite 64×). Flip the processed
+            # flag so the merge is a genuine matched-row update.
+            step = max(out["persons"] // n_delta, 1)
             delta = (
                 read_keyed_table(spark, p)
                 .select("person_id")
-                .limit(n_delta)
+                .where(F.abs(F.xxhash64("person_id", F.lit(7))) % step == 0)
                 .withColumn("processing_complete", F.lit(False))
             )
             delta.count()  # plan cost paid outside the timed region
             os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
+            pre_files = _parquet_files(p)
             t0 = time.time()
             upsert_parquet(spark, p, delta, key="person_id", n_buckets=64)
             w = time.time() - t0
+            post_files = _parquet_files(p)
+            written = sum(
+                sz for f, sz in post_files.items() if f not in pre_files
+            )
             os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
             t0 = time.time()
             checksum = _full_read(spark, p)
@@ -113,6 +136,8 @@ def main() -> None:
                 r_post = round(time.time() - t0, 2)
             out[mode] = {
                 "write_sec": round(w, 2),
+                "written_mb": round(written / 1e6, 2),
+                "store_mb": round(sum(pre_files.values()) / 1e6, 2),
                 "read_sec": round(r, 2),
                 "rows": n,
                 "state_checksum": checksum,
