@@ -1442,6 +1442,32 @@ def delete_keys(
         k.unpersist()
 
 
+def needs_compaction(
+    path: str,
+    max_files_per_bucket: int = 4,
+    max_dirty_fraction: float = 0.25,
+) -> bool:
+    """Manifest-only compaction policy (no data I/O, O(n_buckets) dict
+    walk): compact when any bucket's live file count exceeds
+    ``max_files_per_bucket`` (read amplification: footer parse + seek per
+    file on every scan) or when more than ``max_dirty_fraction`` of
+    buckets carry merge-on-read deltas (reconciliation-window tax on every
+    read — the measured 4.4× at sf10, SCALING.md). This is the cadence
+    knob the MoR trade dials: a maintenance loop calls
+    ``if needs_compaction(p): compact_keyed_table(spark, p)`` instead of
+    compacting on a timer."""
+    try:
+        manifest = _read_manifest(path)
+    except FileNotFoundError:
+        return False
+    if not manifest or not manifest.get("live"):
+        return False
+    if any(len(fs) > max_files_per_bucket for fs in manifest["live"].values()):
+        return True
+    dirty = len(manifest.get("mor", {}))
+    return dirty > max_dirty_fraction * len(manifest["live"])
+
+
 def compact_keyed_table(spark: SparkSession, path: str) -> int:
     """Small-file compaction: rewrite every multi-file bucket into ONE file,
     preserving the layout. Repeated upserts leave one file per write per
@@ -1477,8 +1503,16 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
         # the column reads back null (= oldest) for them, so later deltas
         # still supersede correctly
         data = _resolve(data, layout["key"]).drop(SEQ_COL)
-    # one task per bucket → exactly one output file per bucket directory
-    data = data.repartition(len(ids), BUCKET_COL)
+    # one task per bucket → exactly one output file per bucket directory;
+    # KEY-SORTED within the bucket, so the file's parquet row-group min/max
+    # stats on the key column are tight non-overlapping ranges — a point
+    # lookup's In/EqualTo pushdown then skips every row group but the keys'
+    # own (at the design point of ~256 MB bucket files that is the
+    # difference between reading the whole bucket and one row group; same
+    # trick as the ANN index's id-sorted cell files)
+    data = data.repartition(len(ids), BUCKET_COL).sortWithinPartitions(
+        layout["key"]
+    )
     tmp = f"{path}.__compact_tmp_{uuid.uuid4().hex[:8]}"
     try:
         data.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)

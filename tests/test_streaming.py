@@ -669,3 +669,92 @@ def test_ann_streaming_maintenance(spark, tmp_path):
         is False
     )
     assert S._read_ann_manifest(idx) == m
+
+
+def test_keyed_table_sink_stream_to_fold(spark, tmp_path):
+    """End-to-end CDC pipeline: NDJSON micro-batches upsert into a keyed
+    table (exactly-once epochs riding the commit app-metadata), the change
+    feed sees each version, and a downstream incremental aggregate folds
+    current — stream -> keyed store -> read_changes -> fold_aggregate."""
+    from pyspark.sql import types as T
+
+    from es_household_retention_spark_job_spark.sinks.incremental_agg import (
+        fold_aggregate,
+        read_aggregate,
+    )
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        read_keyed_table,
+        table_app_meta,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    batches = [
+        [{"k": "a", "g": 0, "v": 10}, {"k": "b", "g": 1, "v": 20}],
+        # k=b re-sent with a new value AND a group move (1 -> 0)
+        [{"k": "b", "g": 0, "v": 25}, {"k": "c", "g": 1, "v": 30}],
+    ]
+    d = tmp_path / "keyed_in"
+    d.mkdir()
+    base_ts = time.time() - 600
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_ts + 60 * i, base_ts + 60 * i))
+
+    tbl = str(tmp_path / "keyed_tbl")
+    agg = str(tmp_path / "keyed_agg")
+    ckpt = str(tmp_path / "keyed_ckpt")
+    stream = ingest.stream_ndjson(spark, str(d), schema, max_files_per_trigger=1)
+    _drain(ingest.keyed_table_sink(stream, tbl, key="k", checkpoint_dir=ckpt, n_buckets=4))
+
+    got = {r["k"]: (r["g"], r["v"]) for r in read_keyed_table(spark, tbl).collect()}
+    assert got == {"a": (0, 10), "b": (0, 25), "c": (1, 30)}
+    meta = table_app_meta(tbl)
+    assert meta["epoch_stream"] == ckpt and meta["stream_epoch"] >= 1
+
+    # replayed epoch from the SAME stream identity: no-op, version unchanged
+    from es_household_retention_spark_job_spark.sinks.upsert import current_version
+
+    v = current_version(tbl)
+    replay = spark.createDataFrame([("b", 9, 999)], schema)
+    assert (
+        ingest.apply_keyed_batch(
+            replay, meta["stream_epoch"], tbl, "k", n_buckets=4, stream_id=ckpt
+        )
+        is False
+    )
+    assert current_version(tbl) == v
+    # an ANONYMOUS caller never inherits an identified stream's counter
+    # (incomparable epochs) — it applies as a normal upsert
+    assert (
+        ingest.apply_keyed_batch(
+            spark.createDataFrame([("d", 2, 40)], schema),
+            0,
+            tbl,
+            "k",
+            n_buckets=4,
+        )
+        is True
+    )
+
+    # downstream: the maintained aggregate folds the whole version history
+    fold_aggregate(spark, tbl, agg, "g", ("v",), n_buckets=2)
+    want = {
+        r["g"]: (r["cnt"], r["sum_v"])
+        for r in read_keyed_table(spark, tbl)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    got_agg = {
+        r["g"]: (r["cnt"], r["sum_v"]) for r in read_aggregate(spark, agg).collect()
+    }
+    assert got_agg == want

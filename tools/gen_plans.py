@@ -21,6 +21,9 @@ EXTRA_PLANS = [
     "knn_ivf_indexed",
     "chunk_documents",
     "ngram_lm_score",
+    "sink_point_lookup",
+    "sink_change_feed",
+    "sink_incremental_agg",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
