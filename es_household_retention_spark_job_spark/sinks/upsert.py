@@ -1027,15 +1027,20 @@ def read_changes(
     re-scanning the table — the same contract ``pipeline.run_incremental``
     offers upstream, now available downstream of every keyed table.
 
-    Scale shape: the diff is BUCKET-CONFINED — a bucket whose live file
-    list is identical in both snapshots cannot contain a change and is
-    never opened, so the full-outer key diff shuffles only changed-bucket
-    rows. Under merge-on-read a CDC upsert dirties only the buckets its
-    delta rows hash to, making the feed's cost O(changed data), not
-    O(table); under copy-on-write a realistic upsert rewrites most
-    buckets, and the diff honestly pays that blast radius (the write
-    amplification and the feed amplification are the same trade, chosen
-    by ``SPARK_GRAFT_SINK_WRITE_MODE``).
+    Scale shape, two tiers. (1) The diff is BUCKET-CONFINED — a bucket
+    whose live file list is identical in both snapshots cannot contain a
+    change and is never opened. (2) A changed bucket whose file list only
+    EXTENDED by merge-on-read delta files takes the APPEND FAST PATH (the
+    Hudi incremental-query idea: the log files ARE the change capture):
+    the changed keys are exactly the suffix files' keys, the after-state
+    resolves within the suffix alone (suffix ``_seq`` values are strictly
+    newer than anything in the from-state), and the before-state read is
+    key-restricted (In pushdown / broadcast semi-join) — so a MoR CDC
+    window diffs O(delta rows), never two full states. Rewritten buckets
+    (CoW upserts, compaction) take the full resolved-state diff and
+    honestly pay the write path's blast radius — the write amplification
+    and the feed amplification are the same trade, chosen by
+    ``SPARK_GRAFT_SINK_WRITE_MODE``.
 
     Values are compared with null-safe struct equality over the UNION of
     both versions' column sets (schema evolution: a column added between
@@ -1065,18 +1070,78 @@ def read_changes(
         else _stored_schema(layout)
     )
     from_live, to_live = from_man.get("live", {}), to_man.get("live", {})
-    changed = sorted(
-        int(d.split("=", 1)[1])
-        for d in set(from_live) | set(to_live)
-        if sorted(from_live.get(d, [])) != sorted(to_live.get(d, []))
-    )
-    before = _resolved_state(spark, path, from_schema, from_man, layout, changed)
-    after = _resolved_state(spark, path, to_schema, to_man, layout, changed)
+    mor_to = to_man.get("mor", {})
+    # classify each changed bucket: if the after-state file set EXTENDS the
+    # before-state only by MoR delta files (pure appends since
+    # from_version), the changed keys are exactly the keys in that suffix —
+    # the Hudi-incremental-query fast path below diffs O(delta rows)
+    # instead of two full resolved states. Rewritten buckets (CoW upsert,
+    # compaction, deletes-by-rewrite) take the full state diff.
+    appended, rewritten = [], []
+    for d in sorted(set(from_live) | set(to_live)):
+        f0, f1 = from_live.get(d, []), to_live.get(d, [])
+        if sorted(f0) == sorted(f1):
+            continue  # identical live list -> cannot contain a change
+        s0, s1 = set(f0), set(f1)
+        suffix = s1 - s0
+        if s0 <= s1 and suffix and suffix <= set(mor_to.get(d, [])):
+            appended.append(d)
+        else:
+            rewritten.append(d)
+    parts = []
+    if rewritten or not appended:  # also the empty diff (schema contract)
+        ids = [int(d.split("=", 1)[1]) for d in rewritten]
+        before = _resolved_state(spark, path, from_schema, from_man, layout, ids)
+        after = _resolved_state(spark, path, to_schema, to_man, layout, ids)
+        parts.append(_diff_states(before, after, key))
+    if appended:
+        suffix_files = [
+            os.path.join(path, d, f)
+            for d in appended
+            for f in set(to_live[d]) - set(from_live.get(d, []))
+        ]
+        delta = _read_files(spark, path, to_schema, suffix_files)
+        # suffix rows carry strictly higher _seq than anything in the
+        # from-state (publish versions are monotone), so the after-state
+        # of every candidate key resolves WITHIN the suffix alone — the
+        # after side never opens a base file
+        after_small = _resolve(delta, key).drop(
+            BUCKET_COL, SEQ_COL, TOMBSTONE_COL
+        )
+        ids = [int(d.split("=", 1)[1]) for d in appended]
+        before_all = _resolved_state(
+            spark, path, from_schema, from_man, layout, ids
+        )
+        # preimages: the from-state restricted to the suffix's keys. Small
+        # key sets push an In-filter into the scan (composes with the
+        # key-sorted compaction's row-group skipping); larger ones take a
+        # broadcast semi-join. The probe job reads suffix files only.
+        probe = (
+            delta.select(key).distinct().limit(LOOKUP_ISIN_MAX + 1).collect()
+        )
+        if len(probe) <= LOOKUP_ISIN_MAX:
+            before_small = before_all.where(
+                F.col(key).isin([r[0] for r in probe])
+            )
+        else:
+            before_small = before_all.join(
+                F.broadcast(delta.select(key).distinct()), key, "semi"
+            )
+        parts.append(_diff_states(before_small, after_small, key))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _diff_states(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
+    """Delta-CDF-shaped diff of two resolved states: full-outer join on the
+    key, null-safe struct compare over the UNION of both column sets
+    (null-filled), one row per insert/delete and a preimage+postimage pair
+    per update."""
     # align both sides on the UNION of user column sets (null-filled),
     # so adds/drops between versions diff as null-vs-value per column
-    cols = [key] + sorted(
-        (set(before.columns) | set(after.columns)) - {key}
-    )
+    cols = [key] + sorted((set(before.columns) | set(after.columns)) - {key})
     types = {f.name: f.dataType for f in before.schema.fields}
     for f in after.schema.fields:
         types.setdefault(f.name, f.dataType)
@@ -1099,7 +1164,7 @@ def read_changes(
     entry = lambda ct, row: F.struct(  # noqa: E731
         F.lit(ct).alias(CHANGE_TYPE_COL), row.alias("_row")
     )
-    changes = (
+    return (
         j.withColumn(
             "_entries",
             F.when(F.col("b._b").isNull(), F.array(entry("insert", a_row)))
@@ -1120,7 +1185,6 @@ def read_changes(
             F.col(f"_e.{CHANGE_TYPE_COL}").alias(CHANGE_TYPE_COL),
         )
     )
-    return changes
 
 
 def _read_live(

@@ -125,15 +125,23 @@ def keyed_table_sink(
     checkpoint_dir: str,
     n_buckets: int | None = None,
     available_now: bool = True,
+    auto_compact: bool = False,
 ):
     """Streaming upsert into a keyed table: micro-batches merge by key with
     exactly-once epochs (``apply_keyed_batch``; the checkpoint directory is
     the stream identity). The table stays a first-class sink table
     throughout — versioned, time-travelable, a ``read_changes`` source for
-    downstream incremental aggregates (``sinks.incremental_agg``)."""
+    downstream incremental aggregates (``sinks.incremental_agg``).
+
+    ``auto_compact`` folds maintenance into the loop: after each applied
+    batch, compact when the manifest-only policy says the table needs it
+    (``sinks.upsert.needs_compaction`` — under MoR writes this bounds the
+    readers' reconciliation tax; compaction is safe against concurrent
+    writers via per-bucket optimistic concurrency, and a replayed epoch
+    never re-compacts because the apply is skipped first)."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_keyed_batch(
+        applied = apply_keyed_batch(
             batch_df,
             epoch_id,
             path,
@@ -141,6 +149,11 @@ def keyed_table_sink(
             n_buckets=n_buckets,
             stream_id=checkpoint_dir,
         )
+        if applied and auto_compact:
+            from ..sinks.upsert import compact_keyed_table, needs_compaction
+
+            if needs_compaction(path):
+                compact_keyed_table(batch_df.sparkSession, path)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

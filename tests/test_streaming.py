@@ -758,3 +758,57 @@ def test_keyed_table_sink_stream_to_fold(spark, tmp_path):
         r["g"]: (r["cnt"], r["sum_v"]) for r in read_aggregate(spark, agg).collect()
     }
     assert got_agg == want
+
+
+def test_keyed_table_sink_auto_compact(spark, tmp_path, monkeypatch):
+    """auto_compact folds maintenance into the streaming loop: under MoR
+    writes every applied batch dirties its buckets, the manifest-only
+    policy fires, and the table is clean (no reconciliation tax) when the
+    stream drains."""
+    from pyspark.sql import types as T
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _read_manifest,
+        needs_compaction,
+        read_keyed_table,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [{"k": f"k{i}", "v": i} for i in range(8)],
+        [{"k": f"k{i}", "v": i + 100} for i in range(4)],
+        [{"k": "k9", "v": 9}],
+    ]
+    d = tmp_path / "ac_in"
+    d.mkdir()
+    base_ts = time.time() - 600
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_ts + 60 * i, base_ts + 60 * i))
+    tbl = str(tmp_path / "ac_tbl")
+    stream = ingest.stream_ndjson(spark, str(d), schema, max_files_per_trigger=1)
+    _drain(
+        ingest.keyed_table_sink(
+            stream,
+            tbl,
+            key="k",
+            checkpoint_dir=str(tmp_path / "ac_ckpt"),
+            n_buckets=2,
+            auto_compact=True,
+        )
+    )
+    got = {r["k"]: r["v"] for r in read_keyed_table(spark, tbl).collect()}
+    want = {f"k{i}": i + 100 for i in range(4)}
+    want.update({f"k{i}": i for i in range(4, 8)})
+    want["k9"] = 9
+    assert got == want
+    # every applied batch's deltas were folded: no dirty buckets remain
+    assert not _read_manifest(tbl).get("mor")
+    assert needs_compaction(tbl) is False

@@ -1745,3 +1745,63 @@ def test_needs_compaction_policy(spark, tmp_path, monkeypatch):
         )
     assert needs_compaction(path, max_dirty_fraction=1.0) is True  # >4 files
     assert needs_compaction(path, max_files_per_bucket=10, max_dirty_fraction=1.0) is False
+
+
+def test_change_feed_mor_append_fast_path(spark, tmp_path, monkeypatch):
+    """A pure-MoR-append window takes the incremental fast path: the
+    after-state is resolved from the suffix delta files alone (no second
+    full resolved-state build) and the before-state scan carries the
+    candidate-key In pushdown. Output equivalence with the full diff is
+    covered by test_change_feed_insert_update_delete's cow/mor paramet-
+    rization; this pins the PLAN shape."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    n = 8
+    path = str(tmp_path / "cdf_fast")
+    keys = [f"k{i}" for i in range(64)]
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    v0 = U.current_version(path)
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k0", 5), ("k1", 6)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    calls = []
+    real = U._resolved_state
+
+    def spy(spark_, path_, schema, manifest, layout, restrict=None):
+        calls.append((manifest.get("version"), restrict))
+        return real(spark_, path_, schema, manifest, layout, restrict)
+
+    monkeypatch.setattr(U, "_resolved_state", spy)
+    df = U.read_changes(spark, path, v0)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in df.collect())
+    assert got == [
+        ("k0", 0, "update_preimage"),
+        ("k0", 5, "update_postimage"),
+        ("k1", 0, "update_preimage"),
+        ("k1", 6, "update_postimage"),
+    ]
+    # fast path: exactly ONE resolved-state build (the before side, at the
+    # from version) — the after side came from the suffix files alone
+    assert len(calls) == 1 and calls[0][0] == v0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(k" in plan  # candidate-key pushdown on the before scan
+
+    # a COMPACTION (bucket rewrite) disqualifies the window from the fast
+    # path: both states rebuild in full for those buckets
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    compact_keyed_table(spark, path)
+    calls.clear()
+    df2 = U.read_changes(spark, path, v0)
+    assert len(calls) == 2  # before AND after resolved states
+    got2 = sorted((r["k"], r["v"], r["_change_type"]) for r in df2.collect())
+    assert got2 == got  # compaction is invisible to the feed's content

@@ -45,24 +45,25 @@ N_DELTA = 10_000
 
 
 def one_size(spark, n: int) -> dict:
+    import os
+
     work = Path(tempfile.mkdtemp(prefix="fold_ladder_"))
     try:
-        src = str(work / "src")
-        agg = str(work / "agg")
-        agg_full = str(work / "agg_full")
+        src0 = str(work / "src0")
+        agg0 = str(work / "agg0")
         base = spark.range(n).select(
             F.concat(F.lit("k"), F.col("id")).alias("k"),
             (F.col("id") % N_GROUPS).alias("g"),
             (F.col("id") % 97).alias("v"),
         )
-        write_keyed_table(base, src, key="k", n_buckets=64)
+        write_keyed_table(base, src0, key="k", n_buckets=64)
 
         t0 = time.time()
-        fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+        fold_aggregate(spark, src0, agg0, "g", ("v",), n_buckets=8)
         boot = time.time() - t0
 
         step = max(n // N_DELTA, 1)
-        delta = read_keyed_table(spark, src).where(
+        delta = read_keyed_table(spark, src0).where(
             F.abs(F.xxhash64("k", F.lit(7))) % step == 0
         )
         delta = delta.select(
@@ -71,37 +72,43 @@ def one_size(spark, n: int) -> dict:
             (F.col("v") + 1).alias("v"),
         )
         n_delta = delta.count()  # plan cost outside the timed regions
-        upsert_parquet(spark, src, delta, key="k", n_buckets=64)
 
-        t0 = time.time()
-        fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
-        fold = time.time() - t0
+        out = {"rows": n, "delta_rows": n_delta, "bootstrap_sec": round(boot, 2)}
+        states = {}
+        for mode in ("cow", "mor"):
+            src = str(work / f"src_{mode}")
+            agg = str(work / f"agg_{mode}")
+            shutil.copytree(src0, src)
+            # the agg's fold cursor names the source by ABSOLUTE PATH; a
+            # copied aggregate would refuse the copied source, so
+            # re-bootstrap instead (same v0 state, not timed)
+            fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
+            upsert_parquet(spark, src, delta, key="k", n_buckets=64)
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+            t0 = time.time()
+            fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+            out[f"fold_{mode}_sec"] = round(time.time() - t0, 2)
+            states[mode] = {
+                r["g"]: (r["cnt"], r["sum_v"])
+                for r in read_aggregate(spark, agg).collect()
+            }
 
+        agg_full = str(work / "agg_full")
         t0 = time.time()
         recomputed = (
-            read_keyed_table(spark, src)
+            read_keyed_table(spark, str(work / "src_cow"))
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
         )
         write_keyed_table(recomputed, agg_full, key="g", n_buckets=8)
-        recompute = time.time() - t0
-
-        folded = {
-            r["g"]: (r["cnt"], r["sum_v"])
-            for r in read_aggregate(spark, agg).collect()
-        }
+        out["recompute_sec"] = round(time.time() - t0, 2)
         full = {
             r["g"]: (r["cnt"], r["sum_v"])
             for r in read_keyed_table(spark, agg_full).collect()
         }
-        return {
-            "rows": n,
-            "delta_rows": n_delta,
-            "bootstrap_sec": round(boot, 2),
-            "fold_sec": round(fold, 2),
-            "recompute_sec": round(recompute, 2),
-            "state_equal": folded == full,
-        }
+        out["state_equal"] = states["cow"] == states["mor"] == full
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
