@@ -146,6 +146,21 @@ def _resolve(df: DataFrame, key: str) -> DataFrame:
     return out
 
 
+#: per-row version stamp inside CDC sidecar files (which publish captured
+#: the change) — what lets the feed reader net first-preimage/last-postimage
+#: per key across a multi-version window
+CDC_VERSION_COL = "_cdc_version"
+#: sidecar directory under the table root holding per-version change files
+CDC_DIR = "_cdc"
+
+
+def _cdc_capture_enabled() -> bool:
+    """``SPARK_GRAFT_SINK_CDC=off`` disables write-time change capture
+    (merge-on-read publishes then leave no sidecar and feed windows
+    containing them fall back to the state-diff tiers)."""
+    return os.environ.get("SPARK_GRAFT_SINK_CDC", "on") != "off"
+
+
 def _gc_grace_seconds() -> float:
     return float(os.environ.get("SPARK_GRAFT_SINK_GC_GRACE", "300"))
 
@@ -493,6 +508,7 @@ def _publish(
     append_only: bool = False,
     app_meta: dict | None = None,
     app_meta_expect: dict | None = None,
+    cdc_staged: str | None = None,
 ) -> StructType | None:
     """Move the rewritten buckets' files from ``tmp`` into the live tree
     under fresh unique names, then atomically point the manifest at them.
@@ -598,6 +614,34 @@ def _publish(
         if app_meta:
             manifest.setdefault("app", {}).update(app_meta)
         _bump_version(manifest, now)
+        if cdc_staged is not None:
+            # write-time change capture (Delta CDF's _change_data): move the
+            # staged per-version change rows next to the data they describe
+            # and record them in the SAME manifest commit. An empty capture
+            # ("" or an empty staging dir — compaction, empty-batch cursor
+            # commits) records [], which tells the feed reader "this version
+            # changed nothing" without opening a file.
+            cdc_names = []
+            if cdc_staged:
+                dst_dir = os.path.join(path, CDC_DIR)
+                os.makedirs(dst_dir, exist_ok=True)
+                gen = uuid.uuid4().hex[:8]
+                staged = sorted(
+                    f
+                    for f in (
+                        os.listdir(cdc_staged)
+                        if os.path.isdir(cdc_staged)
+                        else []
+                    )
+                    if f.endswith(".parquet")
+                )
+                for i, f in enumerate(staged):
+                    name = f"v{manifest['version']}-{gen}-{i:05d}.parquet"
+                    dst = os.path.join(dst_dir, name)
+                    os.rename(os.path.join(cdc_staged, f), dst)
+                    os.utime(dst)  # same fresh-publish stamp as data files
+                    cdc_names.append(name)
+            manifest.setdefault("cdc", {})[str(manifest["version"])] = cdc_names
         # prune garbage entries from the manifest while we hold the lock
         # (cheap, O(garbage + K snapshots)); their files are unlinked below,
         # outside the lock. A file stays garbage — undeleted AND tracked —
@@ -624,6 +668,15 @@ def _publish(
         # its version drops out must get the same grace as any other
         # reader (with grace 0 they free in this publish, as before)
         prev_refs = _snapshot_referenced(path)
+        # CDC sidecar entries for versions no longer retained are dead (the
+        # feed requires both endpoints retained): queue their files through
+        # the same garbage/grace pipeline BEFORE the deletable computation
+        # below, so grace-0 reclaims them in this publish
+        for v in [
+            v for v in manifest.get("cdc", {}) if int(v) not in retained_after
+        ]:
+            for f in manifest["cdc"].pop(v):
+                manifest["garbage"].append({"rel": f"{CDC_DIR}/{f}", "ts": now})
         deletable, kept = [], []
         for g in manifest["garbage"]:
             if g["rel"] in snap_refs:
@@ -674,7 +727,15 @@ def _vacuum(path: str, manifest: dict, deletable: list | None = None) -> None:
         | {g["rel"] for g in manifest["garbage"]}
         | _snapshot_referenced(path)  # time-travel-readable versions
     )
-    for d in _bucket_dirs(path):
+    referenced |= {
+        f"{CDC_DIR}/{f}"
+        for files in manifest.get("cdc", {}).values()
+        for f in files
+    }
+    sweep_dirs = _bucket_dirs(path)
+    if os.path.isdir(os.path.join(path, CDC_DIR)):
+        sweep_dirs = sweep_dirs + [CDC_DIR]
+    for d in sweep_dirs:
         for f in os.listdir(os.path.join(path, d)):
             rel = f"{d}/{f}"
             full = os.path.join(path, d, f)
@@ -1027,20 +1088,25 @@ def read_changes(
     re-scanning the table — the same contract ``pipeline.run_incremental``
     offers upstream, now available downstream of every keyed table.
 
-    Scale shape, two tiers. (1) The diff is BUCKET-CONFINED — a bucket
-    whose live file list is identical in both snapshots cannot contain a
-    change and is never opened. (2) A changed bucket whose file list only
-    EXTENDED by merge-on-read delta files takes the APPEND FAST PATH (the
-    Hudi incremental-query idea: the log files ARE the change capture):
-    the changed keys are exactly the suffix files' keys, the after-state
-    resolves within the suffix alone (suffix ``_seq`` values are strictly
-    newer than anything in the from-state), and the before-state read is
-    key-restricted (In pushdown / broadcast semi-join) — so a MoR CDC
-    window diffs O(delta rows), never two full states. Rewritten buckets
-    (CoW upserts, compaction) take the full resolved-state diff and
-    honestly pay the write path's blast radius — the write amplification
-    and the feed amplification are the same trade, chosen by
-    ``SPARK_GRAFT_SINK_WRITE_MODE``.
+    Scale shape, three tiers. (0) WRITE-TIME CAPTURE (Delta CDF's
+    ``_change_data``): merge-on-read publishes record their pre/postimage
+    rows in a per-version sidecar (the merge already holds both for free;
+    deletes pay one key-restricted preimage read; ``SPARK_GRAFT_SINK_CDC=
+    off`` opts out) — a window whose every version captured is served by
+    netting first-preimage/last-postimage per key over the sidecar rows,
+    O(changed rows), no table file opened. (1) Otherwise the diff is
+    BUCKET-CONFINED — a bucket whose live file list is identical in both
+    snapshots cannot contain a change and is never opened — and a changed
+    bucket whose file list only EXTENDED by MoR delta files takes the
+    APPEND FAST PATH (Hudi incremental query: the log suffix IS the
+    change capture): changed keys are exactly the suffix files' keys, the
+    after-state resolves within the suffix alone (suffix ``_seq`` values
+    are strictly newer than anything in the from-state), and the
+    before-state read is key-restricted (In pushdown / broadcast
+    semi-join). (2) Rewritten buckets (CoW upserts) take the full
+    resolved-state diff and honestly pay the write path's blast radius —
+    the write amplification and the feed amplification are the same
+    trade, chosen by ``SPARK_GRAFT_SINK_WRITE_MODE``.
 
     Values are compared with null-safe struct equality over the UNION of
     both versions' column sets (schema evolution: a column added between
@@ -1069,6 +1135,26 @@ def read_changes(
         if to_man.get("schema")
         else _stored_schema(layout)
     )
+    # tier 0 — write-time change capture: if EVERY version in the window
+    # recorded a CDC sidecar (MoR publishes, deletes, compactions, cursor
+    # commits all do; CoW merges don't), net first-preimage/last-postimage
+    # per key over the sidecar rows. O(changed rows); no table file is
+    # opened at all. Entries live in the CURRENT manifest and are pruned
+    # in sync with version retention, so a retained window is a readable
+    # window.
+    cdc_map = (_read_manifest(path) or {}).get("cdc", {})
+    window = [str(v) for v in range(from_version + 1, int(to_man["version"]) + 1)]
+    if window and all(v in cdc_map for v in window):
+        files = [
+            os.path.join(path, CDC_DIR, f) for v in window for f in cdc_map[v]
+        ]
+        if files:
+            rows = spark.read.option("mergeSchema", "true").parquet(*files)
+            return _net_cdc(rows, key)
+        # every version in the window captured "no changes"
+        empty = _resolved_state(spark, path, to_schema, to_man, layout, [])
+        return _diff_states(empty, empty, key)
+
     from_live, to_live = from_man.get("live", {}), to_man.get("live", {})
     mor_to = to_man.get("mor", {})
     # classify each changed bucket: if the after-state file set EXTENDS the
@@ -1132,6 +1218,43 @@ def read_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _net_cdc(rows: DataFrame, key: str) -> DataFrame:
+    """Net a window of per-version CDC sidecar rows into the feed's
+    state-diff semantics: a key's BEFORE value is the before-side of its
+    FIRST captured change (absent if that change was an insert), its AFTER
+    value the after-side of its LAST (absent if a delete); ``_diff_states``
+    then classifies — which also drops keys whose net change cancels
+    (update-then-revert, insert-then-delete)."""
+    from pyspark.sql import Window
+
+    val_cols = [
+        c
+        for c in rows.columns
+        if c not in (key, CHANGE_TYPE_COL, CDC_VERSION_COL)
+    ]
+    # within one version a key has one insert/delete row or a pre+post
+    # pair; the side rank orders the pair under the version ordering
+    side = F.when(
+        F.col(CHANGE_TYPE_COL).isin("update_preimage", "delete"), F.lit(0)
+    ).otherwise(F.lit(1))
+    asc = Window.partitionBy(key).orderBy(
+        F.col(CDC_VERSION_COL).asc(), side.asc()
+    )
+    desc = Window.partitionBy(key).orderBy(
+        F.col(CDC_VERSION_COL).desc(), side.desc()
+    )
+    ranked = rows.withColumn("_rn_a", F.row_number().over(asc)).withColumn(
+        "_rn_d", F.row_number().over(desc)
+    )
+    before = ranked.where(
+        (F.col("_rn_a") == 1) & (F.col(CHANGE_TYPE_COL) != "insert")
+    ).select(key, *val_cols)
+    after = ranked.where(
+        (F.col("_rn_d") == 1) & (F.col(CHANGE_TYPE_COL) != "delete")
+    ).select(key, *val_cols)
+    return _diff_states(before, after, key)
 
 
 def _diff_states(before: DataFrame, after: DataFrame, key: str) -> DataFrame:
@@ -1301,6 +1424,7 @@ def upsert_parquet(
                     schema=stored,
                     app_meta=app_meta,
                     app_meta_expect=app_meta_expect,
+                    cdc_staged="",  # nothing changed: empty capture
                 )
             return
         _merge_and_publish(
@@ -1352,6 +1476,12 @@ def _merge_and_publish(
     target = _resolve(target, key)
     if SEQ_COL in target.columns:
         target = target.drop(SEQ_COL)
+    capture = mor and _cdc_capture_enabled()
+    if capture:
+        # the matched preimages are exactly this (delta-bounded) frame —
+        # cache it so the sidecar diff below reads it back instead of
+        # re-reading the affected buckets
+        target = target.persist()
 
     t_cols = [c for c in target.columns if c != BUCKET_COL]
     u_cols = [c for c in u.columns if c != BUCKET_COL]
@@ -1396,6 +1526,23 @@ def _merge_and_publish(
     tmp = f"{path}.__upsert_tmp_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        cdc_staged = None
+        if capture:
+            # write-time change capture: preimages are the CACHED matched
+            # rows, postimages the staged merge output just written — the
+            # sidecar diff reads no table file. Stamped with this commit's
+            # version so a feed reader can net first-preimage/
+            # last-postimage per key across a window.
+            post = (
+                spark.read.option("basePath", tmp)
+                .parquet(tmp)
+                .drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
+            )
+            cdc_staged = os.path.join(tmp, "__cdc_staged")
+            _diff_states(target.drop(BUCKET_COL, TOMBSTONE_COL), post, key).withColumn(
+                CDC_VERSION_COL,
+                F.lit(int(snapshot.get("version", 0)) + 1).cast("long"),
+            ).coalesce(1).write.parquet(cdc_staged)
         final_schema = _publish(
             path,
             tmp,
@@ -1410,8 +1557,11 @@ def _merge_and_publish(
             append_only=mor,
             app_meta=app_meta,
             app_meta_expect=app_meta_expect,
+            cdc_staged=cdc_staged,
         )
     finally:
+        if capture:
+            target.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     # evolve the pinned schema AFTER the swap: updates may have introduced
     # new columns (present only in the rewritten buckets' files; the sidecar
@@ -1488,6 +1638,31 @@ def delete_keys(
         tmp = f"{path}.__delete_tmp_{uuid.uuid4().hex[:8]}"
         try:
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            cdc_staged = None
+            if mor and _cdc_capture_enabled():
+                # delete-preimage capture: the one place the MoR delete
+                # reads base rows — a key-restricted read of the affected
+                # buckets (In pushdown for small key lists). Keeping the
+                # sidecar complete is what lets a whole feed window stay
+                # O(changed rows); SPARK_GRAFT_SINK_CDC=off restores the
+                # pure O(deleted keys) write.
+                pre = _resolve(
+                    _read_live(
+                        spark, path, stored, buckets=affected, manifest=snapshot
+                    ),
+                    key,
+                ).drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
+                klist = [r[0] for r in k.select(key).limit(LOOKUP_ISIN_MAX + 1).collect()]
+                if len(klist) <= LOOKUP_ISIN_MAX:
+                    pre = pre.where(F.col(key).isin(klist))
+                else:
+                    pre = pre.join(F.broadcast(k.select(key)), key, "semi")
+                gone = spark.createDataFrame([], pre.schema)
+                cdc_staged = os.path.join(tmp, "__cdc_staged")
+                _diff_states(pre, gone, key).withColumn(
+                    CDC_VERSION_COL,
+                    F.lit(int(snapshot.get("version", 0)) + 1).cast("long"),
+                ).coalesce(1).write.parquet(cdc_staged)
             final_schema = _publish(
                 path,
                 tmp,
@@ -1495,6 +1670,7 @@ def delete_keys(
                 based_on=snapshot,
                 schema=stored,
                 append_only=mor,
+                cdc_staged=cdc_staged,
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1583,7 +1759,15 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
         # based_on: a concurrent upsert that rewrote one of these buckets
         # mid-compaction makes the compacted copy stale — abort, keep theirs
         final_schema = _publish(
-            path, tmp, to_compact, based_on=manifest, schema=stored
+            path,
+            tmp,
+            to_compact,
+            based_on=manifest,
+            schema=stored,
+            # compaction changes no resolved content: record an EMPTY
+            # change capture so feed windows spanning it stay on the
+            # sidecar tier instead of falling back to the state diff
+            cdc_staged="",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

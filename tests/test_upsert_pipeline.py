@@ -1575,7 +1575,11 @@ def test_change_feed_is_bucket_confined(spark, tmp_path):
         n_buckets=n,
     )
     v0 = current_version(path)
+    # capture off: this test pins the state-diff tiers' bucket confinement
+    # (with capture on, tier 0 opens no table file at all — stronger, but
+    # pinned separately)
     _os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+    _os.environ["SPARK_GRAFT_SINK_CDC"] = "off"
     try:
         upsert_parquet(
             spark,
@@ -1586,6 +1590,7 @@ def test_change_feed_is_bucket_confined(spark, tmp_path):
         )
     finally:
         _os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        _os.environ.pop("SPARK_GRAFT_SINK_CDC", None)
     df = read_changes(spark, path, v0)
     touched = {f.split("/")[-2] for f in df.inputFiles()}
     assert touched == {f"_bucket={b['k0']}"}  # only the dirtied bucket
@@ -1767,6 +1772,9 @@ def test_change_feed_mor_append_fast_path(spark, tmp_path, monkeypatch):
     )
     v0 = U.current_version(path)
     monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    # capture off: this test pins the SUFFIX fast path (tier 1); the
+    # write-time-capture tier (tier 0) has its own test below
+    monkeypatch.setenv("SPARK_GRAFT_SINK_CDC", "off")
     upsert_parquet(
         spark,
         path,
@@ -1805,3 +1813,163 @@ def test_change_feed_mor_append_fast_path(spark, tmp_path, monkeypatch):
     assert len(calls) == 2  # before AND after resolved states
     got2 = sorted((r["k"], r["v"], r["_change_type"]) for r in df2.collect())
     assert got2 == got  # compaction is invisible to the feed's content
+
+
+def test_change_feed_write_time_capture(spark, tmp_path, monkeypatch):
+    """Tier 0: a window whose every version wrote a CDC sidecar is served
+    from the sidecars alone — zero table files opened, zero resolved-state
+    builds — and the netted result (first preimage / last postimage per
+    key) is byte-identical to the state diff of a capture-off twin table
+    that took the same mutations."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    n = 8
+    keys = [f"k{i}" for i in range(40)]
+
+    def build(path, cdc):
+        monkeypatch.setenv("SPARK_GRAFT_SINK_CDC", cdc)
+        write_keyed_table(
+            spark.createDataFrame([(k, 0) for k in keys], "k string, v int"),
+            path,
+            key="k",
+            n_buckets=n,
+        )
+        v0 = U.current_version(path)
+        monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+        # v: update k1, insert new1
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([("k1", 5), ("new1", 1)], "k string, v int"),
+            key="k",
+            n_buckets=n,
+        )
+        # v+1: update k1 again (nets to one pair 0 -> 7), revert k2-noop,
+        # insert-then-delete new2
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([("k1", 7), ("new2", 2)], "k string, v int"),
+            key="k",
+            n_buckets=n,
+        )
+        # v+2: delete new2 (insert+delete in window nets to nothing) and
+        # k3 (plain delete), update-then... k1 stays
+        from es_household_retention_spark_job_spark.sinks.upsert import (
+            delete_keys,
+        )
+
+        delete_keys(
+            spark, path, spark.createDataFrame([("new2",), ("k3",)], "k string")
+        )
+        monkeypatch.delenv("SPARK_GRAFT_SINK_WRITE_MODE")
+        return v0
+
+    path_on = str(tmp_path / "cdc_on")
+    v0 = build(path_on, "on")
+    calls = []
+    real = U._resolved_state
+
+    def spy(spark_, path_, schema, manifest, layout, restrict=None):
+        calls.append(restrict)
+        return real(spark_, path_, schema, manifest, layout, restrict)
+
+    monkeypatch.setattr(U, "_resolved_state", spy)
+    df = U.read_changes(spark, path_on, v0)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in df.collect())
+    monkeypatch.setattr(U, "_resolved_state", real)
+    assert calls == []  # no state build at all
+    assert df.inputFiles() and all(
+        f"/{U.CDC_DIR}/" in f for f in df.inputFiles()
+    )
+    assert got == [
+        ("k1", 0, "update_preimage"),
+        ("k1", 7, "update_postimage"),
+        ("k3", 0, "delete"),
+        ("new1", 1, "insert"),
+    ]
+
+    # capture-off twin, same mutations: the state diff agrees exactly
+    path_off = str(tmp_path / "cdc_off")
+    v0_off = build(path_off, "off")
+    off = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in U.read_changes(spark, path_off, v0_off).collect()
+    )
+    assert off == got
+
+    # sub-window netting: a window starting mid-history serves the values
+    # as of ITS from-version (k1 was 5 at v0+1)
+    mid = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in U.read_changes(spark, path_on, v0 + 1).collect()
+    )
+    assert ("k1", 5, "update_preimage") in mid
+    assert ("k1", 7, "update_postimage") in mid
+    assert ("new1", 1, "insert") not in mid  # inserted before this window
+
+
+def test_cdc_sidecar_gc_and_fallback(spark, tmp_path, monkeypatch):
+    """Sidecar files die with their versions (entries pruned in sync with
+    retention, files through the garbage/grace pipeline), and a window
+    containing an uncaptured version (CoW merge) falls back to the state
+    diff with identical content."""
+    import os as _os
+
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "2")
+    n = 4
+    path = str(tmp_path / "cdc_gc")
+    write_keyed_table(
+        spark.createDataFrame([(f"k{i}", 0) for i in range(20)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    for i in range(6):
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([(f"k{i}", i + 1)], "k string, v int"),
+            key="k",
+            n_buckets=n,
+        )
+    man = U._read_manifest(path)
+    retained = {str(v) for v in U._snapshot_versions(path)}
+    assert set(man["cdc"]) <= retained  # pruned in sync with retention
+    cdc_dir = _os.path.join(path, U.CDC_DIR)
+    on_disk = {f for f in _os.listdir(cdc_dir) if f.endswith(".parquet")}
+    referenced = {f for fs in man["cdc"].values() for f in fs}
+    assert on_disk == referenced  # grace-0: pruned files physically gone
+
+    # fallback: a CoW version inside the window has no sidecar entry
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "4")  # keep v_from
+    v_before_cow = U.current_version(path)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k7", 99)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k8", 98)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in U.read_changes(spark, path, v_before_cow).collect()
+    )
+    assert got == [
+        ("k7", 0, "update_preimage"),
+        ("k7", 99, "update_postimage"),
+        ("k8", 0, "update_preimage"),
+        ("k8", 98, "update_postimage"),
+    ]
