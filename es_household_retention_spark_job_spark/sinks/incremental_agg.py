@@ -66,6 +66,17 @@ SOURCE_KEY = "fold_source"
 #: (still one shuffle of |groups| + |agg| rows, never of the SOURCE table)
 FOLD_LOOKUP_MAX = int(os.environ.get("SPARK_GRAFT_FOLD_LOOKUP_MAX", "10000"))
 
+#: synthesized single-column key for MULTI-column groups (the bucketed
+#: layout addresses one key column); unit-separator-joined string casts of
+#: the group values — the group columns themselves stay as data columns
+GROUP_KEY_COL = "_group"
+
+
+def _group_key(group_cols: list[str]):
+    return F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols]
+    )
+
 
 def _agg_exprs(sum_cols: tuple[str, ...], weight) -> list:
     """Signed count+sum expressions over change rows. Sums ignore nulls
@@ -84,16 +95,19 @@ def fold_aggregate(
     spark: SparkSession,
     source_path: str,
     agg_path: str,
-    group_col: str,
+    group_col: str | list[str] | tuple[str, ...],
     sum_cols: tuple[str, ...] | list[str] = (),
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> int:
     """Bring the count+sum aggregate of ``source_path`` grouped by
-    ``group_col`` up to date at ``agg_path``; returns the source version the
-    aggregate now reflects. First call bootstraps (one full grouped scan of
-    the pinned current version); later calls fold only the change feed
-    since the recorded cursor. Output columns: ``group_col``, ``cnt``
-    (long), and ``sum_<c>`` per requested column. A group whose count
+    ``group_col`` (one column name, or a list for composite groups — the
+    terms-agg-by-(client, month) shape) up to date at ``agg_path``;
+    returns the source version the aggregate now reflects. First call
+    bootstraps (one full grouped scan of the pinned current version);
+    later calls fold only the change feed since the recorded cursor.
+    Output columns: the group column(s), ``cnt`` (long), and ``sum_<c>``
+    per requested column (multi-column groups also carry the synthesized
+    ``_group`` key — ``read_aggregate`` hides it). A group whose count
     reaches zero keeps a ``cnt=0`` row (sums zeroed) — readers filter, and
     a later revival is a plain update, not a resurrection special case.
 
@@ -103,26 +117,40 @@ def fold_aggregate(
     Idempotent per version: a fold at an unchanged cursor is a no-op; a
     re-sent fold from a stale cursor aborts with ``ConcurrentWriteError``
     (the committed cursor no longer matches ``app_meta_expect``)."""
+    group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    composite = len(group_cols) > 1
+    key = GROUP_KEY_COL if composite else group_cols[0]
     sum_cols = tuple(sum_cols)
     out_cols = {c: f"sum_{c}" for c in sum_cols}
     source_id = os.path.abspath(source_path)
     v_now = current_version(source_path)
+
+    def _with_key(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(GROUP_KEY_COL, _group_key(group_cols))
+            if composite
+            else df
+        )
 
     if not os.path.exists(agg_path):
         # bootstrap: one grouped scan of the PINNED current version (a
         # concurrent source publish mid-scan cannot tear the baseline —
         # the cursor recorded is exactly the version that was read)
         src = read_keyed_table(spark, source_path, version=v_now)
-        boot = src.groupBy(group_col).agg(
+        boot = src.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(c).alias(out_cols[c]) for c in sum_cols],
         )
-        if boot.where(F.col(group_col).isNull()).limit(1).count():
-            raise ValueError(f"null values in group column {group_col!r}")
+        null_any = None
+        for c in group_cols:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        if boot.where(null_any).limit(1).count():
+            raise ValueError(f"null values in group column(s) {group_cols!r}")
         write_keyed_table(
-            boot,
+            _with_key(boot),
             agg_path,
-            key=group_col,
+            key=key,
             n_buckets=n_buckets,
             app_meta={CURSOR_KEY: v_now, SOURCE_KEY: source_id},
         )
@@ -146,13 +174,16 @@ def fold_aggregate(
     weight = F.when(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    deltas = ch.groupBy(group_col).agg(*_agg_exprs(sum_cols, weight))
+    deltas = _with_key(
+        ch.groupBy(*group_cols).agg(*_agg_exprs(sum_cols, weight))
+    )
     # one bounded materialization decides the old-row read strategy; the
     # deltas feed two plans below, so cache across them
     deltas = deltas.persist()
     try:
+        probe_cols = [key] + (group_cols if composite else [])
         groups = (
-            deltas.select(group_col).limit(FOLD_LOOKUP_MAX + 1).collect()
+            deltas.select(*probe_cols).limit(FOLD_LOOKUP_MAX + 1).collect()
         )
         if not groups:
             # net-zero window (e.g. only same-value rewrites): advance the
@@ -163,14 +194,18 @@ def fold_aggregate(
                 spark,
                 agg_path,
                 empty,
-                key=group_col,
+                key=key,
                 n_buckets=n_buckets,
                 app_meta={CURSOR_KEY: v_now, SOURCE_KEY: source_id},
                 app_meta_expect={CURSOR_KEY: v_from},
             )
             return v_now
-        if any(r[0] is None for r in groups):
-            raise ValueError(f"null values in group column {group_col!r}")
+        if composite:
+            nulls = any(any(r[c] is None for c in group_cols) for r in groups)
+        else:
+            nulls = any(r[0] is None for r in groups)
+        if nulls:
+            raise ValueError(f"null values in group column(s) {group_cols!r}")
         if len(groups) <= FOLD_LOOKUP_MAX:
             # serving shape: only the buckets the affected groups hash to
             # are opened (manifest-level pruning in read_keyed_table)
@@ -182,9 +217,10 @@ def fold_aggregate(
             # still never touches the SOURCE table
             old = read_keyed_table(spark, agg_path)
         d, o = deltas.alias("d"), old.alias("o")
-        merged = d.join(o, on=group_col, how="left")
+        merged = d.join(o, on=key, how="left")
         sel = [
-            F.col(f"d.{group_col}").alias(group_col),
+            *[F.col(f"d.{c}").alias(c) for c in group_cols],
+            *([F.col(f"d.{GROUP_KEY_COL}").alias(GROUP_KEY_COL)] if composite else []),
             (F.coalesce(F.col("o.cnt"), F.lit(0)) + F.col("d._dcnt"))
             .cast("long")
             .alias("cnt"),
@@ -213,7 +249,7 @@ def fold_aggregate(
                 F.col("cnt") >= 0,
                 F.concat(
                     F.lit("negative folded count for group "),
-                    F.col(group_col).cast("string"),
+                    F.col(key).cast("string"),
                 ),
             ).isNull()
         )
@@ -221,7 +257,7 @@ def fold_aggregate(
             spark,
             agg_path,
             merged,
-            key=group_col,
+            key=key,
             n_buckets=n_buckets,
             app_meta={CURSOR_KEY: v_now, SOURCE_KEY: source_id},
             app_meta_expect={CURSOR_KEY: v_from},
@@ -232,6 +268,8 @@ def fold_aggregate(
 
 
 def read_aggregate(spark: SparkSession, agg_path: str) -> DataFrame:
-    """The maintained aggregate, zero-count rows filtered — what a consumer
-    sees. (``read_keyed_table`` directly if the zero rows matter.)"""
-    return read_keyed_table(spark, agg_path).where(F.col("cnt") > 0)
+    """The maintained aggregate, zero-count rows filtered and the
+    synthesized composite-group key hidden — what a consumer sees.
+    (``read_keyed_table`` directly if the zero rows or the key matter.)"""
+    df = read_keyed_table(spark, agg_path).where(F.col("cnt") > 0)
+    return df.drop(GROUP_KEY_COL) if GROUP_KEY_COL in df.columns else df

@@ -203,3 +203,77 @@ def test_null_group_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="null values in group column"):
         fold_aggregate(spark, src, agg, "g", ("v",))
+
+
+def test_fold_large_group_set_full_scan_path(spark, tmp_path, monkeypatch):
+    """Beyond FOLD_LOOKUP_MAX affected groups the fold joins against the
+    full aggregate scan instead of collecting a driver-side key list —
+    same result."""
+    import es_household_retention_spark_job_spark.sinks.incremental_agg as ia
+
+    monkeypatch.setattr(ia, "FOLD_LOOKUP_MAX", 2)
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    _source(spark, src, n=40, groups=8)  # 8 affected groups > cap of 2
+    fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=4)
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame(
+            [(f"k{i}", i % 8, 1000 + i) for i in range(8)],
+            "k string, g int, v long",
+        ),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=4)
+    assert _agg_state(spark, agg) == _recompute(spark, src)
+
+
+def test_fold_composite_group(spark, tmp_path, monkeypatch):
+    """Multi-column groups: the aggregate keys on a synthesized composite
+    column (group values stay as data columns; read_aggregate hides the
+    key); folds across mutations match a from-scratch recompute."""
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    rows = [(f"k{i}", i % 3, f"s{i % 2}", (i + 1) * 10) for i in range(30)]
+    write_keyed_table(
+        spark.createDataFrame(rows, "k string, g int, s string, v long"),
+        src,
+        key="k",
+        n_buckets=8,
+    )
+
+    def recompute():
+        out = (
+            read_keyed_table(spark, src)
+            .groupBy("g", "s")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+            .collect()
+        )
+        return {(r["g"], r["s"]): (r["cnt"], r["sum_v"]) for r in out}
+
+    fold_aggregate(spark, src, agg, ["g", "s"], ("v",), n_buckets=4)
+    got = read_aggregate(spark, agg)
+    assert sorted(got.columns) == ["cnt", "g", "s", "sum_v"]  # key hidden
+    state = {(r["g"], r["s"]): (r["cnt"], r["sum_v"]) for r in got.collect()}
+    assert state == recompute()
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame(
+            [("k1", 2, "s1", 999), ("new1", 0, "s0", 7)],
+            "k string, g int, s string, v long",
+        ),
+        key="k",
+        n_buckets=8,
+    )
+    delete_keys(spark, src, spark.createDataFrame([("k2",)], "k string"))
+    fold_aggregate(spark, src, agg, ["g", "s"], ("v",), n_buckets=4)
+    state = {
+        (r["g"], r["s"]): (r["cnt"], r["sum_v"])
+        for r in read_aggregate(spark, agg).collect()
+    }
+    assert state == recompute()

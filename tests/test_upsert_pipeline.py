@@ -1973,3 +1973,46 @@ def test_cdc_sidecar_gc_and_fallback(spark, tmp_path, monkeypatch):
         ("k8", 0, "update_preimage"),
         ("k8", 98, "update_postimage"),
     ]
+
+
+def test_cdc_capture_schema_evolution(spark, tmp_path, monkeypatch):
+    """A schema-evolving MoR upsert captures postimages carrying the new
+    column; the netting reader merges sidecar schemas across the window,
+    so preimages read null for it — no phantom diffs, values exact."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    n = 4
+    path = str(tmp_path / "cdc_evolve_mor")
+    write_keyed_table(
+        spark.createDataFrame([(f"k{i}", 0) for i in range(12)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    v0 = U.current_version(path)
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k2", 5)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k3", 6, "x")], "k string, v int, extra string"),
+        key="k",
+        n_buckets=n,
+    )
+    df = U.read_changes(spark, path, v0)
+    assert df.inputFiles() and all(f"/{U.CDC_DIR}/" in f for f in df.inputFiles())
+    got = sorted(
+        (r["k"], r["v"], r["extra"], r["_change_type"]) for r in df.collect()
+    )
+    assert got == [
+        ("k2", 0, None, "update_preimage"),
+        ("k2", 5, None, "update_postimage"),
+        ("k3", 0, None, "update_preimage"),
+        ("k3", 6, "x", "update_postimage"),
+    ]
