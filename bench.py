@@ -117,6 +117,11 @@ R9_QUERIES = [
     "knn_sq8_indexed",
     "bm25_search_auto",
     "bm25_search_zipf",
+    # sink read surface (the mutated keyed table builds once per process
+    # in the warmup pass; timed passes measure the reads themselves)
+    "sink_change_feed",
+    "sink_point_lookup",
+    "sink_incremental_agg",
 ]
 
 REPS = 7
