@@ -2016,3 +2016,83 @@ def test_cdc_capture_schema_evolution(spark, tmp_path, monkeypatch):
         ("k3", 0, None, "update_preimage"),
         ("k3", 6, "x", "update_postimage"),
     ]
+
+
+def test_change_feed_random_sequences_match_dict_model(
+    spark, tmp_path, monkeypatch
+):
+    """Model-based property for the change feed: random mutation sequences
+    (upserts, deletes, re-inserts, mixed write modes, a mid-sequence
+    compaction) against a dict model; for EVERY retained (from, to) pair
+    the feed must equal the model's state diff — whichever tier serves it
+    (capture sidecars, append suffix, or the full state diff)."""
+    import random
+
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        delete_keys,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "16")
+    rng = random.Random(20260815)
+    keys = [f"K{i}" for i in range(8)]
+    path = str(tmp_path / "cdf_prop")
+    write_keyed_table(
+        spark.createDataFrame([(k, 0) for k in keys[:5]], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=4,
+    )
+    model: dict[str, int] = {k: 0 for k in keys[:5]}
+    states = {U.current_version(path): dict(model)}
+
+    for step in range(6):
+        mode = rng.choice(["cow", "mor", "mor"])  # bias to the capture tier
+        monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", mode)
+        if rng.random() < 0.3 and model:
+            victims = rng.sample(sorted(model), min(2, len(model)))
+            delete_keys(
+                spark, path, spark.createDataFrame([(k,) for k in victims], "k string")
+            )
+            for k in victims:
+                model.pop(k)
+        else:
+            batch = [
+                (k, rng.randint(1, 99))
+                for k in rng.sample(keys, rng.randint(1, 3))
+            ]
+            upsert_parquet(
+                spark,
+                path,
+                spark.createDataFrame(batch, "k string, v int"),
+                key="k",
+                n_buckets=4,
+            )
+            model.update(dict(batch))
+        if step == 3:
+            monkeypatch.setenv("SPARK_GRAFT_SINK_GC_GRACE", "0")
+            compact_keyed_table(spark, path)
+        states[U.current_version(path)] = dict(model)
+
+    versions = sorted(states)
+    for i, v_from in enumerate(versions):
+        for v_to in versions[i + 1 :]:
+            a, b = states[v_from], states[v_to]
+            want = sorted(
+                [(k, b[k], "insert") for k in b if k not in a]
+                + [(k, a[k], "delete") for k in a if k not in b]
+                + [
+                    p
+                    for k in a
+                    if k in b and a[k] != b[k]
+                    for p in [
+                        (k, a[k], "update_preimage"),
+                        (k, b[k], "update_postimage"),
+                    ]
+                ]
+            )
+            got = sorted(
+                (r["k"], r["v"], r["_change_type"])
+                for r in U.read_changes(spark, path, v_from, v_to).collect()
+            )
+            assert got == want, (v_from, v_to, got, want)
