@@ -2076,3 +2076,44 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities, MLE counts trained on the corpus in the same job, so
     scores hash-match the DuckDB oracle."""
     return T.ngram_lm_score(_docs(spark, sf_dir))
+
+
+#: process-scoped persisted near-dup index over the EVEN-id half of the
+#: corpus (same lifecycle pattern as the text/ANN index memos)
+_NEARDUP_INDEX_BUILT: dict[str, str] = {}
+
+
+def _neardup_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _NEARDUP_INDEX_BUILT.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_nd_idx_") + "/idx"
+        D.build_neardup_index(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0), path
+        )
+        _NEARDUP_INDEX_BUILT[sf_dir] = path
+    return path
+
+
+@register(
+    "neardup_probe_indexed",
+    f"""WITH {_MINHASH_PAIRS_CTES}
+    SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard_bp FROM pairs
+     WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard_bp FROM pairs
+     WHERE doc_b % 2 = 1 AND doc_a % 2 = 0""",
+    extra=True,
+)
+def neardup_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of the PERSISTED near-dup band index
+    (operators/dedup.py::build_neardup_index / neardup_probe): odd-id
+    documents probed against the indexed even-id corpus. The oracle
+    recomputes the full MinHash-LSH pair set and keeps the odd-vs-even
+    straddling pairs oriented probe→indexed — a hash match proves the
+    persisted index serves exactly the batch LSH candidates (streaming
+    append equivalence is pinned in tests/test_streaming.py)."""
+    docs = _docs(spark, sf_dir)
+    idx = D.read_neardup_index(spark, _neardup_index(spark, sf_dir))
+    return D.neardup_probe(docs.where(F.col("doc_id") % 2 == 1), idx)

@@ -25,9 +25,10 @@ DuckDB twins live in ``entry_queries_docs``. No Python UDFs anywhere.
 
 from __future__ import annotations
 
+import os
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import P31, eager_cache, ensure_parallelism, h60
@@ -696,4 +697,108 @@ def leakage_safe_split(
             .otherwise("test")
             .alias("split"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted near-dup (LSH band) index — maintenance parity with the text
+# and vector indexes: the streaming path previously rebuilt the corpus band
+# index per ingestion epoch (an O(corpus) shingle+minhash pass); persisting
+# the bands and APPENDING each curated micro-batch makes corpus-side cost
+# O(delta docs). Layout: parquet partitioned by band_bucket =
+# pmod(xxhash64(band_key), NEARDUP_INDEX_BUCKETS) — 8 small rows per doc
+# (band key + the hashed-shingle array for exact-Jaccard verification),
+# never the text. Atomicity: batch builds are write-then-swap by Spark's
+# overwrite; streaming appends go through the file sink's own
+# transaction log (_spark_metadata), which `read_neardup_index` honors, so
+# a crashed micro-batch's files are invisible — the same reader-atomicity
+# contract as the manifest-based indexes, provided by Spark itself.
+# ---------------------------------------------------------------------------
+
+NEARDUP_INDEX_BUCKETS = 64
+BAND_BUCKET_COL = "band_bucket"
+
+
+def neardup_index_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, gh, band_key, band_bucket) rows for an index build or
+    append — identical math to the batch LSH path (`minhash_bands`), so
+    probe results match `dedup_minhash_lsh` candidates exactly."""
+    bands = minhash_bands(shingle_sets(docs, text_col, id_col), id_col)
+    return bands.withColumn(
+        BAND_BUCKET_COL,
+        F.pmod(F.xxhash64("band_key"), F.lit(NEARDUP_INDEX_BUCKETS)),
+    )
+
+
+def build_neardup_index(
+    docs: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Build (or atomically replace) the persisted band index of a corpus.
+
+    Layout note: the batch build lands in ``path/base`` and streaming
+    appends in ``path/stream`` — they CANNOT share a directory, because
+    the streaming file sink's _spark_metadata log, once present, makes
+    readers serve ONLY log-listed files and the batch build would turn
+    invisible (caught by the parity test). Each side is atomic in its own
+    domain (overwrite swap vs sink log); ``read_neardup_index`` unions
+    them."""
+    neardup_index_frame(docs, text_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy(BAND_BUCKET_COL).parquet(os.path.join(path, "base"))
+
+
+def read_neardup_index(spark: SparkSession, path: str) -> DataFrame:
+    """The live band index: the batch-built ``base`` plus any streamed
+    ``stream`` appends. The stream side is read through its own
+    _spark_metadata log, so files from uncommitted micro-batches are never
+    served."""
+    parts = []
+    for sub in ("base", "stream"):
+        p = os.path.join(path, sub)
+        if os.path.isdir(p):
+            parts.append(spark.read.parquet(p))
+    if not parts:
+        raise FileNotFoundError(f"no near-dup index at {path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def neardup_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    min_bp: int = JACCARD_MIN_BP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` against the indexed corpus: equi-join
+    on (band_bucket, band_key) — the bucket column rides the join so the
+    scan prunes to colliding partitions under dynamic partition pruning —
+    then exact-Jaccard verification on the two hashed-shingle arrays.
+    Emits (doc_id, dup_of, jaccard_bp), band-collision-bounded, never
+    all-pairs. Candidates (and therefore results) match the batch
+    `minhash_lsh_pairs` on the union corpus for pairs that straddle
+    new-vs-indexed."""
+    probe = neardup_index_frame(new_docs, text_col, id_col).withColumnRenamed(
+        "gh", "gh_new"
+    )
+    idx = index.select(
+        F.col(id_col).alias("dup_of"),
+        F.col("gh").alias("gh_old"),
+        "band_key",
+        BAND_BUCKET_COL,
+    )
+    return (
+        probe.join(idx, ["band_key", BAND_BUCKET_COL])
+        .where(F.col(id_col) != F.col("dup_of"))
+        .select(
+            id_col,
+            "dup_of",
+            jaccard_bp(F.col("gh_new"), F.col("gh_old")).alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= min_bp)
+        .dropDuplicates([id_col, "dup_of"])
     )

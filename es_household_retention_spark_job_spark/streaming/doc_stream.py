@@ -279,3 +279,43 @@ def ann_index_maintenance_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_index_sink(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the PERSISTED near-dup band index
+    (operators/dedup.py::build_neardup_index): each curated micro-batch's
+    band rows append into the band-bucket partitions — O(delta docs) per
+    epoch where the pre-index path recomputed the corpus bands per epoch.
+    Exactly-once is Spark's own here: the parquet file sink's
+    _spark_metadata transaction log commits files per epoch and
+    `read_neardup_index` reads through it, so replays and crashed batches
+    are invisible — no custom manifest needed (contrast with the
+    text/ANN indexes, whose layouts Spark's file sink cannot express).
+
+    The companion probe (`neardup_against_corpus` for in-flight checks, or
+    `operators.dedup.neardup_probe` against this index) flags incoming
+    near-duplicates of the indexed corpus; appending AFTER probing gives
+    dedup-on-ingest, appending regardless gives a growing searchable
+    index."""
+    import os
+
+    from ..operators.dedup import neardup_index_frame
+
+    bands = neardup_index_frame(docs)
+    writer = (
+        bands.writeStream.format("parquet")
+        # stream/ sub-layout: see build_neardup_index — the sink's
+        # _spark_metadata log must not capture the batch-built base/ files
+        .option("path", os.path.join(index_path, "stream"))
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("band_bucket")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -812,3 +812,81 @@ def test_keyed_table_sink_auto_compact(spark, tmp_path, monkeypatch):
     # every applied batch's deltas were folded: no dirty buckets remain
     assert not _read_manifest(tbl).get("mor")
     assert needs_compaction(tbl) is False
+
+
+def test_persisted_neardup_index_build_append_probe(spark, tmp_path):
+    """Maintenance parity for the third retrieval structure: the band
+    index persists (band-bucket-partitioned parquet), streaming
+    micro-batches APPEND O(delta) band rows through the file sink's own
+    transaction log, and probes against the persisted index equal (a) the
+    in-memory corpus_band_index path and (b) a from-scratch rebuild over
+    the grown corpus."""
+    from es_household_retention_spark_job_spark.operators.dedup import (
+        build_neardup_index,
+        neardup_probe,
+        read_neardup_index,
+    )
+    from es_household_retention_spark_job_spark.streaming import doc_stream
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    fresh = docs.where(F.col("doc_id") % 2 == 1)
+    idx_path = str(tmp_path / "nd_idx")
+    build_neardup_index(corpus, idx_path)
+
+    # probe equivalence with the in-memory path (same math, same matches)
+    want = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in doc_stream.neardup_against_corpus(
+            fresh, doc_stream.corpus_band_index(corpus)
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in neardup_probe(
+            fresh, read_neardup_index(spark, idx_path)
+        ).collect()
+    }
+    assert got == want and got
+
+    # streaming append: fold the fresh docs in (two micro-batches), then
+    # a rebuilt-from-scratch index over the union must serve identical
+    # probe results for a third batch of synthetic near-copies
+    in_dir = tmp_path / "nd_in"
+    in_dir.mkdir()
+    rows = [r.asDict() for r in fresh.limit(40).collect()]
+    half = len(rows) // 2
+    base_ts = time.time() - 600
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = in_dir / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base_ts + 60 * i, base_ts + 60 * i))
+    stream = doc_stream.stream_documents(spark, str(in_dir), max_files_per_trigger=1)
+    _drain(
+        doc_stream.neardup_index_sink(
+            stream, idx_path, str(tmp_path / "nd_ckpt")
+        )
+    )
+    grown = corpus.unionByName(
+        spark.createDataFrame([tuple(r.values()) for r in rows], fresh.schema)
+    )
+    rebuilt = str(tmp_path / "nd_rebuilt")
+    build_neardup_index(grown, rebuilt)
+    probes = spark.createDataFrame(
+        [
+            (900000 + r["doc_id"], r["text"] + " appended words tail", r["lang"], r["source"], r["n_chars"])
+            for r in rows[:10]
+        ],
+        fresh.schema,
+    )
+    from_appended = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in neardup_probe(probes, read_neardup_index(spark, idx_path)).collect()
+    }
+    from_rebuilt = {
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in neardup_probe(probes, read_neardup_index(spark, rebuilt)).collect()
+    }
+    assert from_appended == from_rebuilt and from_appended
