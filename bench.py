@@ -122,6 +122,7 @@ R9_QUERIES = [
     "sink_change_feed",
     "sink_point_lookup",
     "sink_incremental_agg",
+    "neardup_probe_indexed",
 ]
 
 REPS = 7
