@@ -24,6 +24,7 @@ EXTRA_PLANS = [
     "sink_point_lookup",
     "sink_change_feed",
     "sink_incremental_agg",
+    "neardup_probe_indexed",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
