@@ -121,6 +121,10 @@ def retention_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         oracle.retention_core_ctes(CLIENT, AS_OF),
         "SELECT household_id, admit_month FROM retained",
     ),
+    # extra since round 10: the J3 band join is the core of the driver-gated
+    # retention_phase1 (and the literal self-join twin is pinned extra too);
+    # the freed slot carries the round-9 sink surface into the hard gate
+    extra=True,
 )
 def retained_months_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 band-join core alone: months with a prior encounter in look-back."""
@@ -272,6 +276,10 @@ def pack_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT a.household_id) AS BIGINT) AS n_households
     FROM admits a JOIN cohorts c ON a.household_id = c.household_id
     GROUP BY c.cohort_month, months_since""",
+    # extra since round 10: beyond-§2 analytics demo (its pieces — grouped
+    # distinct counts, month arithmetic, min-per-group — all ride driver
+    # rows); freed the slot for the round-9 sink surface
+    extra=True,
 )
 def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort matrix over the retention data model: households

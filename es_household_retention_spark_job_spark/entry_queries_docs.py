@@ -405,6 +405,10 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents)
     SELECT doc_id, source, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 10""",
+    # extra since round 10: corpus-balancing demo whose pieces (windowed
+    # rank, deterministic hash order) ride driver rows; freed the slot for
+    # the round-9 sink surface
+    extra=True,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source capped sample (≤10 docs/source) in deterministic
@@ -1646,7 +1650,7 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bm25_search_auto", _bm25_oracle_sql(), extra=True)
+@register("bm25_search_auto", _bm25_oracle_sql())
 def bm25_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-ROUTED BM25 search (operators/search.py::bm25_search_auto):
     the scan-vs-index crossover measured in SCALING.md made into an

@@ -604,7 +604,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .entry_queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 
-@register("sessionize_events_chunked", _ORACLE_SQL["sessionize_events"])
+@register(
+    "sessionize_events_chunked",
+    _ORACLE_SQL["sessionize_events"],
+    # extra since round 10: strategy twin of the driver-gated
+    # sessionize_events (identical oracle); freed the slot for the round-9
+    # sink surface
+    extra=True,
+)
 def sessionize_events_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-level sessionization (operators/sessionize.py::
     sessionize_chunked): per-(user, day-chunk) local windows + a tiny

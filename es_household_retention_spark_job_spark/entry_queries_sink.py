@@ -135,7 +135,76 @@ SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey, c_acctbal,
 """
 
 
-@register("sink_change_feed", _CDF_SQL, extra=True)
+#: cow-mode twin table: same mutation script run under the DEFAULT
+#: copy-on-write mode — what proves the round-10 write-mode-independent
+#: CDC capture end-to-end (the feed below must hash-match the same oracle
+#: while every window version's sidecar came from a CoW rewrite)
+_SINK_TABLE_BUILT_COW: dict[str, tuple[str, int]] = {}
+
+
+def _mutated_table_cow(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    built = _SINK_TABLE_BUILT_COW.get(sf_dir)
+    if built is not None:
+        return built
+    from .sinks.upsert import (
+        current_version,
+        delete_keys,
+        upsert_parquet,
+        write_keyed_table,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_sink_cow_"), "t")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _customer(spark, sf_dir)
+    write_keyed_table(cust, path, key="c_custkey", n_buckets=_BUCKETS)
+    v0 = current_version(path)
+    updates = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_bal_x100", F.col("c_bal_x100") + 10_000)
+    )
+    inserts = cust.where(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    prev = os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE")
+    os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "cow"
+    try:
+        upsert_parquet(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            key="c_custkey",
+            n_buckets=_BUCKETS,
+        )
+        delete_keys(
+            spark,
+            path,
+            cust.where(F.col("c_custkey") % 11 == 0).select("c_custkey"),
+            key="c_custkey",
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        else:
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = prev
+    _SINK_TABLE_BUILT_COW[sf_dir] = (path, v0)
+    return path, v0
+
+
+@register("sink_change_feed_cow", _CDF_SQL, extra=True)
+def sink_change_feed_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed with the mutations run under the DEFAULT
+    copy-on-write mode: every window version's pre/postimages came from
+    the CoW merge's write-time capture (round 10 — capture is
+    write-mode-independent), so the feed is served from the O(changed
+    rows) sidecar tier, hash-equal to the same oracle as the MoR row."""
+    from .sinks.upsert import read_changes
+
+    path, v0 = _mutated_table_cow(spark, sf_dir)
+    return read_changes(spark, path, v0)
+
+
+@register("sink_change_feed", _CDF_SQL)
 def sink_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed between two retained versions
     (sinks/upsert.py::read_changes, Delta-CDF row shape): inserts, deletes
@@ -159,7 +228,7 @@ SELECT c_custkey, c_name, c_nationkey,
 """
 
 
-@register("sink_point_lookup", _LOOKUP_SQL, extra=True)
+@register("sink_point_lookup", _LOOKUP_SQL)
 def sink_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup (sinks/upsert.py::read_keyed_table(keys=...)) against
     the MoR-dirty current state: only the buckets the probe keys hash to
@@ -196,7 +265,7 @@ SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
 """
 
 
-@register("sink_incremental_agg", _AGG_SQL, extra=True)
+@register("sink_incremental_agg", _AGG_SQL)
 def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate
     (sinks/incremental_agg.py::fold_aggregate): count + exact-cents sum of

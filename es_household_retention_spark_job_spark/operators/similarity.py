@@ -548,6 +548,39 @@ def _bootstrap_ann_manifest(spark, path: str) -> dict:
     }
 
 
+def _cell_rows_from_footers(path: str, manifest: dict) -> dict[str, int]:
+    """Per-cell row counts for a manifest that predates the ``cell_rows``
+    ledger: one parquet FOOTER read per live cell file (num_rows is footer
+    metadata — no data pages touched), O(files) driver work. Build/append
+    maintain the ledger incrementally so this bootstrap runs at most once
+    per legacy index."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for d, fs in manifest.get("cells", {}).items():
+        cell = d.split("=", 1)[1]
+        n = 0
+        for f in fs:
+            try:
+                n += pq.ParquetFile(
+                    os.path.join(path, "cells", d, f)
+                ).metadata.num_rows
+            except (FileNotFoundError, OSError):
+                continue  # raced a GC: undercount, refreshed next commit
+        out[cell] = n
+    return out
+
+
+def _manifest_cell_rows(spark, path: str, manifest: dict) -> dict[str, int]:
+    """The manifest's per-cell row-count ledger (``cell_rows``), footer-
+    bootstrapped for legacy manifests. Keys are cell ids as strings (JSON
+    round-trip), values row counts. Powers the SQ8-vs-IVF route cost model
+    and the cell-health policy (``ann_cell_health``)."""
+    if "cell_rows" in manifest:
+        return {str(k): int(v) for k, v in manifest["cell_rows"].items()}
+    return _cell_rows_from_footers(path, manifest)
+
+
 def _assigned_cells(
     corpus: DataFrame, cents: list[list[float]], id_col: str, emb_col: str
 ) -> DataFrame:

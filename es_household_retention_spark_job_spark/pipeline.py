@@ -122,17 +122,31 @@ def run_incremental(
        their persons → those persons' households → EVERY member of those
        households (retention is a household-level property — one member's
        new admit can flip months for all of them).
-    2. *Invalidate* (O(affected buckets)): upsert
-       ``household_retention_history = null`` for the affected members.
-       Under ``is_unprocessed`` three-valued logic a null history IS the
-       unprocessed state, so this is a write-ahead marker: a crash after it
-       leaves the members simply "not yet processed".
-    3. *Recompute*: ``run_retention`` — whose P8 predicate now selects
-       exactly the affected members, and whose phase-1 recompute over the
-       FULL encounter history of only those households provably equals a
-       from-scratch run restricted to them (the pipeline never joins
-       across households). Equivalence vs a full recompute is pinned in
-       tests/test_incremental_retention.py.
+    2. *Invalidate — STAGED, not published*: the affected members'
+       ``household_retention_history`` is nulled in a logical view of the
+       store (one broadcast join — under ``is_unprocessed`` three-valued
+       logic a null history IS the unprocessed state), so the phase-1 P8
+       predicate selects exactly the affected members without any
+       intermediate write.
+    3. *Recompute over staged state*: phase 1 runs against the
+       invalidated view; its packed output is cached (delta-bounded) and
+       APPLIED LOGICALLY on top of the view, and phase 2 (invariant check
+       included) runs against that — each phase reads the previous
+       phase's staged output, never the store. The phase-1 recompute over
+       the FULL encounter history of only the affected households
+       provably equals a from-scratch run restricted to them (the
+       pipeline never joins across households). Equivalence vs a full
+       recompute is pinned in tests/test_incremental_retention.py.
+    4. *ONE publish*: the phase-1 histories, the phase-2 not-retained
+       stamps, and (defensively) any invalidated member neither phase
+       restamped — three disjoint key sets — land in a SINGLE upsert, one
+       manifest commit. Readers see the old state or the fully-maintained
+       state, never the invalidate window or a half-recomputed store; and
+       the write floor is ONE bucket-set publish instead of the three the
+       round-9 rehearsal measured as the sf10 bottleneck (3 × ~6.5s CoW
+       publishes collapsing the 3-day-delta speedup to 1.23×). A crash
+       anywhere before the publish leaves the store byte-identical — no
+       write-ahead marker needed, because nothing was written ahead.
 
     Genuinely-new (never-processed) persons ride the recompute whenever it
     runs — the P8 predicate selects them too. When the delta touches NO
@@ -164,22 +178,23 @@ def run_incremental(
 
     The WRITE side is the store's trade to make: under the default
     copy-on-write sink any realistic affected-key set hashes into every
-    bucket, so the three upserts each rewrite the whole store — an
-    O(store) floor independent of delta size (measured at sf10,
-    SCALING.md). Set ``SPARK_GRAFT_SINK_WRITE_MODE=mor`` to land them as
-    per-bucket delta appends (O(delta) writes; reads reconcile per key
-    until the next ``compact_keyed_table``) — state-identical to the CoW
-    run, pinned in tests/test_incremental_retention.py.
+    bucket, so the single upsert rewrites the affected buckets once — an
+    O(store) cost paid ONCE per maintenance call (round 9 paid it three
+    times: write-ahead invalidate + phase-1 + phase-2 publishes, the
+    measured sf10 floor). Set ``SPARK_GRAFT_SINK_WRITE_MODE=mor`` to land
+    it as per-bucket delta appends (O(delta) write; reads reconcile per
+    key until the next ``compact_keyed_table``) — state-identical to the
+    CoW run, pinned in tests/test_incremental_retention.py.
 
     **Maintenance-invisible reads.** The returned ``pre_version`` is the
-    person table's committed version BEFORE any invalidate: a reader
-    pinned via ``read_keyed_table(spark, person_path, version=pre_version)``
-    never observes the transient null-history window between the
-    invalidate and the recompute's commit — maintenance is invisible until
-    it lands (pinned in tests/test_incremental_retention.py). The pin
-    stays readable while the version is retained
-    (``SPARK_GRAFT_SINK_KEEP_VERSIONS``; one incremental publishes ≤3 new
-    versions: invalidate + phase 1 + phase 2).
+    person table's committed version BEFORE the maintenance publish: a
+    reader pinned via ``read_keyed_table(spark, person_path,
+    version=pre_version)`` sees the exact pre-maintenance table (pinned in
+    tests/test_incremental_retention.py) — and since round 10 even the
+    UNPINNED reader never observes a transient state, because the whole
+    maintenance is one commit. The pin stays readable while the version
+    is retained (``SPARK_GRAFT_SINK_KEEP_VERSIONS``; one incremental
+    publishes exactly 1 new version).
 
     Returns ``{"affected_persons", "phase1_persons", "phase2_persons",
     "pre_version"}``.
@@ -215,10 +230,12 @@ def run_incremental(
         )
         .select("person_id")
     )
-    n_affected = members.count()
-    log.info("incremental: %d persons in touched households", n_affected)
-    if n_affected == 0:
-        if not include_new_persons:
+    members = members.persist()
+    packed1 = None
+    try:
+        n_affected = members.count()
+        log.info("incremental: %d persons in touched households", n_affected)
+        if n_affected == 0 and not include_new_persons:
             log.info("incremental: no qualifying delta — skipping")
             return {
                 "affected_persons": 0,
@@ -226,29 +243,96 @@ def run_incremental(
                 "phase2_persons": 0,
                 "pre_version": pre_version,
             }
-        log.info(
-            "incremental: no qualifying delta — running the pipeline for "
-            "genuinely-new persons (include_new_persons=True)"
-        )
-    else:
-        # 2. invalidate: null history == unprocessed (P8 three-valued logic)
-        history_type = person.schema["household_retention_history"].dataType
-        upsert_parquet(
-            spark,
-            person_path,
-            members.select(
-                "person_id",
-                F.lit(None).cast(history_type).alias(
-                    "household_retention_history"
-                ),
-            ),
-            key="person_id",
+
+        hist = "household_retention_history"
+        history_type = person.schema[hist].dataType
+        if n_affected:
+            # 2. STAGED invalidate: null history == unprocessed (P8
+            # three-valued logic) — a logical view, nothing published. The
+            # member set is delta-bounded in the common CDC case, so AQE
+            # turns the marker join into a broadcast; a huge blast radius
+            # degrades to a shuffle join instead of an OOM'd forced
+            # broadcast.
+            marked = members.withColumn("_invalidated", F.lit(True))
+            person_work = (
+                person.join(marked, "person_id", "left")
+                .withColumn(
+                    hist,
+                    F.when(
+                        F.col("_invalidated"), F.lit(None).cast(history_type)
+                    ).otherwise(F.col(hist)),
+                )
+                .drop("_invalidated")
+            )
+        else:
+            log.info(
+                "incremental: no qualifying delta — running the pipeline "
+                "for genuinely-new persons (include_new_persons=True)"
+            )
+            person_work = person
+
+        encounter = spark.read.parquet(encounter_path)
+        validate(encounter, ENCOUNTER, allow_extra=True)
+
+        # 3a. phase 1 over the staged (invalidated) state; its packed
+        # output is delta-bounded — materialize it once, every later step
+        # reads the cache instead of re-running the phase-1 DAG
+        n1 = R.eligible_persons(person_work, client_code).count()
+        log.info("incremental: %d persons without retention (phase 1)", n1)
+        if n1:
+            packed1 = R.pack_history(
+                R.phase1(person_work, encounter, client_code, as_of)
+            ).persist()
+            packed1.count()
+
+        # 3b. phase 2 over staged-state ∘ staged-phase-1 — the invariant
+        # check and the eligibility predicate observe phase 1's output
+        # without any store round-trip
+        if packed1 is not None:
+            p1 = packed1.select("person_id", F.col(hist).alias("_h1"))
+            person_after1 = (
+                person_work.join(p1, "person_id", "left")
+                .withColumn(hist, F.coalesce(F.col("_h1"), F.col(hist)))
+                .drop("_h1")
+            )
+        else:
+            person_after1 = person_work
+        R.check_phase2_invariant(person_after1, encounter, client_code, as_of)
+        persons2 = R.eligible_persons(person_after1, client_code)
+        n2 = persons2.count()
+        log.info("incremental: %d persons stamped not-retained (phase 2)", n2)
+        packed2 = (
+            R.pack_history(R.phase2(persons2, as_of)) if n2 else None
         )
 
-    # 3. recompute via the existing idempotent two-phase pipeline
-    stats = run_retention(spark, person_path, encounter_path, client_code, as_of)
-    return {
-        "affected_persons": n_affected,
-        "pre_version": pre_version,
-        **stats,
-    }
+        # 4. ONE publish: phase-1 histories ∪ phase-2 stamps ∪ leftover
+        # invalidations (members neither phase restamped — empty by
+        # construction, kept for exact equivalence with a sequential
+        # invalidate-then-recompute). The three key sets are disjoint:
+        # phase 2 only selects persons phase 1 left unprocessed, and the
+        # leftover anti-joins both.
+        parts = [p for p in (packed1, packed2) if p is not None]
+        if n_affected:
+            restamped = members.where(F.lit(False)).select("person_id")
+            for p in parts:
+                restamped = restamped.unionByName(p.select("person_id"))
+            leftover = members.join(restamped, "person_id", "left_anti").select(
+                "person_id", F.lit(None).cast(history_type).alias(hist)
+            )
+            parts.append(leftover)
+        if parts:
+            delta_out = parts[0]
+            for p in parts[1:]:
+                delta_out = delta_out.unionByName(p)
+            upsert_parquet(spark, person_path, delta_out, key="person_id")
+            log.info("incremental: published one maintenance commit")
+        return {
+            "affected_persons": n_affected,
+            "pre_version": pre_version,
+            "phase1_persons": n1,
+            "phase2_persons": n2,
+        }
+    finally:
+        members.unpersist()
+        if packed1 is not None:
+            packed1.unpersist()

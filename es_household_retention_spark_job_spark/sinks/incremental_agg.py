@@ -73,9 +73,18 @@ GROUP_KEY_COL = "_group"
 
 
 def _group_key(group_cols: list[str]):
-    return F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols]
-    )
+    # ESCAPED before joining: a group value that itself contains the
+    # separator must not collide with a differently-split tuple (e.g.
+    # ('a\\x1fb','c') vs ('a','b\\x1fc')) — backslash-escape both the
+    # escape character and the separator per value, so the join is
+    # injective over tuples of non-null strings
+    parts = []
+    for c in group_cols:
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit("\x1f"), F.lit("\\\x1f"))
+        parts.append(s)
+    return F.concat_ws("\x1f", *parts)
 
 
 def _agg_exprs(sum_cols: tuple[str, ...], weight) -> list:

@@ -156,8 +156,12 @@ CDC_DIR = "_cdc"
 
 def _cdc_capture_enabled() -> bool:
     """``SPARK_GRAFT_SINK_CDC=off`` disables write-time change capture
-    (merge-on-read publishes then leave no sidecar and feed windows
-    containing them fall back to the state-diff tiers)."""
+    (publishes then leave no sidecar and feed windows containing them fall
+    back to the state-diff tiers). Capture is WRITE-MODE-INDEPENDENT:
+    both MoR delta publishes and CoW bucket rewrites record their
+    pre/postimages — the merge materializes both for free either way, so
+    the change feed stays O(changed rows) under the DEFAULT ``cow``
+    mode too."""
     return os.environ.get("SPARK_GRAFT_SINK_CDC", "on") != "off"
 
 
@@ -424,6 +428,18 @@ def _write_snapshot(
     }
     if schema is not None:
         snap["schema"] = schema.jsonValue()
+    try:
+        layout = _read_layout(path)
+        # pin the bucketing function (key column + bucket count) the
+        # version was published under: a point lookup composing keys= with
+        # version= computes its restrict buckets from the CURRENT layout,
+        # which is only sound while every retained version shares it —
+        # true today because re-initialization deletes all snapshots, and
+        # now ASSERTED at read time instead of assumed (see
+        # read_keyed_table)
+        snap["layout"] = {"key": layout["key"], "n_buckets": layout["n_buckets"]}
+    except (FileNotFoundError, KeyError):
+        pass  # legacy/plain table without a layout sidecar
     tmp = os.path.join(path, f".snap.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(snap, f)
@@ -995,6 +1011,27 @@ def read_keyed_table(
             ) from None
         if manifest.get("schema"):
             schema = StructType.fromJson(manifest["schema"])
+        if keys is not None and manifest.get("layout") is not None:
+            # keys= computed its restrict buckets from the CURRENT layout;
+            # that composition is sound only if this version was published
+            # under the same bucketing function. Holds by construction
+            # (re-initialization deletes all snapshots, and key/n_buckets
+            # are immutable table properties) — asserted rather than
+            # assumed, per the invariant pinned in _write_snapshot.
+            snap_layout = manifest["layout"]
+            if (
+                snap_layout.get("key") != layout["key"]
+                or int(snap_layout.get("n_buckets", -1))
+                != int(layout["n_buckets"])
+            ):
+                raise ValueError(
+                    f"version {version} was published under layout "
+                    f"{snap_layout}, but the current layout is "
+                    f"{{'key': {layout['key']!r}, 'n_buckets': "
+                    f"{layout['n_buckets']}}}; point lookups cannot "
+                    "compose keys= with a version published under a "
+                    "different bucketing function"
+                )
     if manifest is None:
         manifest = _read_manifest(path)
     df = _resolved_state(spark, path, schema, manifest, layout, restrict)
@@ -1089,12 +1126,14 @@ def read_changes(
     offers upstream, now available downstream of every keyed table.
 
     Scale shape, three tiers. (0) WRITE-TIME CAPTURE (Delta CDF's
-    ``_change_data``): merge-on-read publishes record their pre/postimage
-    rows in a per-version sidecar (the merge already holds both for free;
-    deletes pay one key-restricted preimage read; ``SPARK_GRAFT_SINK_CDC=
-    off`` opts out) — a window whose every version captured is served by
-    netting first-preimage/last-postimage per key over the sidecar rows,
-    O(changed rows), no table file opened. (1) Otherwise the diff is
+    ``_change_data``): EVERY publish — MoR delta append or CoW bucket
+    rewrite — records its pre/postimage rows in a per-version sidecar
+    (the merge already holds both for free; deletes pay one
+    key-restricted preimage read; ``SPARK_GRAFT_SINK_CDC=off`` opts out)
+    — a window whose every version captured is served by netting
+    first-preimage/last-postimage per key over the sidecar rows,
+    O(changed rows), no table file opened, regardless of write mode.
+    (1) Otherwise the diff is
     BUCKET-CONFINED — a bucket whose live file list is identical in both
     snapshots cannot contain a change and is never opened — and a changed
     bucket whose file list only EXTENDED by MoR delta files takes the
@@ -1103,10 +1142,10 @@ def read_changes(
     after-state resolves within the suffix alone (suffix ``_seq`` values
     are strictly newer than anything in the from-state), and the
     before-state read is key-restricted (In pushdown / broadcast
-    semi-join). (2) Rewritten buckets (CoW upserts) take the full
-    resolved-state diff and honestly pay the write path's blast radius —
-    the write amplification and the feed amplification are the same
-    trade, chosen by ``SPARK_GRAFT_SINK_WRITE_MODE``.
+    semi-join). (2) Rewritten buckets (CoW upserts published with capture
+    off, or legacy versions) take the full resolved-state diff and
+    honestly pay the write path's blast radius — the state-diff fallback
+    that keeps any retained window readable even without sidecars.
 
     Values are compared with null-safe struct equality over the UNION of
     both versions' column sets (schema evolution: a column added between
@@ -1125,6 +1164,14 @@ def read_changes(
         to_man = _read_manifest(path)
         if to_man is None:
             raise ValueError(f"no committed manifest at {path}")
+    if int(to_man["version"]) < from_version:
+        # a reversed window would silently emit an INVERTED diff (inserts
+        # reported as deletes) — reject it; from == to is the legal empty
+        # feed
+        raise ValueError(
+            f"reversed change window: from_version={from_version} > "
+            f"to_version={int(to_man['version'])} at {path}"
+        )
     from_schema = (
         StructType.fromJson(from_man["schema"])
         if from_man.get("schema")
@@ -1476,12 +1523,27 @@ def _merge_and_publish(
     target = _resolve(target, key)
     if SEQ_COL in target.columns:
         target = target.drop(SEQ_COL)
-    capture = mor and _cdc_capture_enabled()
+    capture = _cdc_capture_enabled()
+    pre_img = None
     if capture:
-        # the matched preimages are exactly this (delta-bounded) frame —
-        # cache it so the sidecar diff below reads it back instead of
-        # re-reading the affected buckets
-        target = target.persist()
+        # write-time change capture is WRITE-MODE-INDEPENDENT: the merge
+        # materializes the preimages either way. Under MoR ``target`` IS
+        # the matched-rows frame; under CoW ``target`` is the full
+        # affected-bucket read the rewrite pays anyway, and the preimages
+        # are its update-key restriction (an upsert can only change rows
+        # whose key appears in the updates — unmatched rows pass through
+        # the merge bit-identical, including evolved columns, which read
+        # null before AND after under the pinned schema). Either way the
+        # captured frame is O(|updates|), cached so the sidecar diff
+        # below reads it back instead of re-reading the buckets.
+        pre_img = (
+            target
+            if mor
+            else target.join(u.select(key).distinct(), key, "left_semi")
+        )
+        pre_img = pre_img.persist()
+        if mor:
+            target = pre_img
 
     t_cols = [c for c in target.columns if c != BUCKET_COL]
     u_cols = [c for c in u.columns if c != BUCKET_COL]
@@ -1532,14 +1594,21 @@ def _merge_and_publish(
             # rows, postimages the staged merge output just written — the
             # sidecar diff reads no table file. Stamped with this commit's
             # version so a feed reader can net first-preimage/
-            # last-postimage per key across a window.
+            # last-postimage per key across a window. Under CoW the
+            # staged output is the full bucket rewrite — restrict it to
+            # the update keys (the only keys that can have changed) so
+            # the diff stays O(|updates|), not O(affected-bucket rows).
             post = (
                 spark.read.option("basePath", tmp)
                 .parquet(tmp)
                 .drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
             )
+            if not mor:
+                post = post.join(u.select(key).distinct(), key, "left_semi")
             cdc_staged = os.path.join(tmp, "__cdc_staged")
-            _diff_states(target.drop(BUCKET_COL, TOMBSTONE_COL), post, key).withColumn(
+            _diff_states(
+                pre_img.drop(BUCKET_COL, TOMBSTONE_COL), post, key
+            ).withColumn(
                 CDC_VERSION_COL,
                 F.lit(int(snapshot.get("version", 0)) + 1).cast("long"),
             ).coalesce(1).write.parquet(cdc_staged)
@@ -1560,8 +1629,8 @@ def _merge_and_publish(
             cdc_staged=cdc_staged,
         )
     finally:
-        if capture:
-            target.unpersist()
+        if pre_img is not None:
+            pre_img.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     # evolve the pinned schema AFTER the swap: updates may have introduced
     # new columns (present only in the rewritten buckets' files; the sidecar
@@ -1639,13 +1708,15 @@ def delete_keys(
         try:
             out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
             cdc_staged = None
-            if mor and _cdc_capture_enabled():
-                # delete-preimage capture: the one place the MoR delete
-                # reads base rows — a key-restricted read of the affected
-                # buckets (In pushdown for small key lists). Keeping the
-                # sidecar complete is what lets a whole feed window stay
-                # O(changed rows); SPARK_GRAFT_SINK_CDC=off restores the
-                # pure O(deleted keys) write.
+            if _cdc_capture_enabled():
+                # delete-preimage capture (both write modes): the one
+                # place the MoR delete reads base rows — a key-restricted
+                # read of the affected buckets (In pushdown for small key
+                # lists); under CoW the same read the anti-join rewrite
+                # already pays. Keeping the sidecar complete is what lets
+                # a whole feed window stay O(changed rows);
+                # SPARK_GRAFT_SINK_CDC=off restores the pure
+                # O(deleted keys) write.
                 pre = _resolve(
                     _read_live(
                         spark, path, stored, buckets=affected, manifest=snapshot

@@ -85,9 +85,18 @@ def apply_keyed_batch(
     the recorded epoch counts only if it was recorded by THIS stream
     identity — epoch counters from different checkpoints are incomparable,
     and an anonymous caller never inherits an identified stream's counter.
-    The same-stream apply is additionally guarded by ``app_meta_expect``
-    on the recorded epoch: two workers racing the same epoch cannot both
-    commit even when their rows land in disjoint buckets.
+    EVERY apply is additionally guarded by ``app_meta_expect`` on the raw
+    recorded (epoch, stream-id) pair — including the FIRST epoch after a
+    stream-identity change (expecting the prior stream's pair) and the
+    first epoch of an existing-but-never-streamed table (expecting None):
+    two workers racing the same epoch cannot both commit even when their
+    rows land in disjoint buckets, because the first commit changes the
+    recorded value out from under the second's expectation. The one case
+    the commit-level expectation cannot cover — a table that does not
+    exist yet, where the initial load bypasses ``_publish`` — is closed by
+    an O_EXCL bootstrap claim file: exactly one racer creates the table,
+    the loser aborts with ``ConcurrentWriteError`` (at-least-once retry
+    then takes the guarded merge path).
 
     Unlike ``streaming/retention_stream.py`` (whose per-household upserts
     are idempotent recomputes, so replays are harmless), this sink is for
@@ -95,26 +104,87 @@ def apply_keyed_batch(
     and for keeping a downstream ``read_changes`` feed free of phantom
     versions. Returns True if the batch applied."""
     import os as _os
+    import time as _time
+    import uuid as _uuid
 
-    from ..sinks.upsert import DEFAULT_BUCKETS, table_app_meta, upsert_parquet
+    from ..sinks.upsert import (
+        DEFAULT_BUCKETS,
+        LOCK_STALE_SECONDS,
+        ConcurrentWriteError,
+        table_app_meta,
+        upsert_parquet,
+    )
 
     n_buckets = DEFAULT_BUCKETS if n_buckets is None else n_buckets
-    meta = table_app_meta(path) if _os.path.exists(path) else {}
+    exists = _os.path.exists(path)
+    meta = table_app_meta(path) if exists else {}
     last, last_stream = meta.get("stream_epoch"), meta.get("epoch_stream")
     same_stream = last is not None and last_stream == stream_id
     if same_stream and epoch_id <= last:
         return False  # replayed epoch: already folded into the table
     if batch_df.isEmpty():
         return False
-    upsert_parquet(
-        batch_df.sparkSession,
-        path,
-        batch_df,
-        key=key,
-        n_buckets=n_buckets,
-        app_meta={"stream_epoch": epoch_id, "epoch_stream": stream_id},
-        app_meta_expect={"stream_epoch": last} if same_stream else None,
-    )
+    claim = None
+    if not exists:
+        # the table's first-ever write bypasses the manifest commit path
+        # (write_keyed_table has no app_meta_expect), so the expectation
+        # below cannot arbitrate it — claim the bootstrap via O_EXCL. A
+        # crashed creator's claim goes stale like the publish lock; a live
+        # claim means another worker is mid-bootstrap: fail closed.
+        claim = f"{path}.__init_claim__"
+        try:
+            fd = _os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+        except FileExistsError:
+            try:
+                age = _time.time() - _os.path.getmtime(claim)
+            except FileNotFoundError:
+                age = 0.0
+            if age <= LOCK_STALE_SECONDS:
+                raise ConcurrentWriteError(
+                    f"another worker is bootstrapping {path}; retry after "
+                    "its initial load commits"
+                )
+            # stale claim (creator crashed before the table appeared):
+            # break it via rename — atomic, so N waiters racing the same
+            # stale claim elect exactly one bootstrapper
+            stole = f"{claim}.break-{_uuid.uuid4().hex[:8]}"
+            try:
+                _os.rename(claim, stole)
+                _os.unlink(stole)
+            except FileNotFoundError:
+                raise ConcurrentWriteError(
+                    f"another worker is bootstrapping {path}; retry after "
+                    "its initial load commits"
+                ) from None
+            fd = _os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.close(fd)
+    try:
+        upsert_parquet(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key=key,
+            n_buckets=n_buckets,
+            app_meta={"stream_epoch": epoch_id, "epoch_stream": stream_id},
+            # expect the RAW recorded (epoch, stream) PAIR in every case:
+            # the prior stream's counter after an identity change, (None,
+            # None) on a table that never streamed — the first racer's
+            # commit changes the pair (the stream id if not the counter,
+            # e.g. when the old counter numerically equals the new
+            # epoch), so the second aborts instead of double-applying
+            app_meta_expect=(
+                None
+                if claim
+                else {"stream_epoch": last, "epoch_stream": last_stream}
+            ),
+        )
+    finally:
+        if claim is not None:
+            try:
+                _os.unlink(claim)
+            except FileNotFoundError:
+                pass
     return True
 
 

@@ -277,3 +277,42 @@ def test_fold_composite_group(spark, tmp_path, monkeypatch):
         for r in read_aggregate(spark, agg).collect()
     }
     assert state == recompute()
+
+def test_composite_group_separator_collision(spark, tmp_path):
+    """ADVICE r9 (incremental_agg.py:76): group values containing the
+    composite-key separator (or the escape character) must NOT collide —
+    ('a\\x1fb', 'c') and ('a', 'b\\x1fc') are distinct groups."""
+    from es_household_retention_spark_job_spark.sinks.incremental_agg import (
+        fold_aggregate,
+        read_aggregate,
+    )
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        write_keyed_table,
+    )
+
+    src = str(tmp_path / "sep_src")
+    agg = str(tmp_path / "sep_agg")
+    rows = [
+        (1, "a\x1fb", "c", 10),
+        (2, "a", "b\x1fc", 20),
+        (3, "a\\", "\x1fc", 30),   # escape char in value
+        (4, "a\\\x1f", "c", 40),   # escape + separator
+        (5, "a", "b\x1fc", 5),     # genuine duplicate of group 2
+    ]
+    write_keyed_table(
+        spark.createDataFrame(rows, "id long, g1 string, g2 string, v long"),
+        src,
+        key="id",
+        n_buckets=2,
+    )
+    fold_aggregate(spark, src, agg, ["g1", "g2"], ("v",), n_buckets=2)
+    got = {
+        (r["g1"], r["g2"]): (r["cnt"], r["sum_v"])
+        for r in read_aggregate(spark, agg).collect()
+    }
+    assert got == {
+        ("a\x1fb", "c"): (1, 10),
+        ("a", "b\x1fc"): (2, 25),
+        ("a\\", "\x1fc"): (1, 30),
+        ("a\\\x1f", "c"): (1, 40),
+    }

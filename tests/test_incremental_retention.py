@@ -270,3 +270,33 @@ def test_incremental_under_merge_on_read_equals_full(spark, tmp_path, monkeypatc
     compact_keyed_table(spark, p_inc)
     spark.catalog.refreshByPath(p_inc)
     assert _state(spark, p_inc) == want
+
+def test_incremental_single_publish(spark, tmp_path):
+    """Round 10: the whole maintenance — staged invalidate, phase-1
+    recompute, phase-2 stamps — lands in ONE manifest commit (the round-9
+    rehearsal measured the 3-publish write floor as the sf10 bottleneck),
+    and no intermediate version ever exists: version history advances by
+    exactly 1 and the only retained states are pre- and post-maintenance."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+        table_history,
+    )
+
+    _, encounter = fixture_frames(spark)
+    base = encounter.where(F.col("admit_date") < SPLIT_MS)
+    delta = encounter.where(F.col("admit_date") >= SPLIT_MS)
+    p_inc, e_inc = _setup(spark, tmp_path, "onepub", base, fresh=True)
+    run_retention(spark, p_inc, e_inc, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    encounter.write.mode("overwrite").parquet(e_inc)
+    spark.catalog.refreshByPath(e_inc)
+
+    v_before = current_version(p_inc)
+    stats = run_incremental(
+        spark, p_inc, e_inc, delta, FIXTURE_CLIENT, FIXTURE_AS_OF
+    )
+    assert stats["affected_persons"] > 0
+    assert current_version(p_inc) == v_before + 1  # exactly one commit
+    assert [h["version"] for h in table_history(p_inc)][-2:] == [
+        v_before,
+        v_before + 1,
+    ]

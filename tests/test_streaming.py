@@ -890,3 +890,73 @@ def test_persisted_neardup_index_build_append_probe(spark, tmp_path):
         for r in neardup_probe(probes, read_neardup_index(spark, rebuilt)).collect()
     }
     assert from_appended == from_rebuilt and from_appended
+
+def test_apply_keyed_batch_race_guards(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (ingest.py:116): the FIRST epoch is guarded too. (1) A
+    fresh table's bootstrap is claimed via O_EXCL — a live claim by
+    another worker aborts with ConcurrentWriteError, a stale claim
+    (crashed creator) is broken and the apply proceeds. (2) Right after a
+    stream-identity change, a worker that read the PRIOR stream's
+    (epoch, stream) pair aborts when a racer commits first — even when
+    the old counter numerically equals the new epoch."""
+    import es_household_retention_spark_job_spark.sinks.upsert as U
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+        table_app_meta,
+    )
+
+    schema = "k string, v long"
+    tbl = str(tmp_path / "race_tbl")
+    df = spark.createDataFrame([("a", 1)], schema)
+
+    # (1a) live bootstrap claim blocks the apply (fail closed, no table)
+    claim = f"{tbl}.__init_claim__"
+    open(claim, "w").close()
+    with pytest.raises(ConcurrentWriteError, match="bootstrapping"):
+        ingest.apply_keyed_batch(df, 0, tbl, "k", n_buckets=2, stream_id="s1")
+    assert not os.path.exists(tbl)
+
+    # (1b) stale claim is broken; the apply bootstraps and cleans up
+    old = time.time() - 1000
+    os.utime(claim, (old, old))
+    assert (
+        ingest.apply_keyed_batch(df, 0, tbl, "k", n_buckets=2, stream_id="s1")
+        is True
+    )
+    assert not os.path.exists(claim)
+
+    # (2) stream identity change s1 -> s2 where s1's recorded counter (0)
+    # EQUALS s2's first epoch (0): worker1 commits; worker2, which read
+    # the pre-commit metadata, must abort — the pair expectation sees the
+    # stream-id flip even though the counter value is unchanged
+    stale_meta = dict(table_app_meta(tbl))
+    assert stale_meta["stream_epoch"] == 0 and stale_meta["epoch_stream"] == "s1"
+    assert (
+        ingest.apply_keyed_batch(
+            spark.createDataFrame([("b", 2)], schema),
+            0,
+            tbl,
+            "k",
+            n_buckets=2,
+            stream_id="s2",
+        )
+        is True
+    )
+    monkeypatch.setattr(U, "table_app_meta", lambda p: dict(stale_meta))
+    with pytest.raises(ConcurrentWriteError):
+        ingest.apply_keyed_batch(
+            spark.createDataFrame([("c", 3)], schema),
+            0,
+            tbl,
+            "k",
+            n_buckets=2,
+            stream_id="s2",
+        )
+    monkeypatch.undo()
+    # the aborted racer applied nothing
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        read_keyed_table,
+    )
+
+    got = {r["k"] for r in read_keyed_table(spark, tbl).collect()}
+    assert got == {"a", "b"}

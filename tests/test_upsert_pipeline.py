@@ -1945,7 +1945,9 @@ def test_cdc_sidecar_gc_and_fallback(spark, tmp_path, monkeypatch):
     referenced = {f for fs in man["cdc"].values() for f in fs}
     assert on_disk == referenced  # grace-0: pruned files physically gone
 
-    # fallback: a CoW version inside the window has no sidecar entry
+    # fallback: a capture-DISABLED version inside the window has no sidecar
+    # entry (since round 10 CoW publishes capture too, so the uncaptured
+    # version must be forced via SPARK_GRAFT_SINK_CDC=off)
     monkeypatch.setenv("SPARK_GRAFT_SINK_KEEP_VERSIONS", "4")  # keep v_from
     v_before_cow = U.current_version(path)
     upsert_parquet(
@@ -1956,6 +1958,7 @@ def test_cdc_sidecar_gc_and_fallback(spark, tmp_path, monkeypatch):
         n_buckets=n,
     )
     monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+    monkeypatch.setenv("SPARK_GRAFT_SINK_CDC", "off")
     upsert_parquet(
         spark,
         path,
@@ -1963,6 +1966,10 @@ def test_cdc_sidecar_gc_and_fallback(spark, tmp_path, monkeypatch):
         key="k",
         n_buckets=n,
     )
+    monkeypatch.delenv("SPARK_GRAFT_SINK_CDC")
+    assert str(U.current_version(path)) not in U._read_manifest(path).get(
+        "cdc", {}
+    )  # the forced-off version really is uncaptured — the fallback fires
     got = sorted(
         (r["k"], r["v"], r["_change_type"])
         for r in U.read_changes(spark, path, v_before_cow).collect()
@@ -2096,3 +2103,143 @@ def test_change_feed_random_sequences_match_dict_model(
                 for r in U.read_changes(spark, path, v_from, v_to).collect()
             )
             assert got == want, (v_from, v_to, got, want)
+
+def test_cow_capture_tier_under_default_mode(spark, tmp_path, monkeypatch):
+    """Round 10: write-time change capture is WRITE-MODE-INDEPENDENT. A
+    table mutated entirely under the DEFAULT copy-on-write mode (upsert,
+    schema-evolving upsert, delete) serves its change feed from the
+    per-version sidecars alone — zero table files opened, zero
+    resolved-state builds — with exactly the changed keys (the CoW bucket
+    rewrite's untouched rows never reach the sidecar)."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        delete_keys,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_SINK_WRITE_MODE", raising=False)
+    n = 4
+    path = str(tmp_path / "cow_cap")
+    write_keyed_table(
+        spark.createDataFrame([(f"k{i}", 0) for i in range(30)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    v0 = U.current_version(path)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k1", 5), ("new1", 1)], "k string, v int"),
+        key="k",
+        n_buckets=n,
+    )
+    # schema-evolving CoW rewrite: untouched keys in the rewritten buckets
+    # must NOT appear in the capture (no phantom updates)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k2", 6, "x")], "k string, v int, extra string"),
+        key="k",
+        n_buckets=n,
+    )
+    delete_keys(spark, path, spark.createDataFrame([("k3",)], "k string"))
+    man = U._read_manifest(path)
+    assert set(man.get("cdc", {})) == {
+        str(v) for v in range(v0 + 1, U.current_version(path) + 1)
+    }  # every CoW publish captured
+
+    calls = []
+    real = U._resolved_state
+
+    def spy(spark_, path_, schema, manifest, layout, restrict=None):
+        calls.append(restrict)
+        return real(spark_, path_, schema, manifest, layout, restrict)
+
+    monkeypatch.setattr(U, "_resolved_state", spy)
+    df = U.read_changes(spark, path, v0)
+    got = sorted(
+        (r["k"], r["v"], r["extra"], r["_change_type"]) for r in df.collect()
+    )
+    monkeypatch.setattr(U, "_resolved_state", real)
+    assert calls == []  # tier 0: no state build at all
+    assert df.inputFiles() and all(f"/{U.CDC_DIR}/" in f for f in df.inputFiles())
+    assert got == [
+        ("k1", 0, None, "update_preimage"),
+        ("k1", 5, None, "update_postimage"),
+        ("k2", 0, None, "update_preimage"),
+        ("k2", 6, "x", "update_postimage"),
+        ("k3", 0, None, "delete"),
+        ("new1", 1, None, "insert"),
+    ]
+
+
+def test_change_feed_rejects_reversed_window(spark, tmp_path):
+    """A reversed (from > to) window must raise instead of silently
+    emitting an inverted diff; from == to stays the legal empty feed."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    path = str(tmp_path / "rev_win")
+    write_keyed_table(
+        spark.createDataFrame([("a", 1)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=2,
+    )
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("a", 2)], "k string, v int"),
+        key="k",
+        n_buckets=2,
+    )
+    v = U.current_version(path)
+    with pytest.raises(ValueError, match="reversed change window"):
+        U.read_changes(spark, path, v, v - 1)
+    assert U.read_changes(spark, path, v, v).count() == 0  # empty, legal
+
+
+def test_point_lookup_version_layout_invariant_asserted(
+    spark, tmp_path, monkeypatch
+):
+    """Composing keys= with version= asserts the snapshot's bucketing
+    function matches the current layout (ADVICE r9): normal time-travel
+    lookups pass; a hand-corrupted layout sidecar is DETECTED instead of
+    silently reading the wrong buckets."""
+    import json as _json
+    import os as _os
+
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    path = str(tmp_path / "lay_inv")
+    write_keyed_table(
+        spark.createDataFrame([(f"k{i}", i) for i in range(20)], "k string, v int"),
+        path,
+        key="k",
+        n_buckets=4,
+    )
+    v1 = U.current_version(path)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([("k1", 99)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in read_keyed_table(spark, path, version=v1, keys=["k1"]).collect()
+    }
+    assert got == {"k1": 1}  # pre-update value, pruned lookup
+
+    # corrupt the CURRENT layout's bucket count: the composed lookup must
+    # refuse (the snapshot pinned n_buckets=4)
+    lay_path = _os.path.join(path, U.LAYOUT_FILE)
+    lay = _json.load(open(lay_path))
+    lay["n_buckets"] = 8
+    _json.dump(lay, open(lay_path, "w"))
+    try:
+        with pytest.raises(ValueError, match="different bucketing function"):
+            read_keyed_table(spark, path, version=v1, keys=["k1"])
+    finally:
+        lay["n_buckets"] = 4
+        _json.dump(lay, open(lay_path, "w"))
