@@ -548,6 +548,17 @@ def _bootstrap_ann_manifest(spark, path: str) -> dict:
     }
 
 
+def _read_centroids(spark, path: str, manifest: dict | None) -> list[list[float]]:
+    """The index's coarse-quantizer matrix, resolved through the manifest's
+    ``centroids_dir`` pointer (default ``centroids``). Cell-split
+    maintenance publishes a NEW centroid generation dir and flips the
+    pointer in the same atomic manifest replace that publishes the split
+    cells, so a reader can never pair new cells with old centroids."""
+    sub = (manifest or {}).get("centroids_dir", "centroids")
+    rows = spark.read.parquet(os.path.join(path, sub)).collect()
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])]
+
+
 def _cell_rows_from_footers(path: str, manifest: dict) -> dict[str, int]:
     """Per-cell row counts for a manifest that predates the ``cell_rows``
     ledger: one parquet FOOTER read per live cell file (num_rows is footer
@@ -634,7 +645,7 @@ def build_ann_index(
         corpus, k=n_cells, iters=iters, id_col=id_col, emb_col=emb_col
     )
     n_cells = len(cents)
-    assigned = _assigned_cells(corpus, cents, id_col, emb_col)
+    assigned = _assigned_cells(corpus, cents, id_col, emb_col).persist()
     # one exchange on the cell -> one task / few files per cell partition;
     # sortWithinPartitions(vec_id) clusters row groups by id so the SQ8
     # re-rank's id In-filter can skip row groups inside a probe cell
@@ -656,6 +667,14 @@ def build_ann_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # per-cell row counts ride the manifest (≤ n_cells pairs): the route
+    # cost model (knn_ann_auto) and the cell-health policy
+    # (ann_cell_health) read them for free instead of scanning footers
+    cell_rows = {
+        str(r[ANN_CELL_COL]): int(r["n"])
+        for r in assigned.groupBy(ANN_CELL_COL).agg(F.count("*").alias("n")).collect()
+    }
+    assigned.unpersist()
     _write_ann_manifest(
         path,
         {
@@ -663,6 +682,7 @@ def build_ann_index(
             "n_cells": int(n_cells),
             "cells": _list_cell_files(path),
             "codes": _list_cell_files(path, "codes"),
+            "cell_rows": cell_rows,
         },
     )
 
@@ -683,10 +703,10 @@ def knn_ivf_indexed(
     property read from ``centroids/``, like the text index's shard
     count). n_probe stays a QUERY parameter: recall/cost is tuned per
     batch against the same index."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [
-        list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
-    ]
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    cents = _read_centroids(spark, path, manifest)
     q = with_unit_meta(queries, emb_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_emb").alias("_qemb"),
@@ -699,9 +719,6 @@ def knn_ivf_indexed(
         r[ANN_CELL_COL]
         for r in q.select(ANN_CELL_COL).distinct().collect()  # ≤ n_cells ints
     )
-    manifest = _read_ann_manifest(path)
-    if manifest is None:
-        manifest = _bootstrap_ann_manifest(spark, path)
     wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
     files = [
         os.path.join(path, "cells", d, f)
@@ -779,7 +796,9 @@ def _ann_roll_retired(
         if now - float(e.get("ts", 0)) < grace
     ]
     if new_entry is not None and (
-        new_entry.get("cells") or new_entry.get("codes")
+        new_entry.get("cells")
+        or new_entry.get("codes")
+        or new_entry.get("centroids_dir")
     ):
         retired.append(new_entry)
     return retired
@@ -788,7 +807,25 @@ def _ann_roll_retired(
 def _sweep_stray_ann(path: str, manifest: dict) -> None:
     """Delete cells/codes files referenced by neither the committed
     manifest nor its retired ledger: crashed appends' leftovers and
-    compaction-replaced files past the time-based grace."""
+    compaction-replaced files past the time-based grace. Centroid
+    GENERATION dirs (cell-split maintenance) sweep the same way: a dir
+    that is neither the manifest's current pointer nor named by a live
+    retired entry is reclaimed."""
+    import shutil as _shutil
+
+    current_cent = manifest.get("centroids_dir", "centroids")
+    kept_cents = {current_cent} | {
+        e["centroids_dir"]
+        for e in manifest.get("retired", [])
+        if e.get("centroids_dir")
+    }
+    for d in os.listdir(path):
+        if (
+            (d == "centroids" or d.startswith("centroids_gen-"))
+            and d not in kept_cents
+            and os.path.isdir(os.path.join(path, d))
+        ):
+            _shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     for key in ("cells", "codes"):
         referenced = {
             (d, f) for d, fs in manifest.get(key, {}).items() for f in fs
@@ -876,10 +913,7 @@ def append_ann_index(
             id_col,
             "append_ann_index",
         )
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [
-        list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
-    ]
+    cents = _read_centroids(spark, path, manifest)
     assigned = _assigned_cells(vecs_delta, cents, id_col, emb_col).persist()
     has_codes = "codes" in manifest
     gen = uuid.uuid4().hex[:8]
@@ -892,11 +926,22 @@ def append_ann_index(
         new_cells = {d: list(fs) for d, fs in manifest["cells"].items()}
         for d, names in _move_staged_cells(path, stage, gen, "cells").items():
             new_cells.setdefault(d, []).extend(names)
+        # roll the per-cell row ledger forward from the delta's counts
+        # (one delta-sized agg; footer-bootstrap for legacy manifests)
+        cell_rows = dict(_manifest_cell_rows(spark, path, manifest))
+        for r in (
+            assigned.groupBy(ANN_CELL_COL).agg(F.count("*").alias("n")).collect()
+        ):
+            c = str(r[ANN_CELL_COL])
+            cell_rows[c] = int(cell_rows.get(c, 0)) + int(r["n"])
         new_manifest = {
             "version": int(manifest.get("version", 1)) + 1,
             "n_cells": int(manifest["n_cells"]),
             "cells": {d: sorted(fs) for d, fs in new_cells.items()},
+            "cell_rows": cell_rows,
         }
+        if manifest.get("centroids_dir"):
+            new_manifest["centroids_dir"] = manifest["centroids_dir"]
         if has_codes:  # maintain the SQ8 sidecar in the same commit
             _codes_for(assigned, id_col).repartition(
                 len(cents), F.col(ANN_CELL_COL)
@@ -969,6 +1014,11 @@ def compact_ann_index(spark, path: str) -> int:
         "n_cells": int(manifest["n_cells"]),
         "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
     }
+    if "cell_rows" in manifest:
+        # layout-only rewrite: row counts are invariant under compaction
+        new_manifest["cell_rows"] = dict(manifest["cell_rows"])
+    if manifest.get("centroids_dir"):
+        new_manifest["centroids_dir"] = manifest["centroids_dir"]
     if "codes" in manifest:
         new_manifest["codes"] = {
             d: list(fs) for d, fs in manifest["codes"].items()
@@ -1132,6 +1182,18 @@ def knn_sq8(
 _ID_ISIN_MAX = 20000
 
 
+def _cand_collect_max() -> int:
+    """``SPARK_GRAFT_SQ8_CAND_COLLECT_MAX``: largest |queries|·rerank
+    candidate-pair count the SQ8 re-rank routes through the driver
+    (collect + In-pushdown — the fixed-batch serving plan, where the
+    id-sorted cells' row-group skipping pays). Above it candidates stay
+    DISTRIBUTED: the top-R frame semi-joins into the cell read and no
+    driver round-trip grows with the batch (r9 advisory — at
+    corpus-fraction |Q| the old unconditional collect shipped 200k pairs
+    through the driver AND blew the In-filter budget)."""
+    return int(os.environ.get("SPARK_GRAFT_SQ8_CAND_COLLECT_MAX", "20000"))
+
+
 def knn_sq8_indexed(
     spark,
     path: str,
@@ -1160,12 +1222,15 @@ def knn_sq8_indexed(
     EXTRA_CORRECTNESS.json.
 
     Driver-bounded materializations, in the repo's allowed class: the
-    k×dim centroid matrix, the probe-cell union (≤ n_cells ints), and the
-    top-R candidate pairs (≤ |queries|·rerank (query, neighbor) ids —
-    query-batch-sized by construction; they seed the re-rank join and,
-    when ≤ ``_ID_ISIN_MAX``, an In-filter that row-group-prunes the
-    id-sorted cell files). All-zero vectors carry no cosine and are
-    excluded on both sides, matching ``knn_sq8``'s contract."""
+    k×dim centroid matrix, the probe-cell union (≤ n_cells ints), and —
+    ONLY when |queries|·rerank ≤ ``SPARK_GRAFT_SQ8_CAND_COLLECT_MAX`` —
+    the top-R candidate pairs (they seed the re-rank join and an
+    In-filter that row-group-prunes the id-sorted cell files: the
+    fixed-batch serving plan). Above the threshold the candidates stay
+    DISTRIBUTED (the top-R frame joins into the cell read; no driver
+    round-trip grows with the batch — r9 advisory). All-zero vectors
+    carry no cosine and are excluded on both sides, matching
+    ``knn_sq8``'s contract."""
     R = int(rerank) if rerank is not None else 4 * k
     manifest = _read_ann_manifest(path)
     if manifest is None:
@@ -1175,10 +1240,7 @@ def knn_sq8_indexed(
             f"vector index at {path} has no SQ8 codes sidecar; rebuild it "
             "with build_ann_index (codes are written at build time)"
         )
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    cents = [
-        list(r["centroid"]) for r in sorted(cent_rows, key=lambda r: r["cell"])
-    ]
+    cents = _read_centroids(spark, path, manifest)
 
     def empty():
         return queries.where(F.lit(False)).select(
@@ -1239,21 +1301,10 @@ def knn_sq8_indexed(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_qcos").desc(), F.col("neighbor_id").asc()
     )
-    cand_rows = (
+    cand_frame = (
         approx.withColumn("_ar", F.row_number().over(w))
         .where(F.col("_ar") <= R)
         .select("query_id", "neighbor_id")
-        .collect()  # ≤ |queries|·R pairs — the documented bounded collect
-    )
-    if not cand_rows:
-        return empty()
-    cand = spark.createDataFrame(
-        cand_rows,
-        queries.where(F.lit(False))
-        .select(
-            F.col(id_col).alias("query_id"), F.col(id_col).alias("neighbor_id")
-        )
-        .schema,
     )
     cell_files = [
         os.path.join(path, "cells", d, f)
@@ -1266,21 +1317,347 @@ def knn_sq8_indexed(
         .parquet(*cell_files)
         .where(F.col(ANN_CELL_COL).isin(probe_union))
     )
-    ids = sorted({r["neighbor_id"] for r in cand_rows})
-    if len(ids) <= _ID_ISIN_MAX:
-        # id In-filter: with build/append/compact sorting cells by id
-        # inside each cell, this skips row groups — the re-rank reads
-        # candidate row groups, not whole probe cells
-        doubles = doubles.where(F.col(id_col).isin(ids))
-    doubles = doubles.select(
-        F.col(id_col).alias("neighbor_id"), "_emb", "_norm"
-    )
     qd = qbase.select(
         F.col(id_col).alias("query_id"),
         F.col("_emb").alias("_qemb"),
         F.col("_norm").alias("_qnorm"),
     )
-    full = doubles.join(F.broadcast(cand), "neighbor_id").join(
-        F.broadcast(qd), "query_id"
+    # |queries| is a query-batch-sized count; |Q|·R bounds the candidate
+    # pair set exactly, so the plan choice needs no candidate job
+    n_q = qbase.count()
+    if n_q * R <= _cand_collect_max():
+        # FIXED-BATCH SERVING PLAN: collect the ≤|Q|·R pairs (the
+        # documented bounded collect) and push an id In-filter into the
+        # id-sorted cell files — the re-rank reads candidate row groups,
+        # not whole probe cells
+        cand_rows = cand_frame.collect()
+        if not cand_rows:
+            return empty()
+        cand = spark.createDataFrame(
+            cand_rows,
+            queries.where(F.lit(False))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+            )
+            .schema,
+        )
+        ids = sorted({r["neighbor_id"] for r in cand_rows})
+        if len(ids) <= _ID_ISIN_MAX:
+            doubles = doubles.where(F.col(id_col).isin(ids))
+        doubles = doubles.select(
+            F.col(id_col).alias("neighbor_id"), "_emb", "_norm"
+        )
+        full = doubles.join(F.broadcast(cand), "neighbor_id").join(
+            F.broadcast(qd), "query_id"
+        )
+        return rerank_topk(full, k)
+    # DISTRIBUTED RE-RANK (corpus-fraction |Q|): the top-R frame never
+    # leaves the cluster — the probe-cell read joins it directly (AQE
+    # picks broadcast vs shuffle from its actual size) and the query
+    # embeddings join by key. No driver materialization grows with |Q|.
+    doubles = doubles.select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_norm"
     )
+    full = doubles.join(cand_frame, "neighbor_id").join(qd, "query_id")
     return rerank_topk(full, k)
+
+
+def _sq8_route_ratio() -> float:
+    """``SPARK_GRAFT_SQ8_ROUTE_RATIO``: route a batch to the SQ8-composed
+    plan iff |queries|·rerank ≤ ratio × (probe-union cell rows). The SQ8
+    composition wins when the exact re-rank reads a small FRACTION of the
+    probe cells (code scan ≈ cells/8 bytes + tiny re-rank); once the
+    candidate set approaches the probe rows themselves, scanning the
+    doubles once (plain IVF) is cheaper than codes + a candidate-sized
+    second read — the measured sf1 crossover (SCALING.md round 9: 40
+    queries → 3.2s vs 8.5s favoring SQ8; 10k queries → 10.5s vs 8.5s
+    favoring IVF). Default 0.1 puts both measured regimes on the correct
+    side with margin."""
+    return float(os.environ.get("SPARK_GRAFT_SQ8_ROUTE_RATIO", "0.1"))
+
+
+def choose_ann_route(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    rerank: int | None = None,
+    emb_col: str = "embedding",
+) -> tuple[str, int, int]:
+    """('sq8'|'ivf', candidate_pairs, probe_rows) — the cost model behind
+    ``knn_ann_auto``, priced entirely from index metadata: the manifest's
+    per-cell row ledger (written by build/append, footer-bootstrapped for
+    legacy indexes) gives the probe-union's row count without opening a
+    data file, and |queries|·rerank bounds the exact-re-rank read. The
+    only jobs are query-batch-sized (probe assignment + count) — the same
+    free-statistic discipline as ``choose_search_route``."""
+    R = int(rerank) if rerank is not None else 4 * k
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    cents = _read_centroids(spark, path, manifest)
+    q = with_unit_meta(queries, emb_col).select(
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias(
+            ANN_CELL_COL
+        )
+    ).persist()
+    try:
+        n_q = queries.count()
+        probe_union = {
+            str(r[ANN_CELL_COL])
+            for r in q.select(ANN_CELL_COL).distinct().collect()
+        }
+    finally:
+        q.unpersist()
+    rows = _manifest_cell_rows(spark, path, manifest)
+    probe_rows = sum(int(rows.get(c, 0)) for c in probe_union)
+    cand_pairs = n_q * R
+    route = (
+        "sq8"
+        if manifest.get("codes")
+        and cand_pairs <= _sq8_route_ratio() * probe_rows
+        else "ivf"
+    )
+    return route, cand_pairs, probe_rows
+
+
+def knn_ann_auto(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Cost-routed ANN over a persisted IVF index: serves the batch from
+    the SQ8-composed plan (``knn_sq8_indexed`` — probe-pruned code scan +
+    exact top-R re-rank) when the candidate set is a small fraction of
+    the probe rows, from plain ``knn_ivf_indexed`` otherwise — the
+    ``bm25_search_auto`` pattern for vectors, making the measured
+    fixed-batch/corpus-fraction crossover (SCALING.md round 9) a plan
+    choice the caller no longer has to make. Same output shape either
+    way (query_id, neighbor_id, rank, cos_bp with exact double cosines);
+    ranks agree wherever the SQ8 candidate generation's recall does —
+    the same recall contract ``knn_sq8_indexed`` publishes."""
+    route, _, _ = choose_ann_route(
+        spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
+        emb_col=emb_col,
+    )
+    if route == "sq8":
+        return knn_sq8_indexed(
+            spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
+            id_col=id_col, emb_col=emb_col,
+        )
+    return knn_ivf_indexed(
+        spark, path, queries, k=k, n_probe=n_probe, id_col=id_col,
+        emb_col=emb_col,
+    )
+
+
+def ann_cell_health(
+    spark, path: str, max_rows_per_cell: int | None = None
+) -> dict:
+    """Manifest-only cell-size monitoring (no data I/O beyond a one-time
+    footer bootstrap for legacy indexes): per-cell row counts, the mean,
+    the max/mean skew, and — given a bound — the cells due for a split.
+    The append path assigns new vectors to FROZEN centroids, so under
+    distribution drift cells bloat silently: probe cost grows with the
+    fattest probed cell and recall decays as one centroid absorbs a whole
+    new mode. This is the policy half of the maintenance loop
+    (``needs_compaction``'s ANN twin); ``split_ann_cells`` is the
+    mechanism. ``max_rows_per_cell=None`` defaults the bound to
+    4× the mean (a balanced index sits at skew ~1)."""
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    rows = _manifest_cell_rows(spark, path, manifest)
+    counts = {int(c): int(n) for c, n in rows.items()}
+    total = sum(counts.values())
+    n_cells = max(int(manifest.get("n_cells", len(counts))), 1)
+    mean = total / n_cells
+    bound = (
+        int(max_rows_per_cell)
+        if max_rows_per_cell is not None
+        else max(int(4 * mean), 1)
+    )
+    oversized = sorted(c for c, n in counts.items() if n > bound)
+    return {
+        "n_cells": n_cells,
+        "total_rows": total,
+        "mean_rows": mean,
+        "max_rows": max(counts.values(), default=0),
+        "skew": (max(counts.values(), default=0) / mean) if mean else 0.0,
+        "bound": bound,
+        "oversized": oversized,
+        "cell_rows": counts,
+    }
+
+
+def split_ann_cells(
+    spark,
+    path: str,
+    max_rows_per_cell: int | None = None,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> int:
+    """Cell-split maintenance for append drift: every cell past the bound
+    is split by a LOCAL 2-means over ITS OWN rows (cell-confined read —
+    cost tracks the oversized cells, never the index), the old centroid is
+    replaced by the two sub-centroids (sub-0 keeps the cell id, sub-1
+    takes a fresh id, so untouched cells keep their ids and partition
+    dirs), and the SQ8 ``codes/`` sidecar is re-derived for the split rows
+    in the same commit. Returns the number of cells split.
+
+    Reader atomicity is the append/compact contract extended to the
+    quantizer itself: split cell files and the NEW centroid generation dir
+    (``centroids_gen-*``) publish in ONE manifest replace (the manifest's
+    ``centroids_dir`` pointer flips with the cell file lists), replaced
+    files and the old centroid dir ride the time-based retired ledger for
+    in-flight readers, and a crash before the replace leaves only
+    invisible strays. Queries need no coordination: probing simply sees a
+    (k+1)-row centroid matrix next time it plans.
+
+    Quality contract (pinned in tests + the drift rehearsal): a split
+    only REFINES the quantizer where it is overloaded — at a
+    PROPORTIONAL probe budget (n_probe scaled by the cell-count ratio,
+    i.e. the same probed corpus fraction) recall must not degrade, while
+    the rows scanned per probe drop toward balanced-cell cost. (At a
+    FIXED n_probe, finer cells probe a smaller fraction — the standard
+    IVF recall/cost curve shifting, not a regression.) FAISS's
+    add-with-split / online IVF re-balancing, expressed as two pruned
+    scans per oversized cell."""
+    import shutil
+    import time
+
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    health = ann_cell_health(spark, path, max_rows_per_cell)
+    oversized = health["oversized"]
+    if not oversized:
+        return 0
+    cents = _read_centroids(spark, path, manifest)
+    has_codes = bool(manifest.get("codes"))
+    cell_rows = {str(k): int(v) for k, v in health["cell_rows"].items()}
+    new_cents = [list(c) for c in cents]
+    next_id = int(manifest["n_cells"])
+    gen = uuid.uuid4().hex[:8]
+
+    # plan the splits: per oversized cell, a cell-confined 2-means and a
+    # reassignment frame carrying the GLOBAL new cell ids
+    parts = []
+    retiring_cells: dict[str, list[str]] = {}
+    retiring_codes: dict[str, list[str]] = {}
+    for c in oversized:
+        d = f"{ANN_CELL_COL}={c}"
+        files = [
+            os.path.join(path, "cells", d, f)
+            for f in manifest["cells"].get(d, [])
+        ]
+        if not files:
+            continue
+        cell_df = spark.read.option("basePath", f"{path}/cells").parquet(*files)
+        sub = kmeans_centroids(
+            cell_df, k=2, iters=iters, id_col=id_col, emb_col="_emb"
+        )
+        if len(sub) < 2 or sub[0] == sub[1]:
+            continue  # degenerate cell (all-identical vectors): unsplittable
+        sub_id = next_id
+        next_id += 1
+        new_cents[c] = [float(x) for x in sub[0]]
+        new_cents.append([float(x) for x in sub[1]])
+        assigned = cell_df.select(
+            id_col,
+            "_emb",
+            "_norm",
+            F.when(_argmin_cell(F.col("_emb"), sub) == 0, F.lit(c))
+            .otherwise(F.lit(sub_id))
+            .cast("int")
+            .alias(ANN_CELL_COL),
+        )
+        parts.append((c, sub_id, assigned))
+        retiring_cells[d] = list(manifest["cells"].get(d, []))
+        if has_codes:
+            retiring_codes[d] = list(manifest.get("codes", {}).get(d, []))
+    if not parts:
+        return 0
+
+    all_assigned = parts[0][2]
+    for _, _, a in parts[1:]:
+        all_assigned = all_assigned.unionByName(a)
+    all_assigned = all_assigned.persist()
+    stage = f"{path}/.cells_split_{gen}"
+    stage_codes = f"{path}/.codes_split_{gen}"
+    new_manifest = {
+        "version": int(manifest.get("version", 1)) + 1,
+        "n_cells": len(new_cents),
+        "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
+    }
+    if has_codes:
+        new_manifest["codes"] = {
+            d: list(fs) for d, fs in manifest["codes"].items()
+        }
+    try:
+        n_out = 2 * len(parts)
+        all_assigned.repartition(
+            n_out, F.col(ANN_CELL_COL)
+        ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+            "overwrite"
+        ).partitionBy(ANN_CELL_COL).parquet(stage)
+        moved = _move_staged_cells(path, stage, gen, "cells")
+        for old_d in retiring_cells:
+            new_manifest["cells"].pop(old_d, None)
+        for d, names in moved.items():
+            new_manifest["cells"][d] = sorted(names)
+        if has_codes:
+            _codes_for(all_assigned, id_col).repartition(
+                n_out, F.col(ANN_CELL_COL)
+            ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+                "overwrite"
+            ).partitionBy(ANN_CELL_COL).parquet(stage_codes)
+            moved_codes = _move_staged_cells(path, stage_codes, gen, "codes")
+            for old_d in retiring_codes:
+                new_manifest["codes"].pop(old_d, None)
+            for d, names in moved_codes.items():
+                new_manifest["codes"][d] = sorted(names)
+        # roll the row ledger: split counts from the reassignment itself
+        for r in (
+            all_assigned.groupBy(ANN_CELL_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ):
+            cell_rows[str(r[ANN_CELL_COL])] = int(r["n"])
+        new_manifest["cell_rows"] = cell_rows
+        # the NEW centroid generation (atomic flip via the manifest pointer)
+        cent_dir = f"centroids_gen-{gen}"
+        spark.createDataFrame(
+            [(i, [float(x) for x in cc]) for i, cc in enumerate(new_cents)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, cent_dir))
+        new_manifest["centroids_dir"] = cent_dir
+        now = time.time()
+        new_manifest["retired"] = _ann_roll_retired(
+            manifest,
+            now,
+            {
+                "ts": now,
+                "cells": retiring_cells,
+                "codes": retiring_codes,
+                "centroids_dir": manifest.get("centroids_dir", "centroids"),
+            },
+        )
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _write_ann_manifest(path, new_manifest)
+        _sweep_stray_ann(path, new_manifest)
+    finally:
+        all_assigned.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage_codes, ignore_errors=True)
+    return len(parts)

@@ -1404,3 +1404,151 @@ def test_compact_ann_index_preserves_results_with_grace(
     # settle and verify idempotence
     S.compact_ann_index(spark, idx)
     assert S.compact_ann_index(spark, idx) == 0
+
+
+def test_ann_cell_health_and_split(spark, embs, tmp_path):
+    """Round 10 cell-health maintenance: the manifest's per-cell row
+    ledger matches reality, oversized cells are split by a local 2-means
+    (sub-0 keeps the id, sub-1 takes a fresh one), the SQ8 codes sidecar
+    and the centroid matrix publish in the SAME commit (pointer flip),
+    no vector is lost or duplicated, and at a PROPORTIONAL probe budget
+    (same probed corpus fraction) recall does not degrade while the max
+    cell size drops below the bound — a split only refines the quantizer
+    where it is overloaded."""
+    idx = str(tmp_path / "ann_split")
+    # 4 cells over the full corpus -> every cell is fat relative to a low
+    # bound, guaranteeing splits without synthetic skew
+    S.build_ann_index(embs, idx, n_cells=4, iters=3)
+    man = S._read_ann_manifest(idx)
+    total = embs.count()
+    assert sum(int(v) for v in man["cell_rows"].values()) == total
+    # ledger vs reality
+    actual = {
+        str(r["_cell"]): r["n"]
+        for r in spark.read.parquet(f"{idx}/cells")
+        .groupBy("_cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: int(v) for k, v in man["cell_rows"].items()} == actual
+
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+
+    def rows(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = rows(S.knn_bruteforce(embs, queries, k=5))
+    before = rows(S.knn_ivf_indexed(spark, idx, queries, k=5, n_probe=2))
+    recall_before = len(before & exact) / len(exact)
+
+    health = S.ann_cell_health(spark, idx, max_rows_per_cell=total // 8)
+    assert health["oversized"]  # the bound forces maintenance
+    n_split = S.split_ann_cells(spark, idx, max_rows_per_cell=total // 8)
+    assert n_split == len(health["oversized"])
+
+    man2 = S._read_ann_manifest(idx)
+    assert man2["n_cells"] == 4 + n_split
+    assert man2["centroids_dir"].startswith("centroids_gen-")
+    # old centroid generation retired (grace), new one live with k+splits rows
+    assert any(
+        e.get("centroids_dir") == "centroids" for e in man2["retired"]
+    )
+    cents = S._read_centroids(spark, idx, man2)
+    assert len(cents) == 4 + n_split
+    # no vector lost or duplicated, ledger still exact, codes in sync
+    files = [
+        f"{idx}/cells/{d}/{f}" for d, fs in man2["cells"].items() for f in fs
+    ]
+    live = spark.read.option("basePath", f"{idx}/cells").parquet(*files)
+    ids = [r["vec_id"] for r in live.select("vec_id").collect()]
+    assert len(ids) == total and len(set(ids)) == total
+    actual2 = {
+        str(r["_cell"]): r["n"]
+        for r in live.groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: int(v) for k, v in man2["cell_rows"].items()} == actual2
+    code_files = [
+        f"{idx}/codes/{d}/{f}" for d, fs in man2["codes"].items() for f in fs
+    ]
+    codes = spark.read.option("basePath", f"{idx}/codes").parquet(*code_files)
+    assert codes.count() == total
+    # cell ids agree between cells/ and codes/ per vector
+    mism = (
+        live.select("vec_id", F.col("_cell").alias("a"))
+        .join(codes.select("vec_id", F.col("_cell").alias("b")), "vec_id")
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mism == 0
+
+    # proportional probe budget: same probed corpus fraction as before
+    # (2 of 4 cells), i.e. n_probe' = 2 * n_cells_after / 4
+    import math
+
+    probe_after = math.ceil(2 * man2["n_cells"] / 4)
+    after = rows(
+        S.knn_ivf_indexed(spark, idx, queries, k=5, n_probe=probe_after)
+    )
+    recall_after = len(after & exact) / len(exact)
+    assert recall_after >= recall_before - 1e-9
+    # the split actually rebalanced: every cell now sits at/below the bound
+    assert max(int(v) for v in man2["cell_rows"].values()) <= max(
+        int(v) for v in man["cell_rows"].values()
+    )
+    # idempotent once healthy: a second pass at the same bound splits only
+    # cells still past it (possibly zero)
+    again = S.ann_cell_health(spark, idx, max_rows_per_cell=total // 8)
+    assert S.split_ann_cells(spark, idx, max_rows_per_cell=total // 8) == len(
+        again["oversized"]
+    )
+
+
+def test_knn_sq8_distributed_rerank_matches_collect_path(
+    spark, embs, tmp_path, monkeypatch
+):
+    """r9 advisory: above SPARK_GRAFT_SQ8_CAND_COLLECT_MAX the SQ8 re-rank
+    keeps candidates distributed (no driver round-trip growing with |Q|).
+    Both plans must return IDENTICAL rows — the threshold is purely
+    physical."""
+    idx = str(tmp_path / "ann_sq8_dist")
+    S.build_ann_index(embs, idx, n_cells=8, iters=2)
+    queries = embs.where(F.col("vec_id") % 25 == 0)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cos_bp) for r in df.collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_SQ8_CAND_COLLECT_MAX", "1000000")
+    via_collect = rows(S.knn_sq8_indexed(spark, idx, queries, k=5))
+    monkeypatch.setenv("SPARK_GRAFT_SQ8_CAND_COLLECT_MAX", "0")
+    via_dist = rows(S.knn_sq8_indexed(spark, idx, queries, k=5))
+    assert via_collect == via_dist and via_collect
+
+
+def test_knn_ann_auto_routes_by_batch_size(spark, embs, tmp_path):
+    """choose_ann_route prices SQ8-vs-IVF from the manifest's per-cell row
+    ledger: a tiny batch (candidate pairs << probe rows) routes to the
+    SQ8 composition, a corpus-fraction batch routes to plain IVF; the
+    auto entry returns exactly the routed endpoint's rows."""
+    idx = str(tmp_path / "ann_auto")
+    S.build_ann_index(embs, idx, n_cells=8, iters=2)
+
+    small_q = embs.where(F.col("vec_id") == 0)
+    big_q = embs  # corpus-fraction: |Q| = corpus
+    r_small, pairs_s, probe_s = S.choose_ann_route(spark, idx, small_q, k=5)
+    r_big, pairs_b, probe_b = S.choose_ann_route(spark, idx, big_q, k=5)
+    assert r_small == "sq8" and pairs_s <= 0.1 * probe_s
+    assert r_big == "ivf" and pairs_b > 0.1 * probe_b
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cos_bp) for r in df.collect()
+        )
+
+    assert rows(S.knn_ann_auto(spark, idx, small_q, k=5)) == rows(
+        S.knn_sq8_indexed(spark, idx, small_q, k=5)
+    )
+    assert rows(S.knn_ann_auto(spark, idx, big_q, k=5)) == rows(
+        S.knn_ivf_indexed(spark, idx, big_q, k=5)
+    )
