@@ -71,11 +71,22 @@ def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, str]:
     cust = _customer(spark, sf_dir)
     write_keyed_table(cust, path, key="c_custkey", n_buckets=_BUCKETS)
     v0 = current_version(path)
-    # bootstrap the maintained aggregate at the PRE-mutation state, so the
-    # registered sink_incremental_agg row exercises a genuine change-feed
-    # FOLD across the mutations below, not a recompute
+    # bootstrap the maintained aggregates at the PRE-mutation state, so the
+    # registered sink_incremental_agg / sink_fold_minmax /
+    # sink_fold_distinct rows exercise a genuine change-feed FOLD across
+    # the mutations below, not a recompute
     fold_aggregate(
         spark, path, agg_path, "c_nationkey", ("c_bal_x100",), n_buckets=4
+    )
+    fold_aggregate(
+        spark,
+        path,
+        f"{path}_agg_mm",
+        "c_nationkey",
+        n_buckets=4,
+        min_cols=("c_bal_x100",),
+        max_cols=("c_bal_x100",),
+        distinct_cols=("c_bal_x100",),
     )
     updates = (
         cust.where(F.col("c_custkey") % 7 == 0)
@@ -282,4 +293,103 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_aggregate(spark, agg_path).select(
         "c_nationkey", "cnt", "sum_c_bal_x100"
+    )
+
+
+_MINMAX_SQL = """
+WITH final AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal
+    FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT c_nationkey, CAST(MIN(bal) AS BIGINT) AS min_c_bal_x100,
+       CAST(MAX(bal) AS BIGINT) AS max_c_bal_x100
+  FROM final GROUP BY c_nationkey
+"""
+
+
+@register("sink_fold_minmax", _MINMAX_SQL, extra=True)
+def sink_fold_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-maintained MIN/MAX by nation (round 10,
+    sinks/incremental_agg.py): applies fold via least/greatest; the
+    scripted deletes retract some groups' stored extrema, forcing the
+    suspect-group source recompute path. The oracle recomputes the
+    post-mutation extrema from the source parquet; a hash match proves
+    fold(+suspect recompute) == recompute for every group."""
+    from .sinks.incremental_agg import fold_aggregate, read_aggregate
+
+    path, _, _ = _mutated_table(spark, sf_dir)
+    agg = f"{path}_agg_mm"
+    fold_aggregate(
+        spark,
+        path,
+        agg,
+        "c_nationkey",
+        n_buckets=4,
+        min_cols=("c_bal_x100",),
+        max_cols=("c_bal_x100",),
+        distinct_cols=("c_bal_x100",),
+    )
+    return read_aggregate(spark, agg).select(
+        "c_nationkey", "min_c_bal_x100", "max_c_bal_x100"
+    )
+
+
+_DISTINCT_SQL = """
+WITH final AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal
+    FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT c_nationkey, CAST(COUNT(DISTINCT bal) AS BIGINT) AS n_exact,
+       true AS hll_within_5pct
+  FROM final GROUP BY c_nationkey
+"""
+
+
+@register("sink_fold_distinct", _DISTINCT_SQL, extra=True)
+def sink_fold_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-maintained DISTINCT COUNT by nation via a stored HLL sketch
+    (round 10): applied values hll_union into the stored state; the
+    scripted retractions (un-unionable) trigger the suspect-group source
+    recompute. The estimate never crosses engines — the hash-checked
+    output is the exact distinct count plus the in-plan ±5% accuracy
+    contract on the folded sketch (the approx_distinct_custkeys
+    pattern)."""
+    from .sinks.incremental_agg import fold_aggregate, read_aggregate
+    from .sinks.upsert import read_keyed_table
+
+    path, _, _ = _mutated_table(spark, sf_dir)
+    agg = f"{path}_agg_mm"
+    fold_aggregate(
+        spark,
+        path,
+        agg,
+        "c_nationkey",
+        n_buckets=4,
+        min_cols=("c_bal_x100",),
+        max_cols=("c_bal_x100",),
+        distinct_cols=("c_bal_x100",),
+    )
+    exact = (
+        read_keyed_table(spark, path)
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("c_bal_x100").cast("long").alias("n_exact"))
+    )
+    est = read_aggregate(spark, agg).select("c_nationkey", "dcnt_c_bal_x100")
+    return exact.join(est, "c_nationkey").select(
+        "c_nationkey",
+        "n_exact",
+        (
+            F.abs(F.col("dcnt_c_bal_x100") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("hll_within_5pct"),
     )

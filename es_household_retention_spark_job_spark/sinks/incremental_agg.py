@@ -20,16 +20,33 @@ untouched (the refold recomputes the identical window); two folds racing
 from the same cursor cannot both commit even when their affected groups
 land in disjoint buckets.
 
-Only DECOMPOSABLE aggregates are offered (count, sum — and anything
-derivable from them downstream: avg = sum/cnt). min/max are deliberately
-absent: retracting a min requires the full group's rows, which is a
-recompute, not a fold — callers who need them should recompute affected
-groups from the source instead of pretending the fold is O(changes).
+Aggregate families, by retractability (round 10 extends the original
+count/sum pair):
 
-100 TB shape: fold cost = change-feed read (bucket-confined, see
+* **count, sum** — fully decomposable: every change row folds in O(1)
+  (avg = sum/cnt downstream).
+* **min, max** — decomposable on APPLY (``least``/``greatest`` with the
+  stored extremum) but NOT on retraction: deleting the stored minimum
+  says nothing about the runner-up. The fold detects exactly that case
+  (a retracted value ≤ the stored min / ≥ the stored max) and recomputes
+  ONLY the suspect groups from the pinned source version — the
+  documented O(suspect groups' source rows) fallback; all other groups
+  stay O(changes). Pretending min/max folds are always O(changes) would
+  simply be wrong.
+* **distinct count (HLL)** — the sketch (Spark's DataSketches
+  ``hll_sketch_agg``/``hll_union``) merges on apply but cannot retract
+  at all; any retraction of a non-null value marks the group suspect
+  and triggers the same source recompute. The stored state is the
+  BINARY sketch; ``read_aggregate`` surfaces the estimate as
+  ``dcnt_<col>`` (the ±rsd accuracy contract is the caller's, same as
+  ``approx_count_distinct``).
+
+100 TB shape: fold cost = change-feed read (sidecar/bucket-confined, see
 ``read_changes``) + one shuffle of the CHANGE rows to group keys + a point
-lookup of |affected groups| agg rows + an upsert of |affected groups| rows.
-Nothing scales with the source table or the aggregate table size.
+lookup of |affected groups| agg rows + an upsert of |affected groups| rows
+— plus, only when a retraction hits an extremum/sketch, one source read
+semi-join-pruned to the suspect groups. Nothing else scales with the
+source table or the aggregate table size.
 
 Reference parity: the reference job's terminal step is an ES terms-agg
 dashboard query over the maintained store (HouseholdRetentionProcessing
@@ -71,6 +88,9 @@ FOLD_LOOKUP_MAX = int(os.environ.get("SPARK_GRAFT_FOLD_LOOKUP_MAX", "10000"))
 #: the group values — the group columns themselves stay as data columns
 GROUP_KEY_COL = "_group"
 
+#: stored-sketch column prefix (binary HLL state; hidden by read_aggregate)
+HLL_COL = "_hll_"
+
 
 def _group_key(group_cols: list[str]):
     # ESCAPED before joining: a group value that itself contains the
@@ -87,9 +107,28 @@ def _group_key(group_cols: list[str]):
     return F.concat_ws("\x1f", *parts)
 
 
-def _agg_exprs(sum_cols: tuple[str, ...], weight) -> list:
-    """Signed count+sum expressions over change rows. Sums ignore nulls
-    (SQL SUM semantics); the count counts rows, null measures included."""
+def _hll_merge(old, new):
+    """Null-safe sketch union: hll_union refuses nulls, but either side is
+    legitimately absent (new group / no applied rows in the window)."""
+    return (
+        F.when(old.isNull(), new)
+        .when(new.isNull(), old)
+        .otherwise(F.hll_union(old, new))
+    )
+
+
+def _delta_exprs(
+    sum_cols: tuple[str, ...],
+    min_cols: tuple[str, ...],
+    max_cols: tuple[str, ...],
+    distinct_cols: tuple[str, ...],
+    weight,
+    applied,
+) -> list:
+    """Per-group fold inputs over change rows: the signed count, signed
+    sums (null measures ignored — SQL SUM semantics), the window's applied
+    extrema and retracted extrema (suspicion probes), the applied-values
+    sketch, and the retracted-non-null counter per distinct column."""
     exprs = [F.sum(weight).cast("long").alias("_dcnt")]
     for c in sum_cols:
         exprs.append(
@@ -97,6 +136,41 @@ def _agg_exprs(sum_cols: tuple[str, ...], weight) -> list:
                 f"_dsum_{c}"
             )
         )
+    for c in sorted(set(min_cols)):
+        exprs.append(F.min(F.when(applied, F.col(c))).alias(f"_imin_{c}"))
+        exprs.append(F.min(F.when(~applied, F.col(c))).alias(f"_rmin_{c}"))
+    for c in sorted(set(max_cols)):
+        exprs.append(F.max(F.when(applied, F.col(c))).alias(f"_imax_{c}"))
+        exprs.append(F.max(F.when(~applied, F.col(c))).alias(f"_rmax_{c}"))
+    for c in sorted(set(distinct_cols)):
+        exprs.append(
+            F.hll_sketch_agg(F.when(applied, F.col(c))).alias(f"_ihll_{c}")
+        )
+        exprs.append(
+            F.sum(
+                F.when(~applied & F.col(c).isNotNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_rdist_{c}")
+        )
+    return exprs
+
+
+def _extremum_exprs(
+    min_cols: tuple[str, ...],
+    max_cols: tuple[str, ...],
+    distinct_cols: tuple[str, ...],
+    prefix: str = "",
+) -> list:
+    """Ground-truth aggregate expressions over source rows (bootstrap and
+    the suspect-group recompute share them)."""
+    exprs = []
+    for c in sorted(set(min_cols)):
+        exprs.append(F.min(c).alias(f"{prefix}min_{c}"))
+    for c in sorted(set(max_cols)):
+        exprs.append(F.max(c).alias(f"{prefix}max_{c}"))
+    for c in sorted(set(distinct_cols)):
+        exprs.append(F.hll_sketch_agg(c).alias(f"{prefix}{HLL_COL}{c}"))
     return exprs
 
 
@@ -107,18 +181,33 @@ def fold_aggregate(
     group_col: str | list[str] | tuple[str, ...],
     sum_cols: tuple[str, ...] | list[str] = (),
     n_buckets: int = DEFAULT_BUCKETS,
+    min_cols: tuple[str, ...] | list[str] = (),
+    max_cols: tuple[str, ...] | list[str] = (),
+    distinct_cols: tuple[str, ...] | list[str] = (),
 ) -> int:
-    """Bring the count+sum aggregate of ``source_path`` grouped by
-    ``group_col`` (one column name, or a list for composite groups — the
+    """Bring the grouped aggregate of ``source_path`` by ``group_col``
+    (one column name, or a list for composite groups — the
     terms-agg-by-(client, month) shape) up to date at ``agg_path``;
     returns the source version the aggregate now reflects. First call
     bootstraps (one full grouped scan of the pinned current version);
     later calls fold only the change feed since the recorded cursor.
-    Output columns: the group column(s), ``cnt`` (long), and ``sum_<c>``
-    per requested column (multi-column groups also carry the synthesized
-    ``_group`` key — ``read_aggregate`` hides it). A group whose count
-    reaches zero keeps a ``cnt=0`` row (sums zeroed) — readers filter, and
-    a later revival is a plain update, not a resurrection special case.
+    Output columns: the group column(s), ``cnt`` (long), ``sum_<c>`` /
+    ``min_<c>`` / ``max_<c>`` per requested column, and a binary
+    ``_hll_<c>`` sketch per distinct column (``read_aggregate`` surfaces
+    the estimate as ``dcnt_<c>`` and hides the sketch; multi-column
+    groups also carry the synthesized ``_group`` key, likewise hidden).
+    A group whose count reaches zero keeps a ``cnt=0`` row (sums zeroed,
+    extrema/sketches nulled) — readers filter, and a later revival is a
+    plain update, not a resurrection special case.
+
+    Retraction semantics per family (module docstring): sums fold both
+    directions; min/max and distinct sketches fold applies and fall back
+    to a suspect-group-confined source recompute when a retraction could
+    have removed the stored extremum / a distinct value. An update that
+    leaves the tracked column unchanged still produces a pre+post pair
+    for the GROUP (some other column changed), so the suspicion test is
+    conservative — correctness never depends on the fold guessing which
+    retracted values still exist.
 
     Null group keys are rejected: the aggregate row's KEY would be null,
     which the bucketed layout cannot address for point lookups.
@@ -130,6 +219,9 @@ def fold_aggregate(
     composite = len(group_cols) > 1
     key = GROUP_KEY_COL if composite else group_cols[0]
     sum_cols = tuple(sum_cols)
+    min_cols = tuple(min_cols)
+    max_cols = tuple(max_cols)
+    distinct_cols = tuple(distinct_cols)
     out_cols = {c: f"sum_{c}" for c in sum_cols}
     source_id = os.path.abspath(source_path)
     v_now = current_version(source_path)
@@ -149,6 +241,7 @@ def fold_aggregate(
         boot = src.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(c).alias(out_cols[c]) for c in sum_cols],
+            *_extremum_exprs(min_cols, max_cols, distinct_cols),
         )
         null_any = None
         for c in group_cols:
@@ -180,15 +273,19 @@ def fold_aggregate(
     if v_now == v_from:
         return v_from  # nothing published since the last fold
     ch = read_changes(spark, source_path, v_from, v_now)
-    weight = F.when(
-        F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
+    applied = F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
+    weight = F.when(applied, F.lit(1)).otherwise(F.lit(-1))
     deltas = _with_key(
-        ch.groupBy(*group_cols).agg(*_agg_exprs(sum_cols, weight))
+        ch.groupBy(*group_cols).agg(
+            *_delta_exprs(
+                sum_cols, min_cols, max_cols, distinct_cols, weight, applied
+            )
+        )
     )
     # one bounded materialization decides the old-row read strategy; the
     # deltas feed two plans below, so cache across them
     deltas = deltas.persist()
+    cached = [deltas]
     try:
         probe_cols = [key] + (group_cols if composite else [])
         groups = (
@@ -227,29 +324,65 @@ def fold_aggregate(
             old = read_keyed_table(spark, agg_path)
         d, o = deltas.alias("d"), old.alias("o")
         merged = d.join(o, on=key, how="left")
+        new_cnt = (
+            F.coalesce(F.col("o.cnt"), F.lit(0)) + F.col("d._dcnt")
+        ).cast("long")
         sel = [
             *[F.col(f"d.{c}").alias(c) for c in group_cols],
             *([F.col(f"d.{GROUP_KEY_COL}").alias(GROUP_KEY_COL)] if composite else []),
-            (F.coalesce(F.col("o.cnt"), F.lit(0)) + F.col("d._dcnt"))
-            .cast("long")
-            .alias("cnt"),
+            new_cnt.alias("cnt"),
         ]
         for c in sum_cols:
             oc, dc = out_cols[c], f"_dsum_{c}"
             zero = F.lit(0).cast(deltas.schema[dc].dataType)
             sel.append(
-                F.when(
-                    (F.coalesce(F.col("o.cnt"), F.lit(0)) + F.col("d._dcnt"))
-                    == 0,
-                    zero,
-                )
+                F.when(new_cnt == 0, zero)
                 .otherwise(
                     F.coalesce(F.col(f"o.{oc}"), zero)
                     + F.coalesce(F.col(f"d.{dc}"), zero)
                 )
                 .alias(oc)
             )
-        merged = merged.select(*sel)
+        # non-retractable families: the APPLY side folds (least/greatest/
+        # sketch-union with the stored state); a retraction that could
+        # have removed the stored extremum or a distinct value raises a
+        # per-group SUSPECT flag — those groups are recomputed from the
+        # pinned source below, everything else stays O(changes)
+        sus_flags = []
+        for c in sorted(set(min_cols)):
+            oc = f"min_{c}"
+            cand = F.least(F.col(f"o.{oc}"), F.col(f"d._imin_{c}"))
+            sel.append(F.when(new_cnt == 0, F.lit(None)).otherwise(cand).alias(oc))
+            sus_flags.append(
+                (
+                    (new_cnt > 0)
+                    & F.col(f"d._rmin_{c}").isNotNull()
+                    & F.col(f"o.{oc}").isNotNull()
+                    & (F.col(f"d._rmin_{c}") <= F.col(f"o.{oc}"))
+                ).alias(f"_sus_min_{c}")
+            )
+        for c in sorted(set(max_cols)):
+            oc = f"max_{c}"
+            cand = F.greatest(F.col(f"o.{oc}"), F.col(f"d._imax_{c}"))
+            sel.append(F.when(new_cnt == 0, F.lit(None)).otherwise(cand).alias(oc))
+            sus_flags.append(
+                (
+                    (new_cnt > 0)
+                    & F.col(f"d._rmax_{c}").isNotNull()
+                    & F.col(f"o.{oc}").isNotNull()
+                    & (F.col(f"d._rmax_{c}") >= F.col(f"o.{oc}"))
+                ).alias(f"_sus_max_{c}")
+            )
+        for c in sorted(set(distinct_cols)):
+            oc = f"{HLL_COL}{c}"
+            cand = _hll_merge(F.col(f"o.{oc}"), F.col(f"d._ihll_{c}"))
+            sel.append(F.when(new_cnt == 0, F.lit(None)).otherwise(cand).alias(oc))
+            sus_flags.append(
+                ((new_cnt > 0) & (F.col(f"d._rdist_{c}") > 0)).alias(
+                    f"_sus_hll_{c}"
+                )
+            )
+        merged = merged.select(*sel, *sus_flags)
         # a negative count can only mean the window was applied against the
         # wrong baseline (cursor corruption the expect-check didn't see,
         # e.g. a hand-edited manifest) — fail the job, don't publish it
@@ -262,6 +395,46 @@ def fold_aggregate(
                 ),
             ).isNull()
         )
+        sus_names = [f.name for f in merged.schema.fields if f.name.startswith("_sus_")]
+        if sus_names:
+            merged = merged.persist()
+            cached.append(merged)
+            any_sus = None
+            for n in sus_names:
+                any_sus = F.col(n) if any_sus is None else (any_sus | F.col(n))
+            need = merged.where(any_sus)
+            if need.limit(1).count():
+                # O(suspect groups) source recompute, pinned at v_now so a
+                # concurrent source publish cannot tear the ground truth
+                src = _with_key(
+                    read_keyed_table(spark, source_path, version=v_now)
+                )
+                rec = (
+                    src.join(need.select(key), key, "left_semi")
+                    .groupBy(key)
+                    .agg(
+                        *_extremum_exprs(
+                            min_cols, max_cols, distinct_cols, prefix="_rec_"
+                        )
+                    )
+                )
+                merged = merged.join(rec, on=key, how="left")
+                repl = []
+                for c in sorted(set(min_cols)):
+                    repl.append((f"min_{c}", f"_sus_min_{c}", f"_rec_min_{c}"))
+                for c in sorted(set(max_cols)):
+                    repl.append((f"max_{c}", f"_sus_max_{c}", f"_rec_max_{c}"))
+                for c in sorted(set(distinct_cols)):
+                    repl.append(
+                        (f"{HLL_COL}{c}", f"_sus_hll_{c}", f"_rec_{HLL_COL}{c}")
+                    )
+                for out, sus, rec_c in repl:
+                    merged = merged.withColumn(
+                        out,
+                        F.when(F.col(sus), F.col(rec_c)).otherwise(F.col(out)),
+                    )
+                merged = merged.drop(*[r[2] for r in repl])
+        merged = merged.drop(*sus_names)
         upsert_parquet(
             spark,
             agg_path,
@@ -272,13 +445,27 @@ def fold_aggregate(
             app_meta_expect={CURSOR_KEY: v_from},
         )
     finally:
-        deltas.unpersist()
+        for df_ in cached:
+            df_.unpersist()
     return v_now
 
 
 def read_aggregate(spark: SparkSession, agg_path: str) -> DataFrame:
-    """The maintained aggregate, zero-count rows filtered and the
-    synthesized composite-group key hidden — what a consumer sees.
-    (``read_keyed_table`` directly if the zero rows or the key matter.)"""
+    """The maintained aggregate, zero-count rows filtered, the synthesized
+    composite-group key hidden, and each stored HLL sketch surfaced as its
+    ``dcnt_<col>`` estimate (the binary state stays internal) — what a
+    consumer sees. (``read_keyed_table`` directly if the zero rows, the
+    key, or the raw sketches matter.)"""
     df = read_keyed_table(spark, agg_path).where(F.col("cnt") > 0)
+    for f in df.schema.fields:
+        if f.name.startswith(HLL_COL):
+            c = f.name[len(HLL_COL):]
+            df = df.withColumn(
+                f"dcnt_{c}",
+                F.when(
+                    F.col(f.name).isNull(), F.lit(0)
+                )
+                .otherwise(F.hll_sketch_estimate(F.col(f.name)))
+                .cast("long"),
+            ).drop(f.name)
     return df.drop(GROUP_KEY_COL) if GROUP_KEY_COL in df.columns else df

@@ -373,6 +373,36 @@ class _publish_lock:
             pass
 
 
+def _parquet_key_range(file_path: str, key: str) -> list | None:
+    """[min, max] of ``key`` across a parquet file's row groups, from
+    FOOTER statistics only (no data pages). None when stats are absent
+    (readers then conservatively treat the delta as possibly-overlapping)
+    or the values don't JSON-round-trip losslessly (bytes, etc.)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(file_path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(key)
+        if idx < 0:
+            return None
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            return None
+        if isinstance(mn, bytes) or isinstance(mx, bytes):
+            return None
+        json.dumps([mn, mx])  # must survive the manifest round-trip
+        return [mn, mx]
+    except Exception:
+        return None  # stats are an optimization; never fail a publish
+
+
 def _snapshot_path(path: str, version: int) -> str:
     return os.path.join(path, f"{SNAPSHOT_PREFIX}{version:08d}.json")
 
@@ -421,6 +451,8 @@ def _write_snapshot(
         # confine reconciliation to delta-carrying buckets, same as a
         # current read (absent in pre-ledger snapshots → full resolve)
         "mor": manifest.get("mor", {}),
+        # per-delta key ranges AS OF this version (point-lookup skip)
+        "mor_stats": manifest.get("mor_stats", {}),
         # application commit metadata AS OF this version (Delta txn-style):
         # a downstream consumer auditing its cursor history can read the
         # value each retained version committed with
@@ -595,6 +627,12 @@ def _publish(
                         "been superseded — recompute and retry"
                     )
         now = time.time()
+        mor_key = None
+        if append_only:
+            try:
+                mor_key = _read_layout(path)["key"]
+            except (FileNotFoundError, KeyError):
+                mor_key = None  # no layout: no stats, reads stay correct
         for d in affected_dirs:
             src_dir = os.path.join(tmp, d)
             new_files = []
@@ -621,12 +659,28 @@ def _publish(
                 if new_files:
                     mor = manifest.setdefault("mor", {})
                     mor[d] = mor.get(d, []) + new_files
+                    # per-delta-file key min/max (parquet footer stats —
+                    # no data pages read): lets a point lookup whose probe
+                    # keys overlap NO delta range treat the bucket as
+                    # clean, skipping the reconciliation window entirely
+                    # (the MoR read-tax pruning, r9 advisory #7)
+                    if mor_key is not None:
+                        stats = manifest.setdefault("mor_stats", {}).setdefault(
+                            d, {}
+                        )
+                        for name in new_files:
+                            rng = _parquet_key_range(
+                                os.path.join(path, d, name), mor_key
+                            )
+                            if rng is not None:
+                                stats[name] = rng
             else:
                 for old in manifest["live"].get(d, []):
                     manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
                 manifest["live"][d] = new_files
                 # a full bucket rewrite folds/supersedes its deltas
                 manifest.get("mor", {}).pop(d, None)
+                manifest.get("mor_stats", {}).pop(d, None)
         if app_meta:
             manifest.setdefault("app", {}).update(app_meta)
         _bump_version(manifest, now)
@@ -810,6 +864,7 @@ def _resolved_state(
     manifest: dict | None,
     layout: dict | None,
     restrict: list | None = None,
+    probe_keys: list | None = None,
 ) -> DataFrame:
     """The table's RESOLVED user-visible state as of ``manifest`` (current
     or a time-travel snapshot), confined to ``restrict`` bucket ids when
@@ -839,15 +894,61 @@ def _resolved_state(
                 dirty_dirs = [
                     d for d in dirty_dirs if int(d.split("=", 1)[1]) in keep
                 ]
+            skipped_base_files: list[str] = []
+            if probe_keys is not None and dirty_dirs:
+                # MoR read-tax pruning: a dirty bucket none of whose delta
+                # files' key [min, max] ranges (footer stats recorded at
+                # publish, ledger "mor_stats") can contain a probe key is
+                # CLEAN for this lookup — its probed keys have no delta
+                # row and no tombstone, so its BASE FILES alone are their
+                # current state (the caller's key filter drops every other
+                # key; the delta files are not even opened). Conservative:
+                # a delta file without stats, or an incomparable key type,
+                # keeps its bucket dirty.
+                stats = manifest.get("mor_stats") or {}
+                still_dirty = []
+                for d in dirty_dirs:
+                    st = stats.get(d) or {}
+                    try:
+                        overlap = any(
+                            f not in st
+                            or any(
+                                st[f][0] <= k <= st[f][1] for k in probe_keys
+                            )
+                            for f in ledger[d]
+                        )
+                    except TypeError:
+                        overlap = True  # mixed types: never skip on a guess
+                    if overlap:
+                        still_dirty.append(d)
+                    else:
+                        delta = set(ledger[d])
+                        skipped_base_files.extend(
+                            os.path.join(path, d, f)
+                            for f in manifest["live"].get(d, [])
+                            if f not in delta
+                        )
+                dirty_dirs = still_dirty
             clean = _read_live(
                 spark, path, schema, buckets=clean_ids, manifest=manifest
             )
-            # _resolve consumes _tombstone on the resolved side; base rows
-            # carry it only as an all-null pinned column — drop for a
-            # matching union shape
-            df = clean.drop(TOMBSTONE_COL).unionByName(
-                _resolve_dirty(spark, path, schema, manifest, key, dirty_dirs)
-            )
+            if skipped_base_files:
+                clean = clean.unionByName(
+                    _read_files(spark, path, schema, skipped_base_files)
+                )
+            if dirty_dirs:
+                # _resolve consumes _tombstone on the resolved side; base
+                # rows carry it only as an all-null pinned column — drop
+                # for a matching union shape
+                df = clean.drop(TOMBSTONE_COL).unionByName(
+                    _resolve_dirty(
+                        spark, path, schema, manifest, key, dirty_dirs
+                    )
+                )
+            else:
+                # every dirty bucket was excluded (restrict and/or the
+                # delta-range skip): a bare pruned scan, no window planned
+                df = clean
         elif key is not None:
             # pre-ledger snapshot/manifest: no per-bucket knowledge —
             # resolve the whole read (always correct)
@@ -1034,7 +1135,15 @@ def read_keyed_table(
                 )
     if manifest is None:
         manifest = _read_manifest(path)
-    df = _resolved_state(spark, path, schema, manifest, layout, restrict)
+    df = _resolved_state(
+        spark,
+        path,
+        schema,
+        manifest,
+        layout,
+        restrict,
+        probe_keys=list(keys) if keys is not None else None,
+    )
     if keys is not None:
         lkey = layout["key"]
         if len(keys) <= LOOKUP_ISIN_MAX:

@@ -316,3 +316,99 @@ def test_composite_group_separator_collision(spark, tmp_path):
         ("a\\", "\x1fc"): (1, 30),
         ("a\\\x1f", "c"): (1, 40),
     }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_fold_minmax_distinct_matches_recompute(spark, tmp_path, monkeypatch, mode):
+    """Round 10 fold families: min/max (apply folds via least/greatest; a
+    retraction hitting the stored extremum triggers the suspect-group
+    source recompute) and HLL distinct (apply folds via sketch union;
+    ANY retraction triggers the recompute) equal a from-scratch recompute
+    after every batch, under both write modes. The mutation script
+    deliberately deletes group minima/maxima and re-inserts values."""
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", mode)
+    src = str(tmp_path / f"mmd_src_{mode}")
+    agg = str(tmp_path / f"mmd_agg_{mode}")
+    _source(spark, src, n=60, groups=5)
+    kw = dict(
+        sum_cols=("v",),
+        min_cols=("v",),
+        max_cols=("v",),
+        distinct_cols=("v",),
+        n_buckets=4,
+    )
+    fold_aggregate(spark, src, agg, "g", **kw)
+
+    def truth():
+        rows = (
+            read_keyed_table(spark, src)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+                F.countDistinct("v").alias("dcnt_v"),
+            )
+            .collect()
+        )
+        return {
+            r["g"]: (r["cnt"], r["sum_v"], r["min_v"], r["max_v"], r["dcnt_v"])
+            for r in rows
+        }
+
+    def folded():
+        rows = read_aggregate(spark, agg).collect()
+        return {
+            r["g"]: (r["cnt"], r["sum_v"], r["min_v"], r["max_v"], r["dcnt_v"])
+            for r in rows
+        }
+
+    assert folded() == truth()  # bootstrap
+
+    # batch 1: delete the global min (k0: g0 v=10) and the global max
+    # (k59: g4 v=600) -> both groups' extrema retract -> suspect recompute
+    delete_keys(
+        spark, src, spark.createDataFrame([("k0",), ("k59",)], "k string")
+    )
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+
+    # batch 2: update a non-extremum to a NEW global min (apply-side fold,
+    # no suspicion), insert a duplicate value (distinct unchanged but HLL
+    # union applied), and a value update that shifts a max upward
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame(
+            [("k7", 2, -999), ("k100", 0, 20), ("k58", 3, 99999)],
+            "k string, g int, v long",
+        ),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+
+    # batch 3: kill an entire group (all g==1 keys) -> cnt=0 row with
+    # nulled extrema (hidden by read_aggregate), then revive it
+    g1 = read_keyed_table(spark, src).where(F.col("g") == 1).select("k")
+    delete_keys(spark, src, g1)
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+    assert 1 not in folded()
+    dead = {
+        r["g"]: (r["min_v"], r["max_v"])
+        for r in read_keyed_table(spark, agg).where(F.col("cnt") == 0).collect()
+    }
+    assert dead == {1: (None, None)}
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame([("kz", 1, 777)], "k string, g int, v long"),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+    assert folded()[1] == (1, 777, 777, 777, 1)

@@ -2243,3 +2243,52 @@ def test_point_lookup_version_layout_invariant_asserted(
     finally:
         lay["n_buckets"] = 4
         _json.dump(lay, open(lay_path, "w"))
+
+
+def test_point_lookup_skips_nonoverlapping_deltas(spark, tmp_path, monkeypatch):
+    """MoR read-tax pruning (r9 advisory #7): the manifest records each
+    delta file's key [min, max] from parquet footer stats at publish; a
+    point lookup whose probe keys overlap NO delta range of a dirty
+    bucket treats that bucket as clean — reads only its base file, plans
+    no reconciliation window — while a probe that DOES overlap still
+    reconciles. Values correct in both cases."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    n = 1  # one bucket: every key collides into the dirty bucket
+    path = str(tmp_path / "mor_skip")
+    write_keyed_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "k long, v long"
+        ),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    # delta touches only keys 90..99
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(i, 0) for i in range(90, 100)], "k long, v long"),
+        key="k",
+        n_buckets=n,
+    )
+    man = U._read_manifest(path)
+    d = f"{U.BUCKET_COL}=0"
+    assert man["mor"].get(d)  # the bucket is genuinely dirty
+    st = man.get("mor_stats", {}).get(d, {})
+    assert set(st) == set(man["mor"][d])  # every delta file has a range
+    assert all(lo == 90 and hi == 99 for lo, hi in st.values())
+
+    # non-overlapping probe: base file only, no window in the plan
+    df = read_keyed_table(spark, path, keys=[5, 17])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    delta_files = {f"{d}/{f}" for f in man["mor"][d]}
+    touched = {"/".join(f.split("/")[-2:]) for f in df.inputFiles()}
+    assert not (touched & delta_files)
+    assert {r["k"]: r["v"] for r in df.collect()} == {5: 50, 17: 170}
+
+    # overlapping probe still reconciles (delta value wins)
+    df2 = read_keyed_table(spark, path, keys=[5, 95])
+    assert {r["k"]: r["v"] for r in df2.collect()} == {5: 50, 95: 0}
