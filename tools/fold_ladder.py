@@ -75,29 +75,41 @@ def one_size(spark, n: int) -> dict:
 
         out = {"rows": n, "delta_rows": n_delta, "bootstrap_sec": round(boot, 2)}
         states = {}
+        # round 10: capture is write-mode-independent, so BOTH modes get a
+        # capture-tier fold column; the cdc=off twin measures (a) the
+        # write-time capture cost itself (upsert A/B) and (b) the
+        # state-diff fallback tier the feed pays without sidecars
         for mode in ("cow", "mor"):
-            src = str(work / f"src_{mode}")
-            agg = str(work / f"agg_{mode}")
-            shutil.copytree(src0, src)
-            # the agg's fold cursor names the source by ABSOLUTE PATH; a
-            # copied aggregate would refuse the copied source, so
-            # re-bootstrap instead (same v0 state, not timed)
-            fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
-            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
-            upsert_parquet(spark, src, delta, key="k", n_buckets=64)
-            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
-            t0 = time.time()
-            fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
-            out[f"fold_{mode}_sec"] = round(time.time() - t0, 2)
-            states[mode] = {
-                r["g"]: (r["cnt"], r["sum_v"])
-                for r in read_aggregate(spark, agg).collect()
-            }
+            for cdc in ("on", "off"):
+                src = str(work / f"src_{mode}_{cdc}")
+                agg = str(work / f"agg_{mode}_{cdc}")
+                shutil.copytree(src0, src)
+                # the agg's fold cursor names the source by ABSOLUTE PATH;
+                # a copied aggregate would refuse the copied source, so
+                # re-bootstrap instead (same v0 state, not timed)
+                fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+                os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
+                os.environ["SPARK_GRAFT_SINK_CDC"] = cdc
+                t0 = time.time()
+                upsert_parquet(spark, src, delta, key="k", n_buckets=64)
+                up = time.time() - t0
+                os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+                os.environ.pop("SPARK_GRAFT_SINK_CDC", None)
+                t0 = time.time()
+                fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+                fold = time.time() - t0
+                suffix = "" if cdc == "on" else "_nocapture"
+                out[f"upsert_{mode}{suffix}_sec"] = round(up, 2)
+                out[f"fold_{mode}{suffix}_sec"] = round(fold, 2)
+                states[(mode, cdc)] = {
+                    r["g"]: (r["cnt"], r["sum_v"])
+                    for r in read_aggregate(spark, agg).collect()
+                }
 
         agg_full = str(work / "agg_full")
         t0 = time.time()
         recomputed = (
-            read_keyed_table(spark, str(work / "src_cow"))
+            read_keyed_table(spark, str(work / "src_cow_on"))
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
         )
@@ -107,7 +119,7 @@ def one_size(spark, n: int) -> dict:
             r["g"]: (r["cnt"], r["sum_v"])
             for r in read_keyed_table(spark, agg_full).collect()
         }
-        out["state_equal"] = states["cow"] == states["mor"] == full
+        out["state_equal"] = all(st == full for st in states.values())
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

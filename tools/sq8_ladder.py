@@ -95,10 +95,62 @@ def main() -> None:
             f"index build {t_build:.2f}s; cells {cells_b/1e6:.2f} MB, "
             f"codes {codes_b/1e6:.2f} MB (ratio {cells_b/codes_b:.2f}x)"
         )
+        route_s = S.choose_ann_route(spark, idx, queries, k=K)
+        print(
+            f"route (fixed batch): {route_s[0]} "
+            f"(cand_pairs {route_s[1]}, probe_rows {route_s[2]})"
+        )
         print("| path | sec | recall@5 |")
         print("|---|---|---|")
         for name, (dt, rec) in rows.items():
             print(f"| {name} | {dt:.2f}s | {rec:.3f} |")
+
+        # corpus-fraction regime (round 10): |Q| ~ 10k — the batch size
+        # where the round-9 sf1 section showed the SQ8 composition LOSING
+        # to plain IVF. knn_ann_auto must route to the measured-cheaper
+        # plan, and above SPARK_GRAFT_SQ8_CAND_COLLECT_MAX the SQ8 re-rank
+        # keeps candidates distributed (no |Q|-proportional driver
+        # collect by construction).
+        step = max(n_corpus // 10_000, 1)
+        bigq = embs.where(F.col("vec_id") % step == 0)
+        n_big = bigq.count()
+        route_b = S.choose_ann_route(spark, idx, bigq, k=K)
+        rows_b = {}
+        for name, fn in (
+            (
+                "knn_ivf_indexed",
+                lambda: S.knn_ivf_indexed(spark, idx, bigq, k=K),
+            ),
+            (
+                "knn_sq8_indexed (distributed re-rank)",
+                lambda: S.knn_sq8_indexed(spark, idx, bigq, k=K),
+            ),
+            (
+                "knn_ann_auto",
+                lambda: S.knn_ann_auto(spark, idx, bigq, k=K),
+            ),
+        ):
+            def run_b(fn=fn):
+                return fn().count()
+            dt, n_rows = timed(run_b)
+            rows_b[name] = (dt, n_rows)
+        print(
+            f"\n|Q| = {n_big} (corpus-fraction): route = {route_b[0]} "
+            f"(cand_pairs {route_b[1]}, probe_rows {route_b[2]})"
+        )
+        print("| path | sec | out rows |")
+        print("|---|---|---|")
+        for name, (dt, n_rows) in rows_b.items():
+            print(f"| {name} | {dt:.2f}s | {n_rows} |")
+        cheaper = min(
+            ("ivf", rows_b["knn_ivf_indexed"][0]),
+            ("sq8", rows_b["knn_sq8_indexed (distributed re-rank)"][0]),
+            key=lambda t: t[1],
+        )[0]
+        print(
+            f"auto routed {route_b[0]}; measured-cheaper endpoint: {cheaper} "
+            f"({'MATCH' if route_b[0] == cheaper else 'MISMATCH'})"
+        )
 
 
 if __name__ == "__main__":
