@@ -1,6 +1,9 @@
-"""Oracle-pinned registry rows for the keyed sink's READ surface (round 9):
-the change data feed (``read_changes``) and the point-lookup path
-(``read_keyed_table(keys=...)``).
+"""Oracle-pinned registry rows for the keyed sink's READ surface (round 9;
+promoted into the 50-slot driver gate in round 10): the change data feed
+(``read_changes``), the point-lookup path (``read_keyed_table(keys=...)``),
+the fold-maintained aggregates (count/sum, min/max with suspect-group
+recompute, HLL distinct with an in-plan accuracy contract), and a cow-mode
+change-feed twin proving round 10's write-mode-independent capture.
 
 The sink itself (S7/S8 — write modes, MVCC manifest, concurrency, time
 travel) is pytest-covered in tests/test_upsert_pipeline.py; what these rows

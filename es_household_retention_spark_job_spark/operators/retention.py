@@ -341,11 +341,18 @@ def phase2_bounds(as_of: datetime) -> tuple[int, int]:
 
 
 def check_phase2_invariant(
-    person: DataFrame, encounter: DataFrame, client_code: str, as_of: datetime
+    person: DataFrame,
+    encounter: DataFrame,
+    client_code: str,
+    as_of: datetime,
+    persons: DataFrame | None = None,
 ) -> None:
     """C3 — HRP:786-791: throw if any household still has an unprocessed
-    person with a qualifying encounter (phase 1 incomplete)."""
-    persons = eligible_persons(person, client_code)
+    person with a qualifying encounter (phase 1 incomplete). ``persons``
+    lets a caller that already holds (and cached) the eligible frame skip
+    the second store scan — run_incremental's case."""
+    if persons is None:
+        persons = eligible_persons(person, client_code)
     behind = has_child_semi(persons, encounter, client_code, as_of)
     if behind.limit(1).count() > 0:
         raise HouseholdRetentionNotReadyError(

@@ -232,6 +232,7 @@ def run_incremental(
     )
     members = members.persist()
     packed1 = None
+    cached = [members]
     try:
         n_affected = members.count()
         log.info("incremental: %d persons in touched households", n_affected)
@@ -274,20 +275,36 @@ def run_incremental(
         encounter = spark.read.parquet(encounter_path)
         validate(encounter, ENCOUNTER, allow_extra=True)
 
-        # 3a. phase 1 over the staged (invalidated) state; its packed
-        # output is delta-bounded — materialize it once, every later step
-        # reads the cache instead of re-running the phase-1 DAG
-        n1 = R.eligible_persons(person_work, client_code).count()
+        # 3a. phase 1 over the staged (invalidated) state. The eligible
+        # frame is CACHED and reused by the guard count AND the phase-1
+        # DAG (run_retention's separate calls each re-scan the store —
+        # the sf10 rehearsal showed those fixed store passes, not the
+        # band-join compute, dominating the incremental's wall time);
+        # the packed output is delta-bounded — materialize it once,
+        # every later step reads the cache instead of re-running the DAG
+        persons1 = R.eligible_persons(person_work, client_code).persist()
+        cached.append(persons1)
+        n1 = persons1.count()
         log.info("incremental: %d persons without retention (phase 1)", n1)
         if n1:
-            packed1 = R.pack_history(
-                R.phase1(person_work, encounter, client_code, as_of)
-            ).persist()
+            encounters = R.eligible_encounters(encounter, client_code, as_of)
+            admits = R.person_encounter_admits(persons1, encounters)
+            base = R.retention_base(
+                persons1,
+                R.retained_months(admits),
+                R.month_grid(spark, as_of),
+            )
+            final1 = R.fan_out_to_persons(
+                R.collapse_retention(base, as_of), persons1
+            )
+            packed1 = R.pack_history(final1).persist()
+            cached.append(packed1)
             packed1.count()
 
         # 3b. phase 2 over staged-state ∘ staged-phase-1 — the invariant
         # check and the eligibility predicate observe phase 1's output
-        # without any store round-trip
+        # without any store round-trip, and share ONE cached eligible
+        # frame (check_phase2_invariant's own semantics, one scan)
         if packed1 is not None:
             p1 = packed1.select("person_id", F.col(hist).alias("_h1"))
             person_after1 = (
@@ -297,13 +314,19 @@ def run_incremental(
             )
         else:
             person_after1 = person_work
-        R.check_phase2_invariant(person_after1, encounter, client_code, as_of)
-        persons2 = R.eligible_persons(person_after1, client_code)
+        persons2 = R.eligible_persons(person_after1, client_code).persist()
+        cached.append(persons2)
+        R.check_phase2_invariant(
+            person_after1, encounter, client_code, as_of, persons=persons2
+        )
         n2 = persons2.count()
         log.info("incremental: %d persons stamped not-retained (phase 2)", n2)
         packed2 = (
-            R.pack_history(R.phase2(persons2, as_of)) if n2 else None
+            R.pack_history(R.phase2(persons2, as_of)).persist() if n2 else None
         )
+        if packed2 is not None:
+            cached.append(packed2)
+            packed2.count()
 
         # 4. ONE publish: phase-1 histories ∪ phase-2 stamps ∪ leftover
         # invalidations (members neither phase restamped — empty by
@@ -333,6 +356,5 @@ def run_incremental(
             "phase2_persons": n2,
         }
     finally:
-        members.unpersist()
-        if packed1 is not None:
-            packed1.unpersist()
+        for df_ in cached:
+            df_.unpersist()

@@ -144,6 +144,58 @@ def main() -> None:
                 "compact_sec": comp,
                 "read_after_compact_sec": r_post,
             }
+
+        # --- point-predicate read A/B (round 10, r9 advisory #7): an
+        # INSERT-shaped delta (new ids beyond the existing key range — the
+        # "new entities arrive" CDC shape) lands MoR delta files whose key
+        # [min,max] ranges exclude every pre-existing key, so a point
+        # lookup of existing keys skips reconciliation entirely via the
+        # manifest's mor_stats ledger (base files only, no window). The
+        # read-after-write tax for the serving shape should therefore be
+        # ~parity with CoW, down from the full-read 4.4x.
+        probe = [
+            r["person_id"]
+            for r in read_keyed_table(spark, base)
+            .select("person_id")
+            .orderBy("person_id")
+            .limit(8)
+            .collect()
+        ]
+        for mode in ("cow", "mor"):
+            p = str(work / f"store_ins_{mode}")
+            shutil.copytree(base, p)
+            new_rows = (
+                read_keyed_table(spark, p)
+                .where(F.abs(F.xxhash64("person_id", F.lit(11))) % step == 0)
+                .withColumn(
+                    "person_id", F.concat(F.lit("ZZZNEW_"), F.col("person_id"))
+                )
+            )
+            new_rows.count()
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
+            upsert_parquet(spark, p, new_rows, key="person_id", n_buckets=64)
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+
+            def timed_lookup(keys, p=p):
+                t0 = time.time()
+                df = read_keyed_table(spark, p, keys=keys)
+                df.agg(
+                    F.expr(
+                        "bit_xor(xxhash64(person_id, "
+                        "to_json(household_retention_history)))"
+                    )
+                ).first()
+                return round(time.time() - t0, 2)
+
+            hit = [f"ZZZNEW_{k}" for k in probe[:4]]
+            out.setdefault("point_read", {})[mode] = {
+                # existing keys: every probed bucket's deltas are
+                # range-disjoint -> skipped (MoR) / absent (CoW)
+                "miss_deltas_sec": timed_lookup(probe),
+                # new keys: the probed buckets' deltas ARE the answer --
+                # MoR pays its (delta-bounded) reconciliation honestly
+                "hit_deltas_sec": timed_lookup(hit),
+            }
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
