@@ -252,7 +252,6 @@ def lsh_candidates(
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
 
@@ -283,14 +282,26 @@ def knn_lsh(
     EXTRA_CORRECTNESS.json's knn_ann_eval row); for real clustered corpora
     with cos ≥ 0.7 neighbors, ``n_flip=1`` or 0 probes a vanishing
     fraction."""
-    return rerank_topk(lsh_candidates(corpus, queries, id_col, emb_col, n_flip), k)
+    return rerank_topk(
+        lsh_candidates(corpus, queries, id_col, emb_col, n_flip), k, dedup=True
+    )
 
 
-def rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+def rerank_topk(cand: DataFrame, k: int, dedup: bool = False) -> DataFrame:
     """Exact cosine re-rank of a candidate frame (the shared tail of
-    knn_lsh / knn_ivf): per-query top-k with deterministic ties."""
+    knn_lsh / knn_ivf): per-query top-k with deterministic ties.
+
+    ``dedup=True`` drops duplicate (query, neighbor) pairs — AFTER
+    scoring, on the 3-column frame: duplicates carry the same two
+    vectors, so their cosines are identical and the narrow dedup is
+    exactly equivalent to deduping the candidates, at ~30× fewer shuffle
+    bytes (a pre-scoring dropDuplicates shuffles both embeddings per
+    row — measured as a disk-filling 100s-of-GB shuffle at the |Q|=20k
+    corpus-fraction regime, round 10)."""
     cos = dot(F.col("_qemb"), F.col("_emb")) / (F.col("_qnorm") * F.col("_norm"))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    if dedup:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -418,7 +429,6 @@ def ivf_candidates(
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
 
@@ -442,7 +452,9 @@ def knn_ivf(
     fraction); clustered real corpora run n_probe 1-4 with many more
     cells."""
     return rerank_topk(
-        ivf_candidates(corpus, queries, n_cells, n_probe, id_col, emb_col), k
+        ivf_candidates(corpus, queries, n_cells, n_probe, id_col, emb_col),
+        k,
+        dedup=True,
     )
 
 
@@ -745,9 +757,8 @@ def knn_ivf_indexed(
         cells.join(F.broadcast(q), ANN_CELL_COL)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return rerank_topk(cand, k)
+    return rerank_topk(cand, k, dedup=True)
 
 
 def _move_staged_cells(
