@@ -8,13 +8,17 @@ from __future__ import annotations
 import pytest
 
 from es_household_retention_spark_job_spark import plans as P
-from es_household_retention_spark_job_spark.entry_queries import QUERIES
+from es_household_retention_spark_job_spark.entry_queries import (
+    EXTRA_QUERIES,
+    QUERIES,
+)
 
 from .conftest import SF_DIR
 
 
 def q(spark, name):
-    return QUERIES[name](spark, SF_DIR)
+    fn = QUERIES.get(name) or EXTRA_QUERIES[name]  # plan pins cover both gates
+    return fn(spark, SF_DIR)
 
 
 def test_scan_pushdown_filters_and_pruning(spark):
