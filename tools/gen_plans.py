@@ -21,10 +21,17 @@ EXTRA_PLANS = [
     "knn_ivf_indexed",
     "chunk_documents",
     "ngram_lm_score",
-    "sink_point_lookup",
-    "sink_change_feed",
-    "sink_incremental_agg",
     "neardup_probe_indexed",
+    # demoted to extras in round 10 (driver slots freed for the sink
+    # surface) but their plan pins stay:
+    "retained_months_band",
+    "sessionize_events_chunked",
+    "cohort_retention_matrix",
+    "stratified_sample",
+    # round-10 additions
+    "sink_change_feed_cow",
+    "sink_fold_minmax",
+    "sink_fold_distinct",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
