@@ -696,6 +696,24 @@ def knn_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ann_auto", extra=True)  # approximate by design, like its
+# two endpoints; rows-only with the same recall evidence
+# (knn_sq8_indexed_eval / knn_ann_eval cover both routed plans)
+def knn_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-routed ANN (operators/similarity.py::knn_ann_auto, round 10):
+    routes the batch to the SQ8-composed plan or plain IVF by candidate
+    pairs vs probe-union rows, priced from the index manifest's per-cell
+    row ledger — the ``bm25_search_auto`` pattern for vectors. Route
+    choices per regime are pinned in tests/test_docs_pipeline.py and the
+    sq8 ladder shows the auto route matching the measured-cheaper
+    endpoint at both batch regimes (SCALING.md round 10)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_ann_auto(
+        spark, _ann_index_path(spark, sf_dir), queries, k=KNN_K
+    )
+
+
 @register("knn_sq8_indexed_eval", extra=True)  # rows-only info row, the
 # knn_ann_eval pattern: the recall number IS the evidence.
 def knn_sq8_indexed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
