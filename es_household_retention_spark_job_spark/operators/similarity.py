@@ -524,6 +524,30 @@ def _write_ann_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, ANN_MANIFEST))
 
 
+def _commit_ann_manifest(path: str, planned_from: dict, new_manifest: dict) -> None:
+    """Optimistic commit for the index's single-writer maintenance ops
+    (append / compact / split): re-read the manifest immediately before
+    the atomic replace and verify it is still the one this op PLANNED
+    from. The maintenance contract is single-writer (like the text
+    index), so this never fires in normal operation — it converts an
+    operator error (two maintenance loops pointed at one index) from a
+    silent lost-update into a loud abort, the sink's
+    ConcurrentWriteError discipline applied to the index ledger."""
+    from ..sinks.upsert import ConcurrentWriteError
+
+    cur = _read_ann_manifest(path)
+    if cur is not None and int(cur.get("version", 1)) != int(
+        planned_from.get("version", 1)
+    ):
+        raise ConcurrentWriteError(
+            f"vector index at {path} was committed concurrently (manifest "
+            f"version {cur.get('version')} != planned-from "
+            f"{planned_from.get('version')}); re-run this maintenance op "
+            "against the new state"
+        )
+    _write_ann_manifest(path, new_manifest)
+
+
 def _list_cell_files(path: str, sub: str = "cells") -> dict[str, list[str]]:
     root = os.path.join(path, sub)
     if not os.path.isdir(root):
@@ -980,7 +1004,7 @@ def append_ann_index(
                 new_manifest["last_epoch"] = int(manifest["last_epoch"])
             if manifest.get("epoch_stream") is not None:
                 new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
-        _write_ann_manifest(path, new_manifest)
+        _commit_ann_manifest(path, manifest, new_manifest)
         # reclaim crashed appends' never-committed leftovers (invisible
         # to every reader); retired-ledger files stay until their grace
         # expires
@@ -1071,7 +1095,7 @@ def compact_ann_index(spark, path: str) -> int:
             new_manifest["last_epoch"] = int(manifest["last_epoch"])
         if manifest.get("epoch_stream") is not None:
             new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
-        _write_ann_manifest(path, new_manifest)
+        _commit_ann_manifest(path, manifest, new_manifest)
         _sweep_stray_ann(path, new_manifest)
     finally:
         for stage in stages:
@@ -1665,7 +1689,7 @@ def split_ann_cells(
             new_manifest["last_epoch"] = int(manifest["last_epoch"])
         if manifest.get("epoch_stream") is not None:
             new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
-        _write_ann_manifest(path, new_manifest)
+        _commit_ann_manifest(path, manifest, new_manifest)
         _sweep_stray_ann(path, new_manifest)
     finally:
         all_assigned.unpersist()

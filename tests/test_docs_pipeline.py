@@ -1552,3 +1552,46 @@ def test_knn_ann_auto_routes_by_batch_size(spark, embs, tmp_path):
     assert rows(S.knn_ann_auto(spark, idx, big_q, k=5)) == rows(
         S.knn_ivf_indexed(spark, idx, big_q, k=5)
     )
+
+
+def test_ann_maintenance_concurrent_commit_detected(spark, embs, tmp_path):
+    """The index's maintenance ops are single-writer by contract; a second
+    writer committing between an op's manifest read and its replace is
+    DETECTED (loud ConcurrentWriteError, no lost update) instead of
+    silently clobbering the other commit."""
+    import unittest.mock as mock
+
+    import pytest as _pytest
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+    )
+
+    idx = str(tmp_path / "ann_race")
+    base = embs.where(F.col("vec_id") % 3 != 0)
+    d1 = embs.where(F.col("vec_id") % 3 == 0).where(F.col("vec_id") % 2 == 0)
+    d2 = embs.where(F.col("vec_id") % 3 == 0).where(F.col("vec_id") % 2 == 1)
+    S.build_ann_index(base, idx, n_cells=4, iters=2)
+
+    real_commit = S._commit_ann_manifest
+    fired = {}
+
+    def racing_commit(path_, planned_from, new_manifest):
+        # simulate a concurrent append landing between this op's manifest
+        # read and its commit — exactly once
+        if not fired.get("done"):
+            fired["done"] = True
+            S.append_ann_index(d2, idx)
+        return real_commit(path_, planned_from, new_manifest)
+
+    with mock.patch.object(S, "_commit_ann_manifest", racing_commit):
+        with _pytest.raises(ConcurrentWriteError, match="committed concurrently"):
+            S.append_ann_index(d1, idx)
+    # the RACING append's vectors are committed and searchable; the aborted
+    # one left only invisible strays, and a retry lands cleanly
+    man = S._read_ann_manifest(idx)
+    n_live = sum(int(v) for v in man["cell_rows"].values())
+    assert n_live == base.count() + d2.count()
+    S.append_ann_index(d1, idx)
+    man = S._read_ann_manifest(idx)
+    assert sum(int(v) for v in man["cell_rows"].values()) == embs.count()
