@@ -814,18 +814,31 @@ def _ann_eval_frame(
     )
     per_method = []
     for method, cand in cand_by_method.items():
+        # dedup=True: candidate frames carry one row per colliding
+        # (table, probe) — without the post-scoring dedup, duplicate
+        # copies of one true neighbor can fill multiple top-k slots and
+        # each copy counts as a hit through the semi-join, inflating
+        # recall_bp (r10 advisory: could read near-perfect with 1 of k
+        # neighbors found)
         hits = (
-            S.rerank_topk(cand, KNN_K)
+            S.rerank_topk(cand, KNN_K, dedup=True)
             .select("query_id", "neighbor_id")
             .join(F.broadcast(exact_pairs), ["query_id", "neighbor_id"], "left_semi")
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         )
-        # cost side of the trade: candidate pairs / (queries × (corpus−1)),
-        # the fraction a brute force would have scored. Near-orthogonal
+        # cost side of the trade: DISTINCT candidate pairs / (queries ×
+        # (corpus−1)), the fraction a brute force would have scored —
+        # counted over the 2-column pair projection (narrow dedup; raw
+        # rows would over-count each pair once per colliding table/probe,
+        # ~8× under the default multi-probe setup). Near-orthogonal
         # synthetic data forces this high (see similarity.knn_lsh
         # docstring); published so recall can never silently be bought
         # with a hidden full scan.
-        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        n_cand = (
+            cand.select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
         per_method.append(
             hits.crossJoin(n_cand).select(
                 F.lit(method).alias("method"), "n_hits", "n_candidates"

@@ -223,9 +223,14 @@ def lsh_candidates(
     emb_col: str = "embedding",
     n_flip: int = 2,
 ) -> DataFrame:
-    """Deduplicated multi-probe candidate pairs with embeddings attached —
-    the pre-rerank stage of ``knn_lsh``, exposed so evaluation can count
-    the scanned fraction the probes induce."""
+    """Multi-probe candidate pairs with embeddings attached — the
+    pre-rerank stage of ``knn_lsh``, exposed so evaluation can count the
+    scanned fraction the probes induce. NOT deduplicated: a pair appears
+    once per colliding (table, probed bucket), up to N_TABLES×|probes|
+    copies — deduping here would shuffle both embeddings per row (the
+    round-10 disk-filling wide shuffle); consumers dedup AFTER scoring on
+    the narrow 3-column frame (``rerank_topk(dedup=True)``) and must
+    count distinct (query, neighbor) pairs, not raw rows."""
     c = _bucketed(corpus, "neighbor_id", id_col, emb_col)
     probe = F.explode(
         F.array(*[F.lit(m) for m in _probe_masks(n_flip)])
@@ -526,26 +531,32 @@ def _write_ann_manifest(path: str, manifest: dict) -> None:
 
 def _commit_ann_manifest(path: str, planned_from: dict, new_manifest: dict) -> None:
     """Optimistic commit for the index's single-writer maintenance ops
-    (append / compact / split): re-read the manifest immediately before
-    the atomic replace and verify it is still the one this op PLANNED
-    from. The maintenance contract is single-writer (like the text
-    index), so this never fires in normal operation — it converts an
-    operator error (two maintenance loops pointed at one index) from a
-    silent lost-update into a loud abort, the sink's
-    ConcurrentWriteError discipline applied to the index ledger."""
-    from ..sinks.upsert import ConcurrentWriteError
+    (append / compact / split): verify, UNDER THE SAME LOCK as the
+    replace, that the manifest is still the one this op PLANNED from.
+    The maintenance contract is single-writer (like the text index), so
+    the check never fires in normal operation — it converts an operator
+    error (two maintenance loops pointed at one index) from a silent
+    lost-update into a loud abort, the sink's ConcurrentWriteError
+    discipline applied to the index ledger. The check+replace is
+    serialized by the sink's ``_publish_lock`` (r10 advisory: a bare
+    read-check-then-replace lets two racers whose checks both run before
+    either ``os.replace`` BOTH commit, silently dropping the earlier
+    update — exactly the interleaving the check exists to make loud)."""
+    from ..sinks.upsert import ConcurrentWriteError, _publish_lock
 
-    cur = _read_ann_manifest(path)
-    if cur is not None and int(cur.get("version", 1)) != int(
-        planned_from.get("version", 1)
-    ):
-        raise ConcurrentWriteError(
-            f"vector index at {path} was committed concurrently (manifest "
-            f"version {cur.get('version')} != planned-from "
-            f"{planned_from.get('version')}); re-run this maintenance op "
-            "against the new state"
-        )
-    _write_ann_manifest(path, new_manifest)
+    with _publish_lock(path) as lk:
+        cur = _read_ann_manifest(path)
+        if cur is not None and int(cur.get("version", 1)) != int(
+            planned_from.get("version", 1)
+        ):
+            raise ConcurrentWriteError(
+                f"vector index at {path} was committed concurrently (manifest "
+                f"version {cur.get('version')} != planned-from "
+                f"{planned_from.get('version')}); re-run this maintenance op "
+                "against the new state"
+            )
+        lk.verify_owned()
+        _write_ann_manifest(path, new_manifest)
 
 
 def _list_cell_files(path: str, sub: str = "cells") -> dict[str, list[str]]:
@@ -731,6 +742,7 @@ def knn_ivf_indexed(
     n_probe: int = 12,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    plan: dict | None = None,
 ) -> DataFrame:
     """``knn_ivf`` over a ``build_ann_index`` output: byte-identical ranks
     without retraining or rescanning — the cell read carries a partition
@@ -738,11 +750,18 @@ def knn_ivf_indexed(
     ids, resolved by one query-batch-sized job; n_cells is an index
     property read from ``centroids/``, like the text index's shard
     count). n_probe stays a QUERY parameter: recall/cost is tuned per
-    batch against the same index."""
-    manifest = _read_ann_manifest(path)
-    if manifest is None:
-        manifest = _bootstrap_ann_manifest(spark, path)
-    cents = _read_centroids(spark, path, manifest)
+    batch against the same index.
+
+    ``plan`` (from ``choose_ann_route(with_plan=True)``) supplies the
+    already-read manifest / centroid matrix / probe union so the routed
+    call does not repeat the planning jobs (r10 advisory)."""
+    if plan is not None:
+        manifest, cents = plan["manifest"], plan["cents"]
+    else:
+        manifest = _read_ann_manifest(path)
+        if manifest is None:
+            manifest = _bootstrap_ann_manifest(spark, path)
+        cents = _read_centroids(spark, path, manifest)
     q = with_unit_meta(queries, emb_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_emb").alias("_qemb"),
@@ -751,9 +770,13 @@ def knn_ivf_indexed(
             ANN_CELL_COL
         ),
     )
-    probe_union = sorted(
-        r[ANN_CELL_COL]
-        for r in q.select(ANN_CELL_COL).distinct().collect()  # ≤ n_cells ints
+    probe_union = (
+        list(plan["probe_union"])
+        if plan is not None
+        else sorted(
+            r[ANN_CELL_COL]
+            for r in q.select(ANN_CELL_COL).distinct().collect()  # ≤ n_cells
+        )
     )
     wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
     files = [
@@ -1238,6 +1261,7 @@ def knn_sq8_indexed(
     rerank: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    plan: dict | None = None,
 ) -> DataFrame:
     """SQ8 scoring COMPOSED with the persisted IVF index — the 100 TB
     posture ``knn_sq8``'s full-corpus scan lacks: candidate generation
@@ -1265,17 +1289,30 @@ def knn_sq8_indexed(
     DISTRIBUTED (the top-R frame joins into the cell read; no driver
     round-trip grows with the batch — r9 advisory). All-zero vectors
     carry no cosine and are excluded on both sides, matching
-    ``knn_sq8``'s contract."""
+    ``knn_sq8``'s contract.
+
+    ``plan`` (from ``choose_ann_route(with_plan=True)``) supplies the
+    already-read manifest / centroid matrix / probe union so the routed
+    call does not repeat the planning jobs (r10 advisory). The plan's
+    probe union is computed before the zero-norm query filter, so it can
+    be a SUPERSET of this plan's own union — extra cells only widen the
+    pruned scan's file list; the cell join still keys on the queries that
+    actually probe."""
     R = int(rerank) if rerank is not None else 4 * k
-    manifest = _read_ann_manifest(path)
-    if manifest is None:
-        manifest = _bootstrap_ann_manifest(spark, path)
+    if plan is not None:
+        manifest, cents = plan["manifest"], plan["cents"]
+    else:
+        manifest = _read_ann_manifest(path)
+        if manifest is None:
+            manifest = _bootstrap_ann_manifest(spark, path)
+        cents = None
     if not manifest.get("codes"):
         raise ValueError(
             f"vector index at {path} has no SQ8 codes sidecar; rebuild it "
             "with build_ann_index (codes are written at build time)"
         )
-    cents = _read_centroids(spark, path, manifest)
+    if cents is None:
+        cents = _read_centroids(spark, path, manifest)
 
     def empty():
         return queries.where(F.lit(False)).select(
@@ -1305,9 +1342,13 @@ def knn_sq8_indexed(
         )
         .where(F.col("_qn") > 0)
     )
-    probe_union = sorted(
-        r[ANN_CELL_COL]
-        for r in qcoded.select(ANN_CELL_COL).distinct().collect()
+    probe_union = (
+        list(plan["probe_union"])
+        if plan is not None
+        else sorted(
+            r[ANN_CELL_COL]
+            for r in qcoded.select(ANN_CELL_COL).distinct().collect()
+        )
     )
     wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
     code_files = [
@@ -1398,18 +1439,74 @@ def knn_sq8_indexed(
     return rerank_topk(full, k)
 
 
-def _sq8_route_ratio() -> float:
-    """``SPARK_GRAFT_SQ8_ROUTE_RATIO``: route a batch to the SQ8-composed
-    plan iff |queries|·rerank ≤ ratio × (probe-union cell rows). The SQ8
-    composition wins when the exact re-rank reads a small FRACTION of the
-    probe cells (code scan ≈ cells/8 bytes + tiny re-rank); once the
-    candidate set approaches the probe rows themselves, scanning the
-    doubles once (plain IVF) is cheaper than codes + a candidate-sized
-    second read — the measured sf1 crossover (SCALING.md round 9: 40
-    queries → 3.2s vs 8.5s favoring SQ8; 10k queries → 10.5s vs 8.5s
-    favoring IVF). Default 0.1 puts both measured regimes on the correct
-    side with margin."""
-    return float(os.environ.get("SPARK_GRAFT_SQ8_ROUTE_RATIO", "0.1"))
+#: per-plan cost-model weights (unit: one double-precision pair score).
+#: Calibrated against tools/sq8_ladder.py's measured four-regime grid
+#: (sf0.1/sf1 × fixed-batch/corpus-fraction, SCALING.md round 11) and
+#: pinned in tests/test_docs_pipeline.py::test_ann_route_cost_model —
+#: env-tunable for recalibration on different hardware.
+def _route_weights() -> dict[str, float]:
+    env = os.environ
+    return {
+        # scoring one candidate pair: int8 dot ≈ half a double dot (the
+        # int math is cheaper and the rows are ~8× smaller in memory)
+        "pair_double": 1.0,
+        "pair_code": float(env.get("SPARK_GRAFT_ANN_W_PAIR_CODE", "0.5")),
+        # reading+decoding one stored row from parquet, relative to one
+        # pair score (doubles row ≈ dim float64s; code row dict-encodes
+        # to ~1 byte/dim)
+        "row_double": float(env.get("SPARK_GRAFT_ANN_W_ROW_DOUBLE", "2.0")),
+        "row_code": float(env.get("SPARK_GRAFT_ANN_W_ROW_CODE", "0.25")),
+        # fixed per-plan-pass overhead (job scheduling, window exchange,
+        # codegen) in pair-score units — the term whose ABSENCE made the
+        # round-10 route pick SQ8 in a regime where the scans are tiny
+        # and plain IVF's 2-pass plan measures 29% faster than SQ8's
+        # 4-pass plan (r10 VERDICT "what's wrong" #1)
+        "pass": float(env.get("SPARK_GRAFT_ANN_PASS_COST", "200000")),
+    }
+
+
+def ann_route_costs(
+    n_q: int,
+    rerank: int,
+    probe_rows: int,
+    scored_pairs: int,
+    has_codes: bool = True,
+) -> dict[str, float]:
+    """Pure cost model for the SQ8-composed vs plain-IVF serving plans —
+    every input is a free index/batch statistic (no data file opened):
+
+    * ``probe_rows`` — rows in the UNION of the batch's probe cells (what
+      each plan's pruned scan reads once), from the manifest row ledger;
+    * ``scored_pairs`` — Σ over (query, probed cell) of the cell's rows:
+      the exact number of candidate pairs BOTH plans score (for large
+      overlapping batches this is ≫ probe_rows — the round-10 model's
+      ``n_q·R vs probe_rows`` proxy missed it);
+    * ``n_q·rerank`` — the SQ8 plan's exact-re-rank read and second
+      scoring pass, bounded by probe_rows (candidates can't exceed the
+      scanned rows).
+
+    cost(ivf) = scan doubles once + score pairs in doubles + 2 passes
+    cost(sq8) = scan codes + score pairs in int8 + re-read ≤cand doubles
+                + re-score cand in doubles + 4 passes
+
+    Separated from ``choose_ann_route`` so the calibration is testable
+    against recorded ladder regimes without an index on disk."""
+    w = _route_weights()
+    cand = n_q * rerank
+    costs = {
+        "ivf": scored_pairs * w["pair_double"]
+        + probe_rows * w["row_double"]
+        + 2 * w["pass"],
+    }
+    if has_codes:
+        costs["sq8"] = (
+            scored_pairs * w["pair_code"]
+            + probe_rows * w["row_code"]
+            + min(cand, probe_rows) * w["row_double"]
+            + cand * w["pair_double"]
+            + 4 * w["pass"]
+        )
+    return costs
 
 
 def choose_ann_route(
@@ -1420,14 +1517,22 @@ def choose_ann_route(
     n_probe: int = 12,
     rerank: int | None = None,
     emb_col: str = "embedding",
-) -> tuple[str, int, int]:
-    """('sq8'|'ivf', candidate_pairs, probe_rows) — the cost model behind
-    ``knn_ann_auto``, priced entirely from index metadata: the manifest's
-    per-cell row ledger (written by build/append, footer-bootstrapped for
-    legacy indexes) gives the probe-union's row count without opening a
-    data file, and |queries|·rerank bounds the exact-re-rank read. The
-    only jobs are query-batch-sized (probe assignment + count) — the same
-    free-statistic discipline as ``choose_search_route``."""
+    with_plan: bool = False,
+):
+    """('sq8'|'ivf', candidate_pairs, probe_rows) — the routing decision
+    behind ``knn_ann_auto``, priced entirely from index metadata via
+    ``ann_route_costs``: the manifest's per-cell row ledger (written by
+    build/append, footer-bootstrapped for legacy indexes) gives both the
+    probe-union row count AND the per-query scored-pair total without
+    opening a data file; |queries|·rerank bounds the exact-re-rank read.
+    The only jobs are query-batch-sized (probe assignment + count) — the
+    same free-statistic discipline as ``choose_search_route``.
+
+    ``with_plan=True`` returns ``(route, stats, plan)`` where ``plan``
+    carries the already-read manifest, centroid matrix, and probe-cell
+    union for the chosen endpoint to reuse (r10 advisory: the route job
+    and the endpoint each re-read centroids and re-assigned probes,
+    doubling the query-batch-sized planning work per call)."""
     R = int(rerank) if rerank is not None else 4 * k
     manifest = _read_ann_manifest(path)
     if manifest is None:
@@ -1440,22 +1545,42 @@ def choose_ann_route(
     ).persist()
     try:
         n_q = queries.count()
-        probe_union = {
-            str(r[ANN_CELL_COL])
-            for r in q.select(ANN_CELL_COL).distinct().collect()
+        # ≤ n_cells rows: how many queries probe each cell — what turns
+        # the row ledger into BOTH statistics the model needs
+        probe_counts = {
+            str(r[ANN_CELL_COL]): int(r["_nq"])
+            for r in q.groupBy(ANN_CELL_COL)
+            .agg(F.count(F.lit(1)).alias("_nq"))
+            .collect()
         }
     finally:
         q.unpersist()
     rows = _manifest_cell_rows(spark, path, manifest)
-    probe_rows = sum(int(rows.get(c, 0)) for c in probe_union)
-    cand_pairs = n_q * R
-    route = (
-        "sq8"
-        if manifest.get("codes")
-        and cand_pairs <= _sq8_route_ratio() * probe_rows
-        else "ivf"
+    probe_rows = sum(int(rows.get(c, 0)) for c in probe_counts)
+    scored_pairs = sum(
+        nq * int(rows.get(c, 0)) for c, nq in probe_counts.items()
     )
-    return route, cand_pairs, probe_rows
+    cand_pairs = n_q * R
+    costs = ann_route_costs(
+        n_q, R, probe_rows, scored_pairs, has_codes=bool(manifest.get("codes"))
+    )
+    route = min(costs, key=costs.get)
+    if not with_plan:
+        return route, cand_pairs, probe_rows
+    stats = {
+        "n_q": n_q,
+        "rerank": R,
+        "cand_pairs": cand_pairs,
+        "probe_rows": probe_rows,
+        "scored_pairs": scored_pairs,
+        "costs": costs,
+    }
+    plan = {
+        "manifest": manifest,
+        "cents": cents,
+        "probe_union": sorted(int(c) for c in probe_counts),
+    }
+    return route, stats, plan
 
 
 def knn_ann_auto(
@@ -1477,19 +1602,21 @@ def knn_ann_auto(
     choice the caller no longer has to make. Same output shape either
     way (query_id, neighbor_id, rank, cos_bp with exact double cosines);
     ranks agree wherever the SQ8 candidate generation's recall does —
-    the same recall contract ``knn_sq8_indexed`` publishes."""
-    route, _, _ = choose_ann_route(
+    the same recall contract ``knn_sq8_indexed`` publishes. The route's
+    planning work (manifest, centroid matrix, probe assignment) is
+    computed ONCE and handed to the chosen endpoint (r10 advisory)."""
+    route, _, plan = choose_ann_route(
         spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
-        emb_col=emb_col,
+        emb_col=emb_col, with_plan=True,
     )
     if route == "sq8":
         return knn_sq8_indexed(
             spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
-            id_col=id_col, emb_col=emb_col,
+            id_col=id_col, emb_col=emb_col, plan=plan,
         )
     return knn_ivf_indexed(
         spark, path, queries, k=k, n_probe=n_probe, id_col=id_col,
-        emb_col=emb_col,
+        emb_col=emb_col, plan=plan,
     )
 
 

@@ -159,6 +159,25 @@ def apply_keyed_batch(
                 ) from None
             fd = _os.open(claim, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
             _os.close(fd)
+        # TOCTOU re-check (r10 advisory): the exists probe above ran
+        # BEFORE batch_df.isEmpty() — a potentially slow Spark action —
+        # so another worker may have bootstrapped the table, committed,
+        # and released its claim in that window; acquiring the O_EXCL
+        # claim then proves nothing about table absence. If the table
+        # exists NOW, release the claim and take the guarded path with a
+        # FRESH meta read: expecting the recorded (epoch, stream) pair is
+        # what stops the same epoch applying twice (a replay of the
+        # bootstrapper's own epoch is also re-screened here).
+        if _os.path.exists(path):
+            try:
+                _os.unlink(claim)
+            except FileNotFoundError:
+                pass
+            claim = None
+            meta = table_app_meta(path)
+            last, last_stream = meta.get("stream_epoch"), meta.get("epoch_stream")
+            if last is not None and last_stream == stream_id and epoch_id <= last:
+                return False
     try:
         upsert_parquet(
             batch_df.sparkSession,

@@ -1526,32 +1526,56 @@ def test_knn_sq8_distributed_rerank_matches_collect_path(
     assert via_collect == via_dist and via_collect
 
 
-def test_knn_ann_auto_routes_by_batch_size(spark, embs, tmp_path):
+def test_knn_ann_auto_routes_by_batch_size(spark, embs, tmp_path, monkeypatch):
     """choose_ann_route prices SQ8-vs-IVF from the manifest's per-cell row
     ledger: a tiny batch (candidate pairs << probe rows) routes to the
     SQ8 composition, a corpus-fraction batch routes to plain IVF; the
-    auto entry returns exactly the routed endpoint's rows."""
+    auto entry returns exactly the routed endpoint's rows.
+
+    The cost-model WEIGHTS are forced to extremes here so the routing
+    mechanism is pinned independent of calibration (at this fixture's toy
+    scale the calibrated fixed costs would — correctly — route everything
+    to the 2-pass IVF plan): free passes + free int8 scoring must route
+    the tiny batch to SQ8; a dominating per-pass cost must route BOTH to
+    the plan with fewer passes. The calibration itself is pinned against
+    the measured ladder regimes (test_ann_route_cost_model)."""
     idx = str(tmp_path / "ann_auto")
     S.build_ann_index(embs, idx, n_cells=8, iters=2)
 
     small_q = embs.where(F.col("vec_id") == 0)
     big_q = embs  # corpus-fraction: |Q| = corpus
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PASS_COST", "0")
     r_small, pairs_s, probe_s = S.choose_ann_route(spark, idx, small_q, k=5)
+    assert r_small == "sq8" and pairs_s < probe_s
+    # a corpus-fraction batch's re-rank reads + re-scores approach the
+    # probe rows themselves: with the int8 discount neutralized the
+    # second pass can only lose
+    monkeypatch.setenv("SPARK_GRAFT_ANN_W_PAIR_CODE", "1.0")
+    monkeypatch.setenv("SPARK_GRAFT_ANN_W_ROW_CODE", "2.0")
     r_big, pairs_b, probe_b = S.choose_ann_route(spark, idx, big_q, k=5)
-    assert r_small == "sq8" and pairs_s <= 0.1 * probe_s
-    assert r_big == "ivf" and pairs_b > 0.1 * probe_b
+    assert r_big == "ivf" and pairs_b > probe_b
+    monkeypatch.delenv("SPARK_GRAFT_ANN_W_PAIR_CODE")
+    monkeypatch.delenv("SPARK_GRAFT_ANN_W_ROW_CODE")
+    # fixed per-pass costs dominate at toy scale: fewer passes wins
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PASS_COST", "1000000000")
+    r2, _, _ = S.choose_ann_route(spark, idx, small_q, k=5)
+    assert r2 == "ivf"
+    monkeypatch.setenv("SPARK_GRAFT_ANN_PASS_COST", "0")
 
     def rows(df):
         return sorted(
             (r.query_id, r.neighbor_id, r.rank, r.cos_bp) for r in df.collect()
         )
 
-    assert rows(S.knn_ann_auto(spark, idx, small_q, k=5)) == rows(
-        S.knn_sq8_indexed(spark, idx, small_q, k=5)
-    )
-    assert rows(S.knn_ann_auto(spark, idx, big_q, k=5)) == rows(
-        S.knn_ivf_indexed(spark, idx, big_q, k=5)
-    )
+    # auto serves EXACTLY the routed endpoint's rows (whichever endpoint
+    # the model picks under the current env)
+    for q in (small_q, big_q):
+        route, _, _ = S.choose_ann_route(spark, idx, q, k=5)
+        endpoint = S.knn_sq8_indexed if route == "sq8" else S.knn_ivf_indexed
+        assert rows(S.knn_ann_auto(spark, idx, q, k=5)) == rows(
+            endpoint(spark, idx, q, k=5)
+        )
 
 
 def test_ann_maintenance_concurrent_commit_detected(spark, embs, tmp_path):
