@@ -322,6 +322,14 @@ def main() -> None:
         "sf": sf_val,
         "total_min": total_min,
         "estimator": "median",
+        # spread parity (r10 verdict #5): the printed line — which the
+        # driver archives as BENCH_r{N}.json — carries the same
+        # reps/spread fields the sf1 artifact publishes, so a
+        # round-over-round drift is classifiable as noise vs regression
+        # from the archived artifact alone
+        "reps": REPS,
+        "total_spread_pct": full_stats["total_spread_pct"],
+        "total_spread_trimmed_pct": full_stats["total_spread_trimmed_pct"],
     }
     # sf1 carry-through (round 9): the sf0.1 headline's ±10-20% host noise
     # hides sub-15% regressions (SCALING.md); the compute-dominated sf1
@@ -340,6 +348,7 @@ def main() -> None:
                 sf1 = json.load(fh)
             line["sf1_value"] = sf1["value"]
             line["sf1_total_min"] = sf1.get("total_min")
+            line["sf1_spread_trimmed_pct"] = sf1.get("total_spread_trimmed_pct")
             if sf1.get("git"):
                 line["sf1_git"] = sf1["git"]
         except Exception:

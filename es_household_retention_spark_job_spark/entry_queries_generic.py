@@ -662,6 +662,13 @@ def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'fallback') AS first_nonnull,
               (NULL AND o_orderkey > 0) IS NULL AS three_valued_and
        FROM orders""",
+    # round-11 slot rotation: this battery's null surface overlaps
+    # string_battery (both driver-gate null handling on the same orders
+    # scan); its freed slot goes to sink_fold_minmax — the retractable-
+    # extremum fold is subtle logic the hard gate should cover (r10
+    # verdict #4). Still oracle-checked per round via
+    # EXTRA_CORRECTNESS.json.
+    extra=True,
 )
 def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-valued logic surface (SURVEY §7.3 hard part 3): NULLIF,
@@ -769,6 +776,11 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
               max(ts) + INTERVAL 30 MINUTE AS session_end,
               CAST(count(*) AS BIGINT) AS n_events
        FROM numbered GROUP BY user_id, sid""",
+    # round-11 slot rotation: duplicates sessionize_events' driver-gated
+    # surface (same islands semantics, different physical operator); its
+    # freed slot goes to sink_fold_distinct (r10 verdict #4). Still
+    # oracle-checked per round via EXTRA_CORRECTNESS.json.
+    extra=True,
 )
 def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in ``session_window`` in BATCH mode (same operator the

@@ -315,7 +315,10 @@ SELECT c_nationkey, CAST(MIN(bal) AS BIGINT) AS min_c_bal_x100,
 """
 
 
-@register("sink_fold_minmax", _MINMAX_SQL, extra=True)
+@register("sink_fold_minmax", _MINMAX_SQL)  # promoted to the driver gate
+# round 11 (r10 verdict #4): the retractable-extremum fold is exactly the
+# subtle logic the hard gate should hash-check; null_semantics_battery
+# (redundant null surface) was demoted to extras to keep the 50-slot cap
 def sink_fold_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fold-maintained MIN/MAX by nation (round 10,
     sinks/incremental_agg.py): applies fold via least/greatest; the
@@ -358,7 +361,10 @@ SELECT c_nationkey, CAST(COUNT(DISTINCT bal) AS BIGINT) AS n_exact,
 """
 
 
-@register("sink_fold_distinct", _DISTINCT_SQL, extra=True)
+@register("sink_fold_distinct", _DISTINCT_SQL)  # promoted to the driver
+# gate round 11 (r10 verdict #4): HLL merge-on-apply with suspect-group
+# recompute on retraction; session_window_events (redundant sessionize
+# twin) was demoted to extras to keep the 50-slot cap
 def sink_fold_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fold-maintained DISTINCT COUNT by nation via a stored HLL sketch
     (round 10): applied values hll_union into the stored state; the
