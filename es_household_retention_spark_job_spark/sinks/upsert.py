@@ -10,7 +10,14 @@ has no point-update, so the engine uses a **hash-bucketed merge** layout:
 * an upsert computes the affected buckets from the updates (a distinct over
   the updates only — never a full-table scan), reads ONLY those partitions
   (partition pruning), full-outer merges on the key, and PUBLISHES the
-  rewritten buckets as new immutable files.
+  rewritten buckets as new immutable files;
+* under ``mor`` write mode, an upsert whose updates carry a strict SUBSET
+  of the stored columns publishes a PARTIAL-COLUMN delta (round 11): the
+  update rows are appended as-is — only the carried columns, no base read
+  at all — and reads fold per COLUMN (latest carrying writer wins, masks
+  from the manifest's ``mor_cols`` ledger). A single-column maintenance
+  loop's publish is then O(delta bytes) in store size, the Delta/Hudi
+  partial-update shape.
 
 **Reader atomicity (MVCC-lite).** Data files are IMMUTABLE and uniquely
 named; the set of live files is a sidecar manifest (``_live_manifest.json``)
@@ -79,6 +86,154 @@ SEQ_COL = "_seq"
 TOMBSTONE_COL = "_tombstone"
 
 RESERVED_COLS = (SEQ_COL, TOMBSTONE_COL, BUCKET_COL)
+
+#: READ-TIME-ONLY presence mask for partial-column MoR delta rows: the
+#: sorted list of data columns a delta row actually CARRIES (null = all —
+#: base rows, full-width deltas, tombstones). Never stored in a data file:
+#: a partial delta file simply omits the columns it doesn't carry, and the
+#: manifest's ``mor_cols`` ledger records each file's column list; the
+#: masked reader re-attaches the mask as a per-file literal. This is what
+#: distinguishes "column absent from this update" from "column set to
+#: null" under the pinned-schema read (both scan back as null).
+MASK_COL = "_mask"
+
+
+def _partial_deltas_enabled() -> bool:
+    """``SPARK_GRAFT_SINK_PARTIAL=off`` disables partial-column MoR deltas
+    (upserts whose updates carry a strict subset of the stored columns
+    then take the full-width merge path, as in rounds ≤10). Default ON:
+    a subset-column upsert under ``mor`` appends delta rows carrying ONLY
+    the updated columns and NEVER READS THE BASE ROWS — the publish is
+    O(delta bytes) in both I/O and compute, independent of store size
+    (the Delta/Hudi partial-update shape; the r10 verdict's named lever
+    on the incremental-retention write floor). Read-side, ``_resolve``
+    generalizes to a per-COLUMN latest-writer fold over (base ∪ deltas).
+
+    The documented trade: a partial publish records no write-time CDC
+    sidecar (capture would force the very matched-preimage read this
+    path exists to delete); change-feed windows containing one are served
+    by the partial-aware append fast path instead — still O(changed keys)
+    reads, paid by feed READERS per window instead of by every publish."""
+    return os.environ.get("SPARK_GRAFT_SINK_PARTIAL", "on") != "off"
+
+
+def _dirty_has_partial(manifest: dict, dirty_dirs) -> bool:
+    """True iff any of the given bucket dirs carries a PARTIAL delta file
+    (per the manifest's ``mor_cols`` ledger) — the read-side switch
+    between the full-row supersession window (cheaper, pre-round-11
+    semantics) and the per-column fold."""
+    mc = manifest.get("mor_cols") or {}
+    return any(mc.get(d) for d in dirty_dirs)
+
+
+def _read_files_masked(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None,
+    manifest: dict,
+    dirs: list[str],
+    files_by_dir: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """All rows of the given bucket dirs (``files_by_dir`` restricts the
+    per-dir file list; default = the manifest's live list) with the
+    ``_mask`` presence column attached: files are GROUPED by their
+    ``mor_cols`` column set and each group read once with the pinned
+    schema (missing columns null-fill) plus its mask as one literal —
+    O(distinct column sets) scans, each pruned to its own file list."""
+    mc = manifest.get("mor_cols") or {}
+    groups: dict[tuple | None, list[str]] = {}
+    for d in dirs:
+        file_cols = mc.get(d) or {}
+        names = (
+            files_by_dir[d]
+            if files_by_dir is not None
+            else manifest["live"].get(d, [])
+        )
+        for f in names:
+            gk = tuple(sorted(file_cols[f])) if f in file_cols else None
+            groups.setdefault(gk, []).append(os.path.join(path, d, f))
+    parts = []
+    for colset, files in sorted(
+        groups.items(), key=lambda kv: (kv[0] is not None, kv[0] or ())
+    ):
+        df = _read_files(spark, path, schema, files)
+        mask = (
+            F.lit(None).cast("array<string>")
+            if colset is None
+            else F.array(*[F.lit(c) for c in colset])
+        )
+        parts.append(df.withColumn(MASK_COL, mask))
+    if not parts:
+        empty_schema = schema or StructType([StructField(BUCKET_COL, LongType())])
+        return spark.createDataFrame([], empty_schema).withColumn(
+            MASK_COL, F.lit(None).cast("array<string>")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fold_resolve(df: DataFrame, key: str) -> DataFrame:
+    """Per-COLUMN merge-on-read reconciliation — ``_resolve`` generalized
+    to partial deltas. Input rows carry ``_seq`` (null = base, oldest),
+    ``_tombstone`` and ``_mask`` (see MASK_COL); per key:
+
+    * ``_ts`` = the latest tombstone's sequence (the key's state before
+      and at ``_ts`` is dead — a later partial delta re-INSERTS the key
+      with only its own columns, ES delete-then-index semantics);
+    * each column's value comes from the LATEST live row that CARRIES it
+      (mask-aware ``max_by``; base rows carry everything), provided that
+      row is newer than ``_ts`` — otherwise the column is null;
+    * the key survives iff any live row is newer than ``_ts``.
+
+    One hash aggregation on the key — same shuffle count as the window
+    in ``_resolve``, applied only to delta-carrying buckets. Duplicate
+    keys WITHIN one publish tie on ``_seq`` and may resolve per-column
+    nondeterministically (the full-width path picks an arbitrary whole
+    row under the same caller error); as everywhere in the sink, an
+    upsert batch must be key-distinct."""
+    val_cols = [
+        c
+        for c in df.columns
+        if c not in (key, SEQ_COL, TOMBSTONE_COL, BUCKET_COL, MASK_COL)
+    ]
+    eff = F.coalesce(F.col(SEQ_COL).cast("long"), F.lit(0))
+    tomb = (
+        F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        if TOMBSTONE_COL in df.columns
+        else F.lit(False)
+    )
+    mask = (
+        F.col(MASK_COL)
+        if MASK_COL in df.columns
+        else F.lit(None).cast("array<string>")
+    )
+    aggs = [
+        F.max(F.when(tomb, eff)).alias("_ts"),
+        F.max(F.when(~tomb, eff)).alias("_live"),
+    ]
+    for c in val_cols:
+        carries = mask.isNull() | F.array_contains(mask, F.lit(c))
+        aggs.append(
+            # max_by skips rows whose ordering expression is null, so the
+            # when() restricts to live carrying rows; the struct rides the
+            # winning row's (seq, value) out so staleness vs _ts is
+            # decidable per column in the projection below
+            F.max_by(
+                F.struct(eff.alias("s"), F.col(c).alias("v")),
+                F.when(~tomb & carries, eff),
+            ).alias(f"_m_{c}")
+        )
+    g = df.groupBy(key).agg(*aggs)
+    dead_before = F.coalesce(F.col("_ts"), F.lit(-1))
+    out = [F.col(key)]
+    for c in val_cols:
+        m = F.col(f"_m_{c}")
+        out.append(F.when(m["s"] > dead_before, m["v"]).alias(c))
+    return g.where(F.coalesce(F.col("_live"), F.lit(-1)) > dead_before).select(
+        *out
+    )
 
 
 def _sink_write_mode() -> str:
@@ -157,11 +312,16 @@ CDC_DIR = "_cdc"
 def _cdc_capture_enabled() -> bool:
     """``SPARK_GRAFT_SINK_CDC=off`` disables write-time change capture
     (publishes then leave no sidecar and feed windows containing them fall
-    back to the state-diff tiers). Capture is WRITE-MODE-INDEPENDENT:
-    both MoR delta publishes and CoW bucket rewrites record their
-    pre/postimages — the merge materializes both for free either way, so
-    the change feed stays O(changed rows) under the DEFAULT ``cow``
-    mode too."""
+    back to the state-diff tiers). Capture is WRITE-MODE-INDEPENDENT for
+    merging publishes: both full-width MoR delta publishes and CoW bucket
+    rewrites record their pre/postimages — the merge materializes both
+    for free either way, so the change feed stays O(changed rows) under
+    the DEFAULT ``cow`` mode too. The one deliberate exception:
+    PARTIAL-column delta publishes (``_append_partial_delta``) never
+    capture — there is no merge and no preimage read to piggyback on, and
+    adding one would reinstate the O(matched full-width) read the partial
+    path exists to delete. Feed windows containing them are served by the
+    partial-aware append fast path, O(changed keys) at read time."""
     return os.environ.get("SPARK_GRAFT_SINK_CDC", "on") != "off"
 
 
@@ -453,6 +613,11 @@ def _write_snapshot(
         "mor": manifest.get("mor", {}),
         # per-delta key ranges AS OF this version (point-lookup skip)
         "mor_stats": manifest.get("mor_stats", {}),
+        # per-delta-file PARTIAL column lists AS OF this version: a
+        # time-travel read (and the change feed's per-version resolved
+        # states) must fold partial deltas with the same masks a current
+        # read would
+        "mor_cols": manifest.get("mor_cols", {}),
         # application commit metadata AS OF this version (Delta txn-style):
         # a downstream consumer auditing its cursor history can read the
         # value each retained version committed with
@@ -557,6 +722,7 @@ def _publish(
     app_meta: dict | None = None,
     app_meta_expect: dict | None = None,
     cdc_staged: str | None = None,
+    partial_cols: list[str] | None = None,
 ) -> StructType | None:
     """Move the rewritten buckets' files from ``tmp`` into the live tree
     under fresh unique names, then atomically point the manifest at them.
@@ -659,6 +825,15 @@ def _publish(
                 if new_files:
                     mor = manifest.setdefault("mor", {})
                     mor[d] = mor.get(d, []) + new_files
+                    if partial_cols is not None:
+                        # partial-column delta: record which data columns
+                        # these files CARRY, so the masked reader can
+                        # distinguish "absent" from "set to null"
+                        cols_ledger = manifest.setdefault(
+                            "mor_cols", {}
+                        ).setdefault(d, {})
+                        for name in new_files:
+                            cols_ledger[name] = list(partial_cols)
                     # per-delta-file key min/max (parquet footer stats —
                     # no data pages read): lets a point lookup whose probe
                     # keys overlap NO delta range treat the bucket as
@@ -681,6 +856,7 @@ def _publish(
                 # a full bucket rewrite folds/supersedes its deltas
                 manifest.get("mor", {}).pop(d, None)
                 manifest.get("mor_stats", {}).pop(d, None)
+                manifest.get("mor_cols", {}).pop(d, None)
         if app_meta:
             manifest.setdefault("app", {}).update(app_meta)
         _bump_version(manifest, now)
@@ -939,11 +1115,15 @@ def _resolved_state(
             if dirty_dirs:
                 # _resolve consumes _tombstone on the resolved side; base
                 # rows carry it only as an all-null pinned column — drop
-                # for a matching union shape
+                # for a matching union shape. allowMissingColumns: the
+                # partial-delta fold path returns resolved user rows
+                # without the internal _seq/_bucket columns (null-filled
+                # here, dropped below either way).
                 df = clean.drop(TOMBSTONE_COL).unionByName(
                     _resolve_dirty(
                         spark, path, schema, manifest, key, dirty_dirs
-                    )
+                    ),
+                    allowMissingColumns=True,
                 )
             else:
                 # every dirty bucket was excluded (restrict and/or the
@@ -998,28 +1178,63 @@ def _resolve_dirty(
     * **Full window** (deltas above ``SPARK_GRAFT_MOR_BROADCAST_MAX``, or
       ledger files unreadable): the always-correct per-key window over
       all dirty-bucket rows.
-    """
+
+    When any dirty bucket carries PARTIAL-column deltas (``mor_cols``
+    ledger), the supersession is per COLUMN, not per row — the same two
+    plans with the fold swapped in: the broadcast plan folds (delta rows ∪
+    the delta-MATCHED base rows) — a base row touched by a partial delta
+    still supplies its unmasked columns, so unlike the full-width plan it
+    must ENTER the fold rather than being anti-joined away (one extra
+    key-pruned pass over the dirty buckets' base files; the fold's
+    shuffle stays O(delta keys)); the fallback folds everything."""
     ledger = manifest.get("mor") or {}
     delta_files = [
         os.path.join(path, d, f) for d in dirty_dirs for f in ledger[d]
     ]
-    base_files = [
-        os.path.join(path, d, f)
+    base_by_dir = {
+        d: [
+            f
+            for f in manifest["live"].get(d, [])
+            if f not in set(ledger[d])
+        ]
         for d in dirty_dirs
-        for f in manifest["live"].get(d, [])
-        if f not in set(ledger[d])
+    }
+    base_files = [
+        os.path.join(path, d, f) for d, fs in base_by_dir.items() for f in fs
     ]
     try:
         delta_bytes = sum(os.path.getsize(f) for f in delta_files)
     except OSError:
         delta_bytes = None  # raced a GC — take the manifest-listed path
+    partial = _dirty_has_partial(manifest, dirty_dirs)
     if delta_bytes is not None and delta_bytes <= _mor_broadcast_max():
-        delta = _read_files(spark, path, schema, delta_files)
+        if not partial:
+            delta = _read_files(spark, path, schema, delta_files)
+            base = _read_files(spark, path, schema, base_files)
+            superseded = delta.select(key).distinct()
+            base = base.join(F.broadcast(superseded), on=key, how="anti")
+            return base.drop(TOMBSTONE_COL).unionByName(_resolve(delta, key))
+        delta = _read_files_masked(
+            spark, path, schema, manifest, dirty_dirs, files_by_dir=ledger
+        )
         base = _read_files(spark, path, schema, base_files)
-        superseded = delta.select(key).distinct()
-        base = base.join(F.broadcast(superseded), on=key, how="anti")
-        return base.drop(TOMBSTONE_COL).unionByName(_resolve(delta, key))
+        dkeys = delta.select(key).distinct()
+        untouched = base.join(F.broadcast(dkeys), on=key, how="anti")
+        matched = base.join(F.broadcast(dkeys), on=key, how="semi")
+        folded = _fold_resolve(
+            matched.withColumn(
+                MASK_COL, F.lit(None).cast("array<string>")
+            ).unionByName(delta),
+            key,
+        )
+        return untouched.drop(TOMBSTONE_COL).unionByName(
+            folded, allowMissingColumns=True
+        )
     dirty_ids = [int(d.split("=", 1)[1]) for d in dirty_dirs]
+    if partial:
+        return _fold_resolve(
+            _read_files_masked(spark, path, schema, manifest, dirty_dirs), key
+        )
     dirty = _read_live(spark, path, schema, buckets=dirty_ids, manifest=manifest)
     return _resolve(dirty, key)
 
@@ -1249,9 +1464,12 @@ def read_changes(
     APPEND FAST PATH (Hudi incremental query: the log suffix IS the
     change capture): changed keys are exactly the suffix files' keys, the
     after-state resolves within the suffix alone (suffix ``_seq`` values
-    are strictly newer than anything in the from-state), and the
+    are strictly newer than anything in the from-state) — or, when the
+    suffix carries PARTIAL-column deltas (which never record a sidecar),
+    from the key-restricted resolved state at ``to_version`` — and the
     before-state read is key-restricted (In pushdown / broadcast
-    semi-join). (2) Rewritten buckets (CoW upserts published with capture
+    semi-join) either way: O(changed keys), never O(bucket rows).
+    (2) Rewritten buckets (CoW upserts published with capture
     off, or legacy versions) take the full resolved-state diff and
     honestly pay the write path's blast radius — the state-diff fallback
     that keeps any retained window readable even without sidecars.
@@ -1337,38 +1555,60 @@ def read_changes(
         after = _resolved_state(spark, path, to_schema, to_man, layout, ids)
         parts.append(_diff_states(before, after, key))
     if appended:
+        suffix_by_dir = {
+            d: sorted(set(to_live[d]) - set(from_live.get(d, [])))
+            for d in appended
+        }
         suffix_files = [
             os.path.join(path, d, f)
-            for d in appended
-            for f in set(to_live[d]) - set(from_live.get(d, []))
+            for d, fs in suffix_by_dir.items()
+            for f in fs
         ]
         delta = _read_files(spark, path, to_schema, suffix_files)
-        # suffix rows carry strictly higher _seq than anything in the
-        # from-state (publish versions are monotone), so the after-state
-        # of every candidate key resolves WITHIN the suffix alone — the
-        # after side never opens a base file
-        after_small = _resolve(delta, key).drop(
-            BUCKET_COL, SEQ_COL, TOMBSTONE_COL
-        )
         ids = [int(d.split("=", 1)[1]) for d in appended]
-        before_all = _resolved_state(
-            spark, path, from_schema, from_man, layout, ids
-        )
-        # preimages: the from-state restricted to the suffix's keys. Small
-        # key sets push an In-filter into the scan (composes with the
+        # the suffix's key set drives BOTH sides' key restriction. Small
+        # key sets push an In-filter into the scans (composes with the
         # key-sorted compaction's row-group skipping); larger ones take a
         # broadcast semi-join. The probe job reads suffix files only.
         probe = (
             delta.select(key).distinct().limit(LOOKUP_ISIN_MAX + 1).collect()
         )
-        if len(probe) <= LOOKUP_ISIN_MAX:
-            before_small = before_all.where(
-                F.col(key).isin([r[0] for r in probe])
-            )
-        else:
-            before_small = before_all.join(
+
+        def _key_restrict(df: DataFrame) -> DataFrame:
+            if len(probe) <= LOOKUP_ISIN_MAX:
+                return df.where(F.col(key).isin([r[0] for r in probe]))
+            return df.join(
                 F.broadcast(delta.select(key).distinct()), key, "semi"
             )
+
+        to_mor_cols = to_man.get("mor_cols") or {}
+        if any(
+            f in (to_mor_cols.get(d) or {})
+            for d, fs in suffix_by_dir.items()
+            for f in fs
+        ):
+            # PARTIAL deltas in the suffix: a changed key's after-state is
+            # base columns + masked delta columns, so it does NOT resolve
+            # within the suffix alone — take the key-restricted resolved
+            # state at to_version instead (the same O(changed keys) read
+            # shape as the before side). This is the read-time half of the
+            # partial-delta trade: these versions recorded no CDC sidecar.
+            after_small = _key_restrict(
+                _resolved_state(spark, path, to_schema, to_man, layout, ids)
+            )
+        else:
+            # suffix rows carry strictly higher _seq than anything in the
+            # from-state (publish versions are monotone) and are
+            # full-width, so the after-state of every candidate key
+            # resolves WITHIN the suffix alone — the after side never
+            # opens a base file
+            after_small = _resolve(delta, key).drop(
+                BUCKET_COL, SEQ_COL, TOMBSTONE_COL
+            )
+        before_all = _resolved_state(
+            spark, path, from_schema, from_man, layout, ids
+        )
+        before_small = _key_restrict(before_all)
         parts.append(_diff_states(before_small, after_small, key))
     out = parts[0]
     for p in parts[1:]:
@@ -1567,6 +1807,29 @@ def upsert_parquet(
     u = _with_bucket(updates, key, n_buckets).persist()
     try:
         affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
+        mor = _sink_write_mode() == "mor"
+        if (
+            mor
+            and _partial_deltas_enabled()
+            and stored is not None
+            and not {
+                f.name for f in stored.fields if f.name not in RESERVED_COLS
+            }.issubset(set(updates.columns))
+            and affected
+        ):
+            # PARTIAL-COLUMN DELTA: the updates carry a strict subset of
+            # the stored columns — append delta rows carrying only those
+            # columns, with NO base read at all (matched keys keep their
+            # other columns through the read-side per-column fold;
+            # unmatched keys insert with the missing columns null, which
+            # is exactly the ES partial-upsert insert semantics). The
+            # publish is O(|updates|) regardless of store size — the
+            # write-floor lever for single-column maintenance loops like
+            # pipeline.run_incremental (r10 verdict #1).
+            _append_partial_delta(
+                spark, path, u, key, affected, stored, app_meta, app_meta_expect
+            )
+            return
         if not affected:
             if app_meta:
                 # an empty batch still commits its cursor advance (a fold
@@ -1590,12 +1853,76 @@ def upsert_parquet(
             key,
             affected,
             stored,
-            mor=_sink_write_mode() == "mor",
+            mor=mor,
             app_meta=app_meta,
             app_meta_expect=app_meta_expect,
         )
     finally:
         u.unpersist()
+
+
+def _append_partial_delta(
+    spark: SparkSession,
+    path: str,
+    u: DataFrame,
+    key: str,
+    affected: list,
+    stored: StructType,
+    app_meta: dict | None = None,
+    app_meta_expect: dict | None = None,
+) -> None:
+    """Publish a PARTIAL-column MoR delta: stamp the (bucketed) updates
+    with this commit's sequence, write them as per-bucket delta files
+    carrying ONLY the update's columns, and record those columns in the
+    manifest's ``mor_cols`` ledger in the same commit. No base row is
+    read, materialized, or rewritten — the whole publish (I/O and
+    compute) is O(|updates|), flat in store size (ladder:
+    tools/partial_delta_ladder.py). Schema evolution: update columns the
+    store lacks extend the pinned schema exactly as a merge would.
+
+    No write-time CDC sidecar is recorded (capture needs the matched
+    preimages — the read this path exists to delete); feed windows
+    containing this version are served by ``read_changes``' partial-aware
+    append fast path, O(changed keys) at read time."""
+    snapshot = _read_manifest(path) or _manifest_from_listing(path)
+    stamped = u.withColumn(
+        SEQ_COL, F.lit(int(snapshot.get("version", 0)) + 1).cast("long")
+    ).repartition(max(len(affected), 1), F.col(BUCKET_COL))
+    partial_cols = sorted(
+        c for c in u.columns if c not in (key, BUCKET_COL, SEQ_COL)
+    )
+    # pinned-schema evolution: stored fields keep their order, genuinely
+    # new update columns append (all nullable), bucket column stays last
+    stored_names = {f.name for f in stored.fields}
+    fields = [
+        StructField(f.name, f.dataType, True)
+        for f in stored.fields
+        if f.name not in (SEQ_COL, TOMBSTONE_COL, BUCKET_COL)
+    ] + [
+        StructField(f.name, f.dataType, True)
+        for f in u.schema.fields
+        if f.name not in stored_names and f.name != BUCKET_COL
+    ]
+    fields.append(StructField(BUCKET_COL, LongType(), True))
+    tmp = f"{path}.__upsert_tmp_{uuid.uuid4().hex[:8]}"
+    try:
+        stamped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        final_schema = _publish(
+            path,
+            tmp,
+            [f"{BUCKET_COL}={b}" for b in affected],
+            based_on=snapshot,
+            schema=StructType(fields),
+            append_only=True,
+            app_meta=app_meta,
+            app_meta_expect=app_meta_expect,
+            partial_cols=partial_cols,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    layout = _read_layout(path)
+    _write_layout(path, layout["key"], layout["n_buckets"], final_schema)
+    spark.catalog.refreshByPath(path)
 
 
 def _merge_frames(target: DataFrame, u: DataFrame, key: str) -> DataFrame:
@@ -1644,25 +1971,49 @@ def _merge_and_publish(
     # read and the publish-time conflict check use this one snapshot, so a
     # concurrent rewrite of an affected bucket is detected (not merged over)
     snapshot = _read_manifest(path) or _manifest_from_listing(path)
-    # read the affected buckets under the PINNED schema: buckets that predate
-    # an earlier schema evolution lack the newer columns in their footers,
-    # and an inferred read could drop them (Spark samples files for schema)
-    target = _read_live(spark, path, stored, buckets=affected, manifest=snapshot)
-    if mor:
-        # merge-on-read: only the MATCHED base rows enter the merge — the
-        # unmatched rows of every affected bucket stay untouched on disk,
-        # which is the entire point (write cost O(delta), not O(bucket)).
-        # Prune BEFORE the reconciliation window so its key shuffle is
-        # O(matched rows), not O(affected-bucket rows).
-        target = target.join(
-            u.select(key).distinct(), key, "left_semi"
+    aff_dirs = [f"{BUCKET_COL}={b}" for b in affected]
+    dirty_aff = [d for d in (snapshot.get("mor") or {}) if d in set(aff_dirs)]
+    if _dirty_has_partial(snapshot, dirty_aff):
+        # affected buckets carry PARTIAL deltas: the target must be their
+        # per-column-resolved state (a plain full-row window would let a
+        # partial delta's null-filled absent columns clobber base values).
+        # _resolved_state routes through the partial-aware fold; the
+        # bucket column is recomputed from the key (bit-identical — the
+        # bucketing function is a pure hash of the key).
+        layout = _read_layout(path)
+        target = _with_bucket(
+            _resolved_state(
+                spark, path, stored, snapshot, layout, restrict=affected
+            ),
+            key,
+            layout["n_buckets"],
         )
-    # reconcile any prior MoR deltas BEFORE merging (a duplicate-key
-    # target would corrupt the full-outer merge); the supersession column
-    # is internal — MoR re-stamps it below, CoW rewrites resolved rows
-    target = _resolve(target, key)
-    if SEQ_COL in target.columns:
-        target = target.drop(SEQ_COL)
+        if mor:
+            target = target.join(u.select(key).distinct(), key, "left_semi")
+    else:
+        # read the affected buckets under the PINNED schema: buckets that
+        # predate an earlier schema evolution lack the newer columns in
+        # their footers, and an inferred read could drop them (Spark
+        # samples files for schema)
+        target = _read_live(
+            spark, path, stored, buckets=affected, manifest=snapshot
+        )
+        if mor:
+            # merge-on-read: only the MATCHED base rows enter the merge —
+            # the unmatched rows of every affected bucket stay untouched
+            # on disk, which is the entire point (write cost O(delta), not
+            # O(bucket)). Prune BEFORE the reconciliation window so its
+            # key shuffle is O(matched rows), not O(affected-bucket rows).
+            target = target.join(
+                u.select(key).distinct(), key, "left_semi"
+            )
+        # reconcile any prior MoR deltas BEFORE merging (a duplicate-key
+        # target would corrupt the full-outer merge); the supersession
+        # column is internal — MoR re-stamps it below, CoW rewrites
+        # resolved rows
+        target = _resolve(target, key)
+        if SEQ_COL in target.columns:
+            target = target.drop(SEQ_COL)
     capture = _cdc_capture_enabled()
     pre_img = None
     if capture:
@@ -1814,12 +2165,26 @@ def delete_keys(
                 F.lit(int(snapshot.get("version", 0)) + 1).cast("long"),
             ).withColumn(TOMBSTONE_COL, F.lit(True))
         else:
-            target = _read_live(
-                spark, path, stored, buckets=affected, manifest=snapshot
-            )
-            target = _resolve(target, key)
-            if SEQ_COL in target.columns:
-                target = target.drop(SEQ_COL)
+            dirty_aff = [
+                d
+                for d in (snapshot.get("mor") or {})
+                if d in {f"{BUCKET_COL}={b}" for b in affected}
+            ]
+            if _dirty_has_partial(snapshot, dirty_aff):
+                target = _with_bucket(
+                    _resolved_state(
+                        spark, path, stored, snapshot, layout, restrict=affected
+                    ),
+                    key,
+                    n_buckets,
+                )
+            else:
+                target = _read_live(
+                    spark, path, stored, buckets=affected, manifest=snapshot
+                )
+                target = _resolve(target, key)
+                if SEQ_COL in target.columns:
+                    target = target.drop(SEQ_COL)
             out = target.join(k.select(key), key, "left_anti")
         out = out.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         tmp = f"{path}.__delete_tmp_{uuid.uuid4().hex[:8]}"
@@ -1835,12 +2200,9 @@ def delete_keys(
                 # a whole feed window stay O(changed rows);
                 # SPARK_GRAFT_SINK_CDC=off restores the pure
                 # O(deleted keys) write.
-                pre = _resolve(
-                    _read_live(
-                        spark, path, stored, buckets=affected, manifest=snapshot
-                    ),
-                    key,
-                ).drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
+                pre = _resolved_state(
+                    spark, path, stored, snapshot, layout, restrict=affected
+                )
                 klist = [r[0] for r in k.select(key).limit(LOOKUP_ISIN_MAX + 1).collect()]
                 if len(klist) <= LOOKUP_ISIN_MAX:
                     pre = pre.where(F.col(key).isin(klist))
@@ -1925,13 +2287,28 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     # pinned schema: a compaction must not drop columns that older files in
     # a bucket lack (see read_keyed_table)
     stored = _stored_schema(layout)
-    data = _read_live(spark, path, stored, buckets=ids, manifest=manifest)
-    if SEQ_COL in data.columns:
-        # compaction IS the merge-on-read merge: fold delta rows into
-        # their base (latest _seq per key wins) and write resolved rows —
-        # the column reads back null (= oldest) for them, so later deltas
-        # still supersede correctly
-        data = _resolve(data, layout["key"]).drop(SEQ_COL)
+    if _dirty_has_partial(manifest, to_compact):
+        # partial-column deltas fold per COLUMN: read the compacting
+        # buckets with their presence masks and resolve — compaction is
+        # where a partial table pays the deferred merge, once, instead of
+        # every publish paying it (the write/read trade the partial path
+        # makes)
+        data = _with_bucket(
+            _fold_resolve(
+                _read_files_masked(spark, path, stored, manifest, to_compact),
+                layout["key"],
+            ),
+            layout["key"],
+            layout["n_buckets"],
+        )
+    else:
+        data = _read_live(spark, path, stored, buckets=ids, manifest=manifest)
+        if SEQ_COL in data.columns:
+            # compaction IS the merge-on-read merge: fold delta rows into
+            # their base (latest _seq per key wins) and write resolved
+            # rows — the column reads back null (= oldest) for them, so
+            # later deltas still supersede correctly
+            data = _resolve(data, layout["key"]).drop(SEQ_COL)
     # one task per bucket → exactly one output file per bucket directory;
     # KEY-SORTED within the bucket, so the file's parquet row-group min/max
     # stats on the key column are tight non-overlapping ranges — a point
