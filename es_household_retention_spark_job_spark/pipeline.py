@@ -108,9 +108,20 @@ def run_incremental(
     client_code: str,
     as_of: datetime,
     include_new_persons: bool = False,
+    app_meta: dict | None = None,
+    app_meta_expect: dict | None = None,
 ) -> dict[str, int]:
     """CDC maintenance: fold a batch of NEWLY-ARRIVED encounters into an
     already-processed person store without recomputing the world.
+
+    ``app_meta`` / ``app_meta_expect`` ride the single maintenance publish
+    (Delta ``txn``-style, see ``upsert_parquet``): a streaming caller
+    stores its (stream, epoch) cursor IN the maintenance commit, so a
+    replayed micro-batch is screened by the cursor and two racers from
+    the same cursor cannot both commit — the exactly-once discipline of
+    ``streaming.ingest.apply_keyed_batch`` extended to the whole
+    blast-radius → staged-phases → one-publish maintenance
+    (``streaming.retention_stream.incremental_retention_pipeline``).
 
     The reference pipeline is one-shot (processed persons fail the P8
     predicate forever, HRP:196-205); when encounters keep arriving, a
@@ -347,7 +358,14 @@ def run_incremental(
             delta_out = parts[0]
             for p in parts[1:]:
                 delta_out = delta_out.unionByName(p)
-            upsert_parquet(spark, person_path, delta_out, key="person_id")
+            upsert_parquet(
+                spark,
+                person_path,
+                delta_out,
+                key="person_id",
+                app_meta=app_meta,
+                app_meta_expect=app_meta_expect,
+            )
             log.info("incremental: published one maintenance commit")
         return {
             "affected_persons": n_affected,

@@ -84,3 +84,66 @@ def assert_column_pruned(df: DataFrame, absent_column: str) -> None:
     assert absent_column not in rs, (
         f"column {absent_column!r} should be pruned from scans; ReadSchema:\n{rs}"
     )
+
+
+def _collect_exchanges(node, out: list) -> None:
+    """Walk a JVM SparkPlan tree collecting ShuffleExchange nodes —
+    descending through the AQE wrapper's initial plan and materialized
+    query stages, which hide exchanges from a naive children() walk."""
+    name = node.getClass().getSimpleName()
+    if "ShuffleExchange" in name:
+        out.append(node)
+    if "AdaptiveSparkPlan" in name:
+        _collect_exchanges(node.initialPlan(), out)
+    if "QueryStage" in name:
+        try:
+            _collect_exchanges(node.plan(), out)
+        except Exception:
+            pass
+    children = node.children()
+    for i in range(children.size()):
+        _collect_exchanges(children.apply(i), out)
+
+
+def shuffled_wide_columns(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """Per ShuffleExchange in the physical plan: (partitioning, the
+    array/map-carrying output columns crossing it). The wide-shuffle
+    audit: shuffling rows that carry embedding-sized arrays multiplies
+    shuffle bytes by the payload width — the round-10 |Q|=10k disk-full
+    came from exactly this (dedup before scoring shuffled both embeddings
+    per candidate row; deduping the scored 3-column frame was ~30× fewer
+    bytes). ``assert_no_wide_shuffle`` pins the lesson per plan."""
+    exchanges: list = []
+    _collect_exchanges(df._jdf.queryExecution().executedPlan(), exchanges)  # noqa: SLF001
+    out = []
+    for ex in exchanges:
+        attrs = ex.output()
+        wide = []
+        for i in range(attrs.size()):
+            a = attrs.apply(i)
+            if "array<" in a.dataType().catalogString() or a.dataType().typeName() == "map":
+                wide.append(a.name().split("#")[0] if "#" in a.name() else a.name())
+        out.append((ex.outputPartitioning().toString(), sorted(wide)))
+    return out
+
+
+def assert_no_wide_shuffle(df: DataFrame, allow: tuple[str, ...] = ()) -> None:
+    """No KEYED shuffle (hash/range partitioning) in the plan carries an
+    array/map column, minus the explicit ``allow`` list for plans whose
+    PAYLOAD is legitimately an array (e.g. a packed-history write keyed
+    by person). Catches the class of regression where a dedup/join/window
+    is planned before narrowing the row, silently multiplying shuffle
+    bytes by the embedding width. RoundRobin exchanges are exempt: that
+    is ``ensure_parallelism``'s one-time spread of an under-split small
+    input — a no-op at scale (big inputs arrive well-split), not a
+    per-operator re-shuffle."""
+    offenders = [
+        (part, [c for c in wide if c not in allow])
+        for part, wide in shuffled_wide_columns(df)
+        if not part.startswith("RoundRobinPartitioning")
+    ]
+    offenders = [(p, w) for p, w in offenders if w]
+    assert not offenders, (
+        "wide (array/map-carrying) keyed shuffles in plan — narrow the "
+        f"row before the exchange: {offenders}"
+    )

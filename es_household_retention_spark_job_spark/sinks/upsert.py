@@ -2259,7 +2259,75 @@ def needs_compaction(
     return dirty > max_dirty_fraction * len(manifest["live"])
 
 
-def compact_keyed_table(spark: SparkSession, path: str) -> int:
+def choose_compaction(
+    path: str,
+    expected_reads: int | None = None,
+    max_files_per_bucket: int = 4,
+) -> list[str]:
+    """Manifest-driven per-BUCKET compaction policy (r10 verdict #3): the
+    bucket dirs whose projected read-tax savings over the next
+    ``expected_reads`` table reads exceed their compaction cost — the
+    ``choose_search_route`` free-statistic pattern applied to the sink.
+
+    Cost model, in bytes (the unit both sides share):
+
+    * each read of a delta-carrying bucket pays its reconciliation tax ≈
+      the delta bytes re-read plus a fixed per-bucket window/broadcast
+      overhead (``SPARK_GRAFT_COMPACT_TAX_BYTES``, default 256 KB —
+      sized from the measured 1.7-1.8× delta-hit point-read tax and the
+      fold ladder's flat per-bucket floor, SCALING.md r10);
+    * compacting the bucket costs one full read + one full write ≈
+      2 × (base + delta) bytes.
+
+    Compact when ``expected_reads × (delta + fixed) ≥ 2 × (base + delta)``
+    — so a read-hot store compacts eagerly, a write-only store lets
+    deltas ride, and tiny deltas over fat buckets are left alone until
+    enough of them pile up. Buckets past ``max_files_per_bucket`` live
+    files are included regardless (plain small-file read amplification,
+    ``needs_compaction``'s original trigger). ``expected_reads`` defaults
+    to ``SPARK_GRAFT_COMPACT_EXPECTED_READS`` (8 — a serving table is
+    read far more often than written; set 1 for write-mostly archives).
+
+    Driver cost: one manifest read + O(live files) ``getsize`` calls —
+    no Spark job, no data page. Returns bucket dirs, ready for
+    ``compact_keyed_table(spark, path, buckets=...)``."""
+    if expected_reads is None:
+        expected_reads = int(
+            os.environ.get("SPARK_GRAFT_COMPACT_EXPECTED_READS", "8")
+        )
+    fixed = float(os.environ.get("SPARK_GRAFT_COMPACT_TAX_BYTES", str(256 << 10)))
+    manifest = _read_manifest(path)
+    if not manifest or not manifest.get("live"):
+        return []
+    ledger = manifest.get("mor") or {}
+    out = []
+    for d, fs in manifest["live"].items():
+        if len(fs) > max_files_per_bucket:
+            out.append(d)
+            continue
+        delta_names = set(ledger.get(d) or [])
+        if not delta_names:
+            continue
+        try:
+            delta_b = sum(
+                os.path.getsize(os.path.join(path, d, f)) for f in delta_names
+            )
+            base_b = sum(
+                os.path.getsize(os.path.join(path, d, f))
+                for f in fs
+                if f not in delta_names
+            )
+        except OSError:
+            out.append(d)  # raced a GC: stale listing — compaction re-reads
+            continue
+        if expected_reads * (delta_b + fixed) >= 2 * (base_b + delta_b):
+            out.append(d)
+    return sorted(out)
+
+
+def compact_keyed_table(
+    spark: SparkSession, path: str, buckets: list[str] | None = None
+) -> int:
     """Small-file compaction: rewrite every multi-file bucket into ONE file,
     preserving the layout. Repeated upserts leave one file per write per
     bucket; at 100 TB that read-amplifies every scan (footer parse + seek
@@ -2268,7 +2336,11 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     ~100 TB / 400k buckets ≈ 256 MB each). Returns #buckets rewritten.
 
     Same write-then-swap safety as the upsert: a crash mid-compact leaves
-    every bucket either old or fully rewritten, never mixed."""
+    every bucket either old or fully rewritten, never mixed.
+
+    ``buckets`` restricts the rewrite to the given bucket dirs (the
+    ``choose_compaction`` policy's output) — selective maintenance whose
+    cost tracks the chosen buckets, not the table."""
     layout = _read_layout(path)  # asserts this IS a keyed table; untouched
     manifest = _read_manifest(path) or _manifest_from_listing(path)
     # multi-file buckets, plus SINGLE-file buckets whose one file is a MoR
@@ -2279,7 +2351,8 @@ def compact_keyed_table(spark: SparkSession, path: str) -> int:
     to_compact = [
         d
         for d, fs in manifest["live"].items()
-        if len(fs) > 1 or manifest.get("mor", {}).get(d)
+        if (len(fs) > 1 or manifest.get("mor", {}).get(d))
+        and (buckets is None or d in set(buckets))
     ]
     if not to_compact:
         return 0

@@ -223,11 +223,13 @@ def keyed_table_sink(
     downstream incremental aggregates (``sinks.incremental_agg``).
 
     ``auto_compact`` folds maintenance into the loop: after each applied
-    batch, compact when the manifest-only policy says the table needs it
-    (``sinks.upsert.needs_compaction`` — under MoR writes this bounds the
-    readers' reconciliation tax; compaction is safe against concurrent
-    writers via per-bucket optimistic concurrency, and a replayed epoch
-    never re-compacts because the apply is skipped first)."""
+    batch, compact the BUCKET SET the manifest-driven cost policy selects
+    (``sinks.upsert.choose_compaction`` — projected read-tax savings must
+    exceed each bucket's rewrite cost, so under continuous MoR appends
+    the readers' reconciliation tax stays bounded without ever paying a
+    full-table rewrite; compaction is safe against concurrent writers via
+    per-bucket optimistic concurrency, and a replayed epoch never
+    re-compacts because the apply is skipped first)."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         applied = apply_keyed_batch(
@@ -239,10 +241,11 @@ def keyed_table_sink(
             stream_id=checkpoint_dir,
         )
         if applied and auto_compact:
-            from ..sinks.upsert import compact_keyed_table, needs_compaction
+            from ..sinks.upsert import choose_compaction, compact_keyed_table
 
-            if needs_compaction(path):
-                compact_keyed_table(batch_df.sparkSession, path)
+            chosen = choose_compaction(path)
+            if chosen:
+                compact_keyed_table(batch_df.sparkSession, path, buckets=chosen)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -164,3 +164,114 @@ def incremental_retention(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_retention_pipeline(
+    spark: SparkSession,
+    enc_stream: DataFrame,
+    person_path: str,
+    encounter_path: str,
+    checkpoint_dir: str,
+    client_code: str,
+    as_of: datetime,
+    available_now: bool = True,
+):
+    """The FLAGSHIP maintenance loop as a stream (round 11, r10 verdict
+    #6): encounter micro-batches drive ``pipeline.run_incremental`` —
+    feed → blast radius → staged phases → ONE person-store publish per
+    batch — with the sink's exactly-once epoch discipline covering the
+    maintenance commit itself.
+
+    Per micro-batch, ``foreachBatch``:
+
+    1. screens the (stream, epoch) cursor recorded in the person table's
+       app metadata — a replayed epoch (restart after the commit) is a
+       no-op before any work;
+    2. lands the batch's encounter rows in the encounter store as flat
+       files with DETERMINISTIC per-epoch names (staged hidden, then
+       renamed in) — a replayed epoch re-lands the same names, so the
+       store never double-counts (and retention's A1 group-by-as-dedup
+       admits would absorb duplicates semantically anyway);
+    3. calls ``run_incremental`` with the batch as the delta and the
+       advanced cursor as the publish's ``app_meta`` (expecting the pair
+       read in step 1): the cursor and the maintained histories commit
+       ATOMICALLY, and two racers folding the same epoch cannot both
+       land (``ConcurrentWriteError`` for the loser) — ``upsert_parquet``'s
+       Delta-txn pattern covering the whole maintenance, not just a raw
+       keyed write. A zero-blast-radius batch advances nothing and stays
+       replay-safe by idempotence.
+
+    Under ``SPARK_GRAFT_SINK_WRITE_MODE=mor`` the per-batch publish is a
+    partial-column delta append — O(batch) write regardless of store
+    size (the flat-publish column in tools/streaming_retention_rehearsal
+    .py's ladder). Batch/backfill equivalence per batch is the ladder's
+    state_equal column; the invariant/guard semantics are
+    run_incremental's own.
+
+    Returns the StreamingQuery."""
+    from ..sinks.upsert import table_app_meta
+    from .. import pipeline as P
+
+    stream_id = checkpoint_dir
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        meta = table_app_meta(person_path)
+        last = meta.get("retention_epoch")
+        same = meta.get("retention_stream") == stream_id
+        if same and last is not None and epoch_id <= last:
+            return  # replayed epoch: its maintenance already committed
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        # land the batch as flat, deterministically-named files: a hidden
+        # staging dir (dot-prefixed — invisible to Spark's listing), then
+        # unlink-any-prior + rename in. Replays converge on the same
+        # names; a crash mid-move is healed by the replay's re-landing.
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        stage = _os.path.join(encounter_path, f".epoch_stage_{epoch_id}")
+        batch_df.write.mode("overwrite").parquet(stage)
+        for old in _glob.glob(
+            _os.path.join(encounter_path, f"epoch-{epoch_id:08d}-*.parquet")
+        ):
+            _os.unlink(old)
+        moved = 0
+        for f in sorted(_os.listdir(stage)):
+            if f.endswith(".parquet"):
+                _os.rename(
+                    _os.path.join(stage, f),
+                    _os.path.join(
+                        encounter_path, f"epoch-{epoch_id:08d}-{moved:04d}.parquet"
+                    ),
+                )
+                moved += 1
+        _shutil.rmtree(stage, ignore_errors=True)
+        sess.catalog.refreshByPath(encounter_path)
+        P.run_incremental(
+            sess,
+            person_path,
+            encounter_path,
+            batch_df,
+            client_code,
+            as_of,
+            app_meta={
+                "retention_epoch": epoch_id,
+                "retention_stream": stream_id,
+            },
+            app_meta_expect={
+                # the RAW recorded pair (None/None on a never-streamed
+                # table): the loser of a same-epoch race sees the winner's
+                # pair and aborts, even across a stream-identity change
+                "retention_epoch": meta.get("retention_epoch"),
+                "retention_stream": meta.get("retention_stream"),
+            },
+        )
+
+    writer = enc_stream.writeStream.option(
+        "checkpointLocation", checkpoint_dir
+    ).foreachBatch(_apply)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -472,3 +472,60 @@ def test_partial_random_sequences_match_dict_model(spark, tmp_path, monkeypatch)
         k: {c: vals.get(c) for c in all_cols} for k, vals in model.items()
     }
     assert got == want
+
+
+def test_choose_compaction_policy(spark, tmp_path, monkeypatch):
+    """Manifest-driven per-bucket compaction policy: buckets whose
+    projected read-tax savings beat their rewrite cost are chosen; a
+    write-mostly posture (expected_reads=0... low) chooses nothing for
+    tiny deltas over fat buckets; compact_keyed_table(buckets=...) folds
+    ONLY the chosen set."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        choose_compaction,
+    )
+
+    _mor(monkeypatch)
+    path = str(tmp_path / "cp")
+    write_keyed_table(
+        spark.createDataFrame(
+            [(f"k{i}", i, "x" * 200) for i in range(400)],
+            "k string, v int, pad string",
+        ),
+        path,
+        key="k",
+        n_buckets=4,
+    )
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(f"k{i}", i + 1) for i in range(0, 400, 3)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    man = _manifest(path)
+    dirty = sorted(man.get("mor") or {})
+    assert dirty
+    # read-hot default (expected_reads=8, fixed tax 256KB): every dirty
+    # bucket's projected tax beats its tiny rewrite at this toy scale
+    # (max_files high so only the COST rule is under test — the parallel
+    # initial load legitimately leaves many small base files per bucket,
+    # which is the separate file-count trigger asserted below)
+    chosen = choose_compaction(path, max_files_per_bucket=100)
+    assert chosen == dirty
+    # write-mostly: with one expected read and a zeroed fixed tax, tiny
+    # deltas over fatter bases are left to ride
+    monkeypatch.setenv("SPARK_GRAFT_COMPACT_TAX_BYTES", "0")
+    assert choose_compaction(path, expected_reads=1, max_files_per_bucket=100) == []
+    monkeypatch.delenv("SPARK_GRAFT_COMPACT_TAX_BYTES")
+    # the small-file trigger stands on its own: the parallel initial load
+    # left > 4 files in some bucket
+    assert choose_compaction(path, expected_reads=1)
+
+    want = _state(spark, path)
+    # selective compaction folds only the chosen subset
+    sub = chosen[:2]
+    assert compact_keyed_table(spark, path, buckets=sub) == len(sub)
+    man2 = _manifest(path)
+    assert all(d not in (man2.get("mor") or {}) for d in sub)
+    assert all(d in (man2.get("mor") or {}) for d in chosen[2:])
+    assert _state(spark, path) == want

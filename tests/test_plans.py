@@ -220,3 +220,29 @@ def test_chunked_sessionize_never_exchanges_events_by_user_alone(spark):
     plan = P.explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan  # offsets join, never a shuffle join
     assert P.count_shuffles(df) <= 4
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "knn_bruteforce",
+        "knn_lsh",
+        "knn_ivf_indexed",
+        "knn_sq8_indexed",
+        "knn_ann_auto",
+        "hybrid_mlt_search_ann",
+        "neardup_probe_indexed",
+        "dedup_minhash_lsh",
+    ],
+)
+def test_ann_family_no_wide_keyed_shuffle(spark, name):
+    """Round-10 lesson codified (r10 verdict #8): at |Q|=10k a dedup
+    planned BEFORE scoring shuffled rows carrying both embeddings
+    (~1 KB/row) and filled the disk; deduping the scored 3-column frame
+    was ~30x fewer shuffle bytes. The guard walks every keyed exchange in
+    the physical plan and asserts no array/map column crosses one —
+    pinned for the whole ANN/retrieval family so the regression class
+    cannot silently return. (RoundRobin input-spread exchanges are
+    exempt: ensure_parallelism's one-time small-input spread, a no-op at
+    scale.)"""
+    P.assert_no_wide_shuffle(q(spark, name))

