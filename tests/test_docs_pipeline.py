@@ -1619,3 +1619,28 @@ def test_ann_maintenance_concurrent_commit_detected(spark, embs, tmp_path):
     S.append_ann_index(d1, idx)
     man = S._read_ann_manifest(idx)
     assert sum(int(v) for v in man["cell_rows"].values()) == embs.count()
+
+
+def test_ann_route_cost_model():
+    """The route calibration pinned against the RECORDED round-11
+    sq8_ladder regimes (SCALING.md): for each measured (n_q, rerank,
+    probe_rows, scored_pairs) grid point, the cost model must route to
+    the endpoint the ladder measured cheaper — including sf1/|Q|=40, the
+    regime round 10's pairs-vs-rows proxy mispicked by 29% (its missing
+    term was the per-plan fixed pass cost). Pure-function test: no index,
+    no Spark; a weight change that flips any measured regime fails here."""
+    regimes = [
+        # (n_q, rerank, probe_rows, scored_pairs, measured_winner)
+        (40, 20, 2000, 60_184, "ivf"),  # sf0.1 fixed batch: 2.02 vs 3.94s
+        (2000, 20, 2000, 3_002_274, "sq8"),  # sf0.1 corpus-frac: 11.0 vs 6.6s
+        (40, 20, 20000, 599_716, "ivf"),  # sf1 fixed batch: 2.70 vs 3.33s
+        (10000, 20, 20000, 150_000_675, "sq8"),  # sf1 corpus-frac: 126 vs 101s
+    ]
+    for n_q, rr, probe_rows, scored_pairs, want in regimes:
+        costs = S.ann_route_costs(n_q, rr, probe_rows, scored_pairs)
+        got = min(costs, key=costs.get)
+        assert got == want, (n_q, rr, probe_rows, scored_pairs, costs)
+    # no codes sidecar -> ivf is the only plan
+    assert list(S.ann_route_costs(40, 20, 2000, 60_184, has_codes=False)) == [
+        "ivf"
+    ]

@@ -95,15 +95,25 @@ def main() -> None:
             f"index build {t_build:.2f}s; cells {cells_b/1e6:.2f} MB, "
             f"codes {codes_b/1e6:.2f} MB (ratio {cells_b/codes_b:.2f}x)"
         )
-        route_s = S.choose_ann_route(spark, idx, queries, k=K)
-        print(
-            f"route (fixed batch): {route_s[0]} "
-            f"(cand_pairs {route_s[1]}, probe_rows {route_s[2]})"
+        route_s, stats_s, _ = S.choose_ann_route(
+            spark, idx, queries, k=K, with_plan=True
         )
+        print(f"route (fixed batch): {route_s} (stats {stats_s})")
         print("| path | sec | recall@5 |")
         print("|---|---|---|")
         for name, (dt, rec) in rows.items():
             print(f"| {name} | {dt:.2f}s | {rec:.3f} |")
+        # STRICT verdict (r10: a 29% miss was filed as "parity"): the
+        # route must equal the measured-cheaper endpoint, both regimes
+        cheaper_s = min(
+            ("ivf", rows["knn_ivf_indexed"][0]),
+            ("sq8", rows["knn_sq8_indexed"][0]),
+            key=lambda t: t[1],
+        )[0]
+        print(
+            f"fixed-batch verdict: routed {route_s}, measured-cheaper "
+            f"{cheaper_s} -> {'MATCH' if route_s == cheaper_s else 'MISMATCH'}"
+        )
 
         # corpus-fraction regime (round 10): |Q| ~ 10k — the batch size
         # where the round-9 sf1 section showed the SQ8 composition LOSING
@@ -114,7 +124,11 @@ def main() -> None:
         step = max(n_corpus // 10_000, 1)
         bigq = embs.where(F.col("vec_id") % step == 0)
         n_big = bigq.count()
-        route_b = S.choose_ann_route(spark, idx, bigq, k=K)
+        route_b, stats_b, _ = S.choose_ann_route(
+            spark, idx, bigq, k=K, with_plan=True
+        )
+        route_b = (route_b, stats_b["cand_pairs"], stats_b["probe_rows"])
+        print(f"corpus-fraction route stats: {stats_b}")
         rows_b = {}
         for name, fn in (
             (
