@@ -402,3 +402,67 @@ def sink_fold_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_exact") * 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+#: partial-delta table cache: customer loaded, then ONE MoR partial-column
+#: upsert (only c_acctbal carried; every other column must ride the base
+#: rows through the per-column fold)
+_SINK_TABLE_BUILT_PARTIAL: dict[str, str] = {}
+
+
+def _mutated_table_partial(spark: SparkSession, sf_dir: str) -> str:
+    built = _SINK_TABLE_BUILT_PARTIAL.get(sf_dir)
+    if built is not None:
+        return built
+    from .sinks.upsert import upsert_parquet, write_keyed_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_sink_part_"), "t")
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _customer(spark, sf_dir)
+    write_keyed_table(cust, path, key="c_custkey", n_buckets=_BUCKETS)
+    prev = os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE")
+    os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+    try:
+        upsert_parquet(
+            spark,
+            path,
+            cust.where(F.col("c_custkey") % 5 == 0).select(
+                "c_custkey", (F.col("c_acctbal") + 50).alias("c_acctbal")
+            ),
+            key="c_custkey",
+            n_buckets=_BUCKETS,
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        else:
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = prev
+    _SINK_TABLE_BUILT_PARTIAL[sf_dir] = path
+    return path
+
+
+_PARTIAL_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 50 ELSE 0 END
+         AS c_acctbal,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS c_bal_x100
+  FROM customer
+"""
+
+
+@register("sink_partial_delta", _PARTIAL_SQL, extra=True)
+def sink_partial_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-COLUMN MoR delta read surface (round 11,
+    sinks/upsert.py::_append_partial_delta / _fold_resolve): the table
+    took ONE merge-on-read upsert carrying ONLY (c_custkey, c_acctbal) —
+    no base row was read or rewritten at publish time — and this full
+    resolved read must merge per column: updated keys serve the new
+    c_acctbal while c_name / c_nationkey / c_bal_x100 ride the base rows
+    through the mask-aware fold. The oracle recomputes the expected state
+    from source parquet alone (the sink never touches the oracle side)."""
+    from .sinks.upsert import read_keyed_table
+
+    path = _mutated_table_partial(spark, sf_dir)
+    return read_keyed_table(spark, path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_bal_x100"
+    )

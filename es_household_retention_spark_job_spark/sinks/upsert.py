@@ -1581,6 +1581,10 @@ def read_changes(
                 F.broadcast(delta.select(key).distinct()), key, "semi"
             )
 
+        before_all = _resolved_state(
+            spark, path, from_schema, from_man, layout, ids
+        )
+        before_small = _key_restrict(before_all)
         to_mor_cols = to_man.get("mor_cols") or {}
         if any(
             f in (to_mor_cols.get(d) or {})
@@ -1589,12 +1593,31 @@ def read_changes(
         ):
             # PARTIAL deltas in the suffix: a changed key's after-state is
             # base columns + masked delta columns, so it does NOT resolve
-            # within the suffix alone — take the key-restricted resolved
-            # state at to_version instead (the same O(changed keys) read
-            # shape as the before side). This is the read-time half of the
+            # within the suffix alone. Derive it from the BEFORE state the
+            # feed already reads: after(key) = per-column fold of the
+            # key-restricted from-state (sequence 0, full mask) with the
+            # suffix's masked delta rows — suffix sequences are strictly
+            # newer than anything in the from-state, so the fold
+            # reproduces the to-state for exactly the changed keys with
+            # ZERO additional base I/O (a resolved read at to_version
+            # would re-scan the dirty buckets a second and third time —
+            # measured 3 full-width scans per window on the 150M fold
+            # ladder before this). This is the read-time half of the
             # partial-delta trade: these versions recorded no CDC sidecar.
-            after_small = _key_restrict(
-                _resolved_state(spark, path, to_schema, to_man, layout, ids)
+            from pyspark.sql.types import BooleanType
+
+            before_aug = (
+                before_small.withColumn(SEQ_COL, F.lit(None).cast("long"))
+                .withColumn(TOMBSTONE_COL, F.lit(None).cast(BooleanType()))
+                .withColumn(MASK_COL, F.lit(None).cast("array<string>"))
+            )
+            delta_masked = _read_files_masked(
+                spark, path, to_schema, to_man, appended,
+                files_by_dir=suffix_by_dir,
+            ).drop(BUCKET_COL)
+            after_small = _fold_resolve(
+                before_aug.unionByName(delta_masked, allowMissingColumns=True),
+                key,
             )
         else:
             # suffix rows carry strictly higher _seq than anything in the
@@ -1605,10 +1628,6 @@ def read_changes(
             after_small = _resolve(delta, key).drop(
                 BUCKET_COL, SEQ_COL, TOMBSTONE_COL
             )
-        before_all = _resolved_state(
-            spark, path, from_schema, from_man, layout, ids
-        )
-        before_small = _key_restrict(before_all)
         parts.append(_diff_states(before_small, after_small, key))
     out = parts[0]
     for p in parts[1:]:

@@ -62,8 +62,7 @@ def main() -> None:
     os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_name", "c_address", "c_nationkey", "c_phone",
-        "c_acctbal", "c_mktsegment", "c_comment",
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     n_rows = cust.count()
     probe = [r[0] for r in cust.select("c_custkey").limit(16).collect()]
