@@ -28,10 +28,15 @@ EXTRA_PLANS = [
     "sessionize_events_chunked",
     "cohort_retention_matrix",
     "stratified_sample",
-    # round-10 additions
+    # round-10 additions (the two folds were PROMOTED to driver slots in
+    # round 11 and print with the registry; the cow twin stays an extra)
     "sink_change_feed_cow",
-    "sink_fold_minmax",
-    "sink_fold_distinct",
+    # demoted to extras in round 11 (slots freed for the fold rows) —
+    # plan pins stay:
+    "session_window_events",
+    "null_semantics_battery",
+    # round-11 addition: the partial-column MoR delta read surface
+    "sink_partial_delta",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
