@@ -139,6 +139,82 @@ def main() -> None:
                 ),
                 flush=True,
             )
+        # ---- Section 2: SELECTIVITY at representative bucket sizes ----
+        # At the toy scale above, the fixed per-bucket reconciliation tax
+        # dominates and the policy rightly compacts every dirty bucket
+        # (≡ "always"). This section builds a store whose buckets are big
+        # enough that a tiny delta does NOT justify a rewrite (the cost
+        # rule's other branch), and confines the CDC batches to a 4-bucket
+        # subset: the policy must (a) leave everything alone while the
+        # delta/base ratio is small, (b) eventually select EXACTLY the
+        # dirty subset via the small-file trigger — never the 12 clean
+        # buckets.
+        big_n = int(os.environ.get("SPARK_GRAFT_COMPACT_LADDER_BIG", "20000000"))
+        from es_household_retention_spark_job_spark.sinks.upsert import (
+            _read_manifest,
+            _with_bucket,
+        )
+
+        big = spark.range(big_n).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            (F.col("id") % 97).alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        path = str(work / "store_big")
+        write_keyed_table(big, path, key="k", n_buckets=16)
+        # keys confined to 4 target buckets, ~10k per batch
+        targets = {0, 1, 2, 3}
+        keys_pool = (
+            _with_bucket(big.select("k"), "k", 16)
+            .where(F.col("_bucket").isin(list(targets)))
+            .select("k")
+            .limit(60_000)
+            .collect()
+        )
+        for rnd in range(6):
+            batch_keys = [r[0] for r in keys_pool[rnd * 10_000 : (rnd + 1) * 10_000]]
+            batch = spark.createDataFrame(
+                [(k, rnd) for k in batch_keys], "k string, v long"
+            )
+            t_up, _ = timed(
+                lambda b=batch: upsert_parquet(
+                    spark, path, b, key="k", n_buckets=16
+                )
+            )
+            chosen = choose_compaction(path)
+            man = _read_manifest(path) or {}
+            dirty = sorted(
+                int(d.split("=", 1)[1]) for d in (man.get("mor") or {})
+            )
+            ok = set(
+                int(d.split("=", 1)[1]) for d in chosen
+            ) <= set(dirty)
+            t_cp, n_cp = (0.0, 0)
+            if chosen:
+                t_cp, n_cp = timed(
+                    lambda c=chosen: compact_keyed_table(spark, path, buckets=c)
+                )
+            t_pt, _ = timed(
+                lambda: read_keyed_table(
+                    spark, path, keys=[r[0] for r in keys_pool[:8]]
+                ).count()
+            )
+            print(
+                json.dumps(
+                    {
+                        "section": "selectivity",
+                        "round": rnd,
+                        "upsert_sec": round(t_up, 2),
+                        "dirty_buckets": dirty,
+                        "policy_chose": sorted(chosen),
+                        "chose_subset_of_dirty": ok,
+                        "compact_sec": round(t_cp, 2),
+                        "buckets_compacted": n_cp,
+                        "read_point_sec": round(t_pt, 2),
+                    }
+                ),
+                flush=True,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -96,7 +96,11 @@ def main() -> None:
         base = str(work / "store_base")
         write_keyed_table(person, base, key="person_id", n_buckets=64)
         run_retention(spark, base, enc_path, "HOUSEHOLD", TESTDATA_AS_OF)
-        for mode in ("cow", "mor"):
+        # three write shapes (the delta carries a SUBSET of columns, so
+        # plain "mor" takes the round-11 partial-column path; "mor_full"
+        # pins the pre-11 full-width merge behavior via the env escape
+        # hatch as the control)
+        for mode in ("cow", "mor_full", "mor"):
             p = str(work / f"store_{mode}")
             shutil.copytree(base, p)
             # hash-scattered delta over populated rows: every ~(N/n_delta)th
@@ -112,7 +116,11 @@ def main() -> None:
                 .withColumn("processing_complete", F.lit(False))
             )
             delta.count()  # plan cost paid outside the timed region
-            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = (
+                "cow" if mode == "cow" else "mor"
+            )
+            if mode == "mor_full":
+                os.environ["SPARK_GRAFT_SINK_PARTIAL"] = "off"
             pre_files = _parquet_files(p)
             t0 = time.time()
             upsert_parquet(spark, p, delta, key="person_id", n_buckets=64)
@@ -122,12 +130,13 @@ def main() -> None:
                 sz for f, sz in post_files.items() if f not in pre_files
             )
             os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+            os.environ.pop("SPARK_GRAFT_SINK_PARTIAL", None)
             t0 = time.time()
             checksum = _full_read(spark, p)
             r = time.time() - t0
             n = read_keyed_table(spark, p).count()
             comp = r_post = None
-            if mode == "mor":
+            if mode != "cow":
                 t0 = time.time()
                 compact_keyed_table(spark, p)
                 comp = round(time.time() - t0, 2)
