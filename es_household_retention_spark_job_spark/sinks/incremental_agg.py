@@ -272,7 +272,26 @@ def fold_aggregate(
         )
     if v_now == v_from:
         return v_from  # nothing published since the last fold
-    ch = read_changes(spark, source_path, v_from, v_now)
+    # COLUMN-SCOPED feed (round 11): the fold only touches the group and
+    # measure columns, so the feed compares/reports exactly those — a
+    # source change confined to other columns nets out before it reaches
+    # the retract/apply math (it would cancel there anyway), and the
+    # state-diff tiers' preimage scans prune to the scoped width on disk
+    # (the partial-window read on a wide store drops from O(row bytes)
+    # to O(scoped bytes); plan-pinned in test_partial_deltas)
+    ch = read_changes(
+        spark,
+        source_path,
+        v_from,
+        v_now,
+        columns=sorted(
+            set(group_cols)
+            | set(sum_cols)
+            | set(min_cols)
+            | set(max_cols)
+            | set(distinct_cols)
+        ),
+    )
     applied = F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
     weight = F.when(applied, F.lit(1)).otherwise(F.lit(-1))
     deltas = _with_key(

@@ -1438,6 +1438,7 @@ def read_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Change data feed: every key whose resolved value differs between two
     retained versions, as rows carrying ``_change_type`` in
@@ -1481,7 +1482,19 @@ def read_changes(
     report phantom updates). Deletes report the preimage row.
 
     ``to_version=None`` means the current committed version. Both
-    versions must still be retained (``SPARK_GRAFT_SINK_KEEP_VERSIONS``)."""
+    versions must still be retained (``SPARK_GRAFT_SINK_KEEP_VERSIONS``).
+
+    ``columns`` SCOPES the feed (round 11): only the named value columns
+    are compared and reported — a key whose scoped values are unchanged
+    between the versions nets out even if other columns changed. This is
+    both the semantics an incremental aggregate actually wants (changes
+    in columns it doesn't fold are retract/apply noise that cancels
+    anyway) and a scan-width lever: the state-diff tiers' preimage reads
+    are projected BEFORE the per-key resolution, so Catalyst prunes the
+    parquet scans to key + scoped columns — on a wide store the
+    partial-window feed read drops from O(row width) to O(scoped width)
+    bytes (plan-pinned in tests). ``None`` keeps the full-row Delta-CDF
+    behavior."""
     layout = _read_layout(path)  # change feed requires a keyed table
     key = layout["key"]
     from_man = _version_manifest(path, from_version)
@@ -1509,6 +1522,18 @@ def read_changes(
         if to_man.get("schema")
         else _stored_schema(layout)
     )
+
+    def _scope(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+        """Project to key + scoped value columns (+ requested internals).
+        Applied BEFORE per-key resolution/netting so the projection
+        reaches the parquet scans; a scoped column absent from one
+        version's schema simply drops out there (the diff null-fills)."""
+        if columns is None:
+            return df
+        keep = [key] + [
+            c for c in columns if c != key and c in df.columns
+        ] + [c for c in extra if c in df.columns]
+        return df.select(*keep)
     # tier 0 — write-time change capture: if EVERY version in the window
     # recorded a CDC sidecar (MoR publishes, deletes, compactions, cursor
     # commits all do; CoW merges don't), net first-preimage/last-postimage
@@ -1523,10 +1548,15 @@ def read_changes(
             os.path.join(path, CDC_DIR, f) for v in window for f in cdc_map[v]
         ]
         if files:
-            rows = spark.read.option("mergeSchema", "true").parquet(*files)
+            rows = _scope(
+                spark.read.option("mergeSchema", "true").parquet(*files),
+                (CHANGE_TYPE_COL, CDC_VERSION_COL),
+            )
             return _net_cdc(rows, key)
         # every version in the window captured "no changes"
-        empty = _resolved_state(spark, path, to_schema, to_man, layout, [])
+        empty = _scope(
+            _resolved_state(spark, path, to_schema, to_man, layout, [])
+        )
         return _diff_states(empty, empty, key)
 
     from_live, to_live = from_man.get("live", {}), to_man.get("live", {})
@@ -1551,8 +1581,12 @@ def read_changes(
     parts = []
     if rewritten or not appended:  # also the empty diff (schema contract)
         ids = [int(d.split("=", 1)[1]) for d in rewritten]
-        before = _resolved_state(spark, path, from_schema, from_man, layout, ids)
-        after = _resolved_state(spark, path, to_schema, to_man, layout, ids)
+        before = _scope(
+            _resolved_state(spark, path, from_schema, from_man, layout, ids)
+        )
+        after = _scope(
+            _resolved_state(spark, path, to_schema, to_man, layout, ids)
+        )
         parts.append(_diff_states(before, after, key))
     if appended:
         suffix_by_dir = {
@@ -1581,8 +1615,8 @@ def read_changes(
                 F.broadcast(delta.select(key).distinct()), key, "semi"
             )
 
-        before_all = _resolved_state(
-            spark, path, from_schema, from_man, layout, ids
+        before_all = _scope(
+            _resolved_state(spark, path, from_schema, from_man, layout, ids)
         )
         before_small = _key_restrict(before_all)
         to_mor_cols = to_man.get("mor_cols") or {}
@@ -1611,10 +1645,13 @@ def read_changes(
                 .withColumn(TOMBSTONE_COL, F.lit(None).cast(BooleanType()))
                 .withColumn(MASK_COL, F.lit(None).cast("array<string>"))
             )
-            delta_masked = _read_files_masked(
-                spark, path, to_schema, to_man, appended,
-                files_by_dir=suffix_by_dir,
-            ).drop(BUCKET_COL)
+            delta_masked = _scope(
+                _read_files_masked(
+                    spark, path, to_schema, to_man, appended,
+                    files_by_dir=suffix_by_dir,
+                ).drop(BUCKET_COL),
+                (SEQ_COL, TOMBSTONE_COL, MASK_COL),
+            )
             after_small = _fold_resolve(
                 before_aug.unionByName(delta_masked, allowMissingColumns=True),
                 key,
@@ -1625,8 +1662,8 @@ def read_changes(
             # full-width, so the after-state of every candidate key
             # resolves WITHIN the suffix alone — the after side never
             # opens a base file
-            after_small = _resolve(delta, key).drop(
-                BUCKET_COL, SEQ_COL, TOMBSTONE_COL
+            after_small = _scope(
+                _resolve(delta, key).drop(BUCKET_COL, SEQ_COL, TOMBSTONE_COL)
             )
         parts.append(_diff_states(before_small, after_small, key))
     out = parts[0]

@@ -529,3 +529,89 @@ def test_choose_compaction_policy(spark, tmp_path, monkeypatch):
     assert all(d not in (man2.get("mor") or {}) for d in sub)
     assert all(d in (man2.get("mor") or {}) for d in chosen[2:])
     assert _state(spark, path) == want
+
+
+def test_column_scoped_feed_semantics_and_pruning(spark, tmp_path, monkeypatch):
+    """read_changes(columns=...) scopes the feed: only the named columns
+    are compared/reported, a key whose scoped values are unchanged nets
+    out, and — the scan-width lever — the state-diff tiers' preimage
+    reads prune the UNSELECTED wide columns from the parquet scans
+    (plan-pinned on the partial-window path, where the preimage scan is
+    the inherent cost)."""
+    from es_household_retention_spark_job_spark import plans as P
+
+    _mor(monkeypatch)
+    path = str(tmp_path / "scoped")
+    write_keyed_table(
+        spark.createDataFrame(
+            [(f"k{i}", i, i * 10, "pad" * 50) for i in range(40)],
+            "k string, v long, w long, pad string",
+        ),
+        path,
+        key="k",
+        n_buckets=4,
+    )
+    v0 = current_version(path)
+    # partial publish 1: changes v for k0..k9
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(f"k{i}", 1000 + i) for i in range(10)], "k string, v long"),
+        key="k",
+        n_buckets=4,
+    )
+    # partial publish 2: changes ONLY w for k20..k24 (out of scope below)
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(f"k{i}", 7) for i in range(20, 25)], "k string, w long"),
+        key="k",
+        n_buckets=4,
+    )
+    scoped = read_changes(spark, path, v0, columns=["v"])
+    got = {
+        (r["k"], r["_change_type"]): r["v"] for r in scoped.collect()
+    }
+    # v-changes reported with pre/post pairs; w-only changes net out
+    assert set(scoped.columns) == {"k", "v", "_change_type"}
+    assert got == {
+        **{(f"k{i}", "update_preimage"): i for i in range(10)},
+        **{(f"k{i}", "update_postimage"): 1000 + i for i in range(10)},
+    }
+    # the wide pad column never leaves the scans of the scoped feed
+    P.assert_column_pruned(scoped, "pad")
+    # full-row feed still reports the w-only changes
+    full = read_changes(spark, path, v0)
+    assert {
+        (r["k"], r["_change_type"]) for r in full.collect() if r["k"] == "k20"
+    } == {("k20", "update_preimage"), ("k20", "update_postimage")}
+
+    # tier-0 (capture sidecar) scoping: same semantics under default CoW
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+    p2 = str(tmp_path / "scoped_cow")
+    write_keyed_table(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "k string, v long, w long"
+        ),
+        p2,
+        key="k",
+        n_buckets=2,
+    )
+    v0b = current_version(p2)
+    upsert_parquet(
+        spark,
+        p2,
+        spark.createDataFrame([("a", 1, 99), ("b", 5, 20)], "k string, v long, w long"),
+        key="k",
+        n_buckets=2,
+    )
+    sc = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in read_changes(spark, p2, v0b, columns=["v"]).collect()
+    }
+    # a's change is w-only -> nets out of the scoped feed; b's v change
+    # reports
+    assert sc == {
+        ("b", "update_preimage"): 2,
+        ("b", "update_postimage"): 5,
+    }
