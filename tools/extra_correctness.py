@@ -6,10 +6,10 @@ driver writes to CORRECTNESS_r{N}.json:
             err}}
 
 The external driver correctness-checks only the first 50 registry slots, so
-the 20 extra queries (strategy demos, redundant TPC-H shapes, approximate-by-
-design ANN paths) were previously visible only through a pytest run. This
-tool makes the whole 70-query surface reviewable from committed artifacts
-alone. Queries with no oracle SQL (approximate ANN) record the driver's
+the extra queries (strategy demos, redundant TPC-H shapes, approximate-by-
+design ANN paths, the sink's partial/CoW twins) were previously visible only
+through a pytest run. This tool makes the whole 100+-query surface
+reviewable from committed artifacts alone. Queries with no oracle SQL (approximate ANN) record the driver's
 weaker rows-only check: ``hash_match``/``schema_match`` null, ``oracle_rows``
 null.
 
