@@ -615,3 +615,98 @@ def test_column_scoped_feed_semantics_and_pruning(spark, tmp_path, monkeypatch):
         ("b", "update_preimage"): 2,
         ("b", "update_postimage"): 5,
     }
+
+
+# ---------------------------------------------------------------------------
+# Property test for the per-column fold itself (hypothesis): random event
+# histories per key — base rows, masked partial rows, full rows, tombstones,
+# in arbitrary sequence order — must resolve exactly like a sequential
+# dict-replay of the same events. This is the deepest logic the round-11
+# sink added (tombstone cutoffs interacting with per-column carrying
+# masks); the scripted tests pin named scenarios, this pins the space.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_COLS = ["v", "w"]
+
+# one event per key per sequence slot: base row (seq 0, all columns),
+# delta carrying a column subset (possibly explicit nulls), or tombstone
+_EVENT = st.one_of(
+    st.tuples(
+        st.just("delta"),
+        st.sets(st.sampled_from(_COLS), min_size=1),
+        st.integers(0, 9),
+    ),
+    st.tuples(st.just("tomb"), st.just(frozenset()), st.just(0)),
+)
+_HISTORY = st.tuples(st.booleans(), st.lists(_EVENT, min_size=0, max_size=5))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(hist=_HISTORY)
+def test_fold_resolve_matches_dict_replay(spark, hist):
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _fold_resolve,
+    )
+
+    has_base, events = hist
+    rows, model, alive = [], {c: None for c in _COLS}, False
+    if has_base:
+        rows.append(Row(k="K", v=100, w=200, _seq=None, _tombstone=None, _mask=None))
+        model, alive = {"v": 100, "w": 200}, True
+    for seq, (kind, cols, val) in enumerate(events, start=1):
+        if kind == "tomb":
+            rows.append(
+                Row(k="K", v=None, w=None, _seq=seq, _tombstone=True, _mask=None)
+            )
+            model, alive = {c: None for c in _COLS}, False
+        else:
+            vals = {c: (val + i if val else None) for i, c in enumerate(sorted(cols))}
+            rows.append(
+                Row(
+                    k="K",
+                    v=vals.get("v"),
+                    w=vals.get("w"),
+                    _seq=seq,
+                    _tombstone=None,
+                    _mask=sorted(cols),
+                )
+            )
+            if not alive:
+                model = {c: None for c in _COLS}
+            for c in cols:
+                model[c] = vals[c]
+            alive = True
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("v", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("_seq", LongType()),
+            StructField("_tombstone", BooleanType()),
+            StructField("_mask", ArrayType(StringType())),
+        ]
+    )
+    got = _fold_resolve(spark.createDataFrame(rows, schema), "k").collect()
+    if not alive:
+        assert got == []
+    else:
+        assert len(got) == 1
+        assert {c: got[0][c] for c in _COLS} == model
