@@ -30,8 +30,14 @@ def test_entry_smoke(spark):
 
 def test_registry_fits_driver_budget():
     """Every declared query must actually get a CORRECTNESS row — anything
-    past the driver's budget is silently unchecked (round-1 lesson)."""
-    assert len(QUERIES) <= DRIVER_QUERY_BUDGET, sorted(QUERIES)[DRIVER_QUERY_BUDGET:]
+    past the driver's budget is silently unchecked (round-1 lesson) — and
+    the registry must FILL the budget: a demotion without a matching
+    promotion would silently waste a hash-checked gate slot (round-11
+    tightening; slot swaps are deliberate, both sides at once)."""
+    assert len(QUERIES) == DRIVER_QUERY_BUDGET, (
+        len(QUERIES),
+        sorted(QUERIES)[DRIVER_QUERY_BUDGET:],
+    )
     assert set(ORACLES) <= set(QUERIES)
 
 
