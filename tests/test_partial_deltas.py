@@ -710,3 +710,31 @@ def test_fold_resolve_matches_dict_replay(spark, hist):
     else:
         assert len(got) == 1
         assert {c: got[0][c] for c in _COLS} == model
+
+
+def test_cow_delete_on_partial_dirty_table(spark, table, monkeypatch):
+    """A copy-on-write delete whose affected buckets carry partial deltas
+    rewrites from the per-column-RESOLVED state: surviving keys keep both
+    their partial-updated and base column values; the deleted key is
+    physically gone."""
+    _mor(monkeypatch)
+    upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([("a", 100), ("b", 200)], "k string, v int"),
+        key="k",
+        n_buckets=4,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+    delete_keys(
+        spark, table, spark.createDataFrame([("b",)], "k string"), key="k"
+    )
+    st = _state(spark, table)
+    assert "b" not in st
+    assert st["a"] == {"v": 100, "w": "x"}  # partial v + base w both survive
+    assert st["c"] == {"v": 3, "w": "z"}
+    # b's bucket was rewritten: its ledger entries cleared; a's bucket may
+    # legitimately stay dirty if untouched by the delete
+    man = _manifest(table)
+    for d in man.get("mor_cols", {}):
+        assert d in man.get("mor", {})
