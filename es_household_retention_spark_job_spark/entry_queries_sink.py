@@ -55,6 +55,13 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: scratch, same lifecycle pattern as entry_queries_docs._TEXT_INDEX_BUILT)
 _SINK_TABLE_BUILT: dict[str, tuple[str, int, str]] = {}
 
+#: histogram spec for the fold-maintained percentile row: c_bal_x100 is
+#: integer cents in [-99_999, 1_009_999] after the scripted +10_000
+#: updates, so [lo, hi) covers every value (no under/overflow slot used);
+#: width = (hi - lo) / 64 = 17_375 exact — the integer-lower-bound
+#: contract needs the division exact
+_HIST_SPEC = {"c_bal_x100": (-100_000, 1_012_000, 64)}
+
 
 def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, str]:
     built = _SINK_TABLE_BUILT.get(sf_dir)
@@ -90,6 +97,14 @@ def _mutated_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, str]:
         min_cols=("c_bal_x100",),
         max_cols=("c_bal_x100",),
         distinct_cols=("c_bal_x100",),
+    )
+    fold_aggregate(
+        spark,
+        path,
+        f"{path}_agg_hist",
+        "c_nationkey",
+        n_buckets=4,
+        hist_cols=_HIST_SPEC,
     )
     updates = (
         cust.where(F.col("c_custkey") % 7 == 0)
@@ -401,6 +416,70 @@ def sink_fold_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("dcnt_c_bal_x100") - F.col("n_exact"))
             <= F.col("n_exact") * 0.05
         ).alias("hll_within_5pct"),
+    )
+
+
+_PCTL_SQL = """
+WITH final AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal
+    FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % 13 = 0
+),
+b AS (
+  SELECT c_nationkey,
+         CASE WHEN bal < -100000 THEN 0
+              WHEN bal >= 1012000 THEN 65
+              ELSE (bal + 100000) * 64 // 1112000 + 1 END AS bucket
+    FROM final
+),
+h AS (
+  SELECT c_nationkey, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT c_nationkey, bucket,
+         SUM(c) OVER (PARTITION BY c_nationkey ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY c_nationkey) AS total
+    FROM h
+)
+SELECT c_nationkey,
+       CAST(-100000 + (MIN(CASE WHEN cum >= (total + 1) // 2
+                                THEN bucket END) - 1) * 17375
+            AS BIGINT) AS p50_bal,
+       CAST(-100000 + (MIN(CASE WHEN cum >= (total * 9 + 9) // 10
+                                THEN bucket END) - 1) * 17375
+            AS BIGINT) AS p90_bal
+  FROM cum GROUP BY c_nationkey
+"""
+
+
+@register("sink_fold_percentile", _PCTL_SQL, extra=True)
+def sink_fold_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-maintained approximate percentiles by nation via a fixed-bucket
+    histogram (round 11, sinks/incremental_agg.py::hist_cols): the stored
+    state is a per-group array<long> of bucket counts — the FULLY
+    retractable quantile family (the scripted deletes just decrement
+    their buckets; no suspect-group source recompute exists for it).
+    Bootstrapped pre-mutation, brought current by folding the change
+    feed; the percentile read-out is the exact integer lower bound of
+    the covering bucket, so the DuckDB oracle reproduces it bit-for-bit
+    from the source parquet with the same integer bucket arithmetic."""
+    from .sinks.incremental_agg import fold_aggregate, read_percentiles
+
+    path, _, _ = _mutated_table(spark, sf_dir)
+    agg = f"{path}_agg_hist"
+    fold_aggregate(
+        spark, path, agg, "c_nationkey", n_buckets=4, hist_cols=_HIST_SPEC
+    )
+    return read_percentiles(
+        spark, agg, {"c_bal_x100": [(1, 2), (9, 10)]}
+    ).select(
+        "c_nationkey",
+        F.col("p50_c_bal_x100").alias("p50_bal"),
+        F.col("p90_c_bal_x100").alias("p90_bal"),
     )
 
 

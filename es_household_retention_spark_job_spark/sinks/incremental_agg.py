@@ -40,6 +40,17 @@ count/sum pair):
   BINARY sketch; ``read_aggregate`` surfaces the estimate as
   ``dcnt_<col>`` (the ±rsd accuracy contract is the caller's, same as
   ``approx_count_distinct``).
+* **approximate percentiles (fixed-bucket histogram, round 11)** — the
+  canonical FULLY-retractable quantile sketch: the stored state is a
+  per-group ``array<long>`` of bucket counts over a caller-fixed
+  ``(lo, hi, n_buckets)`` spec, and a retraction simply decrements its
+  bucket — unlike min/max/HLL there is NO suspect-group source
+  recompute, ever; every fold is O(changes). Accuracy is the bucket
+  width (the caller's spec, recorded in the table's commit metadata
+  and validated on every later fold); ``histogram_percentile`` reads
+  any quantile out as the exact INTEGER lower bound of the covering
+  bucket, so the estimate is deterministic integer math end to end —
+  cross-engine hashable, unlike interpolated t-digest floats.
 
 100 TB shape: fold cost = change-feed read (sidecar/bucket-confined, see
 ``read_changes``) + one shuffle of the CHANGE rows to group keys + a point
@@ -57,6 +68,7 @@ incrementally instead of recomputed per refresh.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +89,12 @@ from .upsert import (
 CURSOR_KEY = "fold_source_version"
 SOURCE_KEY = "fold_source"
 
+#: app-meta key recording the histogram bucket spec the stored arrays were
+#: built under (JSON ``{col: [lo, hi, n_buckets]}``) — a later fold with a
+#: DIFFERENT spec would silently mix incompatible bucketings, so the spec
+#: is validated against this record on every fold
+HIST_SPEC_KEY = "fold_hist_spec"
+
 #: largest affected-group count served by the point-lookup read of prior
 #: aggregate rows (the group list is collected to the driver — bounded by
 #: this cap); beyond it the fold joins against a full aggregate-table scan
@@ -90,6 +108,11 @@ GROUP_KEY_COL = "_group"
 
 #: stored-sketch column prefix (binary HLL state; hidden by read_aggregate)
 HLL_COL = "_hll_"
+
+#: stored-histogram column prefix (array<long> bucket counts, length
+#: n_buckets + 2 — slot 0 is underflow, slots 1..n the buckets, slot n+1
+#: overflow; hidden by read_aggregate, served by histogram_percentile)
+HIST_COL = "_hist_"
 
 
 def _group_key(group_cols: list[str]):
@@ -117,6 +140,56 @@ def _hll_merge(old, new):
     )
 
 
+def _validate_hist_spec(hist_cols: dict) -> dict[str, tuple[int, int, int]]:
+    """Normalize and sanity-check ``{col: (lo, hi, n_buckets)}``. The
+    integer-exactness contract needs (hi - lo) divisible by n (bucket
+    lower bounds are exact longs) and (hi - lo) * n below 2**53 (the one
+    long*long product that transits a double division stays exact)."""
+    out = {}
+    for c, spec in hist_cols.items():
+        lo, hi, n = (int(v) for v in spec)
+        if not (lo < hi and n >= 1):
+            raise ValueError(f"histogram spec for {c!r} needs lo < hi, n >= 1")
+        if (hi - lo) % n:
+            raise ValueError(
+                f"histogram spec for {c!r}: (hi - lo) = {hi - lo} not "
+                f"divisible by n_buckets = {n} (bucket bounds must be "
+                "exact integers)"
+            )
+        if (hi - lo) * n >= 2**53:
+            raise ValueError(f"histogram spec for {c!r} too wide for exact math")
+        out[c] = (lo, hi, n)
+    return out
+
+
+def _hist_bucket(c: str, lo: int, hi: int, n: int):
+    """Bucket index of a value: 0 = underflow (< lo), 1..n = the equal-width
+    buckets of [lo, hi), n+1 = overflow (>= hi); null passes through.
+    Integer math throughout — the double division is exact under the
+    validated (hi - lo) * n < 2**53 bound, and its operands are
+    non-negative so floor == the oracle engines' integer division."""
+    x = F.col(c).cast("long")
+    return (
+        F.when(x.isNull(), F.lit(None).cast("long"))
+        .when(x < lo, F.lit(0).cast("long"))
+        .when(x >= hi, F.lit(n + 1).cast("long"))
+        .otherwise(
+            F.floor(((x - F.lit(lo)) * F.lit(n)) / F.lit(hi - lo)).cast("long")
+            + 1
+        )
+    )
+
+
+def _hist_array(c: str, lo: int, hi: int, n: int, weight) -> list:
+    """Per-bucket signed-count sum expressions (one array element each);
+    ``weight`` is +1/-1 over change rows, or literal 1 over source rows."""
+    b = _hist_bucket(c, lo, hi, n)
+    return [
+        F.sum(F.when(b == i, weight).otherwise(F.lit(0))).cast("long")
+        for i in range(n + 2)
+    ]
+
+
 def _delta_exprs(
     sum_cols: tuple[str, ...],
     min_cols: tuple[str, ...],
@@ -124,6 +197,7 @@ def _delta_exprs(
     distinct_cols: tuple[str, ...],
     weight,
     applied,
+    hist_cols: dict[str, tuple[int, int, int]] | None = None,
 ) -> list:
     """Per-group fold inputs over change rows: the signed count, signed
     sums (null measures ignored — SQL SUM semantics), the window's applied
@@ -153,6 +227,13 @@ def _delta_exprs(
                 )
             ).alias(f"_rdist_{c}")
         )
+    for c, (lo, hi, n) in sorted((hist_cols or {}).items()):
+        # fully retractable: the delta histogram carries SIGNED bucket
+        # counts (applies +1, retractions -1) and merges by element-wise
+        # add — no suspicion flag exists for this family
+        exprs.append(
+            F.array(*_hist_array(c, lo, hi, n, weight)).alias(f"_dhist_{c}")
+        )
     return exprs
 
 
@@ -161,9 +242,11 @@ def _extremum_exprs(
     max_cols: tuple[str, ...],
     distinct_cols: tuple[str, ...],
     prefix: str = "",
+    hist_cols: dict[str, tuple[int, int, int]] | None = None,
 ) -> list:
     """Ground-truth aggregate expressions over source rows (bootstrap and
-    the suspect-group recompute share them)."""
+    the suspect-group recompute share them; histograms appear only at
+    bootstrap — they never need the recompute)."""
     exprs = []
     for c in sorted(set(min_cols)):
         exprs.append(F.min(c).alias(f"{prefix}min_{c}"))
@@ -171,6 +254,12 @@ def _extremum_exprs(
         exprs.append(F.max(c).alias(f"{prefix}max_{c}"))
     for c in sorted(set(distinct_cols)):
         exprs.append(F.hll_sketch_agg(c).alias(f"{prefix}{HLL_COL}{c}"))
+    for c, (lo, hi, n) in sorted((hist_cols or {}).items()):
+        exprs.append(
+            F.array(*_hist_array(c, lo, hi, n, F.lit(1))).alias(
+                f"{prefix}{HIST_COL}{c}"
+            )
+        )
     return exprs
 
 
@@ -184,6 +273,7 @@ def fold_aggregate(
     min_cols: tuple[str, ...] | list[str] = (),
     max_cols: tuple[str, ...] | list[str] = (),
     distinct_cols: tuple[str, ...] | list[str] = (),
+    hist_cols: dict[str, tuple[int, int, int]] | None = None,
 ) -> int:
     """Bring the grouped aggregate of ``source_path`` by ``group_col``
     (one column name, or a list for composite groups — the
@@ -192,10 +282,14 @@ def fold_aggregate(
     bootstraps (one full grouped scan of the pinned current version);
     later calls fold only the change feed since the recorded cursor.
     Output columns: the group column(s), ``cnt`` (long), ``sum_<c>`` /
-    ``min_<c>`` / ``max_<c>`` per requested column, and a binary
+    ``min_<c>`` / ``max_<c>`` per requested column, a binary
     ``_hll_<c>`` sketch per distinct column (``read_aggregate`` surfaces
     the estimate as ``dcnt_<c>`` and hides the sketch; multi-column
-    groups also carry the synthesized ``_group`` key, likewise hidden).
+    groups also carry the synthesized ``_group`` key, likewise hidden),
+    and an ``array<long>`` ``_hist_<c>`` bucket histogram per
+    ``hist_cols`` entry (``{col: (lo, hi, n_buckets)}`` — spec recorded
+    at bootstrap and enforced on every later fold; quantiles read out
+    via ``read_percentiles``).
     A group whose count reaches zero keeps a ``cnt=0`` row (sums zeroed,
     extrema/sketches nulled) — readers filter, and a later revival is a
     plain update, not a resurrection special case.
@@ -222,6 +316,10 @@ def fold_aggregate(
     min_cols = tuple(min_cols)
     max_cols = tuple(max_cols)
     distinct_cols = tuple(distinct_cols)
+    hist_cols = _validate_hist_spec(hist_cols or {})
+    hist_spec_json = json.dumps(
+        {c: list(s) for c, s in hist_cols.items()}, sort_keys=True
+    )
     out_cols = {c: f"sum_{c}" for c in sum_cols}
     source_id = os.path.abspath(source_path)
     v_now = current_version(source_path)
@@ -241,7 +339,9 @@ def fold_aggregate(
         boot = src.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(c).alias(out_cols[c]) for c in sum_cols],
-            *_extremum_exprs(min_cols, max_cols, distinct_cols),
+            *_extremum_exprs(
+                min_cols, max_cols, distinct_cols, hist_cols=hist_cols
+            ),
         )
         null_any = None
         for c in group_cols:
@@ -254,7 +354,11 @@ def fold_aggregate(
             agg_path,
             key=key,
             n_buckets=n_buckets,
-            app_meta={CURSOR_KEY: v_now, SOURCE_KEY: source_id},
+            app_meta={
+                CURSOR_KEY: v_now,
+                SOURCE_KEY: source_id,
+                HIST_SPEC_KEY: hist_spec_json,
+            },
         )
         return v_now
 
@@ -269,6 +373,13 @@ def fold_aggregate(
         raise ValueError(
             f"aggregate at {agg_path} folds {meta.get(SOURCE_KEY)!r}, "
             f"not {source_id!r}"
+        )
+    recorded_spec = meta.get(HIST_SPEC_KEY, "{}")
+    if recorded_spec != hist_spec_json:
+        raise ValueError(
+            f"histogram spec mismatch at {agg_path}: stored arrays were "
+            f"built under {recorded_spec}, fold requested {hist_spec_json} "
+            "(bucketings cannot be mixed — bootstrap a fresh aggregate)"
         )
     if v_now == v_from:
         return v_from  # nothing published since the last fold
@@ -290,6 +401,7 @@ def fold_aggregate(
             | set(min_cols)
             | set(max_cols)
             | set(distinct_cols)
+            | set(hist_cols)
         ),
     )
     applied = F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
@@ -297,7 +409,13 @@ def fold_aggregate(
     deltas = _with_key(
         ch.groupBy(*group_cols).agg(
             *_delta_exprs(
-                sum_cols, min_cols, max_cols, distinct_cols, weight, applied
+                sum_cols,
+                min_cols,
+                max_cols,
+                distinct_cols,
+                weight,
+                applied,
+                hist_cols=hist_cols,
             )
         )
     )
@@ -401,6 +519,19 @@ def fold_aggregate(
                     f"_sus_hll_{c}"
                 )
             )
+        for c, (lo, hi, n) in sorted(hist_cols.items()):
+            # element-wise add of the signed delta histogram — retractions
+            # decrement their bucket directly, no suspicion flag
+            oc = f"{HIST_COL}{c}"
+            zeros = F.array_repeat(F.lit(0).cast("long"), n + 2)
+            cand = F.zip_with(
+                F.coalesce(F.col(f"o.{oc}"), zeros),
+                F.coalesce(F.col(f"d._dhist_{c}"), zeros),
+                lambda a, b: a + b,
+            )
+            sel.append(
+                F.when(new_cnt == 0, F.lit(None)).otherwise(cand).alias(oc)
+            )
         merged = merged.select(*sel, *sus_flags)
         # a negative count can only mean the window was applied against the
         # wrong baseline (cursor corruption the expect-check didn't see,
@@ -414,6 +545,21 @@ def fold_aggregate(
                 ),
             ).isNull()
         )
+        for c in sorted(hist_cols):
+            # same cursor-corruption detector as the count: a bucket can
+            # only fold negative if the window was applied against the
+            # wrong baseline
+            oc = f"{HIST_COL}{c}"
+            merged = merged.where(
+                F.assert_true(
+                    F.col(oc).isNull()
+                    | F.forall(F.col(oc), lambda v: v >= 0),
+                    F.concat(
+                        F.lit("negative folded histogram bucket for group "),
+                        F.col(key).cast("string"),
+                    ),
+                ).isNull()
+            )
         sus_names = [f.name for f in merged.schema.fields if f.name.startswith("_sus_")]
         if sus_names:
             merged = merged.persist()
@@ -471,10 +617,11 @@ def fold_aggregate(
 
 def read_aggregate(spark: SparkSession, agg_path: str) -> DataFrame:
     """The maintained aggregate, zero-count rows filtered, the synthesized
-    composite-group key hidden, and each stored HLL sketch surfaced as its
-    ``dcnt_<col>`` estimate (the binary state stays internal) — what a
-    consumer sees. (``read_keyed_table`` directly if the zero rows, the
-    key, or the raw sketches matter.)"""
+    composite-group key hidden, each stored HLL sketch surfaced as its
+    ``dcnt_<col>`` estimate, and the raw histogram arrays hidden (read
+    quantiles out with ``read_percentiles``) — what a consumer sees.
+    (``read_keyed_table`` directly if the zero rows, the key, or the raw
+    sketch/histogram state matters.)"""
     df = read_keyed_table(spark, agg_path).where(F.col("cnt") > 0)
     for f in df.schema.fields:
         if f.name.startswith(HLL_COL):
@@ -487,4 +634,91 @@ def read_aggregate(spark: SparkSession, agg_path: str) -> DataFrame:
                 .otherwise(F.hll_sketch_estimate(F.col(f.name)))
                 .cast("long"),
             ).drop(f.name)
+        elif f.name.startswith(HIST_COL):
+            df = df.drop(f.name)
+    return df.drop(GROUP_KEY_COL) if GROUP_KEY_COL in df.columns else df
+
+
+def hist_specs(agg_path: str) -> dict[str, tuple[int, int, int]]:
+    """The histogram bucket spec the aggregate's stored arrays were built
+    under (recorded in commit metadata at bootstrap)."""
+    raw = json.loads(table_app_meta(agg_path).get(HIST_SPEC_KEY, "{}"))
+    return {c: tuple(int(v) for v in s) for c, s in raw.items()}
+
+
+def histogram_percentile(
+    hist, spec: tuple[int, int, int], q_num: int, q_den: int
+):
+    """Column expression: the q-th percentile read out of a stored bucket
+    histogram as the exact INTEGER lower bound of the bucket holding the
+    ceil(q * cnt)-th smallest value. Deterministic integer math end to
+    end (rank and bucket bounds never touch inexact floats), so the
+    estimate hashes identically across engines — the property that lets
+    a percentile row sit in the hash gate at all. Accuracy is one bucket
+    width by construction. Null when the group's values all fell below
+    ``lo`` (no defined lower bound) or the histogram is null; the
+    overflow bucket reads as ``hi``. Callers size the spec to cover the
+    data — that is the caller-owned half of the accuracy contract."""
+    lo, hi, n = spec
+    if not (0 < q_num <= q_den):
+        raise ValueError("quantile must satisfy 0 < q_num/q_den <= 1")
+    width = (hi - lo) // n
+    hist = F.col(hist) if isinstance(hist, str) else hist
+    total = F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x)
+    # ceil(total * q) via integer arithmetic; the double division is exact
+    # under the validated spec bound (operands < 2**53)
+    rank = F.floor((total * q_num + (q_den - 1)) / F.lit(q_den)).cast("long")
+    pairs = F.zip_with(
+        hist,
+        F.sequence(F.lit(0), F.lit(n + 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    # single left fold carrying (cumulative count, first index reaching the
+    # rank): O(n) per row, no shuffle, no UDF
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("idx")
+    )
+    folded = F.aggregate(
+        pairs,
+        acc0,
+        lambda acc, p: F.struct(
+            (acc["cum"] + p["c"]).alias("cum"),
+            F.when(acc["idx"] >= 0, acc["idx"])
+            .when((acc["cum"] + p["c"]) >= rank, p["i"])
+            .otherwise(F.lit(-1))
+            .alias("idx"),
+        ),
+    )
+    idx = folded["idx"]
+    return (
+        F.when(hist.isNull() | (total == 0) | (idx <= 0), F.lit(None))
+        .when(idx >= n + 1, F.lit(hi))
+        .otherwise(F.lit(lo) + (idx - 1) * F.lit(width))
+        .cast("long")
+    )
+
+
+def read_percentiles(
+    spark: SparkSession,
+    agg_path: str,
+    quantiles: dict[str, list[tuple[int, int]]],
+) -> DataFrame:
+    """The maintained aggregate with percentile columns read out of the
+    stored histograms: ``{col: [(q_num, q_den), ...]}`` adds a
+    ``p<round(100q)>_<col>`` long per requested quantile, spec taken from
+    the bootstrap record. Zero-count rows filtered, raw arrays hidden."""
+    specs = hist_specs(agg_path)
+    df = read_keyed_table(spark, agg_path).where(F.col("cnt") > 0)
+    for c, qs in sorted(quantiles.items()):
+        if c not in specs:
+            raise ValueError(f"no histogram maintained for column {c!r}")
+        for q_num, q_den in qs:
+            name = f"p{round(100 * q_num / q_den)}_{c}"
+            df = df.withColumn(
+                name,
+                histogram_percentile(f"{HIST_COL}{c}", specs[c], q_num, q_den),
+            )
+    for f in df.schema.fields:
+        if f.name.startswith(HIST_COL) or f.name.startswith(HLL_COL):
+            df = df.drop(f.name)
     return df.drop(GROUP_KEY_COL) if GROUP_KEY_COL in df.columns else df

@@ -412,3 +412,152 @@ def test_fold_minmax_distinct_matches_recompute(spark, tmp_path, monkeypatch, mo
     fold_aggregate(spark, src, agg, "g", **kw)
     assert folded() == truth()
     assert folded()[1] == (1, 777, 777, 777, 1)
+
+
+def _pctl_truth(spark, src, lo, hi, n, q_num, q_den):
+    """Sequential python replay of the histogram-percentile definition
+    over the source table's resolved state — the dict-model ground truth
+    the folded arrays must reproduce exactly."""
+    width = (hi - lo) // n
+    by_g: dict = {}
+    for r in read_keyed_table(spark, src).collect():
+        by_g.setdefault(r["g"], []).append(r["v"])
+    out = {}
+    for g, vals in by_g.items():
+        vals = [v for v in vals if v is not None]
+        buckets = [0] * (n + 2)
+        for v in vals:
+            if v < lo:
+                b = 0
+            elif v >= hi:
+                b = n + 1
+            else:
+                b = (v - lo) * n // (hi - lo) + 1
+            buckets[b] += 1
+        total = len(vals)
+        rank = -(-total * q_num // q_den)  # ceil
+        cum, idx = 0, -1
+        for i, c in enumerate(buckets):
+            cum += c
+            if cum >= rank:
+                idx = i
+                break
+        if total == 0 or idx <= 0:
+            out[g] = None
+        elif idx >= n + 1:
+            out[g] = hi
+        else:
+            out[g] = lo + (idx - 1) * width
+    return out
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_fold_histogram_percentile_matches_replay(spark, tmp_path, monkeypatch, mode):
+    """Round 11 family: the fixed-bucket histogram fold is FULLY
+    retractable — deletes (including of stored extrema, which would mark
+    min/max suspect) just decrement their bucket, and every batch's
+    percentile read-out equals a sequential python replay of the
+    definition. Under/overflow slots and group death/revival included."""
+    from es_household_retention_spark_job_spark.sinks.incremental_agg import (
+        read_percentiles,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", mode)
+    src = str(tmp_path / f"hist_src_{mode}")
+    agg = str(tmp_path / f"hist_agg_{mode}")
+    _source(spark, src, n=60, groups=5)  # v = 10..600
+    spec = (0, 600, 60)  # width 10; v=600 rows land in overflow
+    kw = dict(n_buckets=4, hist_cols={"v": spec})
+    fold_aggregate(spark, src, agg, "g", **kw)
+
+    def folded():
+        rows = read_percentiles(
+            spark, agg, {"v": [(1, 2), (9, 10)]}
+        ).collect()
+        return (
+            {r["g"]: r["p50_v"] for r in rows},
+            {r["g"]: r["p90_v"] for r in rows},
+        )
+
+    def truth():
+        return (
+            _pctl_truth(spark, src, *spec, 1, 2),
+            _pctl_truth(spark, src, *spec, 9, 10),
+        )
+
+    assert folded() == truth()  # bootstrap
+
+    # batch 1: delete group extrema (the retraction min/max would recompute
+    # for — the histogram must NOT need that) + out-of-range inserts that
+    # exercise the underflow and overflow slots
+    delete_keys(
+        spark, src, spark.createDataFrame([("k0",), ("k59",)], "k string")
+    )
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame(
+            [("neg", 2, -50), ("big", 2, 5000), ("k3", 3, 599)],
+            "k string, g int, v long",
+        ),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+
+    # batch 2: kill a whole group (null histogram on the zero row), revive
+    g1 = read_keyed_table(spark, src).where(F.col("g") == 1).select("k")
+    delete_keys(spark, src, g1)
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+    dead = (
+        read_keyed_table(spark, agg).where(F.col("cnt") == 0).collect()
+    )
+    assert [r["_hist_v"] for r in dead] == [None]
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame([("kz", 1, 305)], "k string, g int, v long"),
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, "g", **kw)
+    assert folded() == truth()
+    assert folded()[0][1] == 300  # single value 305 -> bucket [300, 310)
+
+
+def test_histogram_spec_recorded_and_enforced(spark, tmp_path):
+    """The bucket spec rides the bootstrap commit; a later fold with a
+    different (or missing) spec must refuse rather than mix bucketings,
+    and an invalid spec is rejected up front."""
+    from es_household_retention_spark_job_spark.sinks.incremental_agg import (
+        hist_specs,
+    )
+
+    src = str(tmp_path / "spec_src")
+    agg = str(tmp_path / "spec_agg")
+    _source(spark, src)
+    fold_aggregate(spark, src, agg, "g", n_buckets=4, hist_cols={"v": (0, 600, 60)})
+    assert hist_specs(agg) == {"v": (0, 600, 60)}
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame([("k0", 0, 11)], "k string, g int, v long"),
+        key="k",
+        n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="spec mismatch"):
+        fold_aggregate(
+            spark, src, agg, "g", n_buckets=4, hist_cols={"v": (0, 600, 30)}
+        )
+    with pytest.raises(ValueError, match="spec mismatch"):
+        fold_aggregate(spark, src, agg, "g", n_buckets=4)
+    with pytest.raises(ValueError, match="divisible"):
+        fold_aggregate(
+            spark, src, agg, "g", n_buckets=4, hist_cols={"v": (0, 601, 60)}
+        )
+    # the matching spec still folds
+    fold_aggregate(
+        spark, src, agg, "g", n_buckets=4, hist_cols={"v": (0, 600, 60)}
+    )
