@@ -1823,3 +1823,354 @@ def split_ann_cells(
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(stage_codes, ignore_errors=True)
     return len(parts)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round 11) — the 8-byte/vector memory tier
+# --------------------------------------------------------------------------
+
+#: default PQ shape for the 64-dim corpus: 8 subspaces × 8 dims, 16
+#: centroids per subspace → 4-bit codes, 8 nibbles ≈ 4 bytes of payload
+#: per vector vs 64 bytes SQ8 / 512 bytes double (classic FAISS PQ uses
+#: ksub=256 / 8-bit codes; both are parameters here)
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic distributed PQ codebook training: dimension split into
+    ``m`` contiguous subspaces, an independent ``ksub``-means per
+    subspace. ALL m codebooks train in the same Lloyd jobs — the vector
+    frame explodes once into (subspace, sub-vector) rows and each
+    iteration is one map-side argmin (against a single folded
+    (m·ksub)×dsub literal matrix) plus one partial-aggregated
+    groupBy((subspace, cell, dim)) mean, so training cost does not grow
+    with m. Init mirrors ``kmeans_centroids``: the ksub lowest-id
+    vectors' sub-vectors per subspace, no RNG — replays identically.
+    Only the m·ksub·dsub codebook (a few KB) reaches the driver.
+
+    Returns ``codebooks[j][c] -> list[dsub floats]``."""
+    base = with_unit_meta(df, emb_col).select(id_col, "_emb")
+    first = base.select(F.size("_emb").alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty frame")
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    sub = base.select(
+        F.col(id_col).alias("_vid"),
+        F.inline(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("_j"),
+                    F.slice(F.col("_emb"), j * dsub + 1, dsub).alias("_sv"),
+                ),
+            )
+        ),
+    )
+    sub.persist()
+    try:
+        w = Window.partitionBy("_j").orderBy("_vid")
+        init = (
+            sub.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= ksub)
+            .select("_j", "_rn", "_sv")
+            .collect()
+        )
+        cb: list[list[list[float]]] = [
+            [[0.0] * dsub for _ in range(ksub)] for _ in range(m)
+        ]
+        seen: dict[int, int] = {}
+        for r in sorted(init, key=lambda r: (r["_j"], r["_rn"])):
+            cb[r["_j"]][r["_rn"] - 1] = list(r["_sv"])
+            seen[r["_j"]] = r["_rn"]
+        if min(seen.get(j, 0) for j in range(m)) < ksub:
+            raise ValueError(
+                f"corpus smaller than ksub={ksub}; shrink ksub or grow data"
+            )
+        for _ in range(iters):
+            flat = _matrix_lit([c for row in cb for c in row])
+            assigned = sub.withColumn(
+                "_cell",
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(ksub - 1)),
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.element_at(
+                                        flat,
+                                        (F.col("_j") * ksub + c + 1).cast(
+                                            "int"
+                                        ),
+                                    ),
+                                    F.col("_sv"),
+                                    lambda x, y: (x - y) * (x - y),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d"),
+                            c.cast("int").alias("i"),
+                        ),
+                    )
+                )["i"],
+            )
+            means = (
+                assigned.select(
+                    "_j", "_cell", F.posexplode("_sv").alias("_dim", "_x")
+                )
+                .groupBy("_j", "_cell", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+            nxt = [[list(c) for c in row] for row in cb]
+            touched: set[tuple[int, int]] = set()
+            for r in means:
+                if (r["_j"], r["_cell"]) not in touched:
+                    touched.add((r["_j"], r["_cell"]))
+                    nxt[r["_j"]][r["_cell"]] = [0.0] * dsub
+                nxt[r["_j"]][r["_cell"]][r["_dim"]] = r["_m"]
+            cb = nxt  # untouched (empty) cells keep their previous centroid
+        return cb
+    finally:
+        sub.unpersist()
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid indices —
+    ``_pq`` (array<int>, length m) plus ``_pqn2`` (double): the squared
+    norm of the RECONSTRUCTION Σ_j |c_{j,code_j}|², precomputed here from
+    a literal norm table so ADC scoring never touches the codebook's
+    vectors again. Map-side, zero shuffle, zero UDF; ``keep`` columns
+    ride through (the IVF-PQ composition keeps the cell assignment)."""
+    m, ksub, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    flat = _matrix_lit([c for row in codebooks for c in row])
+    norm2 = _matrix_lit(
+        [[sum(x * x for x in c) for c in row] for row in codebooks]
+    )
+    base = df.select(id_col, *keep, as_double(F.col(emb_col)).alias("_emb"))
+    coded = base.select(
+        id_col,
+        *keep,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ksub - 1)),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.element_at(
+                                    flat, (j * ksub + c + 1).cast("int")
+                                ),
+                                F.slice(F.col("_emb"), j * dsub + 1, dsub),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        c.cast("int").alias("i"),
+                    ),
+                )
+            )["i"],
+        ).alias("_pq"),
+    )
+    pqn2 = F.aggregate(
+        F.zip_with(
+            F.col("_pq"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(
+                F.element_at(norm2, (j + 1).cast("int")), (c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return coded.withColumn("_pqn2", pqn2)
+
+
+def _pq_lut(qemb: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table: ``lut[j][c] = dot(q_j, codebook[j][c])``
+    (array<array<double>>, m×ksub). Built once per query row from the
+    folded codebook literal — the classic asymmetric-distance trick:
+    scoring a corpus vector is then m array lookups, not a dim-wide dot."""
+    m, ksub, dsub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    flat = _matrix_lit([c for row in codebooks for c in row])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.element_at(flat, (j * ksub + c + 1).cast("int")),
+                    F.slice(qemb, j * dsub + 1, dsub),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+
+
+def _adc_dot(codes: Column, lut: Column) -> Column:
+    """Σ_j lut[j][codes[j]] — the ADC approximate dot product: m lookups
+    + m adds per scored pair."""
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            lut,
+            lambda c, row: F.element_at(row, (c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine over PQ codes with asymmetric-distance
+    scoring — the tier BELOW ``knn_sq8`` on the memory ladder: the
+    scanned payload per vector is m sub-byte codes (~m bytes stored as
+    ints; 8 vs SQ8's 64 vs float32's 256 for dim=64), and scoring is m
+    table lookups instead of a dim-wide dot. cos(q, x) is approximated
+    by cos(q, x̂) with x̂ the per-subspace reconstruction:
+    dot = Σ_j lut[j][code_j], |x̂| = √Σ_j |c_{j,code_j}|² (both exact in
+    the quantized model — the error is ALL in the quantization, which
+    the recall eval measures; zero-reconstruction vectors are excluded
+    like knn_sq8's all-zero guard). Output shape = knn_bruteforce."""
+    cb = codebooks or pq_train(
+        corpus, m, ksub, id_col=id_col, emb_col=emb_col
+    )
+    c = pq_codes(corpus, cb, id_col, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "_pq",
+        F.sqrt(F.col("_pqn2")).alias("_cn"),
+    ).where(F.col("_cn") > 0)
+    q = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_norm").alias("_qnorm"),
+        _pq_lut(F.col("_emb"), cb).alias("_lut"),
+    ).where(F.col("_qnorm") > 0)
+    cos = _adc_dot(F.col("_pq"), F.col("_lut")) / (
+        F.col("_qnorm") * F.col("_cn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("cos") * COS_SCALE).cast("long").alias("cos_bp"),
+        )
+    )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    refine: int = 32,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact refine — the FAISS ``IVFx,PQy + refine`` shape:
+    coarse k-means cells prune the probe set, ADC over PQ codes ranks the
+    probed candidates at m-lookups-per-pair cost, the top-``refine`` per
+    query re-rank EXACTLY against the full-precision vectors (confined to
+    |Q|·refine rows). The ladder next to ``knn_sq8_indexed``: SQ8 re-ranks
+    everything it scans at 1 byte/dim; IVF-PQ scans at ~1 byte per
+    SUBSPACE and pays full precision only for the refine set. Per-call
+    composition (train + encode in the call, like ``knn_ivf``); a
+    persisted variant would land PQ codes as a third sidecar in the ANN
+    index manifest exactly like ``codes/`` (build/append/compact all
+    reuse the cell layout — deliberately not duplicated here)."""
+    cents = centroids or kmeans_centroids(
+        corpus, k=n_cells, id_col=id_col, emb_col=emb_col
+    )
+    cb = codebooks or pq_train(corpus, m, ksub, id_col=id_col, emb_col=emb_col)
+    base = with_unit_meta(corpus, emb_col).select(
+        id_col, "_emb", "_norm", _argmin_cell(F.col("_emb"), cents).alias("cell")
+    )
+    c = pq_codes(base, cb, id_col, "_emb", keep=("cell",)).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        "_pq",
+        F.sqrt(F.col("_pqn2")).alias("_cn"),
+    ).where(F.col("_cn") > 0)
+    q = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_norm").alias("_qnorm"),
+        _pq_lut(F.col("_emb"), cb).alias("_lut"),
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias("cell"),
+    ).where(F.col("_qnorm") > 0)
+    adc = _adc_dot(F.col("_pq"), F.col("_lut")) / (
+        F.col("_qnorm") * F.col("_cn")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("_adc"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine: full-precision read confined to the shortlist pairs
+    cvec = with_unit_meta(corpus, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_norm"
+    )
+    qvec = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cand = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
+    )
+    return rerank_topk(cand, k)
