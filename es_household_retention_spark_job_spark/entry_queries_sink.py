@@ -483,6 +483,109 @@ def sink_fold_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: top-k table cache: customer plus a derived item column (c_bal_x100 mod
+#: 97) whose value MOVES on the scripted +10_000 update — every update is
+#: a genuine (group, item) retract/apply pair for the composite fold
+_SINK_TABLE_BUILT_TOPK: dict[str, tuple[str, str]] = {}
+
+
+def _mutated_table_topk(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    built = _SINK_TABLE_BUILT_TOPK.get(sf_dir)
+    if built is not None:
+        return built
+    from .sinks.incremental_agg import fold_aggregate
+    from .sinks.upsert import delete_keys, upsert_parquet, write_keyed_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_graft_sink_topk_"), "t")
+    agg_path = f"{path}_agg"
+    shutil.rmtree(path, ignore_errors=True)
+    bucket = (F.col("c_bal_x100") % 97).alias("c_bal_bucket")
+    cust = _customer(spark, sf_dir).select(
+        "c_custkey", "c_nationkey", "c_bal_x100", bucket
+    )
+    write_keyed_table(cust, path, key="c_custkey", n_buckets=_BUCKETS)
+    fold_aggregate(
+        spark, path, agg_path, ["c_nationkey", "c_bal_bucket"], n_buckets=4
+    )
+    updates = cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_bal_x100", F.col("c_bal_x100") + 10_000
+    ).withColumn("c_bal_bucket", F.col("c_bal_x100") % 97)
+    inserts = cust.where(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    prev = os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE")
+    os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+    try:
+        upsert_parquet(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            key="c_custkey",
+            n_buckets=_BUCKETS,
+        )
+        delete_keys(
+            spark,
+            path,
+            cust.where(F.col("c_custkey") % 11 == 0).select("c_custkey"),
+            key="c_custkey",
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)
+        else:
+            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = prev
+    _SINK_TABLE_BUILT_TOPK[sf_dir] = (path, agg_path)
+    return path, agg_path
+
+
+_TOPK_SQL = """
+WITH final AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 10000 ELSE 0 END AS bal
+    FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % 13 = 0
+),
+counted AS (
+  SELECT c_nationkey, bal % 97 AS c_bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM final GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, c_bal_bucket, cnt,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY cnt DESC, c_bal_bucket) AS rank
+    FROM counted
+)
+SELECT c_nationkey, c_bal_bucket, cnt, CAST(rank AS INT) AS rank
+  FROM ranked WHERE rank <= 3
+"""
+
+
+@register("sink_fold_topk", _TOPK_SQL, extra=True)
+def sink_fold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation top-3 most-frequent balance buckets, maintained
+    incrementally (round 11, sinks/incremental_agg.py::read_topk): the
+    composite (nation, bucket) count fold retracts/applies every change
+    row — the scripted +10_000 updates MOVE rows between buckets, so the
+    window carries genuine (group, item) retract+apply pairs — and the
+    read ranks within the maintained aggregate only (never the source).
+    Exact where space-saving/count-min sketches could not be (they
+    cannot retract); deterministic ties (cnt desc, bucket asc) hash-
+    match the DuckDB oracle's recompute from source parquet."""
+    from .sinks.incremental_agg import fold_aggregate, read_topk
+
+    path, agg_path = _mutated_table_topk(spark, sf_dir)
+    fold_aggregate(
+        spark, path, agg_path, ["c_nationkey", "c_bal_bucket"], n_buckets=4
+    )
+    return read_topk(
+        spark, agg_path, ["c_nationkey"], "c_bal_bucket", k=3
+    )
+
+
 #: partial-delta table cache: customer loaded, then ONE MoR partial-column
 #: upsert (only c_acctbal carried; every other column must ride the base
 #: rows through the per-column fold)

@@ -71,7 +71,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .upsert import (
@@ -722,3 +722,41 @@ def read_percentiles(
         if f.name.startswith(HIST_COL) or f.name.startswith(HLL_COL):
             df = df.drop(f.name)
     return df.drop(GROUP_KEY_COL) if GROUP_KEY_COL in df.columns else df
+
+
+def read_topk(
+    spark: SparkSession,
+    agg_path: str,
+    group_cols: list[str] | tuple[str, ...],
+    item_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact per-group top-k most-frequent items, served from a
+    fold-maintained composite-group count aggregate: maintain
+    ``fold_aggregate(group_col=[*group_cols, item_col])`` (every change
+    row is a retractable ±1 on its (group, item) count — the machinery
+    this module already has), then this read ranks within each group by
+    (cnt desc, item asc — deterministic ties) and keeps ``k``.
+
+    EXACT by construction, unlike the streaming-summary alternatives
+    (space-saving / count-min) — which is not a luxury but the point:
+    those sketches cannot retract, and this table's change feed carries
+    deletes and update preimages. The cost is state O(distinct (group,
+    item)) instead of O(k) per group; the read shuffles only the
+    AGGREGATE table (never the source), so the trade is a bounded,
+    maintained serving table — the same shape Delta/Hudi users
+    materialize for top-N dashboards."""
+    df = read_aggregate(spark, agg_path)
+    w = Window.partitionBy(
+        *[F.col(c) for c in group_cols]
+    ).orderBy(F.col("cnt").desc(), F.col(item_col).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            *group_cols,
+            item_col,
+            "cnt",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

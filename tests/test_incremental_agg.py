@@ -561,3 +561,62 @@ def test_histogram_spec_recorded_and_enforced(spark, tmp_path):
     fold_aggregate(
         spark, src, agg, "g", n_buckets=4, hist_cols={"v": (0, 600, 60)}
     )
+
+
+def test_read_topk_matches_recompute_across_moves(spark, tmp_path, monkeypatch):
+    """Exact top-k frequent items from the composite (group, item) count
+    fold: updates that MOVE an item (retract one bucket, apply another),
+    deletes, and inserts all fold; the ranked read equals a from-scratch
+    recompute with the same deterministic tie-break."""
+    from es_household_retention_spark_job_spark.sinks.incremental_agg import (
+        read_topk,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    src = str(tmp_path / "topk_src")
+    agg = str(tmp_path / "topk_agg")
+    rows = [(f"k{i}", i % 3, (i * i) % 7) for i in range(60)]
+    write_keyed_table(
+        spark.createDataFrame(rows, "k string, g int, item long"),
+        src,
+        key="k",
+        n_buckets=8,
+    )
+    fold_aggregate(spark, src, agg, ["g", "item"], n_buckets=4)
+
+    def truth():
+        df = read_keyed_table(spark, src).groupBy("g", "item").count()
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["g"], []).append((r["item"], r["count"]))
+        return {
+            g: [
+                item
+                for item, _ in sorted(v, key=lambda t: (-t[1], t[0]))[:2]
+            ]
+            for g, v in out.items()
+        }
+
+    def folded():
+        out: dict = {}
+        for r in read_topk(spark, agg, ["g"], "item", k=2).collect():
+            out.setdefault(r["g"], []).append((r["rank"], r["item"]))
+        return {g: [i for _, i in sorted(v)] for g, v in out.items()}
+
+    assert folded() == truth()
+    # moves + deletes + inserts
+    upsert_parquet(
+        spark,
+        src,
+        spark.createDataFrame(
+            [("k1", 1, 6), ("k4", 1, 6), ("k7", 1, 6), ("n1", 2, 0)],
+            "k string, g int, item long",
+        ),
+        key="k",
+        n_buckets=8,
+    )
+    delete_keys(
+        spark, src, spark.createDataFrame([("k9",), ("k12",)], "k string")
+    )
+    fold_aggregate(spark, src, agg, ["g", "item"], n_buckets=4)
+    assert folded() == truth()
