@@ -57,6 +57,8 @@ log without touching callers.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -563,6 +565,99 @@ def _parquet_key_range(file_path: str, key: str) -> list | None:
         return None  # stats are an optimization; never fail a publish
 
 
+#: Bloom sizing: 12 bits/key at 7 hashes ≈ 0.3% false-positive rate PER
+#: PROBE — a point lookup tests each of a bucket's probes against each of
+#: its delta files, so the per-file skip probability compounds over the
+#: bucket's probe count (~96% skip at 12 probes/bucket). A false positive
+#: only costs reading a delta file that range pruning would have read
+#: anyway; false negatives are impossible by construction.
+_BLOOM_BITS_PER_KEY = 12
+_BLOOM_HASHES = 7
+
+
+def _bloom_max_keys() -> int:
+    """``SPARK_GRAFT_MOR_BLOOM_MAX_KEYS``: largest delta-file row count a
+    key Bloom filter is recorded for (the filter lives base64 in the
+    manifest — ~1.7 KB per 1k keys; a huge delta overlaps most probes
+    anyway, so past the cap range pruning alone carries the skip)."""
+    return int(os.environ.get("SPARK_GRAFT_MOR_BLOOM_MAX_KEYS", "4096"))
+
+
+def _bloom_positions(key, m: int) -> list[int] | None:
+    """The filter's bit positions for a key: double hashing over the two
+    halves of the PORTABLE md5 of the key's canonical text. int/str keys
+    only — identical canonicalization at build and probe time is what
+    makes false negatives impossible; any other type returns None (build:
+    no filter recorded; probe: treated as possibly-present)."""
+    if isinstance(key, bool) or not isinstance(key, (int, str)):
+        return None
+    raw = hashlib.md5(str(key).encode("utf-8")).digest()
+    h1 = int.from_bytes(raw[:8], "big")
+    h2 = int.from_bytes(raw[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_build(file_path: str, key: str) -> dict | None:
+    """Key Bloom filter of a freshly-written delta file (tombstone rows
+    included — their keys are delta rows too), read back with pyarrow as
+    one column of a local file the publish just wrote. None above the
+    size cap, for non-int/str keys, when disabled
+    (``SPARK_GRAFT_SINK_BLOOM=off``), or on any read trouble — the
+    reader then falls back to range-only pruning."""
+    if os.environ.get("SPARK_GRAFT_SINK_BLOOM", "on") == "off":
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(file_path)
+        n = pf.metadata.num_rows  # footer first: an over-cap delta costs
+        if n == 0 or n > _bloom_max_keys():  # no column read at all
+            return None
+        tbl = pf.read(columns=[key])
+        m = max(64, _BLOOM_BITS_PER_KEY * n)
+        bits = bytearray((m + 7) // 8)
+        for v in tbl.column(0).to_pylist():
+            if v is None:
+                continue
+            pos = _bloom_positions(v, m)
+            if pos is None:
+                return None
+            for p in pos:
+                bits[p >> 3] |= 1 << (p & 7)
+        return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+    except Exception:
+        return None  # like key ranges: an optimization, never a failure
+
+
+def _bloom_contains(bloom: dict, key) -> bool:
+    """Membership probe; True (possibly-present) on any doubt."""
+    try:
+        m = int(bloom["m"])
+        bits = base64.b64decode(bloom["b64"])
+        pos = _bloom_positions(key, m)
+        if pos is None:
+            return True
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
+    except Exception:
+        return True
+
+
+def _delta_may_contain(rng, bloom, probe_keys) -> bool:
+    """Can this delta file hold any probe key? Range check first (footer
+    stats), then the Bloom filter over the in-range probes. Missing
+    metadata keeps the conservative answer; a TypeError from mixed key
+    types propagates to the caller's never-skip-on-a-guess handler."""
+    if rng is not None:
+        in_range = [k for k in probe_keys if rng[0] <= k <= rng[1]]
+        if not in_range:
+            return False
+    else:
+        in_range = list(probe_keys)
+    if bloom is None:
+        return True
+    return any(_bloom_contains(bloom, k) for k in in_range)
+
+
 def _snapshot_path(path: str, version: int) -> str:
     return os.path.join(path, f"{SNAPSHOT_PREFIX}{version:08d}.json")
 
@@ -613,6 +708,9 @@ def _write_snapshot(
         "mor": manifest.get("mor", {}),
         # per-delta key ranges AS OF this version (point-lookup skip)
         "mor_stats": manifest.get("mor_stats", {}),
+        # per-delta key Bloom filters AS OF this version (same skip, for
+        # probes inside a delta's range but absent from it)
+        "mor_bloom": manifest.get("mor_bloom", {}),
         # per-delta-file PARTIAL column lists AS OF this version: a
         # time-travel read (and the change feed's per-version resolved
         # states) must fold partial deltas with the same masks a current
@@ -849,6 +947,17 @@ def _publish(
                             )
                             if rng is not None:
                                 stats[name] = rng
+                            # per-delta key Bloom (round 11): catches the
+                            # probe that falls INSIDE a delta's key range
+                            # but isn't in the delta — the residual read
+                            # tax range pruning can't touch
+                            bl = _bloom_build(
+                                os.path.join(path, d, name), mor_key
+                            )
+                            if bl is not None:
+                                manifest.setdefault(
+                                    "mor_bloom", {}
+                                ).setdefault(d, {})[name] = bl
             else:
                 for old in manifest["live"].get(d, []):
                     manifest["garbage"].append({"rel": f"{d}/{old}", "ts": now})
@@ -857,6 +966,7 @@ def _publish(
                 manifest.get("mor", {}).pop(d, None)
                 manifest.get("mor_stats", {}).pop(d, None)
                 manifest.get("mor_cols", {}).pop(d, None)
+                manifest.get("mor_bloom", {}).pop(d, None)
         if app_meta:
             manifest.setdefault("app", {}).update(app_meta)
         _bump_version(manifest, now)
@@ -1040,7 +1150,7 @@ def _resolved_state(
     manifest: dict | None,
     layout: dict | None,
     restrict: list | None = None,
-    probe_keys: list | None = None,
+    probe_map: dict[int, list] | None = None,
 ) -> DataFrame:
     """The table's RESOLVED user-visible state as of ``manifest`` (current
     or a time-travel snapshot), confined to ``restrict`` bucket ids when
@@ -1071,7 +1181,7 @@ def _resolved_state(
                     d for d in dirty_dirs if int(d.split("=", 1)[1]) in keep
                 ]
             skipped_base_files: list[str] = []
-            if probe_keys is not None and dirty_dirs:
+            if probe_map is not None and dirty_dirs:
                 # MoR read-tax pruning: a dirty bucket none of whose delta
                 # files' key [min, max] ranges (footer stats recorded at
                 # publish, ledger "mor_stats") can contain a probe key is
@@ -1082,14 +1192,21 @@ def _resolved_state(
                 # a delta file without stats, or an incomparable key type,
                 # keeps its bucket dirty.
                 stats = manifest.get("mor_stats") or {}
+                blooms = manifest.get("mor_bloom") or {}
                 still_dirty = []
                 for d in dirty_dirs:
                     st = stats.get(d) or {}
+                    bl = blooms.get(d) or {}
+                    # only this BUCKET's probes: testing the whole probe
+                    # list against every file compounds the Bloom
+                    # false-positive rate |probes|-fold
+                    bucket_probes = probe_map.get(
+                        int(d.split("=", 1)[1]), []
+                    )
                     try:
                         overlap = any(
-                            f not in st
-                            or any(
-                                st[f][0] <= k <= st[f][1] for k in probe_keys
+                            _delta_may_contain(
+                                st.get(f), bl.get(f), bucket_probes
                             )
                             for f in ledger[d]
                         )
@@ -1248,17 +1365,25 @@ LOOKUP_ISIN_MAX = 256
 
 def _lookup_buckets(
     spark: SparkSession, keys: list, key: str, key_type, n_buckets: int
-) -> list[int]:
-    """The bucket ids a key list hashes to — computed IN-ENGINE (one
-    |keys|-row local-relation job) so the bucketing function has exactly
-    one definition (`_with_bucket`'s xxhash64/pmod); a driver-side Python
-    reimplementation would silently diverge on hash semantics. The
-    collect is bounded by min(|keys|, n_buckets) ints."""
+) -> dict[int, list]:
+    """Probe keys grouped by the bucket id they hash to — computed
+    IN-ENGINE (one |keys|-row local-relation job) so the bucketing
+    function has exactly one definition (`_with_bucket`'s xxhash64/pmod);
+    a driver-side Python reimplementation would silently diverge on hash
+    semantics. The collect returns the caller's own key list back (plus a
+    bucket id each), so it is bounded by what the caller already held.
+    Per-bucket grouping matters to the Bloom skip: testing every probe
+    against every delta file compounds the per-key false-positive rate
+    |probes|-fold; each file only ever sees the probes that can actually
+    live in its bucket."""
     kdf = spark.createDataFrame(
         [(k,) for k in keys], StructType([StructField(key, key_type, False)])
     )
-    rows = _with_bucket(kdf, key, n_buckets).select(BUCKET_COL).distinct().collect()
-    return sorted(r[0] for r in rows)
+    rows = _with_bucket(kdf, key, n_buckets).select(BUCKET_COL, key).collect()
+    out: dict[int, list] = {}
+    for r in rows:
+        out.setdefault(int(r[0]), []).append(r[1])
+    return out
 
 
 def read_keyed_table(
@@ -1312,7 +1437,8 @@ def read_keyed_table(
             (schema[lkey].dataType if schema and lkey in schema.names else None)
             or StringType()
         )
-        restrict = _lookup_buckets(spark, keys, lkey, key_type, n_buckets)
+        probe_map = _lookup_buckets(spark, keys, lkey, key_type, n_buckets)
+        restrict = sorted(probe_map)
     manifest = None
     if version is not None:
         try:
@@ -1357,7 +1483,7 @@ def read_keyed_table(
         manifest,
         layout,
         restrict,
-        probe_keys=list(keys) if keys is not None else None,
+        probe_map=probe_map if keys is not None else None,
     )
     if keys is not None:
         lkey = layout["key"]

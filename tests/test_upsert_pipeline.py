@@ -2292,3 +2292,109 @@ def test_point_lookup_skips_nonoverlapping_deltas(spark, tmp_path, monkeypatch):
     # overlapping probe still reconciles (delta value wins)
     df2 = read_keyed_table(spark, path, keys=[5, 95])
     assert {r["k"]: r["v"] for r in df2.collect()} == {5: 50, 95: 0}
+
+
+def test_point_lookup_bloom_skips_in_range_absent_probes(spark, tmp_path, monkeypatch):
+    """MoR Bloom pruning (round 11): each delta file's key Bloom filter
+    rides the manifest next to its [min, max] range; a probe key INSIDE
+    a delta's range but ABSENT from the delta — the case range pruning
+    cannot touch — skips the delta files and the reconciliation window.
+    A probe actually in the delta still reconciles (no false negatives),
+    and the knob/cap fall back to range-only pruning."""
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WRITE_MODE", "mor")
+    n = 1  # one bucket: every key collides into the dirty bucket
+    path = str(tmp_path / "mor_bloom")
+    write_keyed_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "k long, v long"
+        ),
+        path,
+        key="k",
+        n_buckets=n,
+    )
+    # delta touches only EVEN keys in 10..90 — wide range, sparse members
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, 0) for i in range(10, 91, 2)], "k long, v long"
+        ),
+        key="k",
+        n_buckets=n,
+    )
+    man = U._read_manifest(path)
+    d = f"{U.BUCKET_COL}=0"
+    assert man["mor"].get(d)
+    bl = man.get("mor_bloom", {}).get(d, {})
+    assert set(bl) == set(man["mor"][d])  # every delta file has a filter
+    st = man.get("mor_stats", {}).get(d, {})
+    assert all(lo == 10 and hi == 90 for lo, hi in st.values())
+
+    # odd probes inside [10, 90]: range overlaps, Bloom says absent →
+    # base file only, no window planned, no delta file opened
+    df = read_keyed_table(spark, path, keys=[15, 77])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    delta_files = {f"{d}/{f}" for f in man["mor"][d]}
+    touched = {"/".join(f.split("/")[-2:]) for f in df.inputFiles()}
+    assert not (touched & delta_files)
+    assert {r["k"]: r["v"] for r in df.collect()} == {15: 150, 77: 770}
+
+    # a probe IN the delta still reconciles — the no-false-negative side
+    df2 = read_keyed_table(spark, path, keys=[15, 44])
+    assert {r["k"]: r["v"] for r in df2.collect()} == {15: 150, 44: 0}
+
+    # disabled / over-cap publishes record no filter and stay correct
+    for env, val in [
+        ("SPARK_GRAFT_SINK_BLOOM", "off"),
+        ("SPARK_GRAFT_MOR_BLOOM_MAX_KEYS", "3"),
+    ]:
+        p2 = str(tmp_path / f"mor_bloom_{env}")
+        monkeypatch.setenv(env, val)
+        try:
+            write_keyed_table(
+                spark.createDataFrame([(i, i) for i in range(20)], "k long, v long"),
+                p2,
+                key="k",
+                n_buckets=n,
+            )
+            upsert_parquet(
+                spark,
+                p2,
+                spark.createDataFrame([(4, -4), (8, -8), (12, -12), (16, -16)], "k long, v long"),
+                key="k",
+                n_buckets=n,
+            )
+            m2 = U._read_manifest(p2)
+            assert not m2.get("mor_bloom")
+            got = {r["k"]: r["v"] for r in read_keyed_table(spark, p2, keys=[3, 4]).collect()}
+            assert got == {3: 3, 4: -4}
+        finally:
+            monkeypatch.delenv(env)
+
+
+def test_bloom_portable_hash_and_membership():
+    """Unit contract: no false negatives over int/str keys, canonical
+    int/str cross-type probes stay conservative, non-hashable types are
+    possibly-present."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile as _tf
+
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _bloom_build,
+        _bloom_contains,
+    )
+
+    with _tf.TemporaryDirectory() as td:
+        f = f"{td}/d.parquet"
+        keys = list(range(0, 2000, 2)) + [10**12 + 7]
+        pq.write_table(pa.table({"k": keys}), f)
+        bl = _bloom_build(f, "k")
+        assert bl is not None
+        assert all(_bloom_contains(bl, k) for k in keys)  # never a false neg
+        misses = sum(_bloom_contains(bl, k) for k in range(1, 2000, 2))
+        assert misses <= 50  # ~0.8% expected FPR, generous margin
+        assert _bloom_contains(bl, 3.5) is True  # non-int/str: conservative
