@@ -125,6 +125,15 @@ R9_QUERIES = [
     "neardup_probe_indexed",
 ]
 
+#: round-11 additions: the PQ tier and the new fold families (histogram
+#: percentiles, exact top-k) — the sink tables/codebooks build once per
+#: process in the warmup pass, timed passes measure the maintained reads
+R11_QUERIES = [
+    "knn_ivfpq",
+    "sink_fold_percentile",
+    "sink_fold_topk",
+]
+
 REPS = 7
 FAMILY_REPS = 3
 WARMUP_PASSES = 2
@@ -199,7 +208,7 @@ def main() -> None:
     sections = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_SECTIONS",
-            "headline,families,r6,r7,r8,r9,streaming",
+            "headline,families,r6,r7,r8,r9,r11,streaming",
         ).split(",")
     )
 
@@ -227,6 +236,9 @@ def main() -> None:
 
     r9_stats, _ = section(R9_QUERIES, "r9", FAMILY_REPS)
     r9 = {n: s["median"] for n, s in r9_stats.items()}
+
+    r11_stats, _ = section(R11_QUERIES, "r11", FAMILY_REPS)
+    r11 = {n: s["median"] for n, s in r11_stats.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -273,6 +285,9 @@ def main() -> None:
         "r9_total": round(sum(r9.values()), 3),
         "r9": r9,
         "r9_stats": r9_stats,
+        "r11_total": round(sum(r11.values()), 3),
+        "r11": r11,
+        "r11_stats": r11_stats,
     }
     if "streaming" in sections:
         try:

@@ -230,6 +230,7 @@ def test_chunked_sessionize_never_exchanges_events_by_user_alone(spark):
         "knn_ivf_indexed",
         "knn_sq8_indexed",
         "knn_ann_auto",
+        "knn_ivfpq",
         "hybrid_mlt_search_ann",
         "neardup_probe_indexed",
         "dedup_minhash_lsh",
