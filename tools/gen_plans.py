@@ -37,6 +37,11 @@ EXTRA_PLANS = [
     "null_semantics_battery",
     # round-11 addition: the partial-column MoR delta read surface
     "sink_partial_delta",
+    # round-11 additions (this session): the PQ tier and the new fold
+    # read surfaces
+    "knn_ivfpq",
+    "sink_fold_percentile",
+    "sink_fold_topk",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
