@@ -788,6 +788,50 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: separate from _ANN_INDEX_BUILT on purpose: upgrading the SHARED index
+#: with a pq sidecar would let knn_ann_auto's route flip to the pq tier
+#: depending on which extras row ran first — registry-order-dependent
+#: results, exactly what the frozen-registry discipline forbids.
+_ANN_PQ_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ann_pq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    path = _ANN_PQ_INDEX_BUILT.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_ann_pq_index_"), "idx"
+        )
+        S.build_ann_index(_embs(spark, sf_dir), path, pq=True)
+        _ANN_PQ_INDEX_BUILT[sf_dir] = path
+    return path
+
+
+@register("knn_pq_indexed", extra=True)  # rows-only like knn_ivf_indexed:
+# the claim is path-independence — byte-equality with the per-call
+# knn_ivfpq at the stored quantizers is pinned in tests/test_ann_pq_index.py;
+# recall evidence is knn_pq_eval's clustered floor + knn_ivfpq's knobs.
+def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from the persisted index's ``pq/`` sidecar (round 11,
+    similarity.knn_pq_indexed): ADC candidate generation reads ~m
+    dict-encoded bytes per probed vector — the tier below SQ8 on the
+    memory ladder — and the shared exact-refine tail restores fine
+    ranking from ``cells/``. Same knobs as the per-call knn_ivfpq row
+    (probe 12/16, refine 200 for the near-orthogonal testdata)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_pq_indexed(
+        spark,
+        _ann_pq_index_path(spark, sf_dir),
+        queries,
+        k=KNN_K,
+        n_probe=12,
+        refine=200,
+    )
+
+
 @register("knn_pq_eval", extra=True)  # rows-only info row, the
 # knn_ann_eval pattern: the recall numbers ARE the evidence.
 def knn_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

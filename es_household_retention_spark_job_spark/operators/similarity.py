@@ -666,6 +666,46 @@ def _codes_for(assigned: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _pq_codes_for(assigned: DataFrame, cb: list, id_col: str) -> DataFrame:
+    """PQ sidecar rows (id, _pq m-array, _cn reconstruction norm, cell)
+    for an assigned-cells frame — ``pq_codes``'s encoder with the cell
+    assignment riding through and the norm pre-rooted at write time
+    (per-vector constant, same trade as ``_codes_for``)."""
+    return pq_codes(assigned, cb, id_col, "_emb", keep=(ANN_CELL_COL,)).select(
+        id_col,
+        "_pq",
+        F.sqrt(F.col("_pqn2")).alias("_cn"),
+        ANN_CELL_COL,
+    )
+
+
+def _write_pq_books(spark, books_dir: str, cb: list) -> None:
+    """Persist PQ codebooks as (j subspace, c centroid-id, centroid) rows —
+    a few KB; the read side reassembles the m×ksub×dsub nested list in
+    (j, c) order."""
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in vec])
+            for j, row in enumerate(cb)
+            for c, vec in enumerate(row)
+        ],
+        "j int, c int, centroid array<double>",
+    ).write.mode("overwrite").parquet(books_dir)
+
+
+def _read_pq_books(spark, path: str, manifest: dict) -> list[list[list[float]]]:
+    """The index's PQ codebooks, resolved through the manifest's
+    ``pq_books_dir`` pointer — the ADC twin of ``_read_centroids``."""
+    sub = manifest.get("pq_books_dir", "pq_books")
+    rows = spark.read.parquet(os.path.join(path, sub)).collect()
+    m = 1 + max(r["j"] for r in rows)
+    ksub = 1 + max(r["c"] for r in rows)
+    cb: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        cb[r["j"]][r["c"]] = list(r["centroid"])
+    return cb
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -674,6 +714,9 @@ def build_ann_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    pq: bool = False,
+    pq_m: int | None = None,
+    pq_ksub: int | None = None,
 ) -> None:
     """Persist the IVF structure — the vector-side twin of
     ``build_text_index``: ``cells/`` holds (vec_id, _emb, _norm)
@@ -721,17 +764,33 @@ def build_ann_index(
         str(r[ANN_CELL_COL]): int(r["n"])
         for r in assigned.groupBy(ANN_CELL_COL).agg(F.count("*").alias("n")).collect()
     }
+    manifest = {
+        "version": 1,
+        "n_cells": int(n_cells),
+        "cells": _list_cell_files(path),
+        "codes": _list_cell_files(path, "codes"),
+        "cell_rows": cell_rows,
+    }
+    if pq:
+        # pq/: the PQ sidecar — ~m bytes/vector ADC codes + reconstruction
+        # norm, same cell partitioning; the codebooks land next to
+        # centroids/ and version through the manifest's pq_books_dir
+        # pointer exactly like the coarse quantizer (split maintenance
+        # publishes generation dirs)
+        m = int(pq_m) if pq_m is not None else PQ_M
+        ksub = int(pq_ksub) if pq_ksub is not None else PQ_KSUB
+        cb = pq_train(assigned, m, ksub, id_col=id_col, emb_col="_emb")
+        _pq_codes_for(assigned, cb, id_col).repartition(
+            n_cells, F.col(ANN_CELL_COL)
+        ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+            "overwrite"
+        ).partitionBy(ANN_CELL_COL).parquet(f"{path}/pq")
+        _write_pq_books(spark, os.path.join(path, "pq_books"), cb)
+        manifest["pq"] = _list_cell_files(path, "pq")
+        manifest["pq_params"] = {"m": m, "ksub": ksub}
+        manifest["pq_books_dir"] = "pq_books"
     assigned.unpersist()
-    _write_ann_manifest(
-        path,
-        {
-            "version": 1,
-            "n_cells": int(n_cells),
-            "cells": _list_cell_files(path),
-            "codes": _list_cell_files(path, "codes"),
-            "cell_rows": cell_rows,
-        },
-    )
+    _write_ann_manifest(path, manifest)
 
 
 def knn_ivf_indexed(
@@ -856,7 +915,9 @@ def _ann_roll_retired(
     if new_entry is not None and (
         new_entry.get("cells")
         or new_entry.get("codes")
+        or new_entry.get("pq")
         or new_entry.get("centroids_dir")
+        or new_entry.get("pq_books_dir")
     ):
         retired.append(new_entry)
     return retired
@@ -884,7 +945,19 @@ def _sweep_stray_ann(path: str, manifest: dict) -> None:
             and os.path.isdir(os.path.join(path, d))
         ):
             _shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    for key in ("cells", "codes"):
+    # PQ codebook generation dirs sweep like centroid generations: keep the
+    # manifest's current pointer and every live retired entry's pointer
+    kept_books = {manifest.get("pq_books_dir")} | {
+        e.get("pq_books_dir") for e in manifest.get("retired", [])
+    }
+    for d in os.listdir(path):
+        if (
+            d.startswith("pq_books_gen-")
+            and d not in kept_books
+            and os.path.isdir(os.path.join(path, d))
+        ):
+            _shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for key in ("cells", "codes", "pq"):
         referenced = {
             (d, f) for d, fs in manifest.get(key, {}).items() for f in fs
         }
@@ -974,9 +1047,11 @@ def append_ann_index(
     cents = _read_centroids(spark, path, manifest)
     assigned = _assigned_cells(vecs_delta, cents, id_col, emb_col).persist()
     has_codes = "codes" in manifest
+    has_pq = bool(manifest.get("pq"))
     gen = uuid.uuid4().hex[:8]
     stage = f"{path}/.cells_stage_{gen}"
     stage_codes = f"{path}/.codes_stage_{gen}"
+    stage_pq = f"{path}/.pq_stage_{gen}"
     try:
         assigned.repartition(len(cents), F.col(ANN_CELL_COL)).sortWithinPartitions(
             ANN_CELL_COL, id_col
@@ -1014,6 +1089,25 @@ def append_ann_index(
             new_manifest["codes"] = {
                 d: sorted(fs) for d, fs in new_codes.items()
             }
+        if has_pq:  # maintain the PQ sidecar in the same commit: encode
+            # the delta with the STORED codebooks (frozen like the coarse
+            # quantizer — appends change where training data ends, never
+            # assignment or scoring)
+            cb = _read_pq_books(spark, path, manifest)
+            _pq_codes_for(assigned, cb, id_col).repartition(
+                len(cents), F.col(ANN_CELL_COL)
+            ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+                "overwrite"
+            ).partitionBy(ANN_CELL_COL).parquet(stage_pq)
+            new_pq = {d: list(fs) for d, fs in manifest["pq"].items()}
+            for d, names in _move_staged_cells(
+                path, stage_pq, gen, "pq"
+            ).items():
+                new_pq.setdefault(d, []).extend(names)
+            new_manifest["pq"] = {d: sorted(fs) for d, fs in new_pq.items()}
+        for carry in ("pq_params", "pq_books_dir"):
+            if manifest.get(carry) is not None:
+                new_manifest[carry] = manifest[carry]
         new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
         if epoch is not None:
             # epoch marker + stream label commit together (anonymous
@@ -1036,6 +1130,7 @@ def append_ann_index(
         assigned.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(stage_codes, ignore_errors=True)
+        shutil.rmtree(stage_pq, ignore_errors=True)
 
 
 def compact_ann_index(spark, path: str) -> int:
@@ -1061,7 +1156,7 @@ def compact_ann_index(spark, path: str) -> int:
         manifest = _bootstrap_ann_manifest(spark, path)
     todo = {
         key: {d: fs for d, fs in manifest.get(key, {}).items() if len(fs) > 1}
-        for key in ("cells", "codes")
+        for key in ("cells", "codes", "pq")
     }
     n_compacted = sum(len(m) for m in todo.values())
     if n_compacted == 0:
@@ -1081,6 +1176,11 @@ def compact_ann_index(spark, path: str) -> int:
         new_manifest["codes"] = {
             d: list(fs) for d, fs in manifest["codes"].items()
         }
+    if "pq" in manifest:
+        new_manifest["pq"] = {d: list(fs) for d, fs in manifest["pq"].items()}
+    for carry in ("pq_params", "pq_books_dir"):
+        if manifest.get(carry) is not None:
+            new_manifest[carry] = manifest[carry]
     stages = []
     try:
         for key, multi in todo.items():
@@ -1097,7 +1197,7 @@ def compact_ann_index(spark, path: str) -> int:
             id_field = next(
                 c
                 for c in df.columns
-                if c not in ("_emb", "_norm", "_q", "_cn", ANN_CELL_COL)
+                if c not in ("_emb", "_norm", "_q", "_pq", "_cn", ANN_CELL_COL)
             )
             df.repartition(len(multi), F.col(ANN_CELL_COL)).sortWithinPartitions(
                 ANN_CELL_COL, id_field
@@ -1112,6 +1212,7 @@ def compact_ann_index(spark, path: str) -> int:
                 "ts": now,
                 "cells": todo["cells"],
                 "codes": todo["codes"],
+                "pq": todo["pq"],
             },
         )
         if manifest.get("last_epoch") is not None:
@@ -1382,6 +1483,32 @@ def knn_sq8_indexed(
         .where(F.col("_ar") <= R)
         .select("query_id", "neighbor_id")
     )
+    return _exact_refine_from_cells(
+        spark, path, manifest, wanted, probe_union, cand_frame, qbase,
+        queries, k, R, id_col,
+    )
+
+
+def _exact_refine_from_cells(
+    spark,
+    path: str,
+    manifest: dict,
+    wanted: set[str],
+    probe_union: list,
+    cand_frame: DataFrame,
+    qbase: DataFrame,
+    queries: DataFrame,
+    k: int,
+    R: int,
+    id_col: str,
+) -> DataFrame:
+    """The exact-re-rank tail shared by the quantized serving plans
+    (``knn_sq8_indexed``, ``knn_pq_indexed``): read the shortlist pairs'
+    full-precision vectors from the probe-pruned ``cells/`` files and
+    recompute exact double cosines. Two plans by candidate volume —
+    bounded driver collect + id In-filter below
+    ``SPARK_GRAFT_SQ8_CAND_COLLECT_MAX``, fully distributed join above
+    (no driver materialization grows with |Q|; r9 advisory)."""
     cell_files = [
         os.path.join(path, "cells", d, f)
         for d, fs in manifest["cells"].items()
@@ -1408,7 +1535,12 @@ def knn_sq8_indexed(
         # not whole probe cells
         cand_rows = cand_frame.collect()
         if not cand_rows:
-            return empty()
+            return queries.where(F.lit(False)).select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0).cast("int").alias("rank"),
+                F.lit(0).cast("long").alias("cos_bp"),
+            )
         cand = spark.createDataFrame(
             cand_rows,
             queries.where(F.lit(False))
@@ -1456,6 +1588,13 @@ def _route_weights() -> dict[str, float]:
         # to ~1 byte/dim)
         "row_double": float(env.get("SPARK_GRAFT_ANN_W_ROW_DOUBLE", "2.0")),
         "row_code": float(env.get("SPARK_GRAFT_ANN_W_ROW_CODE", "0.25")),
+        # PQ tier: an ADC pair is m (=8) table lookups vs a dim (=64)-wide
+        # dot (element_at lookups cost ~2× a fused zip element — the dot()
+        # docstring's measurement — so 8 lookups ≈ 16 zip elements ≈ 1/4
+        # of the 64-element int8 fold ≈ 0.2 double-pairs); a pq row is
+        # ~m dict-encoded ints + one norm double vs dim doubles
+        "pair_pq": float(env.get("SPARK_GRAFT_ANN_W_PAIR_PQ", "0.2")),
+        "row_pq": float(env.get("SPARK_GRAFT_ANN_W_ROW_PQ", "0.08")),
         # fixed per-plan-pass overhead (job scheduling, window exchange,
         # codegen) in pair-score units — the term whose ABSENCE made the
         # round-10 route pick SQ8 in a regime where the scans are tiny
@@ -1471,6 +1610,7 @@ def ann_route_costs(
     probe_rows: int,
     scored_pairs: int,
     has_codes: bool = True,
+    has_pq: bool = False,
 ) -> dict[str, float]:
     """Pure cost model for the SQ8-composed vs plain-IVF serving plans —
     every input is a free index/batch statistic (no data file opened):
@@ -1506,6 +1646,17 @@ def ann_route_costs(
             + cand * w["pair_double"]
             + 4 * w["pass"]
         )
+    if has_pq:
+        # same plan shape as sq8 (approximate shortlist + exact refine),
+        # cheaper scan and pair terms — the tier wins when scored_pairs
+        # dominates and loses its edge to the identical refine tail
+        costs["pq"] = (
+            scored_pairs * w["pair_pq"]
+            + probe_rows * w["row_pq"]
+            + min(cand, probe_rows) * w["row_double"]
+            + cand * w["pair_double"]
+            + 4 * w["pass"]
+        )
     return costs
 
 
@@ -1518,15 +1669,21 @@ def choose_ann_route(
     rerank: int | None = None,
     emb_col: str = "embedding",
     with_plan: bool = False,
+    tiers: tuple[str, ...] | None = None,
 ):
-    """('sq8'|'ivf', candidate_pairs, probe_rows) — the routing decision
-    behind ``knn_ann_auto``, priced entirely from index metadata via
-    ``ann_route_costs``: the manifest's per-cell row ledger (written by
-    build/append, footer-bootstrapped for legacy indexes) gives both the
-    probe-union row count AND the per-query scored-pair total without
+    """('sq8'|'ivf'|'pq', candidate_pairs, probe_rows) — the routing
+    decision behind ``knn_ann_auto``, priced entirely from index metadata
+    via ``ann_route_costs``: the manifest's per-cell row ledger (written
+    by build/append, footer-bootstrapped for legacy indexes) gives both
+    the probe-union row count AND the per-query scored-pair total without
     opening a data file; |queries|·rerank bounds the exact-re-rank read.
     The only jobs are query-batch-sized (probe assignment + count) — the
     same free-statistic discipline as ``choose_search_route``.
+
+    ``tiers`` restricts the candidate plans (e.g. ``("ivf", "sq8")`` to
+    keep the route off the PQ tier when the caller's recall budget is
+    tighter than PQ's shortlist noise at the chosen rerank); None lets
+    every plan the index materializes compete.
 
     ``with_plan=True`` returns ``(route, stats, plan)`` where ``plan``
     carries the already-read manifest, centroid matrix, and probe-cell
@@ -1562,8 +1719,22 @@ def choose_ann_route(
     )
     cand_pairs = n_q * R
     costs = ann_route_costs(
-        n_q, R, probe_rows, scored_pairs, has_codes=bool(manifest.get("codes"))
+        n_q,
+        R,
+        probe_rows,
+        scored_pairs,
+        has_codes=bool(manifest.get("codes")),
+        has_pq=bool(manifest.get("pq")),
     )
+    if tiers is not None:
+        allowed = {t for t in tiers} & set(costs)
+        if not allowed:
+            raise ValueError(
+                f"tiers={tiers!r} excludes every plan this index "
+                f"materializes ({sorted(costs)}); build the missing sidecar "
+                "or widen tiers"
+            )
+        costs = {t: c for t, c in costs.items() if t in allowed}
     route = min(costs, key=costs.get)
     if not with_plan:
         return route, cand_pairs, probe_rows
@@ -1592,6 +1763,7 @@ def knn_ann_auto(
     rerank: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    tiers: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Cost-routed ANN over a persisted IVF index: serves the batch from
     the SQ8-composed plan (``knn_sq8_indexed`` — probe-pruned code scan +
@@ -1599,16 +1771,25 @@ def knn_ann_auto(
     the probe rows, from plain ``knn_ivf_indexed`` otherwise — the
     ``bm25_search_auto`` pattern for vectors, making the measured
     fixed-batch/corpus-fraction crossover (SCALING.md round 9) a plan
-    choice the caller no longer has to make. Same output shape either
-    way (query_id, neighbor_id, rank, cos_bp with exact double cosines);
-    ranks agree wherever the SQ8 candidate generation's recall does —
-    the same recall contract ``knn_sq8_indexed`` publishes. The route's
-    planning work (manifest, centroid matrix, probe assignment) is
-    computed ONCE and handed to the chosen endpoint (r10 advisory)."""
+    choice the caller no longer has to make. An index carrying the PQ
+    sidecar adds the third tier (``knn_pq_indexed`` — ~m-bytes/vector ADC
+    shortlist + the same exact refine); its shortlist is noisier than
+    SQ8's at equal rerank, so callers with a strict recall budget can pin
+    ``tiers=("ivf", "sq8")``. Same output shape every way (query_id,
+    neighbor_id, rank, cos_bp with exact double cosines); ranks agree
+    wherever the candidate generation's recall does — each tier's
+    published recall contract. The route's planning work (manifest,
+    centroid matrix, probe assignment) is computed ONCE and handed to the
+    chosen endpoint (r10 advisory)."""
     route, _, plan = choose_ann_route(
         spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
-        emb_col=emb_col, with_plan=True,
+        emb_col=emb_col, with_plan=True, tiers=tiers,
     )
+    if route == "pq":
+        return knn_pq_indexed(
+            spark, path, queries, k=k, n_probe=n_probe, refine=rerank,
+            id_col=id_col, emb_col=emb_col, plan=plan,
+        )
     if route == "sq8":
         return knn_sq8_indexed(
             spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
@@ -1704,6 +1885,7 @@ def split_ann_cells(
         return 0
     cents = _read_centroids(spark, path, manifest)
     has_codes = bool(manifest.get("codes"))
+    has_pq = bool(manifest.get("pq"))
     cell_rows = {str(k): int(v) for k, v in health["cell_rows"].items()}
     new_cents = [list(c) for c in cents]
     next_id = int(manifest["n_cells"])
@@ -1714,6 +1896,7 @@ def split_ann_cells(
     parts = []
     retiring_cells: dict[str, list[str]] = {}
     retiring_codes: dict[str, list[str]] = {}
+    retiring_pq: dict[str, list[str]] = {}
     for c in oversized:
         d = f"{ANN_CELL_COL}={c}"
         files = [
@@ -1745,6 +1928,8 @@ def split_ann_cells(
         retiring_cells[d] = list(manifest["cells"].get(d, []))
         if has_codes:
             retiring_codes[d] = list(manifest.get("codes", {}).get(d, []))
+        if has_pq:
+            retiring_pq[d] = list(manifest.get("pq", {}).get(d, []))
     if not parts:
         return 0
 
@@ -1754,6 +1939,7 @@ def split_ann_cells(
     all_assigned = all_assigned.persist()
     stage = f"{path}/.cells_split_{gen}"
     stage_codes = f"{path}/.codes_split_{gen}"
+    stage_pq = f"{path}/.pq_split_{gen}"
     new_manifest = {
         "version": int(manifest.get("version", 1)) + 1,
         "n_cells": len(new_cents),
@@ -1763,6 +1949,11 @@ def split_ann_cells(
         new_manifest["codes"] = {
             d: list(fs) for d, fs in manifest["codes"].items()
         }
+    if has_pq:
+        new_manifest["pq"] = {d: list(fs) for d, fs in manifest["pq"].items()}
+    for carry in ("pq_params", "pq_books_dir"):
+        if manifest.get(carry) is not None:
+            new_manifest[carry] = manifest[carry]
     try:
         n_out = 2 * len(parts)
         all_assigned.repartition(
@@ -1786,6 +1977,21 @@ def split_ann_cells(
                 new_manifest["codes"].pop(old_d, None)
             for d, names in moved_codes.items():
                 new_manifest["codes"][d] = sorted(names)
+        if has_pq:
+            # re-derive the PQ sidecar for split rows with the STORED
+            # codebooks: codes are cell-independent, only their partition
+            # placement changes — same contract as the SQ8 sidecar
+            cb = _read_pq_books(spark, path, manifest)
+            _pq_codes_for(all_assigned, cb, id_col).repartition(
+                n_out, F.col(ANN_CELL_COL)
+            ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+                "overwrite"
+            ).partitionBy(ANN_CELL_COL).parquet(stage_pq)
+            moved_pq = _move_staged_cells(path, stage_pq, gen, "pq")
+            for old_d in retiring_pq:
+                new_manifest["pq"].pop(old_d, None)
+            for d, names in moved_pq.items():
+                new_manifest["pq"][d] = sorted(names)
         # roll the row ledger: split counts from the reassignment itself
         for r in (
             all_assigned.groupBy(ANN_CELL_COL)
@@ -1809,6 +2015,7 @@ def split_ann_cells(
                 "ts": now,
                 "cells": retiring_cells,
                 "codes": retiring_codes,
+                "pq": retiring_pq,
                 "centroids_dir": manifest.get("centroids_dir", "centroids"),
             },
         )
@@ -1822,6 +2029,7 @@ def split_ann_cells(
         all_assigned.unpersist()
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(stage_codes, ignore_errors=True)
+        shutil.rmtree(stage_pq, ignore_errors=True)
     return len(parts)
 
 
@@ -2174,3 +2382,193 @@ def knn_ivfpq(
         .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
     )
     return rerank_topk(cand, k)
+
+
+def add_pq_sidecar(
+    spark,
+    path: str,
+    m: int | None = None,
+    ksub: int | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Upgrade a persisted IVF index with the PQ tier in place: train
+    codebooks on the INDEX'S OWN stored vectors (one cells/ read — no
+    access to the original corpus frame needed), encode every live row,
+    and publish ``pq/`` + a ``pq_books_gen-*`` codebook dir in ONE atomic
+    manifest commit. Re-running retrains and REPLACES the tier (the old
+    sidecar files and codebook dir ride the retired ledger for in-flight
+    readers — the cell-split contract applied to the subquantizer).
+    ``build_ann_index(pq=True)`` is the build-time shortcut; this is the
+    migration path for an index that predates the tier."""
+    import shutil
+    import time
+
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    m = int(m) if m is not None else PQ_M
+    ksub = int(ksub) if ksub is not None else PQ_KSUB
+    files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        for f in fs
+    ]
+    if not files:
+        raise ValueError(f"vector index at {path} has no live cells to encode")
+    cells = spark.read.option("basePath", f"{path}/cells").parquet(*files)
+    cb = pq_train(cells, m, ksub, id_col=id_col, emb_col="_emb")
+    gen = uuid.uuid4().hex[:8]
+    stage = f"{path}/.pq_stage_{gen}"
+    try:
+        _pq_codes_for(cells, cb, id_col).repartition(
+            int(manifest["n_cells"]), F.col(ANN_CELL_COL)
+        ).sortWithinPartitions(ANN_CELL_COL, id_col).write.mode(
+            "overwrite"
+        ).partitionBy(ANN_CELL_COL).parquet(stage)
+        moved = _move_staged_cells(path, stage, gen, "pq")
+        books_dir = f"pq_books_gen-{gen}"
+        _write_pq_books(spark, os.path.join(path, books_dir), cb)
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_cells": int(manifest["n_cells"]),
+            "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
+            "pq": {d: sorted(names) for d, names in moved.items()},
+            "pq_params": {"m": m, "ksub": ksub},
+            "pq_books_dir": books_dir,
+        }
+        if "codes" in manifest:
+            new_manifest["codes"] = {
+                d: list(fs) for d, fs in manifest["codes"].items()
+            }
+        if "cell_rows" in manifest:
+            new_manifest["cell_rows"] = dict(manifest["cell_rows"])
+        if manifest.get("centroids_dir"):
+            new_manifest["centroids_dir"] = manifest["centroids_dir"]
+        now = time.time()
+        old_pq = {
+            "ts": now,
+            "pq": {d: list(fs) for d, fs in manifest.get("pq", {}).items()},
+            "pq_books_dir": manifest.get("pq_books_dir"),
+        }
+        new_manifest["retired"] = _ann_roll_retired(
+            manifest,
+            now,
+            old_pq if (old_pq["pq"] or old_pq["pq_books_dir"]) else None,
+        )
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _commit_ann_manifest(path, manifest, new_manifest)
+        _sweep_stray_ann(path, new_manifest)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def knn_pq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    refine: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    plan: dict | None = None,
+) -> DataFrame:
+    """IVF-PQ serving from the persisted index — ``knn_ivfpq``'s plan over
+    ``pq/`` instead of a per-call train+encode: candidate generation reads
+    ONLY the probe-union cells' PQ sidecar (~m dict-encoded bytes/vector —
+    the tier below SQ8's ~dim bytes), ranks by ADC (m table lookups per
+    pair against a per-query LUT built once from the stored codebooks),
+    keeps the top ``refine`` per query (default 4k), and exactly re-ranks
+    those from the full-precision ``cells/`` rows via the shared
+    ``_exact_refine_from_cells`` tail (bounded-collect In-filter plan
+    below the candidate threshold, fully distributed above — identical to
+    ``knn_sq8_indexed``'s two serving plans).
+
+    Byte-parity contract (pinned in tests): with the index's stored
+    centroids and codebooks, results equal a same-parameter per-call
+    ``knn_ivfpq(centroids=…, codebooks=…)`` — persistence changes where
+    the encode happens, never assignment or scoring. Recall at equal
+    rerank is BELOW the SQ8 tier's (4-bit subquantizers are noisier than
+    8-bit scalar codes); the ladder publishes both, and ``knn_ann_auto``
+    callers can exclude the tier via ``tiers=``."""
+    R = int(refine) if refine is not None else 4 * k
+    if plan is not None:
+        manifest, cents = plan["manifest"], plan["cents"]
+    else:
+        manifest = _read_ann_manifest(path)
+        if manifest is None:
+            manifest = _bootstrap_ann_manifest(spark, path)
+        cents = None
+    if not manifest.get("pq"):
+        raise ValueError(
+            f"vector index at {path} has no PQ sidecar; add one with "
+            "add_pq_sidecar(...) or rebuild with build_ann_index(pq=True)"
+        )
+    if cents is None:
+        cents = _read_centroids(spark, path, manifest)
+    cb = _read_pq_books(spark, path, manifest)
+
+    def empty():
+        return queries.where(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(0).cast("long").alias("cos_bp"),
+        )
+
+    qbase = with_unit_meta(queries, emb_col)
+    qprobed = qbase.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_norm").alias("_qnorm"),
+        _pq_lut(F.col("_emb"), cb).alias("_lut"),
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias(
+            ANN_CELL_COL
+        ),
+    ).where(F.col("_qnorm") > 0)
+    probe_union = (
+        list(plan["probe_union"])
+        if plan is not None
+        else sorted(
+            r[ANN_CELL_COL]
+            for r in qprobed.select(ANN_CELL_COL).distinct().collect()
+        )
+    )
+    wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
+    pq_files = [
+        os.path.join(path, "pq", d, f)
+        for d, fs in manifest["pq"].items()
+        if d in wanted
+        for f in fs
+    ]
+    if not pq_files:
+        return empty()
+    pq_rows = (
+        spark.read.option("basePath", f"{path}/pq")
+        .parquet(*pq_files)
+        .where(F.col(ANN_CELL_COL).isin(probe_union))
+        .where(F.col("_cn") > 0)
+        .select(F.col(id_col).alias("neighbor_id"), "_pq", "_cn", ANN_CELL_COL)
+    )
+    adc = _adc_dot(F.col("_pq"), F.col("_lut")) / (
+        F.col("_qnorm") * F.col("_cn")
+    )
+    approx = (
+        pq_rows.join(F.broadcast(qprobed), ANN_CELL_COL)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("_adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand_frame = (
+        approx.withColumn("_ar", F.row_number().over(w))
+        .where(F.col("_ar") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_refine_from_cells(
+        spark, path, manifest, wanted, probe_union, cand_frame, qbase,
+        queries, k, R, id_col,
+    )

@@ -1,0 +1,185 @@
+"""Persisted PQ tier of the vector index (round 11): build/upgrade parity
+with the per-call ``knn_ivfpq``, sidecar maintenance under append, compact
+and cell-split commits, and the three-tier cost route."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.operators import similarity as S
+from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _pairs(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp) for r in df.collect()
+    )
+
+
+def _manifest(idx):
+    with open(os.path.join(idx, S.ANN_MANIFEST)) as f:
+        return json.load(f)
+
+
+def test_knn_pq_indexed_equals_per_call_ivfpq(spark, embs, tmp_path):
+    """build_ann_index(pq=True) + knn_pq_indexed must be byte-identical to
+    a per-call knn_ivfpq handed the index's stored centroids and codebooks
+    — persistence changes where the encode happens, never assignment or
+    scoring (codebooks and norms round-trip parquet as exact doubles)."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "pqidx")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3, pq=True)
+    man = _manifest(idx)
+    assert man["pq"] and man["pq_params"] == {"m": S.PQ_M, "ksub": S.PQ_KSUB}
+    assert man["pq_books_dir"] == "pq_books"
+    cents = S._read_centroids(spark, idx, man)
+    cb = S._read_pq_books(spark, idx, man)
+    want = _pairs(
+        S.knn_ivfpq(
+            embs, queries, k=5, n_probe=4, refine=32,
+            codebooks=cb, centroids=cents,
+        )
+    )
+    got = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=4, refine=32)
+    )
+    assert got == want and got
+
+
+def test_add_pq_sidecar_upgrade_and_append_maintenance(spark, embs, tmp_path):
+    """add_pq_sidecar retrofits the tier onto an existing index in one
+    atomic commit, and append_ann_index maintains it in the SAME commit
+    with the FROZEN stored codebooks — no vector is ever visible to the
+    cells/codes tiers but invisible to pq (the sidecar-consistency
+    contract the SQ8 tier already pins)."""
+    base = embs.where(F.col("vec_id") % 5 != 0)
+    delta = embs.where(F.col("vec_id") % 5 == 0)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "upidx")
+    S.build_ann_index(base, idx, n_cells=16, iters=3)
+    assert "pq" not in _manifest(idx)
+    with pytest.raises(ValueError, match="no PQ sidecar"):
+        S.knn_pq_indexed(spark, idx, queries, k=5)
+    S.add_pq_sidecar(spark, idx)
+    up = _manifest(idx)
+    assert up["pq"] and int(up["version"]) == 2
+    assert up["pq_books_dir"].startswith("pq_books_gen-")
+    S.append_ann_index(delta, idx)
+    man = _manifest(idx)
+    # every cells dir has a pq twin and the books/params survived the
+    # append commit untouched
+    assert set(man["pq"]) == set(man["cells"])
+    assert man["pq_books_dir"] == up["pq_books_dir"]
+    assert man["pq_params"] == up["pq_params"]
+    cents = S._read_centroids(spark, idx, man)
+    cb = S._read_pq_books(spark, idx, man)
+    want = _pairs(
+        S.knn_ivfpq(
+            embs, queries, k=5, n_probe=4, refine=32,
+            codebooks=cb, centroids=cents,
+        )
+    )
+    got = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=4, refine=32)
+    )
+    assert got == want and got
+
+
+def test_compact_preserves_pq_results(spark, embs, tmp_path):
+    """Compaction rewrites multi-file pq cell dirs into one id-sorted file
+    — layout changes, content never (the cells/codes invariant extended
+    to the third sidecar)."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "cidx")
+    S.build_ann_index(
+        embs.where(F.col("vec_id") % 3 == 0), idx, n_cells=8, iters=2, pq=True
+    )
+    for r in (1, 2):
+        S.append_ann_index(embs.where(F.col("vec_id") % 3 == r), idx)
+    man = _manifest(idx)
+    assert any(len(fs) > 1 for fs in man["pq"].values())
+    before = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=4, refine=32)
+    )
+    assert S.compact_ann_index(spark, idx) > 0
+    man2 = _manifest(idx)
+    assert all(len(fs) == 1 for fs in man2["pq"].values())
+    after = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=4, refine=32)
+    )
+    assert after == before and after
+
+
+def test_split_rederives_pq_sidecar(spark, embs, tmp_path):
+    """Cell-split maintenance re-lands the split rows' PQ codes in the new
+    cell partitions within the same atomic commit. Codes are
+    cell-independent (frozen codebooks), so at a FULL probe budget —
+    where every cell is scanned both before and after — results are
+    byte-identical across the split."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "sidx")
+    S.build_ann_index(embs, idx, n_cells=4, iters=3, pq=True)
+    before = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=4, refine=32)
+    )
+    total = embs.count()
+    n_split = S.split_ann_cells(spark, idx, max_rows_per_cell=total // 8)
+    assert n_split > 0
+    man = _manifest(idx)
+    assert set(man["pq"]) == set(man["cells"])
+    after = _pairs(
+        S.knn_pq_indexed(
+            spark, idx, queries, k=5, n_probe=int(man["n_cells"]), refine=32
+        )
+    )
+    assert after == before and after
+
+
+def test_route_pq_tier_and_auto_dispatch(spark, embs, tmp_path):
+    """The cost route's third arm: the pq plan exists only when the
+    sidecar does, wins the scored-pairs-dominated regime (its pair and
+    row terms are the cheapest), tiers= can exclude it (or any plan), an
+    impossible tiers= restriction is a loud error, and knn_ann_auto
+    forced onto the tier dispatches to knn_pq_indexed byte-identically
+    (recall itself is gated on the clustered eval corpus in
+    test_knn_ivfpq_refine_recall_clustered — raw sf embeddings are the
+    documented near-orthogonal worst case for 4-bit subquantizers)."""
+    costs = S.ann_route_costs(2000, 20, 2000, 3_002_274, has_pq=True)
+    assert min(costs, key=costs.get) == "pq"
+    assert "pq" not in S.ann_route_costs(2000, 20, 2000, 3_002_274)
+    idx = str(tmp_path / "ridx")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3, pq=True)
+    queries = embs.where(F.col("vec_id") % 10 == 0)
+    route, _, _ = S.choose_ann_route(
+        spark, idx, queries, k=5, n_probe=12, with_plan=True
+    )
+    assert route in {"ivf", "sq8", "pq"}
+    r2, _, _ = S.choose_ann_route(
+        spark, idx, queries, k=5, n_probe=12, with_plan=True,
+        tiers=("ivf", "sq8"),
+    )
+    assert r2 in {"ivf", "sq8"}
+    with pytest.raises(ValueError, match="excludes every plan"):
+        S.choose_ann_route(
+            spark, idx, queries, k=5, n_probe=12, tiers=("hnsw",)
+        )
+    got = _pairs(
+        S.knn_ann_auto(
+            spark, idx, queries, k=5, n_probe=12, rerank=64, tiers=("pq",)
+        )
+    )
+    want = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=12, refine=64)
+    )
+    assert got == want and got

@@ -7,12 +7,17 @@ adjudication-batch shape, like tools/retrieval_ladder.py):
    verdict graded weak);
 2. ``knn_ivf_indexed`` — probe-pruned double-precision scoring;
 3. ``knn_sq8_indexed`` — probe-pruned code scoring + exact top-R re-rank;
-4. ``knn_bruteforce`` — the exact ground truth (recall denominators).
+4. ``knn_pq_indexed`` — probe-pruned ADC over the PQ sidecar + the same
+   exact re-rank (round 11's third tier; ``add_pq_sidecar`` upgrade cost
+   is timed too);
+5. ``knn_bruteforce`` — the exact ground truth (recall denominators).
 
-Also reports the on-disk byte ratio cells/ : codes/ (what a probe READS
-per cell in each representation — parquet dictionary-encodes the ≤255
-distinct code values, doubles are incompressible) and the recall@k of
-each approximate path vs brute force on the same queries.
+Also reports the on-disk byte ratios cells/ : codes/ : pq/ (what a probe
+READS per cell in each representation — parquet dictionary-encodes the
+≤255 distinct code values and the ≤ksub PQ nibbles, doubles are
+incompressible) and the recall@k of each approximate path vs brute force
+on the same queries. Verdicts are STRICT three-way: the route must equal
+the measured-cheapest endpoint among every tier the index materializes.
 
 Usage: python tools/sq8_ladder.py [sf_dir ...]   (default sf0.1, /tmp/sf1)
 Prints markdown rows for SCALING.md. Warm pass then timed pass per cell
@@ -64,7 +69,14 @@ def main() -> None:
         t0 = time.perf_counter()
         S.build_ann_index(embs, idx)
         t_build = time.perf_counter() - t0
-        cells_b, codes_b = du(f"{idx}/cells"), du(f"{idx}/codes")
+        t0 = time.perf_counter()
+        S.add_pq_sidecar(spark, idx)  # the migration-path cost, measured
+        t_pq = time.perf_counter() - t0
+        cells_b, codes_b, pq_b = (
+            du(f"{idx}/cells"),
+            du(f"{idx}/codes"),
+            du(f"{idx}/pq"),
+        )
 
         exact = {
             (r.query_id, r.neighbor_id)
@@ -82,6 +94,10 @@ def main() -> None:
                 "knn_sq8_indexed",
                 lambda: S.knn_sq8_indexed(spark, idx, queries, k=K),
             ),
+            (
+                "knn_pq_indexed",
+                lambda: S.knn_pq_indexed(spark, idx, queries, k=K),
+            ),
         ):
             def run(fn=fn):
                 return {
@@ -92,8 +108,10 @@ def main() -> None:
 
         print(f"\n### {sf_dir} — corpus {n_corpus}, |Q| fixed {queries.count()}")
         print(
-            f"index build {t_build:.2f}s; cells {cells_b/1e6:.2f} MB, "
-            f"codes {codes_b/1e6:.2f} MB (ratio {cells_b/codes_b:.2f}x)"
+            f"index build {t_build:.2f}s + pq sidecar {t_pq:.2f}s; "
+            f"cells {cells_b/1e6:.2f} MB, codes {codes_b/1e6:.2f} MB "
+            f"(ratio {cells_b/codes_b:.2f}x), pq {pq_b/1e6:.2f} MB "
+            f"(ratio {cells_b/pq_b:.2f}x)"
         )
         route_s, stats_s, _ = S.choose_ann_route(
             spark, idx, queries, k=K, with_plan=True
@@ -104,10 +122,11 @@ def main() -> None:
         for name, (dt, rec) in rows.items():
             print(f"| {name} | {dt:.2f}s | {rec:.3f} |")
         # STRICT verdict (r10: a 29% miss was filed as "parity"): the
-        # route must equal the measured-cheaper endpoint, both regimes
+        # route must equal the measured-cheapest endpoint, all tiers
         cheaper_s = min(
             ("ivf", rows["knn_ivf_indexed"][0]),
             ("sq8", rows["knn_sq8_indexed"][0]),
+            ("pq", rows["knn_pq_indexed"][0]),
             key=lambda t: t[1],
         )[0]
         print(
@@ -140,6 +159,10 @@ def main() -> None:
                 lambda: S.knn_sq8_indexed(spark, idx, bigq, k=K),
             ),
             (
+                "knn_pq_indexed (distributed re-rank)",
+                lambda: S.knn_pq_indexed(spark, idx, bigq, k=K),
+            ),
+            (
                 "knn_ann_auto",
                 lambda: S.knn_ann_auto(spark, idx, bigq, k=K),
             ),
@@ -159,6 +182,7 @@ def main() -> None:
         cheaper = min(
             ("ivf", rows_b["knn_ivf_indexed"][0]),
             ("sq8", rows_b["knn_sq8_indexed (distributed re-rank)"][0]),
+            ("pq", rows_b["knn_pq_indexed (distributed re-rank)"][0]),
             key=lambda t: t[1],
         )[0]
         print(
