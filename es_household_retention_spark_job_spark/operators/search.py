@@ -411,7 +411,11 @@ def _roll_retired(manifest: dict, now: float, new_entry: dict | None) -> list[di
     ]
     if manifest.get("prev_tf"):
         retired.append({"ts": now, "tf": manifest["prev_tf"], "gens": []})
-    if new_entry is not None and (new_entry.get("tf") or new_entry.get("gens")):
+    if new_entry is not None and (
+        new_entry.get("tf")
+        or new_entry.get("gens")
+        or new_entry.get("tombstones")
+    ):
         retired.append(new_entry)
     return retired
 
@@ -691,6 +695,11 @@ def append_text_index(
                 {"ts": now, "tf": {}, "gens": [manifest["df"], manifest["stats"]]},
             ),
         }
+        # an append must not resurrect deleted docs: the tombstone ledger
+        # rides every commit until a compaction purge clears it
+        for carry in ("tombstones", "n_tombstones"):
+            if manifest.get(carry) is not None:
+                new_manifest[carry] = manifest[carry]
         if epoch is not None:
             # the epoch marker and its stream label commit TOGETHER: an
             # anonymous epoch (no epoch_stream) must not inherit a prior
@@ -827,6 +836,19 @@ def _sweep_stray_tf(path: str, manifest: dict) -> None:
                     os.unlink(os.path.join(tf_root, d, f))
                 except FileNotFoundError:
                     pass
+    # doc-tombstone ledger files: cleared by a compaction purge but kept
+    # while the committed manifest or a live retired entry references them
+    tomb_root = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_root):
+        kept = set(manifest.get("tombstones") or [])
+        for e in manifest.get("retired", []):
+            kept |= set(e.get("tombstones") or [])
+        for f in os.listdir(tomb_root):
+            if f.endswith(".parquet") and f not in kept:
+                try:
+                    os.unlink(os.path.join(tomb_root, f))
+                except FileNotFoundError:
+                    pass
 
 
 def compact_text_index(spark, path: str) -> int:
@@ -850,7 +872,16 @@ def compact_text_index(spark, path: str) -> int:
     manifest = _read_index_manifest(path)
     if manifest is None:
         manifest = _bootstrap_index_manifest(spark, path)
-    multi = {d: fs for d, fs in manifest["tf"].items() if len(fs) > 1}
+    # a pending doc-tombstone ledger makes compaction the PURGE: postings
+    # of a deleted doc scatter across every shard (the tf layout clusters
+    # by term, not doc), so every shard rewrites — single-file dirs
+    # included — and the ledger clears in the same commit
+    tomb_files = manifest.get("tombstones") or []
+    multi = {
+        d: fs
+        for d, fs in manifest["tf"].items()
+        if len(fs) > 1 or (tomb_files and fs)
+    }
     if not multi:
         return 0
     n_shards = int(manifest["n_shards"])
@@ -860,18 +891,30 @@ def compact_text_index(spark, path: str) -> int:
     gen = uuid.uuid4().hex[:8]
     stage = f"{path}/.tf_compact_{gen}"
     try:
+        df_in = spark.read.option("basePath", f"{path}/tf").parquet(*files)
+        if tomb_files:
+            id_field = next(
+                c
+                for c in df_in.columns
+                if c not in ("dl", "term", "tf", INDEX_SHARD_COL)
+            )
+            df_in = _without_doc_tombstones(
+                df_in, spark, path, manifest, id_field
+            )
         (
-            spark.read.option("basePath", f"{path}/tf")
-            .parquet(*files)
-            .repartition(len(multi), F.col(INDEX_SHARD_COL))
+            df_in.repartition(len(multi), F.col(INDEX_SHARD_COL))
             .sortWithinPartitions(INDEX_SHARD_COL, "term")
             .write.mode("overwrite")
             .partitionBy(INDEX_SHARD_COL)
             .parquet(stage)
         )
         new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
-        for d, names in _move_staged_tf(path, stage, gen).items():
+        moved = _move_staged_tf(path, stage, gen)
+        for d, names in moved.items():
             new_tf[d] = sorted(names)  # REPLACES the shard's file set
+        for d in multi:
+            if d not in moved:  # purge emptied the shard: no files remain
+                new_tf.pop(d, None)
         now = time.time()
         new_manifest = {
             "version": int(manifest.get("version", 1)) + 1,
@@ -887,6 +930,9 @@ def compact_text_index(spark, path: str) -> int:
                     "ts": now,
                     "tf": {d: manifest["tf"][d] for d in multi},
                     "gens": [],
+                    # readers on the old manifest need the old ledger
+                    # files alongside the old tf files
+                    "tombstones": list(tomb_files),
                 },
             ),
         }
@@ -907,6 +953,30 @@ def compact_text_index(spark, path: str) -> int:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return len(multi)
+
+
+def _without_doc_tombstones(
+    frame: DataFrame, spark, path: str, manifest: dict, col: str
+) -> DataFrame:
+    """Filter a postings read down to LIVE documents: ids named by the
+    manifest's tombstone ledger (``delete_text_docs``) are excluded —
+    small ledgers inline as a NOT-IN the row-group pushdown can use, big
+    ones stay distributed as a broadcast anti-join."""
+    files = manifest.get("tombstones") or []
+    if not files:
+        return frame
+    tomb = spark.read.parquet(
+        *[os.path.join(path, "tombstones", f) for f in files]
+    )
+    n = int(manifest.get("n_tombstones", 0))
+    if 0 < n <= _ISIN_PUSHDOWN_MAX:
+        ids = [r["_tomb_id"] for r in tomb.select("_tomb_id").collect()]
+        return frame.where(~F.col(col).isin(ids))
+    return frame.join(
+        F.broadcast(tomb.select(F.col("_tomb_id").alias(col)).distinct()),
+        col,
+        "left_anti",
+    )
 
 
 def _empty_literal_search(spark, path: str, manifest: dict, id_col: str):
@@ -984,11 +1054,15 @@ def bm25_search_indexed(
     ]
     if not files:  # no query term hashes into any populated shard
         return _empty_literal_search(spark, path, manifest, id_col)
-    tf = (
+    tf = _without_doc_tombstones(
         spark.read.option("basePath", f"{path}/tf")
         .parquet(*files)
         .where(F.col(INDEX_SHARD_COL).isin(shard_ids))
-        .where(F.col("term").isin(vocab))
+        .where(F.col("term").isin(vocab)),
+        spark,
+        path,
+        manifest,
+        id_col,
     )
     dfreq = (
         spark.read.parquet(f"{path}/{manifest['df']}")
@@ -1197,11 +1271,17 @@ def bm25_more_like_this_indexed(
         if d in wanted
         for f in fs
     ]
-    tf = term_filter(
-        spark.read.option("basePath", f"{path}/tf")
-        .parquet(*files)
-        .where(F.col(INDEX_SHARD_COL).isin(sel_shards)),
-        sel_terms,
+    tf = _without_doc_tombstones(
+        term_filter(
+            spark.read.option("basePath", f"{path}/tf")
+            .parquet(*files)
+            .where(F.col(INDEX_SHARD_COL).isin(sel_shards)),
+            sel_terms,
+        ),
+        spark,
+        path,
+        manifest,
+        id_col,
     )
 
     # (5) identical scoring tail to the scan-based form
@@ -1422,3 +1502,172 @@ def bm25_more_like_this_auto(
         text_col=text_col,
         id_col=id_col,
     )
+
+
+def delete_text_docs(
+    spark,
+    path: str,
+    doc_ids: list,
+    id_col: str = "doc_id",
+) -> int:
+    """Delete documents from the persisted BM25 index WITHOUT a rebuild —
+    the Lucene live-docs pattern on the MVCC manifest: ONE commit appends
+    the doc ids to a ``tombstones/`` ledger (reads filter postings to live
+    docs), and — because BM25 scores survivors through GLOBAL statistics —
+    publishes a DECREMENTED ``df-<gen>`` sidecar and ``stats-<gen>``
+    (n_docs, total_dl) in the same atomic manifest replace. Surviving
+    docs' scores are therefore byte-identical to a fresh build over the
+    surviving corpus (pinned in tests) — tombstoning changes visibility
+    AND the statistics, never the scoring math. Physical rows disappear at
+    the next ``compact_text_index``, which doubles as the purge and clears
+    the ledger.
+
+    Cost model, stated honestly: postings cluster by TERM, not doc, so the
+    locate scan reads every live tf file once (id-pushdown prunes row
+    groups only where ids cluster by luck) — O(index), the price of
+    deleting from an inverted layout; everything downstream is bounded by
+    the deleted docs' postings. Returns the number of docs actually
+    deleted; unknown, already-deleted, and token-less ids are ignored
+    (a token-less doc has no postings to find — delete it by rebuilding
+    from the corrected corpus snapshot, the documented limitation).
+
+    Re-inserting a deleted id via ``append_text_index`` is rejected by its
+    ``check_overlap`` guard while the physical rows remain (a blind append
+    would resurrect BOTH copies at the purge); compact first, then
+    re-append. The scan-vs-index auto routes (``bm25_search_auto``)
+    stay consistent only if the caller's corpus frame reflects the same
+    deletes (delete from the keyed sink and the index together — the
+    doc-curation pipeline's contract)."""
+    import shutil
+
+    manifest = _read_index_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_index_manifest(spark, path)
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return 0
+    existing = manifest.get("tombstones") or []
+    if existing:
+        tomb = spark.read.parquet(
+            *[os.path.join(path, "tombstones", f) for f in existing]
+        )
+        dead = {
+            r["_tomb_id"]
+            for r in tomb.where(F.col("_tomb_id").isin(ids))
+            .select("_tomb_id")
+            .collect()
+        }
+        ids = [i for i in ids if i not in dead]
+        if not ids:
+            return 0
+    files = [
+        os.path.join(path, "tf", d, f)
+        for d, fs in manifest["tf"].items()
+        for f in fs
+    ]
+    if not files:
+        return 0
+    tf_all = spark.read.option("basePath", f"{path}/tf").parquet(*files)
+    if len(ids) <= _ISIN_PUSHDOWN_MAX:
+        deleted = tf_all.where(F.col(id_col).isin(ids))
+    else:
+        id_type = tf_all.schema[id_col].dataType.simpleString()
+        idf = spark.createDataFrame(
+            [(i,) for i in ids], f"`{id_col}` {id_type}"
+        )
+        deleted = tf_all.join(F.broadcast(idf), id_col, "left_semi")
+    deleted = eager_cache(deleted)
+    try:
+        # one row per surviving (deleted doc): its dl rides every posting
+        found = deleted.select(id_col, "dl").distinct()
+        agg = found.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        n_found = int(agg["n"])
+        if n_found == 0:
+            return 0
+        gen = uuid.uuid4().hex[:8]
+        # tombstone ledger file (ids only — the read-side filter's shape)
+        stage_t = f"{path}/.tombstones_stage_{gen}"
+        os.makedirs(os.path.join(path, "tombstones"), exist_ok=True)
+        found.select(F.col(id_col).alias("_tomb_id")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage_t)
+        names = []
+        for i, f in enumerate(
+            sorted(x for x in os.listdir(stage_t) if x.endswith(".parquet"))
+        ):
+            name = f"gen-{gen}-{i:05d}.parquet"
+            os.rename(
+                os.path.join(stage_t, f),
+                os.path.join(path, "tombstones", name),
+            )
+            names.append(name)
+        shutil.rmtree(stage_t, ignore_errors=True)
+        # df: subtract each deleted doc's distinct terms (the tf table is
+        # keyed by (doc, term), so a count per term IS the decrement);
+        # terms whose every doc died drop out — exactly a rebuild's df
+        dec = deleted.groupBy(INDEX_SHARD_COL, "term").agg(
+            F.count(F.lit(1)).alias("_ddf")
+        )
+        df_dir, stats_dir = f"df-{gen}", f"stats-{gen}"
+        (
+            spark.read.parquet(f"{path}/{manifest['df']}")
+            .join(dec, [INDEX_SHARD_COL, "term"], "left")
+            .select(
+                INDEX_SHARD_COL,
+                "term",
+                (F.col("df") - F.coalesce(F.col("_ddf"), F.lit(0))).alias(
+                    "df"
+                ),
+            )
+            .where(F.col("df") > 0)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy(INDEX_SHARD_COL)
+            .parquet(f"{path}/{df_dir}")
+        )
+        stats_old = spark.read.parquet(
+            f"{path}/{manifest['stats']}"
+        ).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    int(stats_old["n_docs"]) - n_found,
+                    int(stats_old["total_dl"]) - int(agg["t"] or 0),
+                    int(manifest["n_shards"]),
+                )
+            ],
+            "n_docs bigint, total_dl bigint, n_shards int",
+        ).write.mode("overwrite").parquet(f"{path}/{stats_dir}")
+        now = time.time()
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_shards": int(manifest["n_shards"]),
+            "tf": {d: sorted(fs) for d, fs in manifest["tf"].items()},
+            "df": df_dir,
+            "stats": stats_dir,
+            "tombstones": sorted(list(existing) + names),
+            "n_tombstones": int(manifest.get("n_tombstones", 0)) + n_found,
+            "retired": _roll_retired(
+                manifest,
+                now,
+                {
+                    "ts": now,
+                    "tf": {},
+                    "gens": [manifest["df"], manifest["stats"]],
+                },
+            ),
+        }
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _write_index_manifest(path, new_manifest)
+        _gc_index_gens(
+            path, keep={df_dir, stats_dir} | _retired_gens(new_manifest)
+        )
+        _sweep_stray_tf(path, new_manifest)
+        return n_found
+    finally:
+        deleted.unpersist()

@@ -639,6 +639,31 @@ def _manifest_cell_rows(spark, path: str, manifest: dict) -> dict[str, int]:
     return _cell_rows_from_footers(path, manifest)
 
 
+def _without_tombstones(
+    df: DataFrame, spark, path: str, manifest: dict, col: str = "neighbor_id"
+) -> DataFrame:
+    """Filter an index read down to LIVE vectors: ids named by the
+    manifest's tombstone ledger (``delete_ann_ids``) are excluded. Small
+    ledgers become a NOT-IN literal the scan can evaluate inline; past
+    ``_ID_ISIN_MAX`` the ledger stays distributed as a broadcast
+    anti-join (no driver materialization grows with the delete count)."""
+    files = manifest.get("tombstones") or []
+    if not files:
+        return df
+    tomb = spark.read.parquet(
+        *[os.path.join(path, "tombstones", f) for f in files]
+    )
+    n = int(manifest.get("n_tombstones", 0))
+    if 0 < n <= _ID_ISIN_MAX:
+        ids = [r["_tomb_id"] for r in tomb.select("_tomb_id").collect()]
+        return df.where(~F.col(col).isin(ids))
+    return df.join(
+        F.broadcast(tomb.select(F.col("_tomb_id").alias(col)).distinct()),
+        col,
+        "left_anti",
+    )
+
+
 def _assigned_cells(
     corpus: DataFrame, cents: list[list[float]], id_col: str, emb_col: str
 ) -> DataFrame:
@@ -851,13 +876,16 @@ def knn_ivf_indexed(
             F.lit(0).cast("int").alias("rank"),
             F.lit(0).cast("long").alias("cos_bp"),
         )
-    cells = (
+    cells = _without_tombstones(
         spark.read.option("basePath", f"{path}/cells")
         .parquet(*files)
         .where(F.col(ANN_CELL_COL).isin(probe_union))
         .select(
             F.col(id_col).alias("neighbor_id"), "_emb", "_norm", ANN_CELL_COL
-        )
+        ),
+        spark,
+        path,
+        manifest,
     )
     cand = (
         cells.join(F.broadcast(q), ANN_CELL_COL)
@@ -918,6 +946,7 @@ def _ann_roll_retired(
         or new_entry.get("pq")
         or new_entry.get("centroids_dir")
         or new_entry.get("pq_books_dir")
+        or new_entry.get("tombstones")
     ):
         retired.append(new_entry)
     return retired
@@ -979,6 +1008,19 @@ def _sweep_stray_ann(path: str, manifest: dict) -> None:
                         os.unlink(os.path.join(root, d, f))
                     except FileNotFoundError:
                         pass
+    # tombstone ledger files: cleared by a purge (compact/split) but kept
+    # while the committed manifest or a live retired entry references them
+    tomb_root = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_root):
+        kept_tombs = set(manifest.get("tombstones") or [])
+        for e in manifest.get("retired", []):
+            kept_tombs |= set(e.get("tombstones") or [])
+        for f in os.listdir(tomb_root):
+            if f.endswith(".parquet") and f not in kept_tombs:
+                try:
+                    os.unlink(os.path.join(tomb_root, f))
+                except FileNotFoundError:
+                    pass
 
 
 def append_ann_index(
@@ -1105,7 +1147,7 @@ def append_ann_index(
             ).items():
                 new_pq.setdefault(d, []).extend(names)
             new_manifest["pq"] = {d: sorted(fs) for d, fs in new_pq.items()}
-        for carry in ("pq_params", "pq_books_dir"):
+        for carry in ("pq_params", "pq_books_dir", "tombstones", "n_tombstones"):
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
@@ -1154,8 +1196,27 @@ def compact_ann_index(spark, path: str) -> int:
     manifest = _read_ann_manifest(path)
     if manifest is None:
         manifest = _bootstrap_ann_manifest(spark, path)
+    # cells carrying tombstoned rows are rewritten even when single-file:
+    # compaction is where deletes become physical (the purge) and their
+    # ledger entries clear; ≤ n_cells distinct-cell rows reach the driver
+    tomb_files = manifest.get("tombstones") or []
+    tomb_dirs: set[str] = set()
+    if tomb_files:
+        tomb_dirs = {
+            f"{ANN_CELL_COL}={r['_tomb_cell']}"
+            for r in spark.read.parquet(
+                *[os.path.join(path, "tombstones", f) for f in tomb_files]
+            )
+            .select("_tomb_cell")
+            .distinct()
+            .collect()
+        }
     todo = {
-        key: {d: fs for d, fs in manifest.get(key, {}).items() if len(fs) > 1}
+        key: {
+            d: fs
+            for d, fs in manifest.get(key, {}).items()
+            if len(fs) > 1 or d in tomb_dirs
+        }
         for key in ("cells", "codes", "pq")
     }
     n_compacted = sum(len(m) for m in todo.values())
@@ -1199,6 +1260,8 @@ def compact_ann_index(spark, path: str) -> int:
                 for c in df.columns
                 if c not in ("_emb", "_norm", "_q", "_pq", "_cn", ANN_CELL_COL)
             )
+            if tomb_dirs:  # the purge: rewritten rows exclude deleted ids
+                df = _without_tombstones(df, spark, path, manifest, id_field)
             df.repartition(len(multi), F.col(ANN_CELL_COL)).sortWithinPartitions(
                 ANN_CELL_COL, id_field
             ).write.mode("overwrite").partitionBy(ANN_CELL_COL).parquet(stage)
@@ -1213,8 +1276,14 @@ def compact_ann_index(spark, path: str) -> int:
                 "cells": todo["cells"],
                 "codes": todo["codes"],
                 "pq": todo["pq"],
+                # in-flight readers planned from the old manifest need the
+                # old tombstone files alongside the old cell files
+                "tombstones": list(tomb_files),
             },
         )
+        # every tombstoned cell was rewritten in every sidecar: the purge
+        # is complete and the ledger clears (files GC via the sweep once
+        # their retired grace expires)
         if manifest.get("last_epoch") is not None:
             new_manifest["last_epoch"] = int(manifest["last_epoch"])
         if manifest.get("epoch_stream") is not None:
@@ -1460,12 +1529,15 @@ def knn_sq8_indexed(
     ]
     if not code_files:
         return empty()
-    codes = (
+    codes = _without_tombstones(
         spark.read.option("basePath", f"{path}/codes")
         .parquet(*code_files)
         .where(F.col(ANN_CELL_COL).isin(probe_union))
         .where(F.col("_cn") > 0)
-        .select(F.col(id_col).alias("neighbor_id"), "_q", "_cn", ANN_CELL_COL)
+        .select(F.col(id_col).alias("neighbor_id"), "_q", "_cn", ANN_CELL_COL),
+        spark,
+        path,
+        manifest,
     )
     qcos = _int_dot(F.col("_qq"), F.col("_q")).cast("double") / (
         F.col("_qn") * F.col("_cn")
@@ -1647,15 +1719,19 @@ def ann_route_costs(
             + 4 * w["pass"]
         )
     if has_pq:
-        # same plan shape as sq8 (approximate shortlist + exact refine),
-        # cheaper scan and pair terms — the tier wins when scored_pairs
-        # dominates and loses its edge to the identical refine tail
+        # same plan shape as sq8 (approximate shortlist + exact refine)
+        # with cheaper scan and pair terms — the tier wins when
+        # scored_pairs dominates — PLUS one extra pass: the per-query ADC
+        # LUT construction (m·ksub sub-dots per query row) is a whole
+        # projection stage the sq8 plan does not have. The 5th pass is
+        # what the sf1/|Q|=40 ladder regime measured: without it the
+        # model routed pq on an 11% margin where ivf measured cheaper
         costs["pq"] = (
             scored_pairs * w["pair_pq"]
             + probe_rows * w["row_pq"]
             + min(cand, probe_rows) * w["row_double"]
             + cand * w["pair_double"]
-            + 4 * w["pass"]
+            + 5 * w["pass"]
         )
     return costs
 
@@ -1772,10 +1848,18 @@ def knn_ann_auto(
     ``bm25_search_auto`` pattern for vectors, making the measured
     fixed-batch/corpus-fraction crossover (SCALING.md round 9) a plan
     choice the caller no longer has to make. An index carrying the PQ
-    sidecar adds the third tier (``knn_pq_indexed`` — ~m-bytes/vector ADC
-    shortlist + the same exact refine); its shortlist is noisier than
-    SQ8's at equal rerank, so callers with a strict recall budget can pin
-    ``tiers=("ivf", "sq8")``. Same output shape every way (query_id,
+    sidecar adds a third tier (``knn_pq_indexed`` — ~m-bytes/vector ADC
+    shortlist + the same exact refine) that is OPT-IN:
+    ``tiers=("ivf", "sq8", "pq")``. The default excludes it because cost
+    routing must never silently trade recall — PQ's 4-bit shortlist at an
+    equal rerank recalls strictly less than SQ8's (measured 0.16 vs 0.975
+    on the near-orthogonal worst case at rerank=4k), while on clustered
+    corpora with an adequate refine budget it holds the floor at a
+    measured 2.7× speedup in the corpus-fraction regime (sq8 ladder,
+    sf1/|Q|=10k) — opting in is a statement that the caller's rerank
+    covers the quantization noise for THEIR data (knn_pq_eval /
+    knn_ann_eval are the measuring tools). Same output shape every way
+    (query_id,
     neighbor_id, rank, cos_bp with exact double cosines); ranks agree
     wherever the candidate generation's recall does — each tier's
     published recall contract. The route's planning work (manifest,
@@ -1783,7 +1867,8 @@ def knn_ann_auto(
     chosen endpoint (r10 advisory)."""
     route, _, plan = choose_ann_route(
         spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
-        emb_col=emb_col, with_plan=True, tiers=tiers,
+        emb_col=emb_col, with_plan=True,
+        tiers=tiers if tiers is not None else ("ivf", "sq8"),
     )
     if route == "pq":
         return knn_pq_indexed(
@@ -1905,7 +1990,13 @@ def split_ann_cells(
         ]
         if not files:
             continue
-        cell_df = spark.read.option("basePath", f"{path}/cells").parquet(*files)
+        cell_df = _without_tombstones(
+            spark.read.option("basePath", f"{path}/cells").parquet(*files),
+            spark,
+            path,
+            manifest,
+            id_col,
+        )  # the rewrite drops deleted rows: a split doubles as a purge
         sub = kmeans_centroids(
             cell_df, k=2, iters=iters, id_col=id_col, emb_col="_emb"
         )
@@ -1940,6 +2031,7 @@ def split_ann_cells(
     stage = f"{path}/.cells_split_{gen}"
     stage_codes = f"{path}/.codes_split_{gen}"
     stage_pq = f"{path}/.pq_split_{gen}"
+    stage_tomb = f"{path}/.tombstones_split_{gen}"
     new_manifest = {
         "version": int(manifest.get("version", 1)) + 1,
         "n_cells": len(new_cents),
@@ -2000,6 +2092,34 @@ def split_ann_cells(
         ):
             cell_rows[str(r[ANN_CELL_COL])] = int(r["n"])
         new_manifest["cell_rows"] = cell_rows
+        # tombstones of SPLIT cells became physical in the rewrite above
+        # (their rows were dropped); rewrite the ledger to the surviving
+        # entries — untouched cells keep theirs
+        tomb_files = manifest.get("tombstones") or []
+        if tomb_files:
+            split_ids = [int(c) for c, _, _ in parts]
+            keep = spark.read.parquet(
+                *[os.path.join(path, "tombstones", f) for f in tomb_files]
+            ).where(~F.col("_tomb_cell").isin(split_ids))
+            n_keep = keep.count()
+            if n_keep:
+                keep.coalesce(1).write.mode("overwrite").parquet(stage_tomb)
+                names = []
+                for i, f in enumerate(
+                    sorted(
+                        x
+                        for x in os.listdir(stage_tomb)
+                        if x.endswith(".parquet")
+                    )
+                ):
+                    name = f"gen-{gen}-{i:05d}.parquet"
+                    os.rename(
+                        os.path.join(stage_tomb, f),
+                        os.path.join(path, "tombstones", name),
+                    )
+                    names.append(name)
+                new_manifest["tombstones"] = names
+                new_manifest["n_tombstones"] = int(n_keep)
         # the NEW centroid generation (atomic flip via the manifest pointer)
         cent_dir = f"centroids_gen-{gen}"
         spark.createDataFrame(
@@ -2017,6 +2137,7 @@ def split_ann_cells(
                 "codes": retiring_codes,
                 "pq": retiring_pq,
                 "centroids_dir": manifest.get("centroids_dir", "centroids"),
+                "tombstones": list(manifest.get("tombstones") or []),
             },
         )
         if manifest.get("last_epoch") is not None:
@@ -2030,6 +2151,7 @@ def split_ann_cells(
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(stage_codes, ignore_errors=True)
         shutil.rmtree(stage_pq, ignore_errors=True)
+        shutil.rmtree(stage_tomb, ignore_errors=True)
     return len(parts)
 
 
@@ -2444,6 +2566,9 @@ def add_pq_sidecar(
             new_manifest["cell_rows"] = dict(manifest["cell_rows"])
         if manifest.get("centroids_dir"):
             new_manifest["centroids_dir"] = manifest["centroids_dir"]
+        for carry in ("tombstones", "n_tombstones"):
+            if manifest.get(carry) is not None:
+                new_manifest[carry] = manifest[carry]
         now = time.time()
         old_pq = {
             "ts": now,
@@ -2545,12 +2670,17 @@ def knn_pq_indexed(
     ]
     if not pq_files:
         return empty()
-    pq_rows = (
+    pq_rows = _without_tombstones(
         spark.read.option("basePath", f"{path}/pq")
         .parquet(*pq_files)
         .where(F.col(ANN_CELL_COL).isin(probe_union))
         .where(F.col("_cn") > 0)
-        .select(F.col(id_col).alias("neighbor_id"), "_pq", "_cn", ANN_CELL_COL)
+        .select(
+            F.col(id_col).alias("neighbor_id"), "_pq", "_cn", ANN_CELL_COL
+        ),
+        spark,
+        path,
+        manifest,
     )
     adc = _adc_dot(F.col("_pq"), F.col("_lut")) / (
         F.col("_qnorm") * F.col("_cn")
@@ -2572,3 +2702,127 @@ def knn_pq_indexed(
         spark, path, manifest, wanted, probe_union, cand_frame, qbase,
         queries, k, R, id_col,
     )
+
+
+def delete_ann_ids(
+    spark,
+    path: str,
+    ids: list,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete vectors from the persisted index WITHOUT a rebuild — the
+    tombstone pattern (FAISS ``remove_ids`` / Lucene live-docs, expressed
+    as an MVCC ledger): one commit appends a (``_tomb_id``, ``_tomb_cell``)
+    parquet to ``tombstones/`` and every read path filters to live ids
+    (``_without_tombstones``); the physical rows disappear at the next
+    compaction or cell split of their cell, which also clears the applied
+    ledger entries. Returns the number of live vectors tombstoned
+    (already-deleted and unknown ids are ignored — the op is idempotent).
+
+    The locate scan is id-In-pruned over the id-sorted cell files (row
+    groups skip), recording each id's CELL so (a) the manifest's live
+    ``cell_rows`` ledger — what the route cost model and the cell-health
+    policy price from — decrements exactly, and (b) maintenance knows
+    which cell dirs carry purgeable rows. ``ids`` is a driver-side list:
+    deletes are a maintenance op bounded by the caller's batch, not a
+    data-plane fan-out.
+
+    RE-INSERT of a tombstoned id is rejected by ``append_ann_index``'s
+    ``check_overlap`` guard while the physical row remains (appending it
+    blind would leave a duplicate that resurrects with the tombstone's
+    purge); compact first, then re-append."""
+    import shutil
+    import time
+
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    ids = sorted(set(ids))
+    if not ids:
+        return 0
+    # drop ids already tombstoned (idempotent re-delete, no double
+    # ledger decrement)
+    existing = manifest.get("tombstones") or []
+    if existing:
+        tomb = spark.read.parquet(
+            *[os.path.join(path, "tombstones", f) for f in existing]
+        )
+        dead = {
+            r["_tomb_id"]
+            for r in tomb.where(F.col("_tomb_id").isin(ids))
+            .select("_tomb_id")
+            .collect()
+        }
+        ids = [i for i in ids if i not in dead]
+        if not ids:
+            return 0
+    files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        for f in fs
+    ]
+    if not files:
+        return 0
+    located = (
+        spark.read.option("basePath", f"{path}/cells")
+        .parquet(*files)
+        .where(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).alias("_tomb_id"),
+            F.col(ANN_CELL_COL).cast("int").alias("_tomb_cell"),
+        )
+    )
+    pairs = located.collect()  # ≤ |ids| rows: the caller's batch bound
+    if not pairs:
+        return 0
+    gen = uuid.uuid4().hex[:8]
+    stage = f"{path}/.tombstones_stage_{gen}"
+    try:
+        spark.createDataFrame(pairs, located.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        os.makedirs(os.path.join(path, "tombstones"), exist_ok=True)
+        names = []
+        for i, f in enumerate(
+            sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        ):
+            name = f"gen-{gen}-{i:05d}.parquet"
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(path, "tombstones", name),
+            )
+            names.append(name)
+        cell_rows = dict(_manifest_cell_rows(spark, path, manifest))
+        per_cell: dict[str, int] = {}
+        for r in pairs:
+            per_cell[str(r["_tomb_cell"])] = (
+                per_cell.get(str(r["_tomb_cell"]), 0) + 1
+            )
+        for c, n in per_cell.items():
+            cell_rows[c] = max(int(cell_rows.get(c, 0)) - n, 0)
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_cells": int(manifest["n_cells"]),
+            "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
+            "cell_rows": cell_rows,
+            "tombstones": sorted(list(existing) + names),
+            "n_tombstones": int(manifest.get("n_tombstones", 0)) + len(pairs),
+        }
+        for key in ("codes", "pq"):
+            if key in manifest:
+                new_manifest[key] = {
+                    d: list(fs) for d, fs in manifest[key].items()
+                }
+        for carry in ("pq_params", "pq_books_dir", "centroids_dir"):
+            if manifest.get(carry) is not None:
+                new_manifest[carry] = manifest[carry]
+        new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _commit_ann_manifest(path, manifest, new_manifest)
+        _sweep_stray_ann(path, new_manifest)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return len(pairs)

@@ -155,8 +155,22 @@ def test_route_pq_tier_and_auto_dispatch(spark, embs, tmp_path):
     (recall itself is gated on the clustered eval corpus in
     test_knn_ivfpq_refine_recall_clustered — raw sf embeddings are the
     documented near-orthogonal worst case for 4-bit subquantizers)."""
-    costs = S.ann_route_costs(2000, 20, 2000, 3_002_274, has_pq=True)
-    assert min(costs, key=costs.get) == "pq"
+    # the four RECORDED round-11 ladder regimes with the pq arm present:
+    # the model must route to the measured-cheapest endpoint each time
+    # (the 5th pass constant — PQ's per-query LUT-build stage — is what
+    # keeps sf1/|Q|=40 on ivf, which measured 2.43s vs pq's 2.52s)
+    regimes = [
+        (40, 20, 2000, 60_184, "ivf"),  # sf0.1 fixed: 1.79 vs 2.77/2.69s
+        (2000, 20, 2000, 3_002_274, "pq"),  # sf0.1 frac: 8.7/6.8/4.0s
+        (40, 20, 20000, 599_716, "ivf"),  # sf1 fixed: 2.43 vs 2.74/2.52s
+        (10000, 20, 20000, 150_000_675, "pq"),  # sf1 frac: 165/126/46s
+    ]
+    for n_q, rr, probe_rows, scored_pairs, want in regimes:
+        costs = S.ann_route_costs(
+            n_q, rr, probe_rows, scored_pairs, has_pq=True
+        )
+        got = min(costs, key=costs.get)
+        assert got == want, (n_q, rr, probe_rows, scored_pairs, costs)
     assert "pq" not in S.ann_route_costs(2000, 20, 2000, 3_002_274)
     idx = str(tmp_path / "ridx")
     S.build_ann_index(embs, idx, n_cells=16, iters=3, pq=True)
@@ -174,6 +188,15 @@ def test_route_pq_tier_and_auto_dispatch(spark, embs, tmp_path):
         S.choose_ann_route(
             spark, idx, queries, k=5, n_probe=12, tiers=("hnsw",)
         )
+    # the DEFAULT auto is recall-conservative: pq never serves unless the
+    # caller opts in, even on an index that materializes it
+    r3, _, _ = S.choose_ann_route(
+        spark, idx, queries, k=5, n_probe=12, with_plan=True,
+        tiers=("ivf", "sq8"),
+    )
+    assert r3 in {"ivf", "sq8"}
+    got_default = _pairs(S.knn_ann_auto(spark, idx, queries, k=5, n_probe=12))
+    assert got_default  # served by a non-pq tier without error
     got = _pairs(
         S.knn_ann_auto(
             spark, idx, queries, k=5, n_probe=12, rerank=64, tiers=("pq",)

@@ -231,6 +231,7 @@ def test_chunked_sessionize_never_exchanges_events_by_user_alone(spark):
         "knn_sq8_indexed",
         "knn_ann_auto",
         "knn_ivfpq",
+        "knn_pq_indexed",
         "hybrid_mlt_search_ann",
         "neardup_probe_indexed",
         "dedup_minhash_lsh",

@@ -1,0 +1,138 @@
+"""Document deletes in the persisted BM25 index (round 11): tombstone
+commit with decremented df/stats, rebuild-equality of surviving scores,
+compaction-as-purge, and maintenance carries."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.entry_queries_docs import (
+    BM25_K,
+    BM25_QUERIES,
+)
+from es_household_retention_spark_job_spark.operators import search as SE
+from es_household_retention_spark_job_spark.sources.tpch import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def _manifest(idx):
+    with open(os.path.join(idx, SE.INDEX_MANIFEST)) as f:
+        return json.load(f)
+
+
+def _res(df):
+    return sorted(
+        (r.query_id, r.doc_id, r.rank, r.score_x1e6) for r in df.collect()
+    )
+
+
+def _dead_ids(docs):
+    return [
+        r.doc_id
+        for r in docs.where(F.col("doc_id") % 7 == 2)
+        .select("doc_id")
+        .collect()
+    ]
+
+
+def test_delete_scores_equal_rebuild_over_survivors(spark, docs, tmp_path):
+    """THE oracle: after delete_text_docs, bm25_search_indexed must be
+    byte-identical to an index FRESHLY BUILT over the surviving corpus —
+    tombstones hide the postings while the same commit's decremented
+    df/stats reproduce a rebuild's idf and length normalization exactly.
+    Re-deletes and unknown ids are no-op commits."""
+    idx = str(tmp_path / "idx")
+    SE.build_text_index(docs, idx)
+    dead = _dead_ids(docs)
+    assert dead
+    n = SE.delete_text_docs(spark, idx, dead)
+    assert n == len(dead)
+    man = _manifest(idx)
+    assert man["n_tombstones"] == len(dead)
+    v = man["version"]
+    assert SE.delete_text_docs(spark, idx, dead) == 0
+    assert SE.delete_text_docs(spark, idx, [10**12]) == 0
+    assert _manifest(idx)["version"] == v
+
+    live = docs.where(~F.col("doc_id").isin(dead))
+    rebuilt = str(tmp_path / "rebuilt")
+    SE.build_text_index(live, rebuilt)
+    want = _res(SE.bm25_search_indexed(spark, rebuilt, BM25_QUERIES, k=BM25_K))
+    got = _res(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
+    assert got == want and got
+
+    # MLT over the index excludes deleted results and scores with the
+    # decremented statistics — same rebuild parity
+    pred = F.col("doc_id") % 50 == 1
+    want_mlt = _res(
+        SE.bm25_more_like_this_indexed(spark, rebuilt, live, pred, k=5)
+    )
+    got_mlt = _res(
+        SE.bm25_more_like_this_indexed(spark, idx, live, pred, k=5)
+    )
+    assert got_mlt == want_mlt and got_mlt
+
+
+def test_compact_purges_doc_tombstones(spark, docs, tmp_path):
+    """With a pending tombstone ledger, compaction rewrites EVERY shard
+    (postings of a deleted doc scatter across all of them), drops the
+    dead postings physically, clears the ledger, and serves identical
+    results before and after."""
+    idx = str(tmp_path / "idx")
+    SE.build_text_index(docs, idx)
+    dead = _dead_ids(docs)
+    SE.delete_text_docs(spark, idx, dead)
+    before = _res(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
+    assert SE.compact_text_index(spark, idx) > 0
+    man = _manifest(idx)
+    assert "tombstones" not in man and "n_tombstones" not in man
+    after = _res(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
+    assert after == before and after
+    files = [
+        os.path.join(idx, "tf", d, f)
+        for d, fs in man["tf"].items()
+        for f in fs
+    ]
+    stored = (
+        spark.read.option("basePath", f"{idx}/tf")
+        .parquet(*files)
+        .where(F.col("doc_id").isin(dead))
+        .count()
+    )
+    assert stored == 0
+
+
+def test_append_after_delete_carries_ledger(spark, docs, tmp_path):
+    """An append commit carries the tombstone ledger and layers its own
+    df/stats increments on the delete's decremented generations — the
+    combined state still equals a fresh build over (survivors + delta)."""
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "idx")
+    SE.build_text_index(base, idx)
+    dead = [
+        r.doc_id
+        for r in base.where(F.col("doc_id") % 7 == 2)
+        .select("doc_id")
+        .collect()
+    ]
+    SE.delete_text_docs(spark, idx, dead)
+    SE.append_text_index(delta, idx)
+    man = _manifest(idx)
+    assert man["n_tombstones"] == len(dead)
+    survivors = docs.where(~F.col("doc_id").isin(dead))
+    rebuilt = str(tmp_path / "rebuilt")
+    SE.build_text_index(survivors, rebuilt)
+    want = _res(SE.bm25_search_indexed(spark, rebuilt, BM25_QUERIES, k=BM25_K))
+    got = _res(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
+    assert got == want and got

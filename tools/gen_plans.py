@@ -40,6 +40,7 @@ EXTRA_PLANS = [
     # round-11 additions (this session): the PQ tier and the new fold
     # read surfaces
     "knn_ivfpq",
+    "knn_pq_indexed",
     "sink_fold_percentile",
     "sink_fold_topk",
 ]

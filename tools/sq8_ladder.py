@@ -163,8 +163,11 @@ def main() -> None:
                 lambda: S.knn_pq_indexed(spark, idx, bigq, k=K),
             ),
             (
-                "knn_ann_auto",
-                lambda: S.knn_ann_auto(spark, idx, bigq, k=K),
+                "knn_ann_auto",  # pq is opt-in (recall-conservative
+                # default); the ladder opts in to adjudicate all tiers
+                lambda: S.knn_ann_auto(
+                    spark, idx, bigq, k=K, tiers=("ivf", "sq8", "pq")
+                ),
             ),
         ):
             def run_b(fn=fn):
