@@ -751,9 +751,9 @@ def build_neardup_index(
 
 def read_neardup_index(spark: SparkSession, path: str) -> DataFrame:
     """The live band index: the batch-built ``base`` plus any streamed
-    ``stream`` appends. The stream side is read through its own
-    _spark_metadata log, so files from uncommitted micro-batches are never
-    served."""
+    ``stream`` appends, minus tombstoned docs (``delete_neardup_docs``).
+    The stream side is read through its own _spark_metadata log, so files
+    from uncommitted micro-batches are never served."""
     parts = []
     for sub in ("base", "stream"):
         p = os.path.join(path, sub)
@@ -764,7 +764,67 @@ def read_neardup_index(spark: SparkSession, path: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir)
+    ):
+        id_col = next(
+            c
+            for c in out.columns
+            if c not in ("gh", "band_key", BAND_BUCKET_COL)
+        )
+        out = out.join(
+            F.broadcast(
+                spark.read.parquet(tomb_dir)
+                .select(F.col("_tomb_id").alias(id_col))
+                .distinct()
+            ),
+            id_col,
+            "left_anti",
+        )
     return out
+
+
+def delete_neardup_docs(
+    spark: SparkSession, path: str, doc_ids: list, id_col: str = "doc_id"
+) -> int:
+    """Remove documents from the band index without a rebuild: their band
+    rows would otherwise keep surfacing them as ``dup_of`` candidates —
+    the takedown/right-to-erasure gap, near-dup edition. The ledger is a
+    flat id parquet under ``tombstones/`` (this index has no manifest —
+    its two sides are already atomic in their own domains, and a
+    tombstone FILE is atomic by rename); ``read_neardup_index`` anti-joins
+    it, so probes and the streaming corpus loop see only live docs.
+    Idempotent (duplicate ledger rows are harmless to a semi-join filter);
+    the physical purge is the next ``build_neardup_index`` rebuild, this
+    layout's compaction equivalent."""
+    import uuid as _uuid
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return 0
+    tomb_dir = os.path.join(path, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    stage = os.path.join(path, f".tomb_stage_{_uuid.uuid4().hex[:8]}")
+    schema = (
+        "_tomb_id string" if isinstance(ids[0], str) else "_tomb_id long"
+    )
+    spark.createDataFrame([(i,) for i in ids], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    n = 0
+    for i, f in enumerate(
+        sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
+    ):
+        os.replace(
+            os.path.join(stage, f),
+            os.path.join(tomb_dir, f"gen-{_uuid.uuid4().hex[:8]}-{i:05d}.parquet"),
+        )
+        n += 1
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
+    return len(ids)
 
 
 def neardup_probe(

@@ -471,7 +471,15 @@ def build_text_index(
         with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select(id_col, "dl", "term", "tf", shard)
+        # _ver: the manifest version whose commit added the row (build=1).
+        # A doc tombstone records the version it was issued AT and applies
+        # only to rows with _ver ≤ it — what lets a deleted doc be
+        # RE-APPENDED (upsert_text_docs) without resurrecting the old
+        # rows: the new rows carry a higher _ver. Dict-encodes to ~0
+        # bytes; survives compaction as plain data (no file-provenance
+        # bookkeeping needed — the Lucene per-segment-liveness problem
+        # solved columnar)
+        .select(id_col, "dl", "term", "tf", F.lit(1).alias("_ver"), shard)
     )
     gen = uuid.uuid4().hex[:8]
     df_dir, stats_dir = f"df-{gen}", f"stats-{gen}"
@@ -620,11 +628,28 @@ def append_text_index(
         F.size(tokens(text_col)).cast("long").alias("dl"),
         tokens(text_col).alias("toks"),
     )
+    # row-version the delta like build does — unless the index predates
+    # the _ver column (legacy: mixed per-file schemas would corrupt the
+    # unified read, so a legacy index stays legacy until rebuilt)
+    any_tf = next(
+        (
+            os.path.join(path, "tf", d, f)
+            for d, fs in manifest["tf"].items()
+            for f in fs
+        ),
+        None,
+    )
+    has_ver = any_tf is None or "_ver" in spark.read.parquet(any_tf).columns
+    ver_cols = (
+        [F.lit(int(manifest.get("version", 1)) + 1).alias("_ver")]
+        if has_ver
+        else []
+    )
     delta_tf = eager_cache(
         with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select(id_col, "dl", "term", "tf", shard)
+        .select(id_col, "dl", "term", "tf", *ver_cols, shard)
     )
     gen = uuid.uuid4().hex[:8]
     stage = f"{path}/.tf_stage_{gen}"
@@ -896,7 +921,7 @@ def compact_text_index(spark, path: str) -> int:
             id_field = next(
                 c
                 for c in df_in.columns
-                if c not in ("dl", "term", "tf", INDEX_SHARD_COL)
+                if c not in ("dl", "term", "tf", "_ver", INDEX_SHARD_COL)
             )
             df_in = _without_doc_tombstones(
                 df_in, spark, path, manifest, id_field
@@ -960,21 +985,40 @@ def _without_doc_tombstones(
 ) -> DataFrame:
     """Filter a postings read down to LIVE documents: ids named by the
     manifest's tombstone ledger (``delete_text_docs``) are excluded —
-    small ledgers inline as a NOT-IN the row-group pushdown can use, big
-    ones stay distributed as a broadcast anti-join."""
+    but only for rows whose ``_ver`` is ≤ the tombstone's ``as_of``
+    version, so a doc RE-APPENDED after its delete (``upsert_text_docs``)
+    stays visible while its old rows stay dead. Small ledgers inline as a
+    boolean the row-group pushdown can use, big ones stay distributed as
+    a conditioned broadcast anti-join. Legacy shapes degrade safely:
+    un-versioned postings count as _ver=1, un-versioned ledger entries as
+    as_of=∞ (apply to everything — the pre-upsert semantics)."""
     files = manifest.get("tombstones") or []
     if not files:
         return frame
     tomb = spark.read.parquet(
         *[os.path.join(path, "tombstones", f) for f in files]
     )
+    if "_tomb_as_of" not in tomb.columns:
+        tomb = tomb.withColumn("_tomb_as_of", F.lit(2**31))
+    ver_col = F.col("_ver") if "_ver" in frame.columns else F.lit(1)
     n = int(manifest.get("n_tombstones", 0))
     if 0 < n <= _ISIN_PUSHDOWN_MAX:
-        ids = [r["_tomb_id"] for r in tomb.select("_tomb_id").collect()]
-        return frame.where(~F.col(col).isin(ids))
+        by_as_of: dict[int, list] = {}
+        for r in tomb.select("_tomb_id", "_tomb_as_of").collect():
+            by_as_of.setdefault(int(r["_tomb_as_of"]), []).append(
+                r["_tomb_id"]
+            )
+        cond = None
+        for as_of, ids in sorted(by_as_of.items()):
+            c = F.col(col).isin(ids) & (ver_col <= F.lit(as_of))
+            cond = c if cond is None else (cond | c)
+        return frame.where(~cond)
+    t = tomb.select(
+        F.col("_tomb_id").alias("__tid"), F.col("_tomb_as_of").alias("__tas")
+    ).distinct()
     return frame.join(
-        F.broadcast(tomb.select(F.col("_tomb_id").alias(col)).distinct()),
-        col,
+        F.broadcast(t),
+        (F.col(col) == F.col("__tid")) & (ver_col <= F.col("__tas")),
         "left_anti",
     )
 
@@ -1509,6 +1553,8 @@ def delete_text_docs(
     path: str,
     doc_ids: list,
     id_col: str = "doc_id",
+    epoch: int | None = None,
+    epoch_stream: str | None = None,
 ) -> int:
     """Delete documents from the persisted BM25 index WITHOUT a rebuild —
     the Lucene live-docs pattern on the MVCC manifest: ONE commit appends
@@ -1547,19 +1593,6 @@ def delete_text_docs(
     if not ids:
         return 0
     existing = manifest.get("tombstones") or []
-    if existing:
-        tomb = spark.read.parquet(
-            *[os.path.join(path, "tombstones", f) for f in existing]
-        )
-        dead = {
-            r["_tomb_id"]
-            for r in tomb.where(F.col("_tomb_id").isin(ids))
-            .select("_tomb_id")
-            .collect()
-        }
-        ids = [i for i in ids if i not in dead]
-        if not ids:
-            return 0
     files = [
         os.path.join(path, "tf", d, f)
         for d, fs in manifest["tf"].items()
@@ -1567,7 +1600,17 @@ def delete_text_docs(
     ]
     if not files:
         return 0
-    tf_all = spark.read.option("basePath", f"{path}/tf").parquet(*files)
+    # locate LIVE postings only (the tombstone filter applied up front):
+    # an already-dead id finds nothing — idempotent — while an id that
+    # was deleted and later RE-APPENDED (upsert) finds exactly its live
+    # rows and gets a fresh, higher-as_of tombstone
+    tf_all = _without_doc_tombstones(
+        spark.read.option("basePath", f"{path}/tf").parquet(*files),
+        spark,
+        path,
+        manifest,
+        id_col,
+    )
     if len(ids) <= _ISIN_PUSHDOWN_MAX:
         deleted = tf_all.where(F.col(id_col).isin(ids))
     else:
@@ -1590,9 +1633,12 @@ def delete_text_docs(
         # tombstone ledger file (ids only — the read-side filter's shape)
         stage_t = f"{path}/.tombstones_stage_{gen}"
         os.makedirs(os.path.join(path, "tombstones"), exist_ok=True)
-        found.select(F.col(id_col).alias("_tomb_id")).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage_t)
+        found.select(
+            F.col(id_col).alias("_tomb_id"),
+            # this tombstone applies to rows committed up to NOW — a
+            # later re-append's rows carry a higher _ver and stay live
+            F.lit(int(manifest.get("version", 1))).alias("_tomb_as_of"),
+        ).coalesce(1).write.mode("overwrite").parquet(stage_t)
         names = []
         for i, f in enumerate(
             sorted(x for x in os.listdir(stage_t) if x.endswith(".parquet"))
@@ -1659,10 +1705,15 @@ def delete_text_docs(
                 },
             ),
         }
-        if manifest.get("last_epoch") is not None:
-            new_manifest["last_epoch"] = int(manifest["last_epoch"])
-        if manifest.get("epoch_stream") is not None:
-            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        if epoch is not None:
+            new_manifest["last_epoch"] = int(epoch)
+            if epoch_stream is not None:
+                new_manifest["epoch_stream"] = str(epoch_stream)
+        else:
+            if manifest.get("last_epoch") is not None:
+                new_manifest["last_epoch"] = int(manifest["last_epoch"])
+            if manifest.get("epoch_stream") is not None:
+                new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
         _write_index_manifest(path, new_manifest)
         _gc_index_gens(
             path, keep={df_dir, stats_dir} | _retired_gens(new_manifest)
@@ -1671,3 +1722,40 @@ def delete_text_docs(
         return n_found
     finally:
         deleted.unpersist()
+
+
+def upsert_text_docs(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Re-index documents — the text index's CRUD-completing write op:
+    ``delete_text_docs`` on the batch's ids (tombstones the LIVE old rows
+    and decrements df/stats exactly) followed by ``append_text_index`` of
+    the new content (whose postings carry a higher ``_ver`` than the
+    tombstones' ``as_of``, so they serve immediately). After both commits
+    the index is statistics-exact for the upserted corpus: scores equal a
+    fresh build over it (pinned in tests). New ids — nothing to delete —
+    just append.
+
+    TWO commits, deliberately: the inverted layout has no bounded
+    rewrite unit (a doc's postings scatter across every shard), so an
+    atomic replace would cost a full tf rewrite per upsert — the lazy
+    tombstone + higher-version append is the Lucene update shape. The
+    visibility window between the commits (doc briefly absent) is the
+    documented trade; a crash between them converges on retry (the
+    re-run's delete finds no live rows, appends the new content). The
+    physical purge of old rows stays with ``compact_text_index``.
+    Returns {"deleted": n_old_docs_tombstoned, "appended": n_docs}."""
+    n_docs = docs.count()
+    ids = [r[id_col] for r in docs.select(id_col).collect()]
+    if len(ids) != len(set(ids)):
+        raise ValueError(
+            "upsert_text_docs: batch carries duplicate ids — resolve to "
+            "one row per id upstream (the keyed sink's _resolve contract)"
+        )
+    n_deleted = delete_text_docs(spark, path, ids, id_col=id_col)
+    append_text_index(docs, path, text_col=text_col, id_col=id_col)
+    return {"deleted": int(n_deleted), "appended": int(n_docs)}

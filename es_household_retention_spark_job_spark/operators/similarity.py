@@ -2709,6 +2709,8 @@ def delete_ann_ids(
     path: str,
     ids: list,
     id_col: str = "vec_id",
+    epoch: int | None = None,
+    epoch_stream: str | None = None,
 ) -> int:
     """Delete vectors from the persisted index WITHOUT a rebuild — the
     tombstone pattern (FAISS ``remove_ids`` / Lucene live-docs, expressed
@@ -2817,12 +2819,336 @@ def delete_ann_ids(
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
-        if manifest.get("last_epoch") is not None:
-            new_manifest["last_epoch"] = int(manifest["last_epoch"])
-        if manifest.get("epoch_stream") is not None:
-            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        if epoch is not None:
+            new_manifest["last_epoch"] = int(epoch)
+            if epoch_stream is not None:
+                new_manifest["epoch_stream"] = str(epoch_stream)
+        else:
+            if manifest.get("last_epoch") is not None:
+                new_manifest["last_epoch"] = int(manifest["last_epoch"])
+            if manifest.get("epoch_stream") is not None:
+                new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
         _commit_ann_manifest(path, manifest, new_manifest)
         _sweep_stray_ann(path, new_manifest)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return len(pairs)
+
+
+def upsert_ann_vectors(
+    vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    epoch: int | None = None,
+    epoch_stream: str | None = None,
+) -> dict:
+    """Re-index vectors IN PLACE — the write op that completes the index's
+    CRUD surface: ids with an existing row get their old row physically
+    replaced, new ids append, and everything publishes in ONE atomic
+    manifest commit (a reader sees the whole upsert or none of it).
+
+    The cost is bounded by the TOUCHED cells, not the index: old versions
+    are located with an id-In row-group-pruned scan (cells are id-sorted),
+    and only the cells that contained one are rewritten — the CoW-per-cell
+    trade, chosen over tombstoning because an id-level tombstone cannot
+    distinguish the old row from its replacement (the Lucene
+    per-segment-liveness problem; the sink solves it with sequence
+    numbers, an index solves it by making the cell the rewrite unit).
+    Delta rows landing in untouched cells append exactly like
+    ``append_ann_index`` (staged files + manifest extend). SQ8/PQ sidecars
+    rewrite/extend in the same commit with the stored quantizers (frozen —
+    an upsert changes content, never assignment rules or codebooks).
+
+    Tombstone interplay: a rewritten cell is a purge opportunity — ALL of
+    its tombstoned rows drop and their ledger entries clear, which is also
+    what lets an upsert RESURRECT a previously-deleted id with new content
+    (delete_ann_ids + upsert composes; append alone cannot, see its
+    precondition). Returns {"replaced": n_old_rows_purged, "appended":
+    n_rows_added_to_untouched_cells, "rewritten_cells": [...]}."""
+    import shutil
+    import time
+
+    spark = vecs.sparkSession
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    cents = _read_centroids(spark, path, manifest)
+    assigned = _assigned_cells(vecs, cents, id_col, emb_col).persist()
+    has_codes = bool(manifest.get("codes"))
+    has_pq = bool(manifest.get("pq"))
+    cb = _read_pq_books(spark, path, manifest) if has_pq else None
+    stages: list[str] = []
+    try:
+        delta_ids = [r[id_col] for r in assigned.select(id_col).collect()]
+        if len(delta_ids) != len(set(delta_ids)):
+            raise ValueError(
+                "upsert_ann_vectors: delta carries duplicate ids — resolve "
+                "to one row per id upstream (the keyed sink's _resolve "
+                "contract)"
+            )
+        # id predicates: literal In below the driver-materialization bound
+        # (pushes into the id-sorted cells as row-group skipping), else
+        # broadcast semi/anti joins (the locate loses its pruning — a
+        # corpus-scale re-index belongs to build_ann_index, documented)
+        if len(delta_ids) <= _ID_ISIN_MAX:
+            def is_delta(frame):
+                return frame.where(F.col(id_col).isin(delta_ids))
+
+            def not_delta(frame):
+                return frame.where(~F.col(id_col).isin(delta_ids))
+        else:
+            _idf = F.broadcast(assigned.select(id_col).distinct())
+
+            def is_delta(frame):
+                return frame.join(_idf, id_col, "left_semi")
+
+            def not_delta(frame):
+                return frame.join(_idf, id_col, "left_anti")
+
+        all_files = [
+            os.path.join(path, "cells", d, f)
+            for d, fs in manifest["cells"].items()
+            for f in fs
+        ]
+        old = (
+            is_delta(
+                spark.read.option("basePath", f"{path}/cells").parquet(
+                    *all_files
+                )
+            )
+            if all_files
+            else None
+        )
+        touched = (
+            sorted(
+                int(r[ANN_CELL_COL])
+                for r in old.select(ANN_CELL_COL).distinct().collect()
+            )
+            if old is not None
+            else []
+        )
+        touched_dirs = {f"{ANN_CELL_COL}={c}" for c in touched}
+        # tombstoned ids living in touched cells: the rewrite purges them
+        tomb_files = manifest.get("tombstones") or []
+        tomb_keep_rows = None
+        if tomb_files:
+            tomb = spark.read.parquet(
+                *[os.path.join(path, "tombstones", f) for f in tomb_files]
+            ).where(~F.col("_tomb_cell").isin(touched))
+            if len(delta_ids) <= _ID_ISIN_MAX:
+                tomb_keep_rows = tomb.where(
+                    ~F.col("_tomb_id").isin(delta_ids)
+                )
+            else:
+                tomb_keep_rows = tomb.join(
+                    F.broadcast(
+                        assigned.select(
+                            F.col(id_col).alias("_tomb_id")
+                        ).distinct()
+                    ),
+                    "_tomb_id",
+                    "left_anti",
+                )
+        gen = uuid.uuid4().hex[:8]
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_cells": int(manifest["n_cells"]),
+            "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
+        }
+        for key in ("codes", "pq"):
+            if key in manifest:
+                new_manifest[key] = {
+                    d: list(fs) for d, fs in manifest[key].items()
+                }
+        for carry in ("pq_params", "pq_books_dir", "centroids_dir"):
+            if manifest.get(carry) is not None:
+                new_manifest[carry] = manifest[carry]
+        cell_rows = dict(_manifest_cell_rows(spark, path, manifest))
+        n_replaced = old.count() if old is not None else 0
+
+        def land(frame, sub, sort_id):
+            """Stage a cell-partitioned frame and move it under gen names;
+            returns {dir: [names]}."""
+            stage = f"{path}/.{sub}_upsert_{gen}"
+            stages.append(stage)
+            n_out = max(
+                frame.select(ANN_CELL_COL).distinct().count(), 1
+            )
+            frame.repartition(
+                n_out, F.col(ANN_CELL_COL)
+            ).sortWithinPartitions(ANN_CELL_COL, sort_id).write.mode(
+                "overwrite"
+            ).partitionBy(ANN_CELL_COL).parquet(stage)
+            return _move_staged_cells(path, stage, gen, sub)
+
+        # ----- REWRITE arm: touched cells = survivors + their delta rows
+        retiring: dict[str, dict[str, list[str]]] = {
+            "cells": {},
+            "codes": {},
+            "pq": {},
+        }
+        if touched:
+            touched_files = [
+                os.path.join(path, "cells", d, f)
+                for d, fs in manifest["cells"].items()
+                if d in touched_dirs
+                for f in fs
+            ]
+            survivors = not_delta(
+                spark.read.option("basePath", f"{path}/cells").parquet(
+                    *touched_files
+                )
+            )
+            survivors = _without_tombstones(
+                survivors, spark, path, manifest, id_col
+            )
+            rewrite = survivors.select(
+                id_col, "_emb", "_norm", F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL)
+            ).unionByName(
+                assigned.where(F.col(ANN_CELL_COL).isin(touched)).select(
+                    id_col, "_emb", "_norm",
+                    F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL),
+                )
+            ).persist()
+            try:
+                moved = land(rewrite, "cells", id_col)
+                for d in touched_dirs:
+                    retiring["cells"][d] = list(
+                        manifest["cells"].get(d, [])
+                    )
+                    new_manifest["cells"].pop(d, None)
+                for d, names in moved.items():
+                    new_manifest["cells"][d] = sorted(names)
+                if has_codes:
+                    moved_c = land(_codes_for(rewrite, id_col), "codes", id_col)
+                    for d in touched_dirs:
+                        retiring["codes"][d] = list(
+                            manifest.get("codes", {}).get(d, [])
+                        )
+                        new_manifest["codes"].pop(d, None)
+                    for d, names in moved_c.items():
+                        new_manifest["codes"][d] = sorted(names)
+                if has_pq:
+                    moved_p = land(
+                        _pq_codes_for(rewrite, cb, id_col), "pq", id_col
+                    )
+                    for d in touched_dirs:
+                        retiring["pq"][d] = list(
+                            manifest.get("pq", {}).get(d, [])
+                        )
+                        new_manifest["pq"].pop(d, None)
+                    for d, names in moved_p.items():
+                        new_manifest["pq"][d] = sorted(names)
+                for r in (
+                    rewrite.groupBy(ANN_CELL_COL)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                ):
+                    cell_rows[str(r[ANN_CELL_COL])] = int(r["n"])
+                for c in touched:
+                    cell_rows.setdefault(str(c), 0)
+                    if f"{ANN_CELL_COL}={c}" not in new_manifest["cells"]:
+                        cell_rows[str(c)] = 0  # cell emptied entirely
+            finally:
+                rewrite.unpersist()
+
+        # ----- APPEND arm: delta rows whose cell was not rewritten
+        fresh = assigned.where(~F.col(ANN_CELL_COL).isin(touched)).persist()
+        try:
+            n_appended = fresh.count()
+            if n_appended:
+                for d, names in land(
+                    fresh.select(
+                        id_col, "_emb", "_norm",
+                        F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL),
+                    ),
+                    "cells",
+                    id_col,
+                ).items():
+                    new_manifest["cells"].setdefault(d, []).extend(names)
+                    new_manifest["cells"][d] = sorted(new_manifest["cells"][d])
+                if has_codes:
+                    for d, names in land(
+                        _codes_for(fresh, id_col), "codes", id_col
+                    ).items():
+                        new_manifest["codes"].setdefault(d, []).extend(names)
+                        new_manifest["codes"][d] = sorted(
+                            new_manifest["codes"][d]
+                        )
+                if has_pq:
+                    for d, names in land(
+                        _pq_codes_for(fresh, cb, id_col), "pq", id_col
+                    ).items():
+                        new_manifest["pq"].setdefault(d, []).extend(names)
+                        new_manifest["pq"][d] = sorted(new_manifest["pq"][d])
+                for r in (
+                    fresh.groupBy(ANN_CELL_COL)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                ):
+                    c = str(r[ANN_CELL_COL])
+                    cell_rows[c] = int(cell_rows.get(c, 0)) + int(r["n"])
+        finally:
+            fresh.unpersist()
+        new_manifest["cell_rows"] = cell_rows
+
+        # ----- tombstone ledger: entries for rewritten cells and upserted
+        # ids are now physical no-ops — rewrite the ledger to the rest
+        if tomb_files:
+            tomb_keep_rows = tomb_keep_rows.persist()
+            n_keep = tomb_keep_rows.count()
+            if n_keep:
+                stage_t = f"{path}/.tombstones_upsert_{gen}"
+                stages.append(stage_t)
+                tomb_keep_rows.coalesce(1).write.mode("overwrite").parquet(
+                    stage_t
+                )
+                names = []
+                for i, f in enumerate(
+                    sorted(
+                        x
+                        for x in os.listdir(stage_t)
+                        if x.endswith(".parquet")
+                    )
+                ):
+                    name = f"gen-{gen}-{i:05d}.parquet"
+                    os.rename(
+                        os.path.join(stage_t, f),
+                        os.path.join(path, "tombstones", name),
+                    )
+                    names.append(name)
+                new_manifest["tombstones"] = names
+                new_manifest["n_tombstones"] = int(n_keep)
+            tomb_keep_rows.unpersist()
+        now = time.time()
+        entry = {
+            "ts": now,
+            "cells": retiring["cells"],
+            "codes": retiring["codes"],
+            "pq": retiring["pq"],
+            "tombstones": list(tomb_files),
+        }
+        new_manifest["retired"] = _ann_roll_retired(
+            manifest, now, entry if (touched or tomb_files) else None
+        )
+        if epoch is not None:
+            new_manifest["last_epoch"] = int(epoch)
+            if epoch_stream is not None:
+                new_manifest["epoch_stream"] = str(epoch_stream)
+        else:
+            if manifest.get("last_epoch") is not None:
+                new_manifest["last_epoch"] = int(manifest["last_epoch"])
+            if manifest.get("epoch_stream") is not None:
+                new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _commit_ann_manifest(path, manifest, new_manifest)
+        _sweep_stray_ann(path, new_manifest)
+        return {
+            "replaced": int(n_replaced),
+            "appended": int(n_appended),
+            "rewritten_cells": touched,
+        }
+    finally:
+        assigned.unpersist()
+        for stage in stages:
+            shutil.rmtree(stage, ignore_errors=True)

@@ -163,3 +163,76 @@ def test_append_carries_tombstones_forward(spark, embs, tmp_path):
     rows = S.knn_ivf_indexed(spark, idx, queries, k=5).collect()
     assert rows
     assert not {r.neighbor_id for r in rows} & set(dead)
+
+
+def test_upsert_replaces_appends_and_resurrects(spark, embs, tmp_path):
+    """upsert_ann_vectors completes the CRUD surface: changed ids get
+    their old row physically replaced (only their cells rewrite), new ids
+    append, a previously-deleted id resurrects with its new content, and
+    the post-upsert index is byte-identical to a FRESH build over the
+    upserted corpus at the same quantizers."""
+    idx = str(tmp_path / "idx")
+    base = embs.where(F.col("vec_id") < 1500).select("vec_id", "embedding")
+    S.build_ann_index(base, idx, n_cells=8, iters=2, pq=True)
+    man0 = _manifest(idx)
+    cents = S._read_centroids(spark, idx, man0)
+    cb = S._read_pq_books(spark, idx, man0)
+
+    # the delta: 20 CHANGED vectors (reversed embedding), 20 NEW ids, and
+    # one RESURRECTION of a deleted id with fresh content
+    S.delete_ann_ids(spark, idx, [30])
+    changed = base.where((F.col("vec_id") % 70 == 1) & (F.col("vec_id") != 30))
+    delta = (
+        changed.select(
+            "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+        )
+        .unionByName(
+            embs.where(F.col("vec_id") >= 1500)
+            .limit(20)
+            .select("vec_id", "embedding")
+        )
+        .unionByName(
+            base.where(F.col("vec_id") == 30).select(
+                "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+            )
+        )
+    )
+    out = S.upsert_ann_vectors(delta, idx)
+    assert out["replaced"] > 0 and out["rewritten_cells"]
+    man = _manifest(idx)
+    # the resurrected id's tombstone is gone (its cell was rewritten)
+    assert man.get("n_tombstones", 0) == 0
+
+    # oracle: fresh build over (base minus delta ids, plus delta) at the
+    # SAME centroids and codebooks must serve byte-identical results on
+    # the ivf AND pq tiers
+    delta_ids = [r.vec_id for r in delta.select("vec_id").collect()]
+    corpus = base.where(~F.col("vec_id").isin(delta_ids)).unionByName(delta)
+    rebuilt = str(tmp_path / "rebuilt")
+    S.build_ann_index(corpus, rebuilt, centroids=cents)
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    want = _pairs(S.knn_ivf_indexed(spark, rebuilt, queries, k=5))
+    got = _pairs(S.knn_ivf_indexed(spark, idx, queries, k=5))
+    assert got == want and got
+    want_pq = _pairs(
+        S.knn_ivfpq(
+            corpus, queries, k=5, n_probe=4, refine=32,
+            codebooks=cb, centroids=cents,
+        )
+    )
+    got_pq = _pairs(
+        S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=4, refine=32)
+    )
+    assert got_pq == want_pq and got_pq
+    # ledger equals the true live count
+    assert sum(man["cell_rows"].values()) == corpus.count()
+
+
+def test_upsert_rejects_duplicate_delta_ids(spark, embs, tmp_path):
+    idx = str(tmp_path / "dupidx")
+    S.build_ann_index(embs.where(F.col("vec_id") < 500), idx, n_cells=4)
+    dup = embs.where(F.col("vec_id") == 7).unionByName(
+        embs.where(F.col("vec_id") == 7)
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        S.upsert_ann_vectors(dup, idx)

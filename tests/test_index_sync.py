@@ -1,0 +1,158 @@
+"""CDC → index maintenance (round 11): the sink's change feed drives the
+BM25 and ANN indexes through their delete/upsert ops, cursor exactly-once
+on the index manifest, rebuild-equality after every sync."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_household_retention_spark_job_spark.operators import search as SE
+from es_household_retention_spark_job_spark.operators import similarity as S
+from es_household_retention_spark_job_spark.sinks import upsert as U
+from es_household_retention_spark_job_spark.sources.tpch import load_table
+from es_household_retention_spark_job_spark.streaming.index_sync import (
+    sync_ann_index,
+    sync_text_index,
+)
+
+from .conftest import SF_DIR
+
+
+def _res(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sync_text_index_follows_table(spark, tmp_path):
+    """Table mutations (upsert new docs, change a doc's text, delete docs)
+    flow through sync_text_index; after each sync the index serves
+    byte-identically to a fresh build over the table's resolved state.
+    A repeated sync with no new table version is a no-op (cursor)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table = str(tmp_path / "table")
+    idx = str(tmp_path / "idx")
+    U.write_keyed_table(docs, table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    SE.build_text_index(U.read_keyed_table(spark, table), idx)
+
+    queries = [("q1", "data quality filter"), ("qz", "zzzsynced")]
+
+    # window 1: insert new docs + change existing ones + delete some
+    changed = docs.where(F.col("doc_id") % 13 == 4).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzsynced"))
+    )
+    fresh = docs.where(F.col("doc_id") % 19 == 7).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    U.upsert_parquet(
+        spark, table, changed.unionByName(fresh), key="doc_id"
+    )
+    dead = docs.where(F.col("doc_id") % 23 == 11).select("doc_id")
+    U.delete_keys(spark, table, dead, key="doc_id")
+
+    out = sync_text_index(spark, idx, table, from_version=v0)
+    assert out["upserted"] > 0 and out["deleted"] > 0
+
+    rebuilt = str(tmp_path / "rebuilt1")
+    SE.build_text_index(U.read_keyed_table(spark, table), rebuilt)
+    want = _res(SE.bm25_search_indexed(spark, rebuilt, queries, k=10))
+    got = _res(SE.bm25_search_indexed(spark, idx, queries, k=10))
+    assert got == want and got
+    assert any(r[0] == "qz" for r in got)
+
+    # cursor: same table version → nothing re-applies, and from_version
+    # is no longer needed (the manifest carries the cursor)
+    out2 = sync_text_index(spark, idx, table)
+    assert out2["upserted"] == 0 and out2["deleted"] == 0
+    assert out2["from"] == out2["to"] == U.current_version(table)
+
+    # window 2: delete one of the docs upserted in window 1 (exercises
+    # the delete-after-reinsert ladder through the CDC path)
+    target = [r.doc_id for r in changed.limit(1).collect()]
+    U.delete_keys(
+        spark,
+        table,
+        spark.createDataFrame([(t,) for t in target], "doc_id long"),
+        key="doc_id",
+    )
+    out3 = sync_text_index(spark, idx, table)
+    assert out3["deleted"] == 1 and out3["upserted"] == 0
+    rebuilt2 = str(tmp_path / "rebuilt2")
+    SE.build_text_index(U.read_keyed_table(spark, table), rebuilt2)
+    want2 = _res(SE.bm25_search_indexed(spark, rebuilt2, queries, k=10))
+    got2 = _res(SE.bm25_search_indexed(spark, idx, queries, k=10))
+    assert got2 == want2 and got2
+
+
+def test_sync_ann_index_follows_table(spark, tmp_path):
+    """The vector edition: embedding updates, inserts, and deletes flow
+    through sync_ann_index; the synced index is byte-identical to a fresh
+    build over the table state at the same quantizers (ivf tier), and a
+    cursor-only re-sync is a no-op."""
+    embs = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 1200)
+    )
+    table = str(tmp_path / "table")
+    idx = str(tmp_path / "idx")
+    U.write_keyed_table(embs, table, key="vec_id", n_buckets=4)
+    v0 = U.current_version(table)
+    S.build_ann_index(
+        U.read_keyed_table(spark, table), idx, n_cells=8, iters=2, pq=True
+    )
+    man0 = S._read_ann_manifest(idx)
+    cents = S._read_centroids(spark, idx, man0)
+
+    changed = embs.where(F.col("vec_id") % 31 == 5).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    fresh = embs.where(F.col("vec_id") % 41 == 3).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    U.upsert_parquet(spark, table, changed.unionByName(fresh), key="vec_id")
+    dead = embs.where(F.col("vec_id") % 37 == 9).select("vec_id")
+    U.delete_keys(spark, table, dead, key="vec_id")
+
+    out = sync_ann_index(spark, idx, table, from_version=v0)
+    assert out["upserted"] > 0 and out["deleted"] > 0
+
+    rebuilt = str(tmp_path / "rebuilt")
+    S.build_ann_index(
+        U.read_keyed_table(spark, table), rebuilt, centroids=cents
+    )
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    want = _res(S.knn_ivf_indexed(spark, rebuilt, queries, k=5))
+    got = _res(S.knn_ivf_indexed(spark, idx, queries, k=5))
+    assert got == want and got
+
+    out2 = sync_ann_index(spark, idx, table)
+    assert out2["upserted"] == 0 and out2["deleted"] == 0
+
+    # an unsynced index without a cursor refuses to guess the window
+    with pytest.raises(ValueError, match="from_version"):
+        sync_ann_index(spark, str(tmp_path / "noidx"), table)
+
+
+def test_neardup_index_delete(spark, tmp_path):
+    """delete_neardup_docs: a tombstoned doc stops surfacing as a dup_of
+    candidate (the takedown gap, near-dup edition); idempotent; physical
+    purge deferred to the next rebuild."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "ndidx")
+    D.build_neardup_index(docs, idx)
+    # probe the corpus against itself: self-pairs excluded, near-dups hit
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+    hits = D.neardup_probe(probe_docs, D.read_neardup_index(spark, idx))
+    dup_ids = sorted({r.dup_of for r in hits.collect()})
+    assert dup_ids, "need at least one near-dup candidate to delete"
+    target = dup_ids[:3]
+    assert D.delete_neardup_docs(spark, idx, target) == len(target)
+    after = D.neardup_probe(probe_docs, D.read_neardup_index(spark, idx))
+    assert not ({r.dup_of for r in after.collect()} & set(target))
+    # idempotent; the index frame itself no longer carries the ids
+    assert D.delete_neardup_docs(spark, idx, target) == len(target)
+    live = D.read_neardup_index(spark, idx)
+    assert live.where(F.col("doc_id").isin(target)).count() == 0

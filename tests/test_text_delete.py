@@ -136,3 +136,57 @@ def test_append_after_delete_carries_ledger(spark, docs, tmp_path):
     want = _res(SE.bm25_search_indexed(spark, rebuilt, BM25_QUERIES, k=BM25_K))
     got = _res(SE.bm25_search_indexed(spark, idx, BM25_QUERIES, k=BM25_K))
     assert got == want and got
+
+
+def test_upsert_text_docs_matches_rebuild(spark, docs, tmp_path):
+    """upsert_text_docs: changed docs re-index (old rows tombstoned at
+    as_of, new rows live at a higher _ver), new ids append, and the index
+    is statistics-exact — byte-identical search results to a fresh build
+    over the upserted corpus. A second upsert of the same batch finds the
+    re-appended rows live and replaces them again (the _ver/as_of ladder,
+    not a one-shot trick); a deleted doc resurrects through upsert."""
+    slim = docs.select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    SE.build_text_index(slim, idx)
+    changed = slim.where(F.col("doc_id") % 11 == 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzupserted zzzupserted"))
+    )
+    fresh = slim.where(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = changed.unionByName(fresh)
+    out = SE.upsert_text_docs(spark, idx, batch)
+    assert out["appended"] == batch.count()
+    assert out["deleted"] == changed.count()  # fresh ids had nothing live
+
+    batch_ids = [r.doc_id for r in batch.select("doc_id").collect()]
+    corpus = slim.where(~F.col("doc_id").isin(batch_ids)).unionByName(batch)
+    rebuilt = str(tmp_path / "rebuilt")
+    SE.build_text_index(corpus, rebuilt)
+    queries = BM25_QUERIES + [("qz", "zzzupserted")]
+    want = _res(SE.bm25_search_indexed(spark, rebuilt, queries, k=BM25_K))
+    got = _res(SE.bm25_search_indexed(spark, idx, queries, k=BM25_K))
+    assert got == want and got
+    # the marker term actually surfaces the upserted content
+    assert any(r[0] == "qz" for r in got)
+
+    # second upsert of the SAME batch: every id is live now, all replace
+    out2 = SE.upsert_text_docs(spark, idx, batch)
+    assert out2["deleted"] == batch.count()
+    again = _res(SE.bm25_search_indexed(spark, idx, queries, k=BM25_K))
+    assert again == want
+
+    # delete → upsert resurrects with new content
+    target = [r.doc_id for r in changed.limit(1).collect()][0]
+    assert SE.delete_text_docs(spark, idx, [target]) == 1
+    SE.upsert_text_docs(
+        spark, idx, batch.where(F.col("doc_id") == target)
+    )
+    back = _res(SE.bm25_search_indexed(spark, idx, queries, k=BM25_K))
+    assert back == want
+
+    # compaction purges the whole history and results stay identical
+    assert SE.compact_text_index(spark, idx) > 0
+    assert "tombstones" not in SE._read_index_manifest(idx)
+    final = _res(SE.bm25_search_indexed(spark, idx, queries, k=BM25_K))
+    assert final == want
