@@ -130,6 +130,7 @@ R9_QUERIES = [
 #: process in the warmup pass, timed passes measure the maintained reads
 R11_QUERIES = [
     "knn_ivfpq",
+    "knn_pq_indexed",
     "sink_fold_percentile",
     "sink_fold_topk",
 ]

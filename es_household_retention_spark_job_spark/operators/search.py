@@ -1730,32 +1730,232 @@ def upsert_text_docs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    delete_ids: list | None = None,
+    epoch: int | None = None,
+    epoch_stream: str | None = None,
 ) -> dict:
-    """Re-index documents — the text index's CRUD-completing write op:
-    ``delete_text_docs`` on the batch's ids (tombstones the LIVE old rows
-    and decrements df/stats exactly) followed by ``append_text_index`` of
-    the new content (whose postings carry a higher ``_ver`` than the
-    tombstones' ``as_of``, so they serve immediately). After both commits
-    the index is statistics-exact for the upserted corpus: scores equal a
-    fresh build over it (pinned in tests). New ids — nothing to delete —
-    just append.
+    """Re-index documents — the text index's CRUD-completing write op, in
+    ONE atomic commit: the batch's (and ``delete_ids``'s) LIVE old rows
+    retire behind a tombstone stamped ``as_of`` the current version, the
+    new content's postings land at the NEXT version (the ``_ver`` ladder
+    keeps them live through the same filter), and df/stats publish
+    EXACTLY adjusted in one pass (old df − retired docs' term counts +
+    new docs' term counts; terms at zero drop — identical arithmetic to a
+    rebuild over the upserted corpus, the pinned oracle). A reader sees
+    the whole window or none of it, and a crash before the manifest
+    replace leaves only invisible strays — the delete/append pair's
+    visibility gap is gone.
 
-    TWO commits, deliberately: the inverted layout has no bounded
-    rewrite unit (a doc's postings scatter across every shard), so an
-    atomic replace would cost a full tf rewrite per upsert — the lazy
-    tombstone + higher-version append is the Lucene update shape. The
-    visibility window between the commits (doc briefly absent) is the
-    documented trade; a crash between them converges on retry (the
-    re-run's delete finds no live rows, appends the new content). The
-    physical purge of old rows stays with ``compact_text_index``.
-    Returns {"deleted": n_old_docs_tombstoned, "appended": n_docs}."""
+    ``delete_ids`` is the CDC-sync shape: a netted change window's
+    deletes ride the same commit (an id in BOTH the batch and delete_ids
+    is a contradiction and raises). The locate scan is the documented
+    O(index) tf pass (term-clustered layout); the physical purge of
+    retired rows stays with ``compact_text_index``. New ids — nothing
+    live to retire — just append. Returns {"deleted": live docs among
+    delete_ids, "replaced": live docs among the batch ids, "appended":
+    n_docs}."""
+    import shutil
+
+    manifest = _read_index_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_index_manifest(spark, path)
     n_docs = docs.count()
-    ids = [r[id_col] for r in docs.select(id_col).collect()]
-    if len(ids) != len(set(ids)):
+    up_ids = [r[id_col] for r in docs.select(id_col).collect()]
+    if len(up_ids) != len(set(up_ids)):
         raise ValueError(
             "upsert_text_docs: batch carries duplicate ids — resolve to "
             "one row per id upstream (the keyed sink's _resolve contract)"
         )
-    n_deleted = delete_text_docs(spark, path, ids, id_col=id_col)
-    append_text_index(docs, path, text_col=text_col, id_col=id_col)
-    return {"deleted": int(n_deleted), "appended": int(n_docs)}
+    delete_ids = sorted(set(delete_ids or []))
+    overlap = set(delete_ids) & set(up_ids)
+    if overlap:
+        raise ValueError(
+            f"upsert_text_docs: {len(overlap)} ids appear in BOTH the "
+            "batch and delete_ids — a netted change feed never does this; "
+            "resolve upstream"
+        )
+    retire_ids = sorted(set(up_ids) | set(delete_ids))
+    ver = int(manifest.get("version", 1))
+    n_shards = int(manifest["n_shards"])
+    files = [
+        os.path.join(path, "tf", d, f)
+        for d, fs in manifest["tf"].items()
+        for f in fs
+    ]
+    # live postings of everything this window retires (O(index) locate)
+    retired = None
+    if files and retire_ids:
+        tf_all = _without_doc_tombstones(
+            spark.read.option("basePath", f"{path}/tf").parquet(*files),
+            spark,
+            path,
+            manifest,
+            id_col,
+        )
+        if len(retire_ids) <= _ISIN_PUSHDOWN_MAX:
+            retired = tf_all.where(F.col(id_col).isin(retire_ids))
+        else:
+            id_type = tf_all.schema[id_col].dataType.simpleString()
+            idf = spark.createDataFrame(
+                [(i,) for i in retire_ids], f"`{id_col}` {id_type}"
+            )
+            retired = tf_all.join(F.broadcast(idf), id_col, "left_semi")
+        retired = eager_cache(retired)
+    # new content, versioned ABOVE the tombstone's as_of
+    shard = F.pmod(F.xxhash64(F.col("term")), F.lit(n_shards)).alias(
+        INDEX_SHARD_COL
+    )
+    with_dl = docs.select(
+        id_col,
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+        tokens(text_col).alias("toks"),
+    )
+    delta_tf = eager_cache(
+        with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            id_col, "dl", "term", "tf", F.lit(ver + 1).alias("_ver"), shard
+        )
+    )
+    gen = uuid.uuid4().hex[:8]
+    stage = f"{path}/.tf_stage_{gen}"
+    try:
+        live_docs = (
+            retired.select(id_col, "dl").distinct().collect()
+            if retired is not None
+            else []
+        )
+        live_set = {r[id_col] for r in live_docs}
+        n_deleted = sum(1 for i in delete_ids if i in live_set)
+        n_replaced = len(live_set) - n_deleted
+        dl_retired = sum(int(r["dl"]) for r in live_docs)
+
+        # tf: the delta lands in its shard partitions under gen names
+        delta_tf.repartition(
+            n_shards, F.col(INDEX_SHARD_COL)
+        ).sortWithinPartitions(INDEX_SHARD_COL, "term").write.mode(
+            "overwrite"
+        ).partitionBy(INDEX_SHARD_COL).parquet(stage)
+        new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
+        for d, names in _move_staged_tf(path, stage, gen).items():
+            new_tf.setdefault(d, []).extend(names)
+
+        # tombstone ledger entry for the retired docs (skipped when the
+        # whole batch is new ids)
+        existing = list(manifest.get("tombstones") or [])
+        names = []
+        if live_set:
+            stage_t = f"{path}/.tombstones_stage_{gen}"
+            os.makedirs(os.path.join(path, "tombstones"), exist_ok=True)
+            retired.select(id_col, "dl").distinct().select(
+                F.col(id_col).alias("_tomb_id"),
+                F.lit(ver).alias("_tomb_as_of"),
+            ).coalesce(1).write.mode("overwrite").parquet(stage_t)
+            for i, f in enumerate(
+                sorted(
+                    x for x in os.listdir(stage_t) if x.endswith(".parquet")
+                )
+            ):
+                name = f"gen-{gen}-{i:05d}.parquet"
+                os.rename(
+                    os.path.join(stage_t, f),
+                    os.path.join(path, "tombstones", name),
+                )
+                names.append(name)
+            shutil.rmtree(stage_t, ignore_errors=True)
+
+        # df: one pass — old df minus the retired docs' per-term counts
+        # plus the delta's; zero-df terms drop (rebuild arithmetic)
+        df_dir, stats_dir = f"df-{gen}", f"stats-{gen}"
+        parts = [
+            spark.read.parquet(f"{path}/{manifest['df']}").select(
+                INDEX_SHARD_COL, "term", "df"
+            )
+        ]
+        if retired is not None:
+            parts.append(
+                retired.groupBy(INDEX_SHARD_COL, "term").agg(
+                    (-F.count(F.lit(1))).alias("df")
+                )
+            )
+        parts.append(
+            delta_tf.groupBy(INDEX_SHARD_COL, "term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        (
+            merged.groupBy(INDEX_SHARD_COL, "term")
+            .agg(F.sum("df").alias("df"))
+            .where(F.col("df") > 0)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy(INDEX_SHARD_COL)
+            .parquet(f"{path}/{df_dir}")
+        )
+        stats_old = spark.read.parquet(
+            f"{path}/{manifest['stats']}"
+        ).collect()[0]
+        d = with_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    int(stats_old["n_docs"]) - len(live_set) + int(d["n"]),
+                    int(stats_old["total_dl"]) - dl_retired + int(d["t"] or 0),
+                    n_shards,
+                )
+            ],
+            "n_docs bigint, total_dl bigint, n_shards int",
+        ).write.mode("overwrite").parquet(f"{path}/{stats_dir}")
+
+        now = time.time()
+        new_manifest = {
+            "version": ver + 1,
+            "n_shards": n_shards,
+            "tf": {d: sorted(fs) for d, fs in new_tf.items()},
+            "df": df_dir,
+            "stats": stats_dir,
+            "retired": _roll_retired(
+                manifest,
+                now,
+                {
+                    "ts": now,
+                    "tf": {},
+                    "gens": [manifest["df"], manifest["stats"]],
+                },
+            ),
+        }
+        if existing or names:
+            new_manifest["tombstones"] = sorted(existing + names)
+            new_manifest["n_tombstones"] = int(
+                manifest.get("n_tombstones", 0)
+            ) + len(live_set)
+        if epoch is not None:
+            new_manifest["last_epoch"] = int(epoch)
+            if epoch_stream is not None:
+                new_manifest["epoch_stream"] = str(epoch_stream)
+        else:
+            if manifest.get("last_epoch") is not None:
+                new_manifest["last_epoch"] = int(manifest["last_epoch"])
+            if manifest.get("epoch_stream") is not None:
+                new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _write_index_manifest(path, new_manifest)
+        _gc_index_gens(
+            path, keep={df_dir, stats_dir} | _retired_gens(new_manifest)
+        )
+        _sweep_stray_tf(path, new_manifest)
+        return {
+            "deleted": int(n_deleted),
+            "replaced": int(n_replaced),
+            "appended": int(n_docs),
+        }
+    finally:
+        delta_tf.unpersist()
+        if retired is not None:
+            retired.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)

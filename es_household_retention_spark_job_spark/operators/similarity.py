@@ -2842,6 +2842,7 @@ def upsert_ann_vectors(
     emb_col: str = "embedding",
     epoch: int | None = None,
     epoch_stream: str | None = None,
+    delete_ids: list | None = None,
 ) -> dict:
     """Re-index vectors IN PLACE — the write op that completes the index's
     CRUD surface: ids with an existing row get their old row physically
@@ -2864,7 +2865,11 @@ def upsert_ann_vectors(
     its tombstoned rows drop and their ledger entries clear, which is also
     what lets an upsert RESURRECT a previously-deleted id with new content
     (delete_ann_ids + upsert composes; append alone cannot, see its
-    precondition). Returns {"replaced": n_old_rows_purged, "appended":
+    precondition). ``delete_ids`` rides the SAME commit: deleted ids' old
+    rows make their cells rewrite targets exactly like replaced ids — the
+    CDC-sync shape needs no separate tombstoning delete at all (one
+    locate scan, one atomic commit). Returns {"replaced": n_old_doc_rows
+    _replaced, "deleted": n_delete_ids_with_a_live_row, "appended":
     n_rows_added_to_untouched_cells, "rewritten_cells": [...]}."""
     import shutil
     import time
@@ -2887,24 +2892,45 @@ def upsert_ann_vectors(
                 "to one row per id upstream (the keyed sink's _resolve "
                 "contract)"
             )
+        # delete_ids ride the SAME commit (the CDC-sync shape): their old
+        # rows make their cells rewrite targets exactly like replaced
+        # ids — one locate scan, one commit, no tombstone needed
+        delete_ids = sorted(set(delete_ids or []))
+        overlap = set(delete_ids) & set(delta_ids)
+        if overlap:
+            raise ValueError(
+                f"upsert_ann_vectors: {len(overlap)} ids appear in BOTH the "
+                "delta and delete_ids — a netted change feed never does "
+                "this; resolve upstream"
+            )
+        purge_ids = sorted(set(delta_ids) | set(delete_ids))
         # id predicates: literal In below the driver-materialization bound
         # (pushes into the id-sorted cells as row-group skipping), else
         # broadcast semi/anti joins (the locate loses its pruning — a
         # corpus-scale re-index belongs to build_ann_index, documented)
-        if len(delta_ids) <= _ID_ISIN_MAX:
+        if len(purge_ids) <= _ID_ISIN_MAX:
             def is_delta(frame):
-                return frame.where(F.col(id_col).isin(delta_ids))
+                return frame.where(F.col(id_col).isin(purge_ids))
 
             def not_delta(frame):
-                return frame.where(~F.col(id_col).isin(delta_ids))
+                return frame.where(~F.col(id_col).isin(purge_ids))
         else:
-            _idf = F.broadcast(assigned.select(id_col).distinct())
+            _pidf = F.broadcast(
+                assigned.select(id_col)
+                .unionByName(
+                    spark.createDataFrame(
+                        [(i,) for i in delete_ids],
+                        assigned.select(id_col).schema,
+                    )
+                )
+                .distinct()
+            )
 
             def is_delta(frame):
-                return frame.join(_idf, id_col, "left_semi")
+                return frame.join(_pidf, id_col, "left_semi")
 
             def not_delta(frame):
-                return frame.join(_idf, id_col, "left_anti")
+                return frame.join(_pidf, id_col, "left_anti")
 
         all_files = [
             os.path.join(path, "cells", d, f)
@@ -2936,20 +2962,14 @@ def upsert_ann_vectors(
             tomb = spark.read.parquet(
                 *[os.path.join(path, "tombstones", f) for f in tomb_files]
             ).where(~F.col("_tomb_cell").isin(touched))
-            if len(delta_ids) <= _ID_ISIN_MAX:
+            if len(purge_ids) <= _ID_ISIN_MAX:
                 tomb_keep_rows = tomb.where(
-                    ~F.col("_tomb_id").isin(delta_ids)
+                    ~F.col("_tomb_id").isin(purge_ids)
                 )
             else:
-                tomb_keep_rows = tomb.join(
-                    F.broadcast(
-                        assigned.select(
-                            F.col(id_col).alias("_tomb_id")
-                        ).distinct()
-                    ),
-                    "_tomb_id",
-                    "left_anti",
-                )
+                tomb_keep_rows = not_delta(
+                    tomb.withColumnRenamed("_tomb_id", id_col)
+                ).withColumnRenamed(id_col, "_tomb_id")
         gen = uuid.uuid4().hex[:8]
         new_manifest = {
             "version": int(manifest.get("version", 1)) + 1,
@@ -2965,7 +2985,16 @@ def upsert_ann_vectors(
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         cell_rows = dict(_manifest_cell_rows(spark, path, manifest))
-        n_replaced = old.count() if old is not None else 0
+        if old is not None and delete_ids:
+            per = {
+                r[id_col]: 1
+                for r in old.select(id_col).distinct().collect()
+            }  # ≤ |purge_ids| rows, the caller's batch bound
+            n_deleted = sum(1 for i in delete_ids if i in per)
+            n_replaced = sum(per.values()) - n_deleted
+        else:
+            n_deleted = 0
+            n_replaced = old.count() if old is not None else 0
 
         def land(frame, sub, sort_id):
             """Stage a cell-partitioned frame and move it under gen names;
@@ -3145,6 +3174,7 @@ def upsert_ann_vectors(
         _sweep_stray_ann(path, new_manifest)
         return {
             "replaced": int(n_replaced),
+            "deleted": int(n_deleted),
             "appended": int(n_appended),
             "rewritten_cells": touched,
         }

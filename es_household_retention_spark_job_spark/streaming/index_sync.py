@@ -113,18 +113,17 @@ def sync_text_index(
     ups, dels = _split_changes(changes, id_col, [text_col])
     up_ids = [r[id_col] for r in ups.select(id_col).collect()]
     if up_ids:
-        # old versions of upserted docs retire in the SAME delete commit
-        # as the deleted docs; the append stamps the cursor — a crash
-        # between the commits converges on retry (the re-run's deletes
-        # find nothing live and the append still carries the cursor)
-        _search.delete_text_docs(
-            spark, index_path, dels + up_ids, id_col=id_col
-        )
-        _search.append_text_index(
-            ups,
+        # the whole window — retirements, deletes, new content, adjusted
+        # df/stats, cursor — is ONE atomic commit (upsert_text_docs's
+        # fused shape): a reader sees all of it or none, and a crash
+        # before the commit leaves the previous state intact
+        _search.upsert_text_docs(
+            spark,
             index_path,
+            ups,
             text_col=text_col,
             id_col=id_col,
+            delete_ids=dels,
             epoch=cur,
             epoch_stream=stream,
         )
@@ -171,11 +170,12 @@ def sync_ann_index(
     ups, dels = _split_changes(changes, id_col, [emb_col])
     n_up = ups.count()
     if n_up:
-        if dels:
-            _sim.delete_ann_ids(spark, index_path, dels, id_col=id_col)
+        # deletes ride the upsert's commit (delete_ids=): ONE locate scan,
+        # ONE atomic commit for the whole window — no tombstone ledger on
+        # the CDC path at all (deleted cells rewrite like replaced ones)
         _sim.upsert_ann_vectors(
             ups, index_path, id_col=id_col, emb_col=emb_col,
-            epoch=cur, epoch_stream=stream,
+            epoch=cur, epoch_stream=stream, delete_ids=dels,
         )
     elif dels:
         _sim.delete_ann_ids(

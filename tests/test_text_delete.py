@@ -157,7 +157,8 @@ def test_upsert_text_docs_matches_rebuild(spark, docs, tmp_path):
     batch = changed.unionByName(fresh)
     out = SE.upsert_text_docs(spark, idx, batch)
     assert out["appended"] == batch.count()
-    assert out["deleted"] == changed.count()  # fresh ids had nothing live
+    assert out["replaced"] == changed.count()  # fresh ids had nothing live
+    assert out["deleted"] == 0  # no delete_ids in this window
 
     batch_ids = [r.doc_id for r in batch.select("doc_id").collect()]
     corpus = slim.where(~F.col("doc_id").isin(batch_ids)).unionByName(batch)
@@ -172,7 +173,7 @@ def test_upsert_text_docs_matches_rebuild(spark, docs, tmp_path):
 
     # second upsert of the SAME batch: every id is live now, all replace
     out2 = SE.upsert_text_docs(spark, idx, batch)
-    assert out2["deleted"] == batch.count()
+    assert out2["replaced"] == batch.count()
     again = _res(SE.bm25_search_indexed(spark, idx, queries, k=BM25_K))
     assert again == want
 

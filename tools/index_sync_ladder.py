@@ -1,0 +1,156 @@
+"""CDC → index maintenance ladder: measures the round-11 claim that a
+synced index follows its table at O(changes) — per mutation round, the
+wall cost of ``sync_text_index`` / ``sync_ann_index`` against the cost of
+the alternative (full rebuild from the table's resolved state), with a
+byte-equality check between the synced and rebuilt indexes every round.
+
+Honest accounting: the text sync's delete-locate is an O(index) tf pass
+(term-clustered layout — documented in delete_text_docs), so its win over
+rebuild comes from skipping the corpus re-tokenize + re-shard, not from
+skipping the read. The ANN sync is touched-cells-bounded end to end.
+
+Usage: python tools/index_sync_ladder.py [sf_dir ...] [--rounds N]
+Prints one markdown row per (sf, round) plus a JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SFS = ARGS or ["/root/testdata/sf0.1", "/tmp/sf1"]
+ROUNDS = 3
+for a in sys.argv[1:]:
+    if a.startswith("--rounds"):
+        ROUNDS = int(a.split("=", 1)[1])
+
+
+def main() -> None:
+    from es_household_retention_spark_job_spark.operators import search as SE
+    from es_household_retention_spark_job_spark.operators import (
+        similarity as S,
+    )
+    from es_household_retention_spark_job_spark.session import get_spark
+    from es_household_retention_spark_job_spark.sinks import upsert as U
+    from es_household_retention_spark_job_spark.streaming.index_sync import (
+        sync_ann_index,
+        sync_text_index,
+    )
+
+    spark = get_spark(app_name="sync-ladder", cpus=32, shuffle_partitions=64)
+    queries = [("q1", "data quality filter pipeline"), ("q2", "model training")]
+    summary = []
+
+    for sf_dir in SFS:
+        root = tempfile.mkdtemp(prefix="sync_ladder_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dt, et = os.path.join(root, "dtab"), os.path.join(root, "etab")
+        di, ei = os.path.join(root, "didx"), os.path.join(root, "eidx")
+        U.write_keyed_table(docs, dt, key="doc_id", n_buckets=8)
+        U.write_keyed_table(embs, et, key="vec_id", n_buckets=8)
+        v_docs, v_embs = U.current_version(dt), U.current_version(et)
+        SE.build_text_index(U.read_keyed_table(spark, dt), di)
+        S.build_ann_index(U.read_keyed_table(spark, et), ei, n_cells=16)
+        man = S._read_ann_manifest(ei)
+        cents = S._read_centroids(spark, ei, man)
+        n_docs, n_embs = docs.count(), embs.count()
+        print(
+            f"\n### {sf_dir} — {n_docs} docs / {n_embs} vectors, "
+            f"{ROUNDS} mutation rounds (~1% upserts + ~0.5% deletes each)"
+        )
+        print(
+            "| round | changed docs | text sync | text rebuild | equal | "
+            "changed vecs | ann sync | ann rebuild | equal |"
+        )
+        print("|---|---|---|---|---|---|---|---|---|")
+        for r in range(1, ROUNDS + 1):
+            # mutate ~1%: touch a different residue class per round
+            up_d = docs.where(F.col("doc_id") % 97 == r).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" synced{r}"))
+            )
+            del_d = docs.where(F.col("doc_id") % 211 == r).select("doc_id")
+            U.upsert_parquet(spark, dt, up_d, key="doc_id")
+            U.delete_keys(spark, dt, del_d, key="doc_id")
+            up_e = embs.where(F.col("vec_id") % 97 == r).select(
+                "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+            )
+            del_e = embs.where(F.col("vec_id") % 211 == r).select("vec_id")
+            U.upsert_parquet(spark, et, up_e, key="vec_id")
+            U.delete_keys(spark, et, del_e, key="vec_id")
+
+            t0 = time.perf_counter()
+            out_t = sync_text_index(
+                spark, di, dt, from_version=v_docs if r == 1 else None
+            )
+            t_sync_t = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            reb_t = os.path.join(root, f"dreb{r}")
+            SE.build_text_index(U.read_keyed_table(spark, dt), reb_t)
+            t_reb_t = time.perf_counter() - t0
+            eq_t = sorted(
+                map(
+                    tuple,
+                    SE.bm25_search_indexed(spark, di, queries, k=10).collect(),
+                )
+            ) == sorted(
+                map(
+                    tuple,
+                    SE.bm25_search_indexed(
+                        spark, reb_t, queries, k=10
+                    ).collect(),
+                )
+            )
+
+            t0 = time.perf_counter()
+            out_a = sync_ann_index(
+                spark, ei, et, from_version=v_embs if r == 1 else None
+            )
+            t_sync_a = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            reb_a = os.path.join(root, f"ereb{r}")
+            S.build_ann_index(
+                U.read_keyed_table(spark, et), reb_a, centroids=cents
+            )
+            t_reb_a = time.perf_counter() - t0
+            qv = embs.where(F.col("vec_id") % 50 == 0)
+            eq_a = sorted(
+                map(tuple, S.knn_ivf_indexed(spark, ei, qv, k=5).collect())
+            ) == sorted(
+                map(tuple, S.knn_ivf_indexed(spark, reb_a, qv, k=5).collect())
+            )
+            print(
+                f"| {r} | {out_t['upserted']}+{out_t['deleted']}d "
+                f"| {t_sync_t:.2f}s | {t_reb_t:.2f}s | {eq_t} "
+                f"| {out_a['upserted']}+{out_a['deleted']}d "
+                f"| {t_sync_a:.2f}s | {t_reb_a:.2f}s | {eq_a} |"
+            )
+            summary.append(
+                {
+                    "sf": sf_dir,
+                    "round": r,
+                    "text_sync_s": round(t_sync_t, 2),
+                    "text_rebuild_s": round(t_reb_t, 2),
+                    "text_equal": eq_t,
+                    "ann_sync_s": round(t_sync_a, 2),
+                    "ann_rebuild_s": round(t_reb_a, 2),
+                    "ann_equal": eq_a,
+                }
+            )
+    print(json.dumps({"metric": "index_sync_ladder", "rows": summary}))
+
+
+if __name__ == "__main__":
+    main()
