@@ -2866,11 +2866,13 @@ def upsert_ann_vectors(
     what lets an upsert RESURRECT a previously-deleted id with new content
     (delete_ann_ids + upsert composes; append alone cannot, see its
     precondition). ``delete_ids`` rides the SAME commit: deleted ids' old
-    rows make their cells rewrite targets exactly like replaced ids — the
-    CDC-sync shape needs no separate tombstoning delete at all (one
-    locate scan, one atomic commit). Returns {"replaced": n_old_doc_rows
-    _replaced, "deleted": n_delete_ids_with_a_live_row, "appended":
-    n_rows_added_to_untouched_cells, "rewritten_cells": [...]}."""
+    rows make their cells rewrite targets exactly like replaced ids — a
+    MIXED CDC window needs no separate tombstoning delete at all (one
+    locate scan, one atomic commit). Returns {"replaced": live vectors
+    among the batch ids, "deleted": live vectors among delete_ids,
+    "appended": rows added to untouched cells, "rewritten_cells": [...]}
+    — "live" excludes already-tombstoned ids, matching
+    ``delete_ann_ids``'s idempotent count."""
     import shutil
     import time
 
@@ -2985,16 +2987,30 @@ def upsert_ann_vectors(
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         cell_rows = dict(_manifest_cell_rows(spark, path, manifest))
-        if old is not None and delete_ids:
-            per = {
-                r[id_col]: 1
-                for r in old.select(id_col).distinct().collect()
-            }  # ≤ |purge_ids| rows, the caller's batch bound
-            n_deleted = sum(1 for i in delete_ids if i in per)
-            n_replaced = sum(per.values()) - n_deleted
-        else:
-            n_deleted = 0
-            n_replaced = old.count() if old is not None else 0
+        old_ids = (
+            {r[id_col] for r in old.select(id_col).distinct().collect()}
+            if old is not None
+            else set()
+        )  # ≤ |purge_ids|, the caller's batch bound
+        # the returned counts are LIVE ids only (idempotent-count parity
+        # with delete_ann_ids: an already-tombstoned id is not deleted
+        # again) — but their PHYSICAL rows still drive the touched set,
+        # and must: a rewritten cell purges them, otherwise clearing
+        # their ledger entries below would resurrect the stale rows
+        dead_old: set = set()
+        if tomb_files and old_ids:
+            dead_old = {
+                r["_tomb_id"]
+                for r in spark.read.parquet(
+                    *[os.path.join(path, "tombstones", f) for f in tomb_files]
+                )
+                .where(F.col("_tomb_id").isin(sorted(old_ids)))
+                .select("_tomb_id")
+                .collect()
+            }
+        live_old = old_ids - dead_old
+        n_deleted = len(live_old & set(delete_ids))
+        n_replaced = len(live_old) - n_deleted
 
         def land(frame, sub, sort_id):
             """Stage a cell-partitioned frame and move it under gen names;
@@ -3182,3 +3198,141 @@ def upsert_ann_vectors(
         assigned.unpersist()
         for stage in stages:
             shutil.rmtree(stage, ignore_errors=True)
+
+
+def retrain_ann_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> int:
+    """Re-train the coarse quantizer IN PLACE from the index's own live
+    vectors — the global-drift complement to ``split_ann_cells`` (split
+    refines where one cell overloaded; retrain re-fits the whole
+    partition once appends have moved the distribution far from the
+    original k-means, optionally at a new ``n_cells``). No access to the
+    original corpus frame is needed and embeddings never recompute: one
+    live-row read (tombstones drop — the rewrite doubles as a full
+    purge), one k-means over it, one reassign/rewrite of cells and both
+    quantized sidecars (SQ8 re-derives from the stored doubles; PQ
+    re-encodes with the STORED codebooks — subspace quantization is
+    cell-independent, so coarse retraining never touches the books).
+
+    Reader-atomic exactly like split: every new tree publishes in ONE
+    manifest replace (new centroid generation via the ``centroids_dir``
+    pointer flip), replaced files ride the retired ledger, a crash
+    leaves only invisible strays. Cost is O(index) by nature — this is
+    the scheduled-maintenance op (run it when ``ann_cell_health`` shows
+    skew a bounded number of splits cannot fix), not a per-batch one.
+    Returns the new cell count."""
+    import shutil
+    import time
+
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        for f in fs
+    ]
+    if not files:
+        raise ValueError(f"vector index at {path} has no live cells")
+    live = _without_tombstones(
+        spark.read.option("basePath", f"{path}/cells").parquet(*files),
+        spark,
+        path,
+        manifest,
+        id_col,
+    ).select(id_col, "_emb", "_norm")
+    k = int(n_cells) if n_cells is not None else int(manifest["n_cells"])
+    cents = kmeans_centroids(live, k=k, iters=iters, id_col=id_col, emb_col="_emb")
+    k = len(cents)
+    if k == 0:
+        raise ValueError(
+            f"vector index at {path} has no LIVE vectors to retrain from "
+            "(every row is tombstoned); delete the index or re-append "
+            "content instead"
+        )
+    has_codes = bool(manifest.get("codes"))
+    has_pq = bool(manifest.get("pq"))
+    cb = _read_pq_books(spark, path, manifest) if has_pq else None
+    assigned = live.select(
+        id_col,
+        "_emb",
+        "_norm",
+        _argmin_cell(F.col("_emb"), cents).alias(ANN_CELL_COL),
+    ).persist()
+    gen = uuid.uuid4().hex[:8]
+    stages = []
+    try:
+        new_manifest = {
+            "version": int(manifest.get("version", 1)) + 1,
+            "n_cells": k,
+        }
+
+        def land(frame, sub):
+            stage = f"{path}/.{sub}_retrain_{gen}"
+            stages.append(stage)
+            frame.repartition(k, F.col(ANN_CELL_COL)).sortWithinPartitions(
+                ANN_CELL_COL, id_col
+            ).write.mode("overwrite").partitionBy(ANN_CELL_COL).parquet(stage)
+            return {
+                d: sorted(names)
+                for d, names in _move_staged_cells(
+                    path, stage, gen, sub
+                ).items()
+            }
+
+        new_manifest["cells"] = land(assigned, "cells")
+        if has_codes:
+            new_manifest["codes"] = land(_codes_for(assigned, id_col), "codes")
+        if has_pq:
+            new_manifest["pq"] = land(
+                _pq_codes_for(assigned, cb, id_col), "pq"
+            )
+        for carry in ("pq_params", "pq_books_dir"):
+            if manifest.get(carry) is not None:
+                new_manifest[carry] = manifest[carry]
+        new_manifest["cell_rows"] = {
+            str(r[ANN_CELL_COL]): int(r["n"])
+            for r in assigned.groupBy(ANN_CELL_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cent_dir = f"centroids_gen-{gen}"
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, cent_dir))
+        new_manifest["centroids_dir"] = cent_dir
+        now = time.time()
+        new_manifest["retired"] = _ann_roll_retired(
+            manifest,
+            now,
+            {
+                "ts": now,
+                "cells": {d: list(fs) for d, fs in manifest["cells"].items()},
+                "codes": {
+                    d: list(fs)
+                    for d, fs in manifest.get("codes", {}).items()
+                },
+                "pq": {
+                    d: list(fs) for d, fs in manifest.get("pq", {}).items()
+                },
+                "centroids_dir": manifest.get("centroids_dir", "centroids"),
+                "tombstones": list(manifest.get("tombstones") or []),
+            },
+        )
+        if manifest.get("last_epoch") is not None:
+            new_manifest["last_epoch"] = int(manifest["last_epoch"])
+        if manifest.get("epoch_stream") is not None:
+            new_manifest["epoch_stream"] = str(manifest["epoch_stream"])
+        _commit_ann_manifest(path, manifest, new_manifest)
+        _sweep_stray_ann(path, new_manifest)
+    finally:
+        assigned.unpersist()
+        for stage in stages:
+            shutil.rmtree(stage, ignore_errors=True)
+    return k

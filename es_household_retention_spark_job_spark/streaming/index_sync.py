@@ -8,10 +8,14 @@ The consumer cursor is the SINK VERSION the index last absorbed, and it
 rides the index's own atomic manifest commit as ``(epoch_stream,
 last_epoch)`` — the same exactly-once mechanism the streaming
 ``apply_index_batch`` sinks use, with the stream identity pinned to the
-table path (``cdc:<table>``). A sync window applies as delete commits
-followed by ONE final commit that carries the advanced cursor, so every
-crash point converges on retry: re-deletes of already-tombstoned ids are
-no-ops, and a window whose cursor committed is skipped entirely.
+table path (``cdc:<table>``). A mixed window applies as ONE fused commit
+(``upsert_*``'s ``delete_ids=``): a reader sees the whole window or
+none, a crash before the commit leaves the previous state intact, and a
+committed cursor skips the window on retry. Delete-only windows commit
+through the delete op; a window the index applies NOTHING from (empty,
+or deletes of never-indexed ids) still advances the cursor with a
+cursor-only manifest bump — without it the cursor would wedge once the
+sink's version retention prunes the window start.
 
 Reference parity note: the reference job (HouseholdRetentionProcessing)
 re-scans and re-writes its whole output store per run; this module is the
@@ -67,6 +71,38 @@ def _window(
     return int(start), int(cur)
 
 
+def _commit_text_cursor(spark, index_path: str, epoch: int, stream: str):
+    """Cursor-only manifest bump for a window the text index applies
+    nothing from — every other key carries forward unchanged."""
+    import time
+
+    man = _search._read_index_manifest(index_path)
+    if man is None:
+        man = _search._bootstrap_index_manifest(spark, index_path)
+    new = dict(man)
+    new["version"] = int(man.get("version", 1)) + 1
+    new["retired"] = _search._roll_retired(man, time.time(), None)
+    new["last_epoch"] = int(epoch)
+    new["epoch_stream"] = str(stream)
+    _search._write_index_manifest(index_path, new)
+
+
+def _commit_ann_cursor(spark, index_path: str, epoch: int, stream: str):
+    """The vector edition of ``_commit_text_cursor`` (optimistic commit —
+    a concurrent maintenance op aborts loudly rather than losing it)."""
+    import time
+
+    man = _sim._read_ann_manifest(index_path)
+    if man is None:
+        man = _sim._bootstrap_ann_manifest(spark, index_path)
+    new = dict(man)
+    new["version"] = int(man.get("version", 1)) + 1
+    new["retired"] = _sim._ann_roll_retired(man, time.time(), None)
+    new["last_epoch"] = int(epoch)
+    new["epoch_stream"] = str(stream)
+    _sim._commit_ann_manifest(index_path, man, new)
+
+
 def _split_changes(changes: DataFrame, id_col: str, cols: list[str]):
     """(upsert frame, deleted-id list) from a netted change window: the
     feed nets to at most one change per key, so the two sets are
@@ -109,10 +145,16 @@ def sync_text_index(
     )
     if start >= cur:
         return {"from": start, "to": cur, "deleted": 0, "upserted": 0}
-    changes = read_changes(spark, table_path, start, cur)
+    # columns= scopes the feed to what this index maintains: a key whose
+    # OTHER columns changed nets out entirely (no spurious re-index) and
+    # the feed's preimage scans prune to key + text width
+    changes = read_changes(
+        spark, table_path, start, cur, columns=[text_col]
+    )
     ups, dels = _split_changes(changes, id_col, [text_col])
-    up_ids = [r[id_col] for r in ups.select(id_col).collect()]
-    if up_ids:
+    n_up = ups.count()
+    applied = False
+    if n_up:
         # the whole window — retirements, deletes, new content, adjusted
         # df/stats, cursor — is ONE atomic commit (upsert_text_docs's
         # fused shape): a reader sees all of it or none, and a crash
@@ -127,18 +169,25 @@ def sync_text_index(
             epoch=cur,
             epoch_stream=stream,
         )
+        applied = True
     elif dels:
-        _search.delete_text_docs(
-            spark, index_path, dels, id_col=id_col,
-            epoch=cur, epoch_stream=stream,
+        applied = (
+            _search.delete_text_docs(
+                spark, index_path, dels, id_col=id_col,
+                epoch=cur, epoch_stream=stream,
+            )
+            > 0
         )
-    # an empty window leaves the cursor where it was: re-reading an empty
-    # window is free relative to a cursor-only commit
+    if not applied:
+        # nothing this index applies (empty window, or deletes of docs it
+        # never indexed) — still advance the cursor, or it wedges once
+        # version retention prunes `start`
+        _commit_text_cursor(spark, index_path, cur, stream)
     return {
         "from": start,
         "to": cur,
         "deleted": len(dels),
-        "upserted": len(up_ids),
+        "upserted": int(n_up),
     }
 
 
@@ -166,20 +215,34 @@ def sync_ann_index(
     )
     if start >= cur:
         return {"from": start, "to": cur, "deleted": 0, "upserted": 0}
-    changes = read_changes(spark, table_path, start, cur)
+    # columns= scopes the feed to the embedding: a key whose other
+    # columns changed nets out (no spurious cell rewrite)
+    changes = read_changes(
+        spark, table_path, start, cur, columns=[emb_col]
+    )
     ups, dels = _split_changes(changes, id_col, [emb_col])
     n_up = ups.count()
+    applied = False
     if n_up:
-        # deletes ride the upsert's commit (delete_ids=): ONE locate scan,
-        # ONE atomic commit for the whole window — no tombstone ledger on
-        # the CDC path at all (deleted cells rewrite like replaced ones)
+        # a MIXED window rides the upsert's commit (delete_ids=): ONE
+        # locate scan, ONE atomic commit, no tombstone needed — deleted
+        # ids' cells rewrite like replaced ones
         _sim.upsert_ann_vectors(
             ups, index_path, id_col=id_col, emb_col=emb_col,
             epoch=cur, epoch_stream=stream, delete_ids=dels,
         )
+        applied = True
     elif dels:
-        _sim.delete_ann_ids(
-            spark, index_path, dels, id_col=id_col,
-            epoch=cur, epoch_stream=stream,
+        # a delete-ONLY window goes through the tombstoning delete (no
+        # content to rewrite against; the ledger is the cheap path here)
+        applied = (
+            _sim.delete_ann_ids(
+                spark, index_path, dels, id_col=id_col,
+                epoch=cur, epoch_stream=stream,
+            )
+            > 0
         )
+    if not applied:
+        # cursor-only bump: see sync_text_index (the wedge guard)
+        _commit_ann_cursor(spark, index_path, cur, stream)
     return {"from": start, "to": cur, "deleted": len(dels), "upserted": n_up}

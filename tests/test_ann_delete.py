@@ -236,3 +236,35 @@ def test_upsert_rejects_duplicate_delta_ids(spark, embs, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate ids"):
         S.upsert_ann_vectors(dup, idx)
+
+
+def test_retrain_reshapes_and_purges(spark, embs, tmp_path):
+    """retrain_ann_index: the quantizer re-fits the LIVE rows (tombstoned
+    rows purge — the rewrite is total), sidecars re-derive with frozen PQ
+    books, and the re-trained index at full probes still equals brute
+    force over the live corpus (coarse partitioning never changes
+    scoring). A new n_cells reshapes the partition."""
+    idx = str(tmp_path / "idx")
+    base = embs.select("vec_id", "embedding")
+    S.build_ann_index(base, idx, n_cells=4, iters=2, pq=True)
+    dead = _dead_ids(embs)
+    S.delete_ann_ids(spark, idx, dead)
+    books_before = S._read_pq_books(spark, idx, S._read_ann_manifest(idx))
+    k = S.retrain_ann_index(spark, idx, n_cells=8, iters=2)
+    assert k == 8
+    man = S._read_ann_manifest(idx)
+    assert man["n_cells"] == 8
+    assert man["centroids_dir"].startswith("centroids_gen-")
+    assert "tombstones" not in man  # the rewrite purged everything
+    assert set(man["pq"]) == set(man["cells"]) == set(man["codes"])
+    assert S._read_pq_books(spark, idx, man) == books_before  # frozen
+    live = base.where(~F.col("vec_id").isin(dead))
+    assert sum(man["cell_rows"].values()) == live.count()
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    got = _pairs(S.knn_ivf_indexed(spark, idx, queries, k=5, n_probe=8))
+    want = _pairs(S.knn_bruteforce(live, queries, k=5))
+    assert got == want and got
+    # the pq tier serves from the re-derived sidecar
+    assert S.knn_pq_indexed(
+        spark, idx, queries, k=5, n_probe=8, refine=40
+    ).collect()

@@ -156,3 +156,40 @@ def test_neardup_index_delete(spark, tmp_path):
     assert D.delete_neardup_docs(spark, idx, target) == len(target)
     live = D.read_neardup_index(spark, idx)
     assert live.where(F.col("doc_id").isin(target)).count() == 0
+
+
+def test_sync_scoped_and_cursor_advances_on_inapplicable_window(
+    spark, tmp_path
+):
+    """Two review-finding regressions pinned: (1) the feed is scoped to
+    the indexed column, so changing an UNRELATED column triggers no
+    re-index work; (2) a window the index applies nothing from still
+    advances the cursor (cursor-only bump) — without it the sync wedges
+    once version retention prunes the window start."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    wide = docs.withColumn("flag", F.lit(0))
+    table = str(tmp_path / "table")
+    idx = str(tmp_path / "idx")
+    U.write_keyed_table(wide, table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    SE.build_text_index(U.read_keyed_table(spark, table), idx)
+    v_idx0 = SE._read_index_manifest(idx)["version"]
+
+    # window: flip the unrelated flag on some docs + delete an id the
+    # index never contained — nothing for the text index to apply
+    U.upsert_parquet(
+        spark,
+        table,
+        wide.where(F.col("doc_id") % 7 == 1).withColumn("flag", F.lit(1)),
+        key="doc_id",
+    )
+    out = sync_text_index(spark, idx, table, from_version=v0)
+    assert out["upserted"] == 0 and out["deleted"] == 0
+    man = SE._read_index_manifest(idx)
+    # cursor committed without touching content (one cursor-only bump)
+    assert man["last_epoch"] == U.current_version(table)
+    assert man["version"] == v_idx0 + 1
+    # and a re-sync is a clean no-op (no from_version needed, no bump)
+    out2 = sync_text_index(spark, idx, table)
+    assert out2["from"] == out2["to"]
+    assert SE._read_index_manifest(idx)["version"] == v_idx0 + 1

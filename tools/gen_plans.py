@@ -60,9 +60,22 @@ keys the whole downstream chain, and the persons-distinct), and no
 """
 
 
-def main() -> None:
-    from contextlib import redirect_stdout
+def _normalize(plan: str) -> str:
+    """Strip run-volatile tokens so a regeneration diffs clean except for
+    GENUINE plan changes: plan ids renumber per session, JVM identity
+    hashes (`[B@3b217868`, `UnsafeArrayData@…`) and the per-run /tmp
+    fixture paths differ every run — with them pinned, a real regression
+    (a new Exchange) drowns in ~1750 lines of churn (review finding)."""
+    import re
 
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"@[0-9a-f]{6,}", "@ID", plan)
+    plan = re.sub(r"/tmp/spark_graft_\w+", "/tmp/FIXTURE", plan)
+    plan = re.sub(r"/tmp/[0-9a-zA-Z_\-]*ann[0-9a-zA-Z_\-]*", "/tmp/FIXTURE", plan)
+    return plan
+
+
+def main() -> None:
     from es_household_retention_spark_job_spark.session import get_spark
     from es_household_retention_spark_job_spark.entry_queries import (
         EXTRA_QUERIES,
@@ -71,6 +84,10 @@ def main() -> None:
     from es_household_retention_spark_job_spark import plans as P
 
     REG = {**QUERIES, **EXTRA_QUERIES}
+    # a name promoted into the driver registry must LEAVE this list, or
+    # its section would print twice and ship unnoticed (review finding)
+    dup = set(EXTRA_PLANS) & set(QUERIES)
+    assert not dup, f"EXTRA_PLANS ∩ driver QUERIES: {sorted(dup)}"
     spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=16)
     out = [HEADER]
     for name in [*QUERIES, *EXTRA_PLANS]:
@@ -79,7 +96,7 @@ def main() -> None:
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
-        plan = df._jdf.queryExecution().explainString(mode).rstrip()
+        plan = _normalize(df._jdf.queryExecution().explainString(mode).rstrip())
         out.append(f"\n## {name}\n\nshuffles: {n_shuffles}\n\n```text\n{plan}\n```\n")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("".join(out))
