@@ -743,17 +743,67 @@ def build_neardup_index(
     readers serve ONLY log-listed files and the batch build would turn
     invisible (caught by the parity test). Each side is atomic in its own
     domain (overwrite swap vs sink log); ``read_neardup_index`` unions
-    them."""
+    them. The id column name is recorded in ``_meta.json`` (atomic
+    replace) so readers and the delete op never have to infer it from
+    column order."""
+    import json as _json
+    import uuid as _uuid
+
     neardup_index_frame(docs, text_col, id_col).write.mode(
         "overwrite"
     ).partitionBy(BAND_BUCKET_COL).parquet(os.path.join(path, "base"))
+    tmp = os.path.join(path, f".meta_{_uuid.uuid4().hex[:8]}.json")
+    with open(tmp, "w") as fh:
+        _json.dump({"id_col": id_col, "text_col": text_col}, fh)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
 
 
-def read_neardup_index(spark: SparkSession, path: str) -> DataFrame:
+def _neardup_id_col(path: str, columns: list, explicit: str | None) -> str:
+    """Resolve the index's doc-id column: the recorded ``_meta.json``
+    wins; an explicit argument must agree with it (a silent mismatch
+    would tombstone or probe the wrong column). Without meta (stream-only
+    or pre-meta index) fall back to inference, but STRICTLY — exactly one
+    non-layout column, else raise instead of guessing by position."""
+    import json as _json
+
+    meta_path = os.path.join(path, "_meta.json")
+    recorded = None
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            recorded = _json.load(fh).get("id_col")
+    if recorded is not None:
+        if explicit is not None and explicit != recorded:
+            raise ValueError(
+                f"neardup index at {path} records id_col={recorded!r} but "
+                f"{explicit!r} was passed — pass the recorded column or "
+                "rebuild the index"
+            )
+        return recorded
+    if explicit is not None:
+        if explicit not in columns:
+            raise ValueError(
+                f"id_col {explicit!r} not in index columns {columns}"
+            )
+        return explicit
+    cands = [c for c in columns if c not in ("gh", "band_key", BAND_BUCKET_COL)]
+    if len(cands) != 1:
+        raise ValueError(
+            f"cannot infer the doc-id column of the neardup index at "
+            f"{path}: candidates {cands} — pass id_col or rebuild with "
+            "build_neardup_index (which records it)"
+        )
+    return cands[0]
+
+
+def read_neardup_index(
+    spark: SparkSession, path: str, id_col: str | None = None
+) -> DataFrame:
     """The live band index: the batch-built ``base`` plus any streamed
     ``stream`` appends, minus tombstoned docs (``delete_neardup_docs``).
     The stream side is read through its own _spark_metadata log, so files
-    from uncommitted micro-batches are never served."""
+    from uncommitted micro-batches are never served. The doc-id column
+    comes from the layout's recorded ``_meta.json`` (see
+    ``_neardup_id_col``) — never from column position."""
     parts = []
     for sub in ("base", "stream"):
         p = os.path.join(path, sub)
@@ -768,11 +818,7 @@ def read_neardup_index(spark: SparkSession, path: str) -> DataFrame:
     if os.path.isdir(tomb_dir) and any(
         f.endswith(".parquet") for f in os.listdir(tomb_dir)
     ):
-        id_col = next(
-            c
-            for c in out.columns
-            if c not in ("gh", "band_key", BAND_BUCKET_COL)
-        )
+        id_col = _neardup_id_col(path, out.columns, id_col)
         out = out.join(
             F.broadcast(
                 spark.read.parquet(tomb_dir)
@@ -786,7 +832,7 @@ def read_neardup_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def delete_neardup_docs(
-    spark: SparkSession, path: str, doc_ids: list, id_col: str = "doc_id"
+    spark: SparkSession, path: str, doc_ids: list, id_col: str | None = None
 ) -> int:
     """Remove documents from the band index without a rebuild: their band
     rows would otherwise keep surfacing them as ``dup_of`` candidates —
@@ -795,14 +841,35 @@ def delete_neardup_docs(
     its two sides are already atomic in their own domains, and a
     tombstone FILE is atomic by rename); ``read_neardup_index`` anti-joins
     it, so probes and the streaming corpus loop see only live docs.
-    Idempotent (duplicate ledger rows are harmless to a semi-join filter);
-    the physical purge is the next ``build_neardup_index`` rebuild, this
-    layout's compaction equivalent."""
+    Idempotent, with the other delete ops' actually-deleted contract:
+    returns the number of LIVE docs among ``doc_ids`` that the index held
+    (absent and already-tombstoned ids count zero and add no ledger
+    rows, so re-deletes return 0 and the ledger stays bounded by real
+    deletions). The id column resolves from the recorded ``_meta.json``
+    (``_neardup_id_col``); the physical purge is the next
+    ``build_neardup_index`` rebuild, this layout's compaction
+    equivalent."""
     import uuid as _uuid
 
     ids = sorted(set(doc_ids))
     if not ids:
         return 0
+    live = read_neardup_index(spark, path)  # tombstone-filtered
+    id_col = _neardup_id_col(path, live.columns, id_col)
+    id_type = live.schema[id_col].dataType.simpleString()
+    probe = spark.createDataFrame(
+        [(i,) for i in ids], f"`{id_col}` {id_type}"
+    )
+    present = sorted(
+        r[id_col]
+        for r in live.select(id_col)
+        .join(F.broadcast(probe), id_col, "left_semi")
+        .distinct()
+        .collect()
+    )
+    if not present:
+        return 0
+    ids = present
     tomb_dir = os.path.join(path, "tombstones")
     os.makedirs(tomb_dir, exist_ok=True)
     stage = os.path.join(path, f".tomb_stage_{_uuid.uuid4().hex[:8]}")

@@ -355,6 +355,15 @@ INDEX_SHARD_COL = "_shard"
 INDEX_MANIFEST = "_index_manifest.json"
 
 
+def _parquet_footer_columns(path: str) -> list[str]:
+    """Column names straight from one parquet footer — driver-side (no
+    Spark job) and always the on-disk truth, where a same-session
+    ``spark.read`` of a rewritten file can serve stale file metadata."""
+    import pyarrow.parquet as _pq
+
+    return list(_pq.read_schema(path).names)
+
+
 def _read_index_manifest(path: str) -> dict | None:
     try:
         with open(os.path.join(path, INDEX_MANIFEST)) as f:
@@ -639,12 +648,43 @@ def append_text_index(
         ),
         None,
     )
-    has_ver = any_tf is None or "_ver" in spark.read.parquet(any_tf).columns
+    # footer sniff via pyarrow: driver-side, no Spark job, and immune to
+    # the session's file-metadata caches (a same-session rewrite of a tf
+    # file can otherwise serve a stale schema)
+    has_ver = any_tf is None or "_ver" in _parquet_footer_columns(any_tf)
     ver_cols = (
         [F.lit(int(manifest.get("version", 1)) + 1).alias("_ver")]
         if has_ver
         else []
     )
+    # versioned indexes resurrect a tombstoned id correctly on append
+    # (the new rows' higher _ver outlives the tombstone's as_of, and the
+    # delete already decremented df/stats) — but a LEGACY unversioned
+    # delta counts as _ver=1 ≤ as_of, i.e. the appended doc would be
+    # invisible and silently purged at the next compact (the
+    # append_ann_index failure mode). Refuse that combination.
+    tomb_ledger = manifest.get("tombstones") or []
+    if not has_ver and tomb_ledger:
+        tomb = spark.read.parquet(
+            *[os.path.join(path, "tombstones", f) for f in tomb_ledger]
+        )
+        n_hit = (
+            docs_delta.select(F.col(id_col).alias("_tomb_id"))
+            .distinct()
+            .join(
+                F.broadcast(tomb.select("_tomb_id").distinct()),
+                "_tomb_id",
+                "left_semi",
+            )
+            .count()
+        )
+        if n_hit:
+            raise ValueError(
+                f"append_text_index: {n_hit} delta id(s) are tombstoned "
+                "and this index predates the _ver column — the appended "
+                "rows would be hidden by the tombstone's as_of filter and "
+                "purged at the next compact. Rebuild with build_text_index."
+            )
     delta_tf = eager_cache(
         with_dl.select(id_col, "dl", F.explode("toks").alias("term"))
         .groupBy(id_col, "dl", "term")
@@ -1782,6 +1822,21 @@ def upsert_text_docs(
         for d, fs in manifest["tf"].items()
         for f in fs
     ]
+    # the upsert's correctness RIDES the _ver ladder (new rows stay live
+    # through the tombstone's as_of filter only because they carry a
+    # higher _ver) — on a legacy pre-_ver index a stamped delta creates
+    # mixed per-file tf schemas, and the unified read either drops the
+    # column (upserted doc vanishes: _ver=1 ≤ as_of) or nulls it on
+    # legacy rows (the anti-join and isin tombstone paths then disagree).
+    # Same guard shape as append_text_index's has_ver, but upsert cannot
+    # fall back to unversioned: refuse and require a rebuild.
+    if files and "_ver" not in _parquet_footer_columns(files[0]):
+        raise ValueError(
+            "upsert_text_docs: index predates the _ver column (legacy "
+            "layout) — in-place upserts need row versions to keep the "
+            "replacement live past its tombstone; rebuild with "
+            "build_text_index first"
+        )
     # live postings of everything this window retires (O(index) locate)
     retired = None
     if files and retire_ids:

@@ -1086,6 +1086,36 @@ def append_ann_index(
             id_col,
             "append_ann_index",
         )
+    # the tombstone ledger is checked UNCONDITIONALLY (not only under
+    # check_overlap): a blind append of a tombstoned id writes a row the
+    # id-level filter hides and the next compact/split purges with the
+    # old one — silent data loss on what used to be a documented-but-
+    # unenforced precondition. The ledger read is ledger-sized, not
+    # corpus-sized, so the guard costs one broadcast semi-join.
+    tomb_files = manifest.get("tombstones") or []
+    if tomb_files:
+        tomb = spark.read.parquet(
+            *[os.path.join(path, "tombstones", f) for f in tomb_files]
+        )
+        n_hit = (
+            vecs_delta.select(F.col(id_col).alias("_tomb_id"))
+            .distinct()
+            .join(
+                F.broadcast(tomb.select("_tomb_id").distinct()),
+                "_tomb_id",
+                "left_semi",
+            )
+            .count()
+        )
+        if n_hit:
+            raise ValueError(
+                f"append_ann_index: {n_hit} delta id(s) are tombstoned in "
+                "this index — appending them blind would write invisible "
+                "rows that the next compact/split silently purges. "
+                "Re-insert deleted ids with upsert_ann_vectors (its cell "
+                "rewrite drops the tombstone in the same commit), or "
+                "compact_ann_index first to make the purge physical."
+            )
     cents = _read_centroids(spark, path, manifest)
     assigned = _assigned_cells(vecs_delta, cents, id_col, emb_col).persist()
     has_codes = "codes" in manifest
@@ -2729,10 +2759,11 @@ def delete_ann_ids(
     deletes are a maintenance op bounded by the caller's batch, not a
     data-plane fan-out.
 
-    RE-INSERT of a tombstoned id is rejected by ``append_ann_index``'s
-    ``check_overlap`` guard while the physical row remains (appending it
-    blind would leave a duplicate that resurrects with the tombstone's
-    purge); compact first, then re-append."""
+    RE-INSERT of a tombstoned id is rejected by ``append_ann_index``
+    unconditionally while the ledger entry remains (appending it blind
+    would write an invisible row that the purge silently drops with the
+    old one); resurrect through ``upsert_ann_vectors``, or compact first
+    and then re-append."""
     import shutil
     import time
 

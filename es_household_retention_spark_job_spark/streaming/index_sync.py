@@ -153,13 +153,17 @@ def sync_text_index(
     )
     ups, dels = _split_changes(changes, id_col, [text_col])
     n_up = ups.count()
+    # "deleted"/"upserted" report what the index ACTUALLY applied (the
+    # ops' live-count returns), not the window's event counts — a window
+    # deleting never-indexed ids reports deleted=0
+    n_deleted = n_upserted = 0
     applied = False
     if n_up:
         # the whole window — retirements, deletes, new content, adjusted
         # df/stats, cursor — is ONE atomic commit (upsert_text_docs's
         # fused shape): a reader sees all of it or none, and a crash
         # before the commit leaves the previous state intact
-        _search.upsert_text_docs(
+        res = _search.upsert_text_docs(
             spark,
             index_path,
             ups,
@@ -169,15 +173,15 @@ def sync_text_index(
             epoch=cur,
             epoch_stream=stream,
         )
+        n_deleted = int(res.get("deleted", 0))
+        n_upserted = int(n_up)
         applied = True
     elif dels:
-        applied = (
-            _search.delete_text_docs(
-                spark, index_path, dels, id_col=id_col,
-                epoch=cur, epoch_stream=stream,
-            )
-            > 0
+        n_deleted = _search.delete_text_docs(
+            spark, index_path, dels, id_col=id_col,
+            epoch=cur, epoch_stream=stream,
         )
+        applied = n_deleted > 0
     if not applied:
         # nothing this index applies (empty window, or deletes of docs it
         # never indexed) — still advance the cursor, or it wedges once
@@ -186,8 +190,8 @@ def sync_text_index(
     return {
         "from": start,
         "to": cur,
-        "deleted": len(dels),
-        "upserted": int(n_up),
+        "deleted": n_deleted,
+        "upserted": n_upserted,
     }
 
 
@@ -222,27 +226,34 @@ def sync_ann_index(
     )
     ups, dels = _split_changes(changes, id_col, [emb_col])
     n_up = ups.count()
+    # actually-applied counts, as in sync_text_index
+    n_deleted = n_upserted = 0
     applied = False
     if n_up:
         # a MIXED window rides the upsert's commit (delete_ids=): ONE
         # locate scan, ONE atomic commit, no tombstone needed — deleted
         # ids' cells rewrite like replaced ones
-        _sim.upsert_ann_vectors(
+        res = _sim.upsert_ann_vectors(
             ups, index_path, id_col=id_col, emb_col=emb_col,
             epoch=cur, epoch_stream=stream, delete_ids=dels,
         )
+        n_deleted = int(res.get("deleted", 0))
+        n_upserted = int(n_up)
         applied = True
     elif dels:
         # a delete-ONLY window goes through the tombstoning delete (no
         # content to rewrite against; the ledger is the cheap path here)
-        applied = (
-            _sim.delete_ann_ids(
-                spark, index_path, dels, id_col=id_col,
-                epoch=cur, epoch_stream=stream,
-            )
-            > 0
+        n_deleted = _sim.delete_ann_ids(
+            spark, index_path, dels, id_col=id_col,
+            epoch=cur, epoch_stream=stream,
         )
+        applied = n_deleted > 0
     if not applied:
         # cursor-only bump: see sync_text_index (the wedge guard)
         _commit_ann_cursor(spark, index_path, cur, stream)
-    return {"from": start, "to": cur, "deleted": len(dels), "upserted": n_up}
+    return {
+        "from": start,
+        "to": cur,
+        "deleted": n_deleted,
+        "upserted": n_upserted,
+    }

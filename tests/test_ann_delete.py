@@ -165,6 +165,45 @@ def test_append_carries_tombstones_forward(spark, embs, tmp_path):
     assert not {r.neighbor_id for r in rows} & set(dead)
 
 
+def test_append_rejects_tombstoned_ids_unconditionally(
+    spark, embs, tmp_path
+):
+    """A blind append of a tombstoned id would write a row the id-level
+    filter hides and the next compact/split purges with the old one —
+    silent data loss. The ledger check runs WITHOUT check_overlap=True
+    (the former documented-but-unenforced precondition); the sanctioned
+    resurrect path is upsert_ann_vectors, whose cell rewrite clears the
+    tombstone in the same commit."""
+    idx = str(tmp_path / "idx")
+    S.build_ann_index(embs, idx, n_cells=8, iters=2)
+    dead = _dead_ids(embs)[:5]
+    assert S.delete_ann_ids(spark, idx, dead) == len(dead)
+    delta = embs.where(F.col("vec_id").isin(dead[:2]))
+    with pytest.raises(ValueError, match="tombstoned"):
+        S.append_ann_index(delta, idx)
+    # the refused append left no trace: ledger intact, id still dead
+    man = _manifest(idx)
+    assert man["n_tombstones"] == len(dead)
+    # upsert_ann_vectors resurrects the same ids cleanly ("replaced"
+    # counts LIVE old rows only, so a pure resurrection reports 0 — the
+    # observable effects are the cleared ledger entries and the id
+    # serving again)
+    out = S.upsert_ann_vectors(delta, idx)
+    assert out["replaced"] == 0 and out["deleted"] == 0
+    man2 = _manifest(idx)
+    # the 2 resurrected ids left the ledger (their cells rewrote — which
+    # may physically purge OTHER tombstones sharing those cells too)
+    assert man2["n_tombstones"] <= len(dead) - 2
+    # probe with the resurrected embedding under a synthetic query id
+    # (self-matches are excluded by the knn contract)
+    queries = embs.where(F.col("vec_id") == dead[0]).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    rows = S.knn_ivf_indexed(spark, idx, queries, k=1).collect()
+    assert rows and rows[0].neighbor_id == dead[0]
+    assert rows[0].cos_bp == 10000
+
+
 def test_upsert_replaces_appends_and_resurrects(spark, embs, tmp_path):
     """upsert_ann_vectors completes the CRUD surface: changed ids get
     their old row physically replaced (only their cells rewrite), new ids

@@ -152,10 +152,17 @@ def test_neardup_index_delete(spark, tmp_path):
     assert D.delete_neardup_docs(spark, idx, target) == len(target)
     after = D.neardup_probe(probe_docs, D.read_neardup_index(spark, idx))
     assert not ({r.dup_of for r in after.collect()} & set(target))
-    # idempotent; the index frame itself no longer carries the ids
-    assert D.delete_neardup_docs(spark, idx, target) == len(target)
+    # actually-deleted contract (matches the other delete ops): a
+    # re-delete finds nothing live, as does an id never indexed
+    assert D.delete_neardup_docs(spark, idx, target) == 0
+    assert D.delete_neardup_docs(spark, idx, [99_999_999]) == 0
     live = D.read_neardup_index(spark, idx)
     assert live.where(F.col("doc_id").isin(target)).count() == 0
+    # the id column rides the layout's _meta.json; a contradicting
+    # explicit id_col is refused instead of silently tombstoning the
+    # wrong column
+    with pytest.raises(ValueError, match="records id_col"):
+        D.delete_neardup_docs(spark, idx, target, id_col="other_id")
 
 
 def test_sync_scoped_and_cursor_advances_on_inapplicable_window(

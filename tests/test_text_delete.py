@@ -191,3 +191,50 @@ def test_upsert_text_docs_matches_rebuild(spark, docs, tmp_path):
     assert "tombstones" not in SE._read_index_manifest(idx)
     final = _res(SE.bm25_search_indexed(spark, idx, queries, k=BM25_K))
     assert final == want
+
+
+def _strip_ver(idx):
+    """Rewrite every tf parquet file without its _ver column — fabricates
+    a pre-_ver (legacy) index in place."""
+    import pyarrow.parquet as pq
+
+    man = _manifest(idx)
+    for d, fs in man["tf"].items():
+        for f in fs:
+            p = os.path.join(idx, "tf", d, f)
+            t = pq.read_table(p)
+            if "_ver" in t.column_names:
+                pq.write_table(t.drop_columns(["_ver"]), p)
+                crc = os.path.join(idx, "tf", d, f".{f}.crc")
+                if os.path.exists(crc):
+                    os.unlink(crc)
+
+
+def test_upsert_refuses_legacy_pre_ver_index(spark, docs, tmp_path):
+    """upsert_text_docs on an index whose tf files predate the _ver
+    column must refuse (rebuild required): stamping _ver on the delta
+    alone creates mixed per-file schemas, under which the upserted doc
+    either vanishes (unified read drops the column → _ver=1 ≤ as_of) or
+    the two tombstone filter paths disagree on null-_ver legacy rows."""
+    slim = docs.select("doc_id", "text").where(F.col("doc_id") % 7 == 0)
+    idx = str(tmp_path / "idx")
+    SE.build_text_index(slim, idx)
+    _strip_ver(idx)
+    batch = slim.limit(2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzlegacy"))
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        SE.upsert_text_docs(spark, idx, batch)
+    # appends stay allowed on a legacy index (unversioned fallback) —
+    # unless the delta would resurrect a tombstoned id, which unversioned
+    # rows cannot survive
+    dead = [r.doc_id for r in slim.limit(1).collect()]
+    assert SE.delete_text_docs(spark, idx, dead) == 1
+    fresh = slim.limit(1).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    SE.append_text_index(fresh, idx)
+    with pytest.raises(ValueError, match="tombstoned"):
+        SE.append_text_index(
+            slim.where(F.col("doc_id").isin(dead)), idx
+        )
