@@ -809,7 +809,7 @@ def _ann_pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("knn_pq_indexed", extra=True)  # rows-only like knn_ivf_indexed:
+@register("knn_pq_indexed")  # driver-gated rows-only (r12 promotion):
 # the claim is path-independence — byte-equality with the per-call
 # knn_ivfpq at the stored quantizers is pinned in tests/test_ann_pq_index.py;
 # recall evidence is knn_pq_eval's clustered floor + knn_ivfpq's knobs.

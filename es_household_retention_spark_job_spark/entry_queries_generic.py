@@ -463,6 +463,8 @@ def window_battery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT g.user_id, g.hour, coalesce(h.n_events, 0) AS n_events
        FROM grid g LEFT JOIN hourly h
          ON h.user_id = g.user_id AND h.hour = g.hour""",
+    extra=True,  # r12: demoted to extras (window_battery_events covers the
+    # reshape surface) to free a driver slot for sink_partial_delta
 )
 def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap fill: dense per-user hourly grid
@@ -700,6 +702,8 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
        FROM events GROUP BY user_id""",
+    extra=True,  # r12: demoted to extras (rollup_revenue covers the pivot/
+    # reshape surface) to free a driver slot for knn_pq_indexed
 )
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an EXPLICIT value list (no discovery job, single shuffle —

@@ -632,7 +632,7 @@ SELECT c_custkey, c_name, c_nationkey,
 """
 
 
-@register("sink_partial_delta", _PARTIAL_SQL, extra=True)
+@register("sink_partial_delta", _PARTIAL_SQL)
 def sink_partial_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-COLUMN MoR delta read surface (round 11,
     sinks/upsert.py::_append_partial_delta / _fold_resolve): the table

@@ -1773,6 +1773,7 @@ def upsert_text_docs(
     delete_ids: list | None = None,
     epoch: int | None = None,
     epoch_stream: str | None = None,
+    known_ids: list | None = None,
 ) -> dict:
     """Re-index documents — the text index's CRUD-completing write op, in
     ONE atomic commit: the batch's (and ``delete_ids``'s) LIVE old rows
@@ -1799,8 +1800,14 @@ def upsert_text_docs(
     manifest = _read_index_manifest(path)
     if manifest is None:
         manifest = _bootstrap_index_manifest(spark, path)
-    n_docs = docs.count()
-    up_ids = [r[id_col] for r in docs.select(id_col).collect()]
+    # known_ids: the CDC sync already collected the window's ids from the
+    # netted feed — skip the count + collect jobs (two fewer scans)
+    up_ids = (
+        list(known_ids)
+        if known_ids is not None
+        else [r[id_col] for r in docs.select(id_col).collect()]
+    )
+    n_docs = len(up_ids)
     if len(up_ids) != len(set(up_ids)):
         raise ValueError(
             "upsert_text_docs: batch carries duplicate ids — resolve to "

@@ -816,6 +816,10 @@ def build_ann_index(
         manifest["pq_books_dir"] = "pq_books"
     assigned.unpersist()
     _write_ann_manifest(path, manifest)
+    if pq:
+        # per-corpus rerank calibration (atomic follow-up commit): what
+        # lets knn_ann_auto admit the tier by default with a recall floor
+        calibrate_pq_refine(spark, path, id_col=id_col)
 
 
 def knn_ivf_indexed(
@@ -1177,7 +1181,7 @@ def append_ann_index(
             ).items():
                 new_pq.setdefault(d, []).extend(names)
             new_manifest["pq"] = {d: sorted(fs) for d, fs in new_pq.items()}
-        for carry in ("pq_params", "pq_books_dir", "tombstones", "n_tombstones"):
+        for carry in ("pq_params", "pq_books_dir", "pq_calibration", "tombstones", "n_tombstones"):
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
@@ -1269,7 +1273,7 @@ def compact_ann_index(spark, path: str) -> int:
         }
     if "pq" in manifest:
         new_manifest["pq"] = {d: list(fs) for d, fs in manifest["pq"].items()}
-    for carry in ("pq_params", "pq_books_dir"):
+    for carry in ("pq_params", "pq_books_dir", "pq_calibration"):
         if manifest.get(carry) is not None:
             new_manifest[carry] = manifest[carry]
     stages = []
@@ -1713,6 +1717,7 @@ def ann_route_costs(
     scored_pairs: int,
     has_codes: bool = True,
     has_pq: bool = False,
+    rerank_pq: int | None = None,
 ) -> dict[str, float]:
     """Pure cost model for the SQ8-composed vs plain-IVF serving plans —
     every input is a free index/batch statistic (no data file opened):
@@ -1756,11 +1761,16 @@ def ann_route_costs(
         # projection stage the sq8 plan does not have. The 5th pass is
         # what the sf1/|Q|=40 ladder regime measured: without it the
         # model routed pq on an 11% margin where ivf measured cheaper
+        # the pq tier's refine budget may differ from the sq8 plan's (the
+        # per-corpus calibration inflates it to hold the recall floor),
+        # and its cost must be priced at THAT budget — an honest route
+        # never picks pq on a rerank it will not actually serve
+        cand_pq = n_q * (rerank_pq if rerank_pq is not None else rerank)
         costs["pq"] = (
             scored_pairs * w["pair_pq"]
             + probe_rows * w["row_pq"]
-            + min(cand, probe_rows) * w["row_double"]
-            + cand * w["pair_double"]
+            + min(cand_pq, probe_rows) * w["row_double"]
+            + cand_pq * w["pair_double"]
             + 5 * w["pass"]
         )
     return costs
@@ -1824,6 +1834,11 @@ def choose_ann_route(
         nq * int(rows.get(c, 0)) for c, nq in probe_counts.items()
     )
     cand_pairs = n_q * R
+    # pq's priced refine: the caller's explicit rerank if given, else the
+    # manifest calibration's floor-holding budget (see calibrate_pq_refine)
+    R_pq = (
+        int(rerank) if rerank is not None else _pq_auto_refine(manifest, k)
+    )
     costs = ann_route_costs(
         n_q,
         R,
@@ -1831,6 +1846,7 @@ def choose_ann_route(
         scored_pairs,
         has_codes=bool(manifest.get("codes")),
         has_pq=bool(manifest.get("pq")),
+        rerank_pq=R_pq,
     )
     if tiers is not None:
         allowed = {t for t in tiers} & set(costs)
@@ -1841,6 +1857,16 @@ def choose_ann_route(
                 "or widen tiers"
             )
         costs = {t: c for t, c in costs.items() if t in allowed}
+    else:
+        # DEFAULT admission: pq competes only when its per-corpus
+        # calibration exists and predicts the recall floor is holdable
+        # (breach=False). Uncalibrated or floor-breaching corpora keep
+        # the tier out of the default route — routing never silently
+        # trades recall; tiers=("ivf","sq8","pq") remains the explicit
+        # override for callers who own the trade.
+        calib = manifest.get("pq_calibration")
+        if "pq" in costs and not (calib and not calib.get("breach")):
+            costs.pop("pq")
     route = min(costs, key=costs.get)
     if not with_plan:
         return route, cand_pairs, probe_rows
@@ -1879,16 +1905,18 @@ def knn_ann_auto(
     fixed-batch/corpus-fraction crossover (SCALING.md round 9) a plan
     choice the caller no longer has to make. An index carrying the PQ
     sidecar adds a third tier (``knn_pq_indexed`` — ~m-bytes/vector ADC
-    shortlist + the same exact refine) that is OPT-IN:
-    ``tiers=("ivf", "sq8", "pq")``. The default excludes it because cost
-    routing must never silently trade recall — PQ's 4-bit shortlist at an
-    equal rerank recalls strictly less than SQ8's (measured 0.16 vs 0.975
-    on the near-orthogonal worst case at rerank=4k), while on clustered
-    corpora with an adequate refine budget it holds the floor at a
-    measured 2.7× speedup in the corpus-fraction regime (sq8 ladder,
-    sf1/|Q|=10k) — opting in is a statement that the caller's rerank
-    covers the quantization noise for THEIR data (knn_pq_eval /
-    knn_ann_eval are the measuring tools). Same output shape every way
+    shortlist + the same exact refine), admitted BY DEFAULT when the
+    manifest's ``pq_calibration`` (calibrate_pq_refine, written at
+    build/add_pq_sidecar time) says the recall floor is holdable at a
+    rerank whose cost is then honestly priced into the route; on corpora
+    where PQ's 4-bit shortlist noise makes the floor unreachable at a
+    payload-advantaged rerank (e.g. near-orthogonal data: 0.16 recall at
+    rerank=4k) the calibration marks ``breach`` and the tier stays out
+    of the default route. ``tiers=("ivf", "sq8", "pq")`` remains the
+    explicit override for callers who own the trade (knn_pq_eval /
+    knn_ann_eval are the measuring tools); on clustered corpora the tier
+    holds the floor at a measured 2.7× speedup in the corpus-fraction
+    regime (sq8 ladder, sf1/|Q|=10k). Same output shape every way
     (query_id,
     neighbor_id, rank, cos_bp with exact double cosines); ranks agree
     wherever the candidate generation's recall does — each tier's
@@ -1897,8 +1925,7 @@ def knn_ann_auto(
     chosen endpoint (r10 advisory)."""
     route, _, plan = choose_ann_route(
         spark, path, queries, k=k, n_probe=n_probe, rerank=rerank,
-        emb_col=emb_col, with_plan=True,
-        tiers=tiers if tiers is not None else ("ivf", "sq8"),
+        emb_col=emb_col, with_plan=True, tiers=tiers,
     )
     if route == "pq":
         return knn_pq_indexed(
@@ -2073,7 +2100,7 @@ def split_ann_cells(
         }
     if has_pq:
         new_manifest["pq"] = {d: list(fs) for d, fs in manifest["pq"].items()}
-    for carry in ("pq_params", "pq_books_dir"):
+    for carry in ("pq_params", "pq_books_dir", "pq_calibration"):
         if manifest.get(carry) is not None:
             new_manifest[carry] = manifest[carry]
     try:
@@ -2618,6 +2645,30 @@ def add_pq_sidecar(
         _sweep_stray_ann(path, new_manifest)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    # a replaced sidecar invalidates any previous calibration — re-measure
+    calibrate_pq_refine(spark, path, id_col=id_col)
+
+
+def _pq_auto_refine(manifest: dict, k: int) -> int:
+    """The serving refine when the caller passes ``refine=None``: the
+    manifest's ``pq_calibration`` (written by ``calibrate_pq_refine``)
+    scaled to the caller's k — the calibration's quantile was measured at
+    its own k, and the true-top-k ADC-rank distribution widens roughly
+    linearly in k. Uncalibrated (or pre-r12) indexes keep the 4k
+    default."""
+    calib = manifest.get("pq_calibration")
+    if not calib:
+        return 4 * k
+    import math
+
+    k_cal = max(int(calib.get("k", k)), 1)
+    r_cal = int(calib["refine"])
+    # NEVER scale below the calibrated R: on tie-heavy (clustered) data
+    # the ADC ranks of the true top-k spread over the code-tie group
+    # size regardless of k, so the requirement is k-independent from
+    # below (measured: R·k/k_cal at k=5 halves recall to 0.52 where R_cal
+    # holds 0.93). Scale UP linearly for k beyond the calibrated one.
+    return max(r_cal, int(math.ceil(r_cal * k / k_cal)), 4 * k)
 
 
 def knn_pq_indexed(
@@ -2649,7 +2700,6 @@ def knn_pq_indexed(
     rerank is BELOW the SQ8 tier's (4-bit subquantizers are noisier than
     8-bit scalar codes); the ladder publishes both, and ``knn_ann_auto``
     callers can exclude the tier via ``tiers=``."""
-    R = int(refine) if refine is not None else 4 * k
     if plan is not None:
         manifest, cents = plan["manifest"], plan["cents"]
     else:
@@ -2657,6 +2707,11 @@ def knn_pq_indexed(
         if manifest is None:
             manifest = _bootstrap_ann_manifest(spark, path)
         cents = None
+    R = (
+        int(refine)
+        if refine is not None
+        else _pq_auto_refine(manifest, k)
+    )
     if not manifest.get("pq"):
         raise ValueError(
             f"vector index at {path} has no PQ sidecar; add one with "
@@ -2732,6 +2787,194 @@ def knn_pq_indexed(
         spark, path, manifest, wanted, probe_union, cand_frame, qbase,
         queries, k, R, id_col,
     )
+
+
+def calibrate_pq_refine(
+    spark,
+    path: str,
+    k: int = 10,
+    floor_bp: int = 9000,
+    n_probe: int = 12,
+    n_sample: int = 48,
+    id_col: str = "vec_id",
+) -> dict:
+    """Measure, per corpus, the ADC rerank budget the PQ tier needs to
+    hold a recall floor — the estimator that lets ``knn_ann_auto`` admit
+    the tier by DEFAULT instead of blanket opt-in (round-11 verdict #2):
+    PQ's 4-bit shortlist noise is a property of the data (near-orthogonal
+    corpora collapse to 0.16-0.35 recall at rerank=4k; clustered corpora
+    hold 1.0), so the safe refine cannot be a constant.
+
+    Method: a deterministic ``n_sample``-query self-probe (lowest
+    xxhash64(id) live vectors — spread across cells, no RNG). For each
+    sampled query the probed cells' rows are scored BOTH ways in one
+    frame — exact cosine from the stored doubles and ADC from the stored
+    codebooks — and the statistic is the distribution of ADC ranks of the
+    true (exact) top-``k`` pairs: the smallest R whose ADC prefix covers
+    ``floor_bp`` of them IS the required rerank (a quantile, not a model).
+    The floor is therefore relative to exact ranking WITHIN the probe set
+    — the coarse-probe loss is shared by every IVF tier and priced
+    separately by ``n_probe``.
+
+    Breach rule: the refine pass re-reads R full-precision rows per query
+    while the ADC scan saved ~(row_double − row_pq) per candidate; past
+    R > candidates/8 the payload advantage is arithmetically gone, so the
+    calibration marks ``breach`` and the router keeps the tier out of the
+    default route (callers can still force it with ``tiers=``). The
+    result commits into the manifest as ``pq_calibration`` (atomic bump;
+    carried by append/upsert/split/compact/retrain commits — retrain
+    keeps the codebooks, so the quantization-noise statistic survives;
+    ``add_pq_sidecar`` re-running REPLACES the sidecar and recalibrates).
+
+    Returns the calibration dict. Runs automatically at the end of
+    ``build_ann_index(pq=True)`` and ``add_pq_sidecar``."""
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    if not manifest.get("pq"):
+        raise ValueError(
+            f"vector index at {path} has no PQ sidecar to calibrate"
+        )
+    cents = _read_centroids(spark, path, manifest)
+    cb = _read_pq_books(spark, path, manifest)
+    files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        for f in fs
+    ]
+    live = _without_tombstones(
+        spark.read.option("basePath", f"{path}/cells").parquet(*files),
+        spark,
+        path,
+        manifest,
+        id_col,
+    )
+    # deterministic spread sample (TakeOrdered — no full shuffle)
+    sample = (
+        live.where(F.col("_norm") > 0)
+        .select(id_col, "_emb")
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(n_sample))
+        .collect()
+    )
+    if not sample:
+        raise ValueError(f"vector index at {path} has no live vectors")
+    qdf = spark.createDataFrame(
+        [(r[id_col], list(r["_emb"])) for r in sample],
+        f"`{id_col}` {live.schema[id_col].dataType.simpleString()}, "
+        "_emb array<double>",
+    )
+    qprobed = with_unit_meta(qdf, "_emb").select(
+        F.col(id_col).alias("query_id"),
+        F.col("_norm").alias("_qnorm"),
+        _pq_lut(F.col("_emb"), cb).alias("_lut"),
+        F.col("_emb").alias("_qemb"),
+        F.explode(_probe_cells(F.col("_emb"), cents, n_probe)).alias(
+            ANN_CELL_COL
+        ),
+    )
+    probe_union = sorted(
+        r[ANN_CELL_COL]
+        for r in qprobed.select(ANN_CELL_COL).distinct().collect()
+    )
+    wanted = {f"{ANN_CELL_COL}={c}" for c in probe_union}
+    pfiles = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        if d in wanted
+        for f in fs
+    ]
+    corpus = _without_tombstones(
+        spark.read.option("basePath", f"{path}/cells")
+        .parquet(*pfiles)
+        .where(F.col(ANN_CELL_COL).isin(probe_union))
+        .where(F.col("_norm") > 0),
+        spark,
+        path,
+        manifest,
+        id_col,
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "_emb", "_norm", ANN_CELL_COL
+    )
+    # both scores in ONE pass: ADC from an on-the-fly encode with the
+    # STORED codebooks (bit-identical to the pq/ sidecar's codes — the
+    # encode is deterministic), exact cosine from the stored doubles
+    # (pq_codes keeps only id + keep columns, so the embedding rides
+    # through under a keep-name)
+    coded = pq_codes(
+        corpus.withColumnRenamed("_emb", "_cemb"),
+        cb,
+        "neighbor_id",
+        "_cemb",
+        keep=("_norm", "_cemb", ANN_CELL_COL),
+    )
+    exact_dot = F.aggregate(
+        F.zip_with(
+            F.col("_cemb"), F.col("_qemb"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        coded.join(F.broadcast(qprobed), ANN_CELL_COL)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (exact_dot / (F.col("_qnorm") * F.col("_norm"))).alias("_cos"),
+            (
+                _adc_dot(F.col("_pq"), F.col("_lut"))
+                / (F.col("_qnorm") * F.sqrt(F.col("_pqn2")))
+            ).alias("_adc"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(we).alias("_re"),
+        F.row_number().over(wa).alias("_ra"),
+    ).persist()
+    try:
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("query_id").alias("n_q"),
+        ).collect()[0]
+        adc_ranks = sorted(
+            r["_ra"]
+            for r in ranked.where(F.col("_re") <= k).select("_ra").collect()
+        )  # ≤ n_sample·k rows
+    finally:
+        ranked.unpersist()
+    if not adc_ranks:
+        raise ValueError("calibration sample produced no scored pairs")
+    import math
+
+    idx = max(math.ceil(floor_bp / 10000 * len(adc_ranks)) - 1, 0)
+    refine = int(adc_ranks[idx])
+    cand_per_query = int(agg["n_pairs"]) // max(int(agg["n_q"]), 1)
+    measured_bp = (
+        sum(1 for r in adc_ranks if r <= refine) * 10000 // len(adc_ranks)
+    )
+    calib = {
+        "k": int(k),
+        "floor_bp": int(floor_bp),
+        "refine": refine,
+        "n_probe": int(n_probe),
+        "n_sample": len(sample),
+        "cand_per_query": cand_per_query,
+        "measured_recall_bp": int(measured_bp),
+        "breach": bool(refine > cand_per_query / 8),
+    }
+    new_manifest = dict(manifest)
+    new_manifest["version"] = int(manifest.get("version", 1)) + 1
+    new_manifest["pq_calibration"] = calib
+    _commit_ann_manifest(path, manifest, new_manifest)
+    return calib
 
 
 def delete_ann_ids(
@@ -2846,7 +3089,7 @@ def delete_ann_ids(
                 new_manifest[key] = {
                     d: list(fs) for d, fs in manifest[key].items()
                 }
-        for carry in ("pq_params", "pq_books_dir", "centroids_dir"):
+        for carry in ("pq_params", "pq_books_dir", "pq_calibration", "centroids_dir"):
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         new_manifest["retired"] = _ann_roll_retired(manifest, time.time(), None)
@@ -2874,6 +3117,7 @@ def upsert_ann_vectors(
     epoch: int | None = None,
     epoch_stream: str | None = None,
     delete_ids: list | None = None,
+    known_ids: list | None = None,
 ) -> dict:
     """Re-index vectors IN PLACE — the write op that completes the index's
     CRUD surface: ids with an existing row get their old row physically
@@ -2918,7 +3162,15 @@ def upsert_ann_vectors(
     cb = _read_pq_books(spark, path, manifest) if has_pq else None
     stages: list[str] = []
     try:
-        delta_ids = [r[id_col] for r in assigned.select(id_col).collect()]
+        # known_ids: the CDC sync already holds the window's distinct ids
+        # (the feed nets to one change per key), so the id-collect job is
+        # skipped — the delta's first materialization is then the fused
+        # counts pass below
+        delta_ids = (
+            list(known_ids)
+            if known_ids is not None
+            else [r[id_col] for r in assigned.select(id_col).collect()]
+        )
         if len(delta_ids) != len(set(delta_ids)):
             raise ValueError(
                 "upsert_ann_vectors: delta carries duplicate ids — resolve "
@@ -3014,7 +3266,7 @@ def upsert_ann_vectors(
                 new_manifest[key] = {
                     d: list(fs) for d, fs in manifest[key].items()
                 }
-        for carry in ("pq_params", "pq_books_dir", "centroids_dir"):
+        for carry in ("pq_params", "pq_books_dir", "pq_calibration", "centroids_dir"):
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         cell_rows = dict(_manifest_cell_rows(spark, path, manifest))
@@ -3043,14 +3295,12 @@ def upsert_ann_vectors(
         n_deleted = len(live_old & set(delete_ids))
         n_replaced = len(live_old) - n_deleted
 
-        def land(frame, sub, sort_id):
+        def land(frame, sub, sort_id, n_out):
             """Stage a cell-partitioned frame and move it under gen names;
-            returns {dir: [names]}."""
+            returns {dir: [names]}. ``n_out`` is the known distinct-cell
+            count (from the single counts pass below) — no extra job."""
             stage = f"{path}/.{sub}_upsert_{gen}"
             stages.append(stage)
-            n_out = max(
-                frame.select(ANN_CELL_COL).distinct().count(), 1
-            )
             frame.repartition(
                 n_out, F.col(ANN_CELL_COL)
             ).sortWithinPartitions(ANN_CELL_COL, sort_id).write.mode(
@@ -3058,12 +3308,22 @@ def upsert_ann_vectors(
             ).partitionBy(ANN_CELL_COL).parquet(stage)
             return _move_staged_cells(path, stage, gen, sub)
 
-        # ----- REWRITE arm: touched cells = survivors + their delta rows
+        # ----- ONE fused write per sidecar: the rewrite arm (touched
+        # cells' survivors) and the append arm (delta rows, touched or
+        # not) union into a single cell-partitioned frame. partitionBy
+        # splits them back to their dirs; the manifest REPLACES touched
+        # dirs and EXTENDS the rest. Cuts the sync window's fixed job
+        # floor roughly in half vs the previous two-arm shape (one
+        # persist, one counts pass, one write per sidecar).
         retiring: dict[str, dict[str, list[str]]] = {
             "cells": {},
             "codes": {},
             "pq": {},
         }
+        delta_rows = assigned.select(
+            id_col, "_emb", "_norm",
+            F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL),
+        )
         if touched:
             touched_files = [
                 os.path.join(path, "cells", d, f)
@@ -3079,94 +3339,63 @@ def upsert_ann_vectors(
             survivors = _without_tombstones(
                 survivors, spark, path, manifest, id_col
             )
-            rewrite = survivors.select(
-                id_col, "_emb", "_norm", F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL)
-            ).unionByName(
-                assigned.where(F.col(ANN_CELL_COL).isin(touched)).select(
-                    id_col, "_emb", "_norm",
-                    F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL),
-                )
-            ).persist()
-            try:
-                moved = land(rewrite, "cells", id_col)
-                for d in touched_dirs:
-                    retiring["cells"][d] = list(
-                        manifest["cells"].get(d, [])
-                    )
-                    new_manifest["cells"].pop(d, None)
-                for d, names in moved.items():
-                    new_manifest["cells"][d] = sorted(names)
-                if has_codes:
-                    moved_c = land(_codes_for(rewrite, id_col), "codes", id_col)
-                    for d in touched_dirs:
-                        retiring["codes"][d] = list(
-                            manifest.get("codes", {}).get(d, [])
-                        )
-                        new_manifest["codes"].pop(d, None)
-                    for d, names in moved_c.items():
-                        new_manifest["codes"][d] = sorted(names)
-                if has_pq:
-                    moved_p = land(
-                        _pq_codes_for(rewrite, cb, id_col), "pq", id_col
-                    )
-                    for d in touched_dirs:
-                        retiring["pq"][d] = list(
-                            manifest.get("pq", {}).get(d, [])
-                        )
-                        new_manifest["pq"].pop(d, None)
-                    for d, names in moved_p.items():
-                        new_manifest["pq"][d] = sorted(names)
-                for r in (
-                    rewrite.groupBy(ANN_CELL_COL)
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                ):
-                    cell_rows[str(r[ANN_CELL_COL])] = int(r["n"])
-                for c in touched:
-                    cell_rows.setdefault(str(c), 0)
-                    if f"{ANN_CELL_COL}={c}" not in new_manifest["cells"]:
-                        cell_rows[str(c)] = 0  # cell emptied entirely
-            finally:
-                rewrite.unpersist()
-
-        # ----- APPEND arm: delta rows whose cell was not rewritten
-        fresh = assigned.where(~F.col(ANN_CELL_COL).isin(touched)).persist()
+            combined = survivors.select(
+                id_col, "_emb", "_norm",
+                F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL),
+            ).unionByName(delta_rows).persist()
+        else:
+            combined = delta_rows.persist()
         try:
-            n_appended = fresh.count()
-            if n_appended:
-                for d, names in land(
-                    fresh.select(
-                        id_col, "_emb", "_norm",
-                        F.col(ANN_CELL_COL).cast("int").alias(ANN_CELL_COL),
+            # the ONE counts pass: materializes the cache, prices the
+            # repartition, and rolls the cell_rows ledger
+            counts = {
+                int(r[ANN_CELL_COL]): int(r["n"])
+                for r in combined.groupBy(ANN_CELL_COL)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_out = max(len(counts), 1)
+            touched_set = set(int(c) for c in touched)
+
+            def fold_moved(moved, sub):
+                for d in touched_dirs:
+                    retiring[sub][d] = list(
+                        (manifest.get(sub) or {}).get(d, [])
+                    )
+                    new_manifest[sub].pop(d, None)
+                for d, names in moved.items():
+                    if d in touched_dirs:
+                        new_manifest[sub][d] = sorted(names)
+                    else:
+                        new_manifest[sub].setdefault(d, []).extend(names)
+                        new_manifest[sub][d] = sorted(new_manifest[sub][d])
+
+            fold_moved(land(combined, "cells", id_col, n_out), "cells")
+            if has_codes:
+                fold_moved(
+                    land(_codes_for(combined, id_col), "codes", id_col, n_out),
+                    "codes",
+                )
+            if has_pq:
+                fold_moved(
+                    land(
+                        _pq_codes_for(combined, cb, id_col), "pq", id_col, n_out
                     ),
-                    "cells",
-                    id_col,
-                ).items():
-                    new_manifest["cells"].setdefault(d, []).extend(names)
-                    new_manifest["cells"][d] = sorted(new_manifest["cells"][d])
-                if has_codes:
-                    for d, names in land(
-                        _codes_for(fresh, id_col), "codes", id_col
-                    ).items():
-                        new_manifest["codes"].setdefault(d, []).extend(names)
-                        new_manifest["codes"][d] = sorted(
-                            new_manifest["codes"][d]
-                        )
-                if has_pq:
-                    for d, names in land(
-                        _pq_codes_for(fresh, cb, id_col), "pq", id_col
-                    ).items():
-                        new_manifest["pq"].setdefault(d, []).extend(names)
-                        new_manifest["pq"][d] = sorted(new_manifest["pq"][d])
-                for r in (
-                    fresh.groupBy(ANN_CELL_COL)
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                ):
-                    c = str(r[ANN_CELL_COL])
-                    cell_rows[c] = int(cell_rows.get(c, 0)) + int(r["n"])
+                    "pq",
+                )
+            n_appended = 0
+            for c, n in counts.items():
+                if c in touched_set:
+                    cell_rows[str(c)] = n  # full new content of the cell
+                else:
+                    cell_rows[str(c)] = int(cell_rows.get(str(c), 0)) + n
+                    n_appended += n  # delta rows into untouched cells
+            for c in touched_set:
+                cell_rows.setdefault(str(c), 0)
+                if f"{ANN_CELL_COL}={c}" not in new_manifest["cells"]:
+                    cell_rows[str(c)] = 0  # cell emptied entirely
         finally:
-            fresh.unpersist()
+            combined.unpersist()
         new_manifest["cell_rows"] = cell_rows
 
         # ----- tombstone ledger: entries for rewritten cells and upserted
@@ -3323,7 +3552,7 @@ def retrain_ann_index(
             new_manifest["pq"] = land(
                 _pq_codes_for(assigned, cb, id_col), "pq"
             )
-        for carry in ("pq_params", "pq_books_dir"):
+        for carry in ("pq_params", "pq_books_dir", "pq_calibration"):
             if manifest.get(carry) is not None:
                 new_manifest[carry] = manifest[carry]
         new_manifest["cell_rows"] = {

@@ -104,20 +104,24 @@ def _commit_ann_cursor(spark, index_path: str, epoch: int, stream: str):
 
 
 def _split_changes(changes: DataFrame, id_col: str, cols: list[str]):
-    """(upsert frame, deleted-id list) from a netted change window: the
-    feed nets to at most one change per key, so the two sets are
-    disjoint; update preimages are bookkeeping for aggregate consumers
-    and carry nothing an index maintains."""
+    """(upsert frame, upsert-id list, deleted-id list) from a netted
+    change window: the feed nets to at most one change per key, so the
+    two sets are disjoint; update preimages are bookkeeping for
+    aggregate consumers and carry nothing an index maintains. ONE
+    id-level collect serves both lists (and the upsert count), so the
+    window's content columns are scanned exactly once — by the index
+    op's own fused pass."""
     ups = changes.where(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
     ).select(id_col, *cols)
-    dels = [
+    pairs = changes.select(id_col, CHANGE_TYPE_COL).collect()
+    up_ids = [
         r[id_col]
-        for r in changes.where(F.col(CHANGE_TYPE_COL) == "delete")
-        .select(id_col)
-        .collect()
+        for r in pairs
+        if r[CHANGE_TYPE_COL] in ("insert", "update_postimage")
     ]
-    return ups, dels
+    dels = [r[id_col] for r in pairs if r[CHANGE_TYPE_COL] == "delete"]
+    return ups, up_ids, dels
 
 
 def sync_text_index(
@@ -151,8 +155,8 @@ def sync_text_index(
     changes = read_changes(
         spark, table_path, start, cur, columns=[text_col]
     )
-    ups, dels = _split_changes(changes, id_col, [text_col])
-    n_up = ups.count()
+    ups, up_ids, dels = _split_changes(changes, id_col, [text_col])
+    n_up = len(up_ids)
     # "deleted"/"upserted" report what the index ACTUALLY applied (the
     # ops' live-count returns), not the window's event counts — a window
     # deleting never-indexed ids reports deleted=0
@@ -172,6 +176,7 @@ def sync_text_index(
             delete_ids=dels,
             epoch=cur,
             epoch_stream=stream,
+            known_ids=up_ids,
         )
         n_deleted = int(res.get("deleted", 0))
         n_upserted = int(n_up)
@@ -224,8 +229,8 @@ def sync_ann_index(
     changes = read_changes(
         spark, table_path, start, cur, columns=[emb_col]
     )
-    ups, dels = _split_changes(changes, id_col, [emb_col])
-    n_up = ups.count()
+    ups, up_ids, dels = _split_changes(changes, id_col, [emb_col])
+    n_up = len(up_ids)
     # actually-applied counts, as in sync_text_index
     n_deleted = n_upserted = 0
     applied = False
@@ -236,6 +241,7 @@ def sync_ann_index(
         res = _sim.upsert_ann_vectors(
             ups, index_path, id_col=id_col, emb_col=emb_col,
             epoch=cur, epoch_stream=stream, delete_ids=dels,
+            known_ids=up_ids,
         )
         n_deleted = int(res.get("deleted", 0))
         n_upserted = int(n_up)

@@ -73,7 +73,9 @@ def test_add_pq_sidecar_upgrade_and_append_maintenance(spark, embs, tmp_path):
         S.knn_pq_indexed(spark, idx, queries, k=5)
     S.add_pq_sidecar(spark, idx)
     up = _manifest(idx)
-    assert up["pq"] and int(up["version"]) == 2
+    # two commits: the sidecar publish + its follow-up rerank calibration
+    assert up["pq"] and int(up["version"]) == 3
+    assert up["pq_calibration"]["n_sample"] > 0
     assert up["pq_books_dir"].startswith("pq_books_gen-")
     S.append_ann_index(delta, idx)
     man = _manifest(idx)
@@ -188,11 +190,13 @@ def test_route_pq_tier_and_auto_dispatch(spark, embs, tmp_path):
         S.choose_ann_route(
             spark, idx, queries, k=5, n_probe=12, tiers=("hnsw",)
         )
-    # the DEFAULT auto is recall-conservative: pq never serves unless the
-    # caller opts in, even on an index that materializes it
+    # the DEFAULT auto is recall-conservative: on this near-orthogonal
+    # corpus the build-time calibration marks breach (the floor-holding
+    # rerank erases the payload advantage), so pq stays out of the
+    # default route without an explicit tiers= opt-in
+    assert S._read_ann_manifest(idx)["pq_calibration"]["breach"] is True
     r3, _, _ = S.choose_ann_route(
         spark, idx, queries, k=5, n_probe=12, with_plan=True,
-        tiers=("ivf", "sq8"),
     )
     assert r3 in {"ivf", "sq8"}
     got_default = _pairs(S.knn_ann_auto(spark, idx, queries, k=5, n_probe=12))
@@ -206,3 +210,72 @@ def test_route_pq_tier_and_auto_dispatch(spark, embs, tmp_path):
         S.knn_pq_indexed(spark, idx, queries, k=5, n_probe=12, refine=64)
     )
     assert got == want and got
+
+
+def test_pq_calibration_recall_guard(spark, embs, tmp_path):
+    """The round-12 recall guard (calibrate_pq_refine): the pq tier is
+    admitted to the DEFAULT route only when the per-corpus calibration
+    predicts the 0.9 floor is holdable at a payload-advantaged rerank.
+
+    Near-orthogonal corpus (raw testdata): calibration marks breach →
+    router never defaults to pq — but a caller who forces the tier at
+    refine=None still gets the FLOOR-HOLDING calibrated rerank, so even
+    the forced path recalls ≥0.9 of exact-within-probes. Clustered
+    corpus: non-breach at a small rerank; knn_ann_auto picks pq in the
+    scored-pairs-dominated regime AND holds the floor at the auto-chosen
+    rerank — the round-11 verdict's done-bar."""
+    from es_household_retention_spark_job_spark.operators.evalcorpus import (
+        clustered_embeddings,
+    )
+
+    def recall_vs_ivf(idx, queries, k=5, **kw):
+        got = S.knn_pq_indexed(spark, idx, queries, k=k, **kw)
+        want = S.knn_ivf_indexed(spark, idx, queries, k=k)
+        hits = (
+            got.select("query_id", "neighbor_id")
+            .join(
+                F.broadcast(want.select("query_id", "neighbor_id")),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .count()
+        )
+        return hits / max(want.count(), 1)
+
+    # --- near-orthogonal: breach, router refuses, forced path still safe
+    no_idx = str(tmp_path / "no_idx")
+    S.build_ann_index(embs, no_idx, n_cells=16, iters=3, pq=True)
+    calib = S._read_ann_manifest(no_idx)["pq_calibration"]
+    assert calib["breach"] is True
+    queries = embs.where(F.col("vec_id") % 10 == 0)
+    route, _, _ = S.choose_ann_route(spark, no_idx, queries, k=5)
+    assert route != "pq"
+    # forced pq at refine=None serves the calibrated (floor-holding) R
+    assert recall_vs_ivf(no_idx, queries, n_probe=12) >= 0.9
+
+    # --- clustered: non-breach, default route admits pq, floor holds
+    cl = clustered_embeddings(spark).cache()
+    cl_idx = str(tmp_path / "cl_idx")
+    S.build_ann_index(cl, cl_idx, n_cells=16, pq=True)
+    calib_cl = S._read_ann_manifest(cl_idx)["pq_calibration"]
+    assert calib_cl["breach"] is False
+    assert calib_cl["measured_recall_bp"] >= 9000
+    cq = cl.where(F.col("vec_id") % 10 == 0)
+    route_cl, stats, _ = S.choose_ann_route(
+        spark, cl_idx, cq, k=5, with_plan=True
+    )
+    assert route_cl == "pq", stats["costs"]  # scored-pairs regime
+    assert recall_vs_ivf(cl_idx, cq, n_probe=12) >= 0.9
+    # auto dispatch = the same floor-holding serving
+    auto = S.knn_ann_auto(spark, cl_idx, cq, k=5)
+    want = S.knn_ivf_indexed(spark, cl_idx, cq, k=5)
+    hits = (
+        auto.select("query_id", "neighbor_id")
+        .join(
+            F.broadcast(want.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .count()
+    )
+    assert hits / max(want.count(), 1) >= 0.9

@@ -97,7 +97,7 @@ HOSTILE_SAMPLE = [
     "retention_phase1",        # epoch math over o_orderdate (NTZ victim)
     "retention_collapsed",     # date_format/unix_millis (timezone victim)
     "window_battery_events",   # events.parquet TIMESTAMP(NANOS) (reader victim)
-    "resample_hourly_gapfill", # date_trunc per hour (timezone victim)
+    "sink_partial_delta",      # masked per-column MoR fold (r12 gate row)
     "month_grid",              # no table read — covered by the entry wrapper
     "media_features",          # Arrow mapInPandas round-trip + nullable Int64
     "embedding_quantize",      # staged-projection double math, float[] reader

@@ -1,15 +1,39 @@
-"""CDC → index maintenance ladder: measures the round-11 claim that a
-synced index follows its table at O(changes) — per mutation round, the
-wall cost of ``sync_text_index`` / ``sync_ann_index`` against the cost of
-the alternative (full rebuild from the table's resolved state), with a
-byte-equality check between the synced and rebuilt indexes every round.
+"""CDC → index maintenance ladder: does a synced index follow its table
+at O(changes), not O(corpus)?
+
+Two modes:
+
+* ``--mode=fixed`` (default, the round-12 arm): the change set is a
+  CONSTANT absolute delta — 1,500 doc upserts + 500 doc deletes, 600
+  vector upserts + 200 vector deletes, ids that exist at every scale —
+  while the corpus grows 100× (sf0.1 → sf1 → sf10). This is the shape
+  that can actually exhibit the asymptotic claim: sync wall should stay
+  ~flat in corpus size while both rebuild arms grow. The round-11 ladder
+  scaled the change set WITH the corpus (~1%+0.5% per round), so the
+  O(changes)-vs-O(corpus) separation could never appear in its clocks.
+* ``--mode=proportional``: the round-11 behavior, kept for continuity.
+
+Arms per round:
+
+* ``sync``      — sync_text_index / sync_ann_index over the CDC window.
+* ``rebuild``   — full rebuild from the table's resolved state; the ANN
+  rebuild reuses the FROZEN trained centroids (the toughest, cheapest
+  rebuild — it gets the k-means for free).
+* ``retrain``   (ANN only) — rebuild WITH k-means retraining (iters=3),
+  the operational baseline: a real rebuild-instead-of-sync deployment
+  re-trains, it does not have last month's centroids handed to it.
+
+Byte-equality between the synced and frozen-rebuilt indexes is checked
+every round (the sync is only interesting if it is also exact).
 
 Honest accounting: the text sync's delete-locate is an O(index) tf pass
-(term-clustered layout — documented in delete_text_docs), so its win over
-rebuild comes from skipping the corpus re-tokenize + re-shard, not from
-skipping the read. The ANN sync is touched-cells-bounded end to end.
+(term-clustered layout — documented in delete_text_docs), so its win
+comes from skipping the corpus re-tokenize + re-shard. The ANN sync is
+touched-cells-bounded end to end (locate id-In row-group-pruned, one
+fused write per sidecar as of round 12).
 
 Usage: python tools/index_sync_ladder.py [sf_dir ...] [--rounds N]
+       [--mode=fixed|proportional]
 Prints one markdown row per (sf, round) plus a JSON summary line.
 """
 
@@ -26,11 +50,20 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
-SFS = ARGS or ["/root/testdata/sf0.1", "/tmp/sf1"]
-ROUNDS = 3
+SFS = ARGS or ["/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf10"]
+ROUNDS = 2
+MODE = "fixed"
 for a in sys.argv[1:]:
     if a.startswith("--rounds"):
         ROUNDS = int(a.split("=", 1)[1])
+    if a.startswith("--mode"):
+        MODE = a.split("=", 1)[1]
+
+# the fixed deltas: id windows that exist at EVERY scale (testdata ids
+# start at 0 and replicas extend upward), upserts and deletes disjoint,
+# shifted per round so round 2 touches fresh ids
+DOC_UP, DOC_DEL = 1500, 500
+VEC_UP, VEC_DEL = 600, 200
 
 
 def main() -> None:
@@ -67,27 +100,55 @@ def main() -> None:
         man = S._read_ann_manifest(ei)
         cents = S._read_centroids(spark, ei, man)
         n_docs, n_embs = docs.count(), embs.count()
+        delta_note = (
+            f"fixed {DOC_UP}+{DOC_DEL}d docs / {VEC_UP}+{VEC_DEL}d vecs"
+            if MODE == "fixed"
+            else "~1% upserts + ~0.5% deletes"
+        )
         print(
             f"\n### {sf_dir} — {n_docs} docs / {n_embs} vectors, "
-            f"{ROUNDS} mutation rounds (~1% upserts + ~0.5% deletes each)"
+            f"{ROUNDS} mutation rounds ({delta_note})"
         )
         print(
             "| round | changed docs | text sync | text rebuild | equal | "
-            "changed vecs | ann sync | ann rebuild | equal |"
+            "changed vecs | ann sync | ann rebuild | ann retrain | equal |"
         )
-        print("|---|---|---|---|---|---|---|---|---|")
+        print("|---|---|---|---|---|---|---|---|---|---|")
         for r in range(1, ROUNDS + 1):
-            # mutate ~1%: touch a different residue class per round
-            up_d = docs.where(F.col("doc_id") % 97 == r).withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" synced{r}"))
-            )
-            del_d = docs.where(F.col("doc_id") % 211 == r).select("doc_id")
+            if MODE == "fixed":
+                # constant absolute windows, shifted per round; upsert
+                # and delete id ranges never overlap
+                dlo = (r - 1) * (DOC_UP + DOC_DEL)
+                up_d = docs.where(
+                    (F.col("doc_id") >= dlo) & (F.col("doc_id") < dlo + DOC_UP)
+                ).withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" synced{r}"))
+                )
+                del_d = docs.where(
+                    (F.col("doc_id") >= dlo + DOC_UP)
+                    & (F.col("doc_id") < dlo + DOC_UP + DOC_DEL)
+                ).select("doc_id")
+                vlo = (r - 1) * (VEC_UP + VEC_DEL)
+                up_e = embs.where(
+                    (F.col("vec_id") >= vlo) & (F.col("vec_id") < vlo + VEC_UP)
+                ).select(
+                    "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+                )
+                del_e = embs.where(
+                    (F.col("vec_id") >= vlo + VEC_UP)
+                    & (F.col("vec_id") < vlo + VEC_UP + VEC_DEL)
+                ).select("vec_id")
+            else:
+                up_d = docs.where(F.col("doc_id") % 97 == r).withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" synced{r}"))
+                )
+                del_d = docs.where(F.col("doc_id") % 211 == r).select("doc_id")
+                up_e = embs.where(F.col("vec_id") % 97 == r).select(
+                    "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+                )
+                del_e = embs.where(F.col("vec_id") % 211 == r).select("vec_id")
             U.upsert_parquet(spark, dt, up_d, key="doc_id")
             U.delete_keys(spark, dt, del_d, key="doc_id")
-            up_e = embs.where(F.col("vec_id") % 97 == r).select(
-                "vec_id", F.reverse(F.col("embedding")).alias("embedding")
-            )
-            del_e = embs.where(F.col("vec_id") % 211 == r).select("vec_id")
             U.upsert_parquet(spark, et, up_e, key="vec_id")
             U.delete_keys(spark, et, del_e, key="vec_id")
 
@@ -125,6 +186,12 @@ def main() -> None:
                 U.read_keyed_table(spark, et), reb_a, centroids=cents
             )
             t_reb_a = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ret_a = os.path.join(root, f"eret{r}")
+            S.build_ann_index(
+                U.read_keyed_table(spark, et), ret_a, n_cells=16, iters=3
+            )
+            t_ret_a = time.perf_counter() - t0
             qv = embs.where(F.col("vec_id") % 50 == 0)
             eq_a = sorted(
                 map(tuple, S.knn_ivf_indexed(spark, ei, qv, k=5).collect())
@@ -135,21 +202,26 @@ def main() -> None:
                 f"| {r} | {out_t['upserted']}+{out_t['deleted']}d "
                 f"| {t_sync_t:.2f}s | {t_reb_t:.2f}s | {eq_t} "
                 f"| {out_a['upserted']}+{out_a['deleted']}d "
-                f"| {t_sync_a:.2f}s | {t_reb_a:.2f}s | {eq_a} |"
+                f"| {t_sync_a:.2f}s | {t_reb_a:.2f}s | {t_ret_a:.2f}s "
+                f"| {eq_a} |"
             )
             summary.append(
                 {
                     "sf": sf_dir,
+                    "n_docs": n_docs,
+                    "n_vecs": n_embs,
+                    "mode": MODE,
                     "round": r,
                     "text_sync_s": round(t_sync_t, 2),
                     "text_rebuild_s": round(t_reb_t, 2),
                     "text_equal": eq_t,
                     "ann_sync_s": round(t_sync_a, 2),
                     "ann_rebuild_s": round(t_reb_a, 2),
+                    "ann_retrain_s": round(t_ret_a, 2),
                     "ann_equal": eq_a,
                 }
             )
-    print(json.dumps({"metric": "index_sync_ladder", "rows": summary}))
+    print(json.dumps({"metric": "index_sync_ladder", "mode": MODE, "rows": summary}))
 
 
 if __name__ == "__main__":
