@@ -14,6 +14,7 @@ phase is a no-op: processed persons now fail the P8 "unprocessed" predicate
 from __future__ import annotations
 
 import logging
+import os
 from datetime import datetime
 
 from pyspark.sql import SparkSession
@@ -100,6 +101,23 @@ def run_retention(
     return {"phase1_persons": n1, "phase2_persons": n2}
 
 
+def _incremental_write_mode(explicit: str | None) -> str:
+    """The flagship maintenance loop's write mode: explicit argument >
+    ``SPARK_GRAFT_SINK_WRITE_MODE`` env override > **``mor``** (the
+    round-12 default). MoR is the default HERE — and only here — because
+    this loop's publish is the measured write floor: under CoW any
+    realistic blast radius hashes into every bucket, so the single
+    maintenance commit rewrites the store (the 1.47× sf10 ceiling, a
+    mode property, not a defect), while MoR lands O(delta) bytes and
+    measured 2.11× at sf10/3d (SCALING.md). ``cow`` remains the GLOBAL
+    sink default — the read-optimized choice for tables whose consumers
+    scan more than they maintain."""
+    if explicit is not None:
+        return explicit
+    env = os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE")
+    return env if env is not None else "mor"
+
+
 def run_incremental(
     spark: SparkSession,
     person_path: str,
@@ -110,6 +128,7 @@ def run_incremental(
     include_new_persons: bool = False,
     app_meta: dict | None = None,
     app_meta_expect: dict | None = None,
+    write_mode: str | None = None,
 ) -> dict[str, int]:
     """CDC maintenance: fold a batch of NEWLY-ARRIVED encounters into an
     already-processed person store without recomputing the world.
@@ -365,6 +384,7 @@ def run_incremental(
                 key="person_id",
                 app_meta=app_meta,
                 app_meta_expect=app_meta_expect,
+                mode=_incremental_write_mode(write_mode),
             )
             log.info("incremental: published one maintenance commit")
         return {

@@ -238,7 +238,7 @@ def _fold_resolve(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _sink_write_mode() -> str:
+def _sink_write_mode(override: str | None = None) -> str:
     """``SPARK_GRAFT_SINK_WRITE_MODE``: ``cow`` (default — upserts rewrite
     every affected bucket in full, reads are plain unions) or ``mor``
     (merge-on-read — upserts APPEND per-bucket delta files holding only
@@ -250,8 +250,19 @@ def _sink_write_mode() -> str:
     per upsert) — at the price of a per-key window on reads until the
     next compaction. The Hudi-MoR / Delta-deletion-vector trade, on this
     sink's existing manifest (multi-file buckets + compaction were
-    already the layout's maintenance story)."""
-    return os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+    already the layout's maintenance story).
+
+    ``override`` (a per-call ``mode=`` argument) wins over the env var —
+    what lets the flagship maintenance loop default to MoR while ``cow``
+    stays the global read-optimized default (round-12 verdict #7)."""
+    mode = (
+        override
+        if override is not None
+        else os.environ.get("SPARK_GRAFT_SINK_WRITE_MODE", "cow")
+    )
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown sink write mode {mode!r} (cow|mor)")
+    return mode
 
 
 def _with_seq_field(schema: StructType, present: bool) -> StructType:
@@ -1932,6 +1943,7 @@ def upsert_parquet(
     n_buckets: int = DEFAULT_BUCKETS,
     app_meta: dict | None = None,
     app_meta_expect: dict | None = None,
+    mode: str | None = None,
 ) -> None:
     """ES-style partial upsert: merge ``updates`` into the keyed table at
     ``path``. Columns present in ``updates`` replace stored values for
@@ -1989,7 +2001,7 @@ def upsert_parquet(
     u = _with_bucket(updates, key, n_buckets).persist()
     try:
         affected = [r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()]
-        mor = _sink_write_mode() == "mor"
+        mor = _sink_write_mode(mode) == "mor"
         if (
             mor
             and _partial_deltas_enabled()
@@ -2294,7 +2306,11 @@ def _merge_and_publish(
 
 
 def delete_keys(
-    spark: SparkSession, path: str, keys: DataFrame, key: str | None = None
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str | None = None,
+    mode: str | None = None,
 ) -> int:
     """Delete rows by key — the primitive an ES ``delete``/delete-by-query
     maps onto, and the takedown/right-to-erasure operation a training-data
@@ -2340,7 +2356,7 @@ def delete_keys(
             r[BUCKET_COL] for r in k.select(BUCKET_COL).distinct().collect()
         ]
         snapshot = _read_manifest(path) or _manifest_from_listing(path)
-        mor = _sink_write_mode() == "mor"
+        mor = _sink_write_mode(mode) == "mor"
         if mor:
             out = k.withColumn(
                 SEQ_COL,

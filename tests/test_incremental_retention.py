@@ -300,3 +300,50 @@ def test_incremental_single_publish(spark, tmp_path):
         v_before,
         v_before + 1,
     ]
+
+
+def test_flagship_loop_defaults_to_mor(spark, tmp_path, monkeypatch):
+    """Round 12 (r11 verdict #7): the flagship maintenance loop is
+    MoR-BY-DEFAULT — run_incremental's publish lands as per-bucket delta
+    appends without any env configuration, because its single commit is
+    the measured write floor (CoW's backfill-equal publish is the 1.47×
+    sf10 ceiling; MoR measured 2.11×). `cow` stays the GLOBAL sink
+    default (read-optimized tables), the env var remains the operator
+    override, and an explicit write_mode= wins over both."""
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        _read_manifest,
+        _sink_write_mode,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_SINK_WRITE_MODE", raising=False)
+    assert _sink_write_mode() == "cow"  # global default unchanged
+
+    _, encounter = fixture_frames(spark)
+    base = encounter.where(F.col("admit_date") < SPLIT_MS)
+    delta = encounter.where(F.col("admit_date") >= SPLIT_MS)
+
+    p_full, e_full = _setup(spark, tmp_path, "dfull", encounter, fresh=True)
+    run_retention(spark, p_full, e_full, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    want = _state(spark, p_full)
+
+    p_inc, e_inc = _setup(spark, tmp_path, "dinc", base, fresh=True)
+    run_retention(spark, p_inc, e_inc, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    encounter.write.mode("overwrite").parquet(e_inc)
+    spark.catalog.refreshByPath(e_inc)
+    run_incremental(spark, p_inc, e_inc, delta, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    # the maintenance publish landed as MoR deltas (manifest ledger), and
+    # the reconciled state equals the CoW from-scratch reference
+    assert _read_manifest(p_inc).get("mor"), "flagship publish was not MoR"
+    assert _state(spark, p_inc) == want
+
+    # explicit write_mode="cow" overrides the flagship default
+    p2, e2 = _setup(spark, tmp_path, "dcow", base, fresh=True)
+    run_retention(spark, p2, e2, FIXTURE_CLIENT, FIXTURE_AS_OF)
+    encounter.write.mode("overwrite").parquet(e2)
+    spark.catalog.refreshByPath(e2)
+    run_incremental(
+        spark, p2, e2, delta, FIXTURE_CLIENT, FIXTURE_AS_OF,
+        write_mode="cow",
+    )
+    assert not (_read_manifest(p2) or {}).get("mor")
+    assert _state(spark, p2) == want

@@ -110,11 +110,12 @@ def main() -> None:
         write_keyed_table(person, p_inc, key="person_id", n_buckets=64)
         run_retention(spark, p_inc, enc_base, CLIENT, TESTDATA_AS_OF)
         delta = enc.where(F.col("admit_date") >= cutoff_ms)
-        if mode == "mor":
-            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
         t0 = time.time()
+        # explicit write_mode: the flagship loop defaults to MoR (r12),
+        # so the CoW arm must ask for cow by name
         stats = run_incremental(
-            spark, p_inc, enc_all, delta, CLIENT, TESTDATA_AS_OF
+            spark, p_inc, enc_all, delta, CLIENT, TESTDATA_AS_OF,
+            write_mode=mode,
         )
         t_incremental = time.time() - t0
         os.environ.pop("SPARK_GRAFT_SINK_WRITE_MODE", None)

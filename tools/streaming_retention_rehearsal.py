@@ -106,8 +106,10 @@ def main() -> None:
         t0 = time.time()
         run_retention(spark, p_stream, enc_store, CLIENT, TESTDATA_AS_OF)
         t_backfill0 = round(time.time() - t0, 2)
-        if mode == "mor":
-            os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
+        # env drives the per-batch maintenance mode (run_incremental's
+        # precedence: arg > env > its r12 "mor" default) — the CoW arm
+        # must pin cow explicitly now that the flagship defaults to MoR
+        os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = mode
         print(
             json.dumps(
                 {
