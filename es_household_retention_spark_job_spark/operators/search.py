@@ -702,7 +702,8 @@ def append_text_index(
             INDEX_SHARD_COL, "term"
         ).write.mode("overwrite").partitionBy(INDEX_SHARD_COL).parquet(stage)
         new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
-        for d, names in _move_staged_tf(path, stage, gen).items():
+        moved = _move_staged_tf(path, stage, gen)
+        for d, names in moved.items():
             new_tf.setdefault(d, []).extend(names)
 
         # df: additive per term — union the OLD df (vocabulary-sized, not
@@ -748,6 +749,11 @@ def append_text_index(
             "version": int(manifest.get("version", 1)) + 1,
             "n_shards": n_shards,
             "tf": {d: sorted(fs) for d, fs in new_tf.items()},
+            # per-file doc-id Blooms of the delta files (locate prune —
+            # delete/upsert open only the files that can hold their ids)
+            "tf_bloom": _carry_tf_blooms(
+                manifest, new_tf, _tf_blooms_for(path, moved, id_col)
+            ),
             "df": df_dir,
             "stats": stats_dir,
             # the displaced df/stats generations enter the time-based
@@ -871,6 +877,142 @@ def _move_staged_tf(path: str, stage: str, gen: str) -> dict[str, list[str]]:
     return moved
 
 
+def _tf_bloom_max_docs() -> int:
+    """``SPARK_GRAFT_TF_BLOOM_MAX_DOCS``: largest DISTINCT doc-id count a
+    tf file's Bloom is recorded for. Build-time files carry the whole
+    corpus and blow the cap (no filter — they are always locate
+    candidates, correctly), while append/upsert generation files carry
+    one batch's docs and fit easily — which is exactly the steady state
+    the locate prune targets."""
+    return int(os.environ.get("SPARK_GRAFT_TF_BLOOM_MAX_DOCS", "8192"))
+
+
+def _tf_bloom_build(file_path: str, id_col: str) -> dict | None:
+    """Doc-id Bloom filter of one tf file — the sink's per-delta key
+    Bloom (sinks.upsert) applied to the text layout, over DISTINCT doc
+    ids (a doc carries one tf row per term, so the sink's row-count cap
+    would reject every useful file). None above the cap, for non-int/str
+    ids, when disabled (``SPARK_GRAFT_SINK_BLOOM=off`` — the sink's
+    shared kill switch), or on any read trouble: the locate then treats
+    the file as a candidate, so false negatives are impossible."""
+    import base64
+
+    from ..sinks.upsert import _BLOOM_BITS_PER_KEY, _bloom_positions
+
+    if os.environ.get("SPARK_GRAFT_SINK_BLOOM", "on") == "off":
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(file_path)
+        # footer-first: a file whose ROW count already exceeds any
+        # plausible distinct-doc fit skips the column read entirely
+        # (build-time files — the whole corpus — cost one footer here)
+        if pf.metadata.num_rows > _tf_bloom_max_docs() * 256:
+            return None
+        ids = set(pf.read(columns=[id_col]).column(0).to_pylist())
+        ids.discard(None)
+        if not ids or len(ids) > _tf_bloom_max_docs():
+            return None
+        m = max(64, _BLOOM_BITS_PER_KEY * len(ids))
+        bits = bytearray((m + 7) // 8)
+        for v in ids:
+            pos = _bloom_positions(v, m)
+            if pos is None:
+                return None
+            for p in pos:
+                bits[p >> 3] |= 1 << (p & 7)
+        return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+    except Exception:
+        return None  # an optimization, never a failure
+
+
+def _tf_blooms_for(
+    path: str, moved: dict[str, list[str]], id_col: str
+) -> dict[str, dict]:
+    """Blooms of freshly-moved tf files, keyed ``shard_dir/name`` (the
+    manifest's ``tf_bloom`` ledger shape)."""
+    out: dict[str, dict] = {}
+    for d, names in moved.items():
+        for name in names:
+            b = _tf_bloom_build(os.path.join(path, "tf", d, name), id_col)
+            if b is not None:
+                out[f"{d}/{name}"] = b
+    return out
+
+
+def _carry_tf_blooms(
+    manifest: dict, new_tf: dict[str, list[str]], extra: dict[str, dict]
+) -> dict[str, dict]:
+    """The next manifest's ``tf_bloom``: prior entries whose file is
+    still referenced by ``new_tf``, plus the fresh entries."""
+    live = {f"{d}/{f}" for d, fs in new_tf.items() for f in fs}
+    out = {
+        k: v
+        for k, v in (manifest.get("tf_bloom") or {}).items()
+        if k in live
+    }
+    out.update(extra)
+    return out
+
+
+#: locate-prune probe cap: checking blooms is O(files × ids) driver work;
+#: past this many ids the prune is skipped (the scan was batch-bounded
+#: anyway at that point)
+_TF_BLOOM_PROBE_MAX = 50_000
+
+
+def _locate_tf_files(
+    path: str, manifest: dict, ids: list
+) -> tuple[list[str], int]:
+    """(candidate tf files for a locate over ``ids``, files skipped): a
+    file is skipped only when it HAS a recorded Bloom and that Bloom
+    excludes every target id — build-time files (no filter: over-cap)
+    always qualify, so the prune helps exactly where the index grew
+    incrementally, which is the CDC steady state. False negatives are
+    impossible (the df-decrement arithmetic depends on finding every
+    live posting), so skipping is always safe."""
+    import base64
+
+    from ..sinks.upsert import _bloom_positions
+
+    blooms = manifest.get("tf_bloom") or {}
+    if not blooms or not ids or len(ids) > _TF_BLOOM_PROBE_MAX:
+        return (
+            [
+                os.path.join(path, "tf", d, f)
+                for d, fs in manifest["tf"].items()
+                for f in fs
+            ],
+            0,
+        )
+    files: list[str] = []
+    skipped = 0
+    for d, fs in manifest["tf"].items():
+        for f in fs:
+            b = blooms.get(f"{d}/{f}")
+            keep = True
+            if b is not None:
+                try:
+                    m = int(b["m"])
+                    bits = base64.b64decode(b["b64"])
+                    keep = False
+                    for i in ids:
+                        pos = _bloom_positions(i, m)
+                        if pos is None or all(
+                            bits[p >> 3] & (1 << (p & 7)) for p in pos
+                        ):
+                            keep = True
+                            break
+                except Exception:
+                    keep = True
+            if keep:
+                files.append(os.path.join(path, "tf", d, f))
+            else:
+                skipped += 1
+    return files, skipped
+
+
 def _sweep_stray_tf(path: str, manifest: dict) -> None:
     """Delete tf files referenced by neither the committed manifest's
     ``tf`` nor its ``retired`` ledger: leftovers of crashed appends
@@ -957,14 +1099,14 @@ def compact_text_index(spark, path: str) -> int:
     stage = f"{path}/.tf_compact_{gen}"
     try:
         df_in = spark.read.option("basePath", f"{path}/tf").parquet(*files)
+        id_col = next(
+            c
+            for c in df_in.columns
+            if c not in ("dl", "term", "tf", "_ver", INDEX_SHARD_COL)
+        )
         if tomb_files:
-            id_field = next(
-                c
-                for c in df_in.columns
-                if c not in ("dl", "term", "tf", "_ver", INDEX_SHARD_COL)
-            )
             df_in = _without_doc_tombstones(
-                df_in, spark, path, manifest, id_field
+                df_in, spark, path, manifest, id_col
             )
         (
             df_in.repartition(len(multi), F.col(INDEX_SHARD_COL))
@@ -985,6 +1127,12 @@ def compact_text_index(spark, path: str) -> int:
             "version": int(manifest.get("version", 1)) + 1,
             "n_shards": n_shards,
             "tf": new_tf,
+            # rewritten files get fresh Blooms (usually over-cap: a
+            # compacted shard file carries most of the corpus — correctly
+            # unfiltered); untouched single-file shards keep theirs
+            "tf_bloom": _carry_tf_blooms(
+                manifest, new_tf, _tf_blooms_for(path, moved, id_col)
+            ),
             "df": manifest["df"],
             "stats": manifest["stats"],
             # time-based grace for the replaced files (see _sweep_stray_tf)
@@ -1633,11 +1781,12 @@ def delete_text_docs(
     if not ids:
         return 0
     existing = manifest.get("tombstones") or []
-    files = [
-        os.path.join(path, "tf", d, f)
-        for d, fs in manifest["tf"].items()
-        for f in fs
-    ]
+    # Bloom-pruned locate (r12): only the tf files whose recorded doc-id
+    # Bloom can hold a target id are opened — on an incrementally-grown
+    # index that is the append/upsert generation files carrying the ids,
+    # not the whole tree (build-time files have no filter and always
+    # qualify; false negatives impossible, so df arithmetic is safe)
+    files, _ = _locate_tf_files(path, manifest, ids)
     if not files:
         return 0
     # locate LIVE postings only (the tombstone filter applied up front):
@@ -1731,6 +1880,7 @@ def delete_text_docs(
             "version": int(manifest.get("version", 1)) + 1,
             "n_shards": int(manifest["n_shards"]),
             "tf": {d: sorted(fs) for d, fs in manifest["tf"].items()},
+            "tf_bloom": _carry_tf_blooms(manifest, manifest["tf"], {}),
             "df": df_dir,
             "stats": stats_dir,
             "tombstones": sorted(list(existing) + names),
@@ -1824,11 +1974,8 @@ def upsert_text_docs(
     retire_ids = sorted(set(up_ids) | set(delete_ids))
     ver = int(manifest.get("version", 1))
     n_shards = int(manifest["n_shards"])
-    files = [
-        os.path.join(path, "tf", d, f)
-        for d, fs in manifest["tf"].items()
-        for f in fs
-    ]
+    # Bloom-pruned locate over the retire set (see delete_text_docs)
+    files, _ = _locate_tf_files(path, manifest, retire_ids)
     # the upsert's correctness RIDES the _ver ladder (new rows stay live
     # through the tombstone's as_of filter only because they carry a
     # higher _ver) — on a legacy pre-_ver index a stamped delta creates
@@ -1900,7 +2047,8 @@ def upsert_text_docs(
             "overwrite"
         ).partitionBy(INDEX_SHARD_COL).parquet(stage)
         new_tf = {d: list(fs) for d, fs in manifest["tf"].items()}
-        for d, names in _move_staged_tf(path, stage, gen).items():
+        moved = _move_staged_tf(path, stage, gen)
+        for d, names in moved.items():
             new_tf.setdefault(d, []).extend(names)
 
         # tombstone ledger entry for the retired docs (skipped when the
@@ -1980,6 +2128,9 @@ def upsert_text_docs(
             "version": ver + 1,
             "n_shards": n_shards,
             "tf": {d: sorted(fs) for d, fs in new_tf.items()},
+            "tf_bloom": _carry_tf_blooms(
+                manifest, new_tf, _tf_blooms_for(path, moved, id_col)
+            ),
             "df": df_dir,
             "stats": stats_dir,
             "retired": _roll_retired(

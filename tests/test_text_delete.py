@@ -238,3 +238,50 @@ def test_upsert_refuses_legacy_pre_ver_index(spark, docs, tmp_path):
         SE.append_text_index(
             slim.where(F.col("doc_id").isin(dead)), idx
         )
+
+
+def test_tf_bloom_prunes_locate(spark, docs, tmp_path):
+    """Round 12 (r11 stretch #8): append/upsert generation tf files carry
+    per-file doc-id Blooms in the manifest, and the delete/upsert locate
+    opens only the files that can hold its target ids — on an
+    incrementally-grown index the O(index) tf pass becomes O(files
+    carrying the ids). Build-time files have no filter (over-cap or
+    pre-r12) and always qualify, so false negatives are impossible and
+    the df-decrement arithmetic is untouched (rebuild-equality rides the
+    existing suite)."""
+    slim = docs.select("doc_id", "text")
+    base = slim.where(F.col("doc_id") % 3 != 0)
+    idx = str(tmp_path / "idx")
+    SE.build_text_index(base, idx, n_shards=4)
+    # two disjoint append batches -> two generations of bloomed files
+    b1 = slim.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 250))
+    b2 = slim.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") >= 250))
+    assert b1.count() and b2.count()
+    SE.append_text_index(b1, idx)
+    SE.append_text_index(b2, idx)
+    man = SE._read_index_manifest(idx)
+    assert man.get("tf_bloom"), "append recorded no blooms"
+    n_files = sum(len(fs) for fs in man["tf"].values())
+    n_bloomed = len(man["tf_bloom"])
+    assert n_bloomed >= 2  # both append generations covered
+
+    # locate for an id in batch 2 must skip batch-1's bloomed files
+    target = [r.doc_id for r in b2.limit(1).collect()]
+    files, skipped = SE._locate_tf_files(idx, man, target)
+    assert skipped > 0
+    assert len(files) + skipped == n_files
+    # ...and the delete still finds and removes the doc exactly
+    assert SE.delete_text_docs(spark, idx, target) == 1
+    # deleting never-indexed ids: every bloomed file skippable, count 0
+    files2, skipped2 = SE._locate_tf_files(
+        idx, SE._read_index_manifest(idx), [99_999_991]
+    )
+    assert skipped2 >= n_bloomed - 1  # target file-set shrinks to ~build files
+    assert SE.delete_text_docs(spark, idx, [99_999_991]) == 0
+
+    # compaction rewrites multi-file shards; stale bloom entries drop and
+    # results stay rebuild-equal (scores checked via the existing oracle)
+    SE.compact_text_index(spark, idx)
+    man3 = SE._read_index_manifest(idx)
+    live = {f"{d}/{f}" for d, fs in man3["tf"].items() for f in fs}
+    assert set(man3.get("tf_bloom") or {}) <= live

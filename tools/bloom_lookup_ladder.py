@@ -57,10 +57,17 @@ def main() -> None:
     os.environ["SPARK_GRAFT_SINK_WRITE_MODE"] = "mor"
     tmp = tempfile.mkdtemp(prefix="spark_graft_bloomlad_")
     path = os.path.join(tmp, "t")
+    # ~1 KB row payload: the skipped delta files must carry real BYTES
+    # for the cold arm to show wall following the skip (a few-KB delta
+    # file costs nothing to read even cold — r12 cold-arm lesson)
+    pad = F.concat_ws(
+        "", *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+              for i in range(16)]
+    )
     base = spark.range(n_rows).select(
         (F.col("id") * 2).alias("k"),  # EVEN keys live in the table
         (F.col("id") % 997).cast("long").alias("v"),
-        F.format_string("pad-%06d", F.col("id") % 100000).alias("w"),
+        pad.alias("w"),
     )
     U.write_keyed_table(base, path, key="k", n_buckets=16)
     # compacted base: one key-sorted file per bucket, so the arms differ
@@ -75,7 +82,7 @@ def main() -> None:
     delta = spark.range(n_delta).select(
         (F.col("id") * stride * 2).alias("k"),
         F.lit(-1).cast("long").alias("v"),
-        F.lit("updated").alias("w"),
+        pad.alias("w"),
     )
     t_write = _timed(
         lambda: U.upsert_parquet(spark, path, delta, key="k", n_buckets=16),
@@ -112,6 +119,23 @@ def main() -> None:
     n_files_bloom, n_delta_bloom, win_bloom = _arm_stats(
         U.read_keyed_table(spark, path, keys=probes)
     )
+
+    # COLD arm (r12): drop the page cache before each lookup so skipped
+    # delta files are bytes never read from DISK, not just from cache
+    from _cold import drop_page_cache
+
+    def _timed_cold(fn, reps: int = 2):
+        best = None
+        for _ in range(reps):
+            if not drop_page_cache():
+                return None
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t_bloom_cold = _timed_cold(_lookup)
     # strip the bloom ledger in place (manifest copy restored after) to
     # measure the range-only fallback on the identical table state
     man_path = os.path.join(path, U.MANIFEST_FILE)
@@ -121,6 +145,7 @@ def main() -> None:
     Path(man_path).write_text(json.dumps(stripped))
     try:
         t_range = _timed(_lookup)
+        t_range_cold = _timed_cold(_lookup)
         n_files_range, n_delta_range, win_range = _arm_stats(
             U.read_keyed_table(spark, path, keys=probes)
         )
@@ -144,6 +169,14 @@ def main() -> None:
                 "range_only_window_planned": win_range,
                 "lookup_bloom_sec": t_bloom,
                 "lookup_range_only_sec": t_range,
+                "lookup_bloom_cold_sec": t_bloom_cold,
+                "lookup_range_only_cold_sec": t_range_cold,
+                "cold_arm_available": t_bloom_cold is not None,
+                "cold_skip_win_x": (
+                    round(t_range_cold / t_bloom_cold, 2)
+                    if t_bloom_cold and t_range_cold
+                    else None
+                ),
                 "compact_sec": t_compact,
                 "lookup_clean_sec": t_clean,
                 "bloom_tax_x": round(t_bloom / t_clean, 2),

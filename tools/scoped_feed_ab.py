@@ -89,6 +89,21 @@ def main() -> None:
 
         t_un = timed(unscoped)
         t_sc = timed(scoped)
+
+        # COLD arm (r12): drop the page cache before each run so the read
+        # pays for its bytes — the regime where the pruned pad column
+        # must show up as wall clock, not just ReadSchema
+        from _cold import drop_page_cache
+
+        def timed_cold(df):
+            if not drop_page_cache():
+                return None
+            t0 = time.perf_counter()
+            force(df)
+            return round(time.perf_counter() - t0, 2)
+
+        t_un_cold = timed_cold(unscoped)
+        t_sc_cold = timed_cold(scoped)
         keys_un = unscoped.select("k").distinct().count()
         keys_sc = scoped.select("k").distinct().count()
         print(
@@ -99,6 +114,14 @@ def main() -> None:
                     "unscoped_sec": t_un,
                     "scoped_sec": t_sc,
                     "speedup": round(t_un / t_sc, 2) if t_sc else None,
+                    "unscoped_cold_sec": t_un_cold,
+                    "scoped_cold_sec": t_sc_cold,
+                    "cold_speedup": (
+                        round(t_un_cold / t_sc_cold, 2)
+                        if t_un_cold and t_sc_cold
+                        else None
+                    ),
+                    "cold_arm_available": t_un_cold is not None,
                     "pad_pruned_in_scoped_plan": pad_pruned,
                     "pad_read_in_unscoped_plan": pad_read,
                     "changed_keys_equal": keys_un == keys_sc,
