@@ -53,11 +53,16 @@ ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SFS = ARGS or ["/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf10"]
 ROUNDS = 2
 MODE = "fixed"
+ANN_ONLY = False  # embeddings-only corpora (e.g. the synthetic 3×sf10
+# replica): skip the text arms so the ANN crossover can be measured past
+# the scales where a 1.5M-doc text build dominates the ladder's runtime
 for a in sys.argv[1:]:
     if a.startswith("--rounds"):
         ROUNDS = int(a.split("=", 1)[1])
     if a.startswith("--mode"):
         MODE = a.split("=", 1)[1]
+    if a == "--ann-only":
+        ANN_ONLY = True
 
 # the fixed deltas: id windows that exist at EVERY scale (testdata ids
 # start at 0 and replicas extend upward), upserts and deletes disjoint,
@@ -84,22 +89,30 @@ def main() -> None:
 
     for sf_dir in SFS:
         root = tempfile.mkdtemp(prefix="sync_ladder_")
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
+        docs = (
+            None
+            if ANN_ONLY
+            else spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
         )
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
         )
         dt, et = os.path.join(root, "dtab"), os.path.join(root, "etab")
         di, ei = os.path.join(root, "didx"), os.path.join(root, "eidx")
-        U.write_keyed_table(docs, dt, key="doc_id", n_buckets=8)
+        if not ANN_ONLY:
+            U.write_keyed_table(docs, dt, key="doc_id", n_buckets=8)
         U.write_keyed_table(embs, et, key="vec_id", n_buckets=8)
-        v_docs, v_embs = U.current_version(dt), U.current_version(et)
-        SE.build_text_index(U.read_keyed_table(spark, dt), di)
+        v_embs = U.current_version(et)
+        if not ANN_ONLY:
+            v_docs = U.current_version(dt)
+            SE.build_text_index(U.read_keyed_table(spark, dt), di)
         S.build_ann_index(U.read_keyed_table(spark, et), ei, n_cells=16)
         man = S._read_ann_manifest(ei)
         cents = S._read_centroids(spark, ei, man)
-        n_docs, n_embs = docs.count(), embs.count()
+        n_docs = 0 if ANN_ONLY else docs.count()
+        n_embs = embs.count()
         delta_note = (
             f"fixed {DOC_UP}+{DOC_DEL}d docs / {VEC_UP}+{VEC_DEL}d vecs"
             if MODE == "fixed"
@@ -119,15 +132,17 @@ def main() -> None:
                 # constant absolute windows, shifted per round; upsert
                 # and delete id ranges never overlap
                 dlo = (r - 1) * (DOC_UP + DOC_DEL)
-                up_d = docs.where(
-                    (F.col("doc_id") >= dlo) & (F.col("doc_id") < dlo + DOC_UP)
-                ).withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" synced{r}"))
-                )
-                del_d = docs.where(
-                    (F.col("doc_id") >= dlo + DOC_UP)
-                    & (F.col("doc_id") < dlo + DOC_UP + DOC_DEL)
-                ).select("doc_id")
+                if not ANN_ONLY:
+                    up_d = docs.where(
+                        (F.col("doc_id") >= dlo)
+                        & (F.col("doc_id") < dlo + DOC_UP)
+                    ).withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" synced{r}"))
+                    )
+                    del_d = docs.where(
+                        (F.col("doc_id") >= dlo + DOC_UP)
+                        & (F.col("doc_id") < dlo + DOC_UP + DOC_DEL)
+                    ).select("doc_id")
                 vlo = (r - 1) * (VEC_UP + VEC_DEL)
                 up_e = embs.where(
                     (F.col("vec_id") >= vlo) & (F.col("vec_id") < vlo + VEC_UP)
@@ -147,33 +162,41 @@ def main() -> None:
                     "vec_id", F.reverse(F.col("embedding")).alias("embedding")
                 )
                 del_e = embs.where(F.col("vec_id") % 211 == r).select("vec_id")
-            U.upsert_parquet(spark, dt, up_d, key="doc_id")
-            U.delete_keys(spark, dt, del_d, key="doc_id")
+            if not ANN_ONLY:
+                U.upsert_parquet(spark, dt, up_d, key="doc_id")
+                U.delete_keys(spark, dt, del_d, key="doc_id")
             U.upsert_parquet(spark, et, up_e, key="vec_id")
             U.delete_keys(spark, et, del_e, key="vec_id")
 
-            t0 = time.perf_counter()
-            out_t = sync_text_index(
-                spark, di, dt, from_version=v_docs if r == 1 else None
-            )
-            t_sync_t = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            reb_t = os.path.join(root, f"dreb{r}")
-            SE.build_text_index(U.read_keyed_table(spark, dt), reb_t)
-            t_reb_t = time.perf_counter() - t0
-            eq_t = sorted(
-                map(
-                    tuple,
-                    SE.bm25_search_indexed(spark, di, queries, k=10).collect(),
+            if ANN_ONLY:
+                out_t = {"upserted": 0, "deleted": 0}
+                t_sync_t = t_reb_t = 0.0
+                eq_t = None
+            else:
+                t0 = time.perf_counter()
+                out_t = sync_text_index(
+                    spark, di, dt, from_version=v_docs if r == 1 else None
                 )
-            ) == sorted(
-                map(
-                    tuple,
-                    SE.bm25_search_indexed(
-                        spark, reb_t, queries, k=10
-                    ).collect(),
+                t_sync_t = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                reb_t = os.path.join(root, f"dreb{r}")
+                SE.build_text_index(U.read_keyed_table(spark, dt), reb_t)
+                t_reb_t = time.perf_counter() - t0
+                eq_t = sorted(
+                    map(
+                        tuple,
+                        SE.bm25_search_indexed(
+                            spark, di, queries, k=10
+                        ).collect(),
+                    )
+                ) == sorted(
+                    map(
+                        tuple,
+                        SE.bm25_search_indexed(
+                            spark, reb_t, queries, k=10
+                        ).collect(),
+                    )
                 )
-            )
 
             t0 = time.perf_counter()
             out_a = sync_ann_index(
@@ -192,7 +215,11 @@ def main() -> None:
                 U.read_keyed_table(spark, et), ret_a, n_cells=16, iters=3
             )
             t_ret_a = time.perf_counter() - t0
-            qv = embs.where(F.col("vec_id") % 50 == 0)
+            # eq-check batch: bounded ~100-query probe (at 600k vectors a
+            # %50 batch is 12k queries x 300k probed rows = billions of
+            # scored pairs - the disk-full regime, not an equality check)
+            qmod = max(50, n_embs // 100)
+            qv = embs.where(F.col("vec_id") % qmod == 0)
             eq_a = sorted(
                 map(tuple, S.knn_ivf_indexed(spark, ei, qv, k=5).collect())
             ) == sorted(
