@@ -35,12 +35,12 @@ EXTRA_PLANS = [
     # plan pins stay:
     "session_window_events",
     "null_semantics_battery",
-    # round-11 addition: the partial-column MoR delta read surface
-    "sink_partial_delta",
-    # round-11 additions (this session): the PQ tier and the new fold
-    # read surfaces
+    # round-12: sink_partial_delta and knn_pq_indexed PROMOTED to driver
+    # slots (print with the registry); the demoted twins keep their pins:
+    "pivot_event_counts",
+    "resample_hourly_gapfill",
+    # round-11 additions: the PQ tier and the new fold read surfaces
     "knn_ivfpq",
-    "knn_pq_indexed",
     "sink_fold_percentile",
     "sink_fold_topk",
 ]

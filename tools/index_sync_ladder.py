@@ -53,6 +53,9 @@ ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SFS = ARGS or ["/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf10"]
 ROUNDS = 2
 MODE = "fixed"
+N_CELLS = 16  # --cells=N: at a fixed 16 cells a constant delta touches
+# most cells once the corpus is large, so the sync's rewrite arm grows
+# with cell size; a √n-ish cell count restores the touched-cell bound
 ANN_ONLY = False  # embeddings-only corpora (e.g. the synthetic 3×sf10
 # replica): skip the text arms so the ANN crossover can be measured past
 # the scales where a 1.5M-doc text build dominates the ladder's runtime
@@ -63,6 +66,8 @@ for a in sys.argv[1:]:
         MODE = a.split("=", 1)[1]
     if a == "--ann-only":
         ANN_ONLY = True
+    if a.startswith("--cells"):
+        N_CELLS = int(a.split("=", 1)[1])
 
 # the fixed deltas: id windows that exist at EVERY scale (testdata ids
 # start at 0 and replicas extend upward), upserts and deletes disjoint,
@@ -108,7 +113,7 @@ def main() -> None:
         if not ANN_ONLY:
             v_docs = U.current_version(dt)
             SE.build_text_index(U.read_keyed_table(spark, dt), di)
-        S.build_ann_index(U.read_keyed_table(spark, et), ei, n_cells=16)
+        S.build_ann_index(U.read_keyed_table(spark, et), ei, n_cells=N_CELLS)
         man = S._read_ann_manifest(ei)
         cents = S._read_centroids(spark, ei, man)
         n_docs = 0 if ANN_ONLY else docs.count()
@@ -212,7 +217,7 @@ def main() -> None:
             t0 = time.perf_counter()
             ret_a = os.path.join(root, f"eret{r}")
             S.build_ann_index(
-                U.read_keyed_table(spark, et), ret_a, n_cells=16, iters=3
+                U.read_keyed_table(spark, et), ret_a, n_cells=N_CELLS, iters=3
             )
             t_ret_a = time.perf_counter() - t0
             # eq-check batch: bounded ~100-query probe (at 600k vectors a
