@@ -743,19 +743,68 @@ def build_neardup_index(
     readers serve ONLY log-listed files and the batch build would turn
     invisible (caught by the parity test). Each side is atomic in its own
     domain (overwrite swap vs sink log); ``read_neardup_index`` unions
-    them. The id column name is recorded in ``_meta.json`` (atomic
-    replace) so readers and the delete op never have to infer it from
-    column order."""
-    import json as _json
-    import uuid as _uuid
-
+    them. ``_meta.json`` (atomic replace) records the id/text columns —
+    so readers and the delete op never infer from column order — and is
+    also this index's tiny manifest: the CDC sync's ``sync/`` band files
+    and the tombstone ledger are served ONLY when meta-listed, which is
+    what makes a sync window one atomic commit (round 12)."""
     neardup_index_frame(docs, text_col, id_col).write.mode(
         "overwrite"
     ).partitionBy(BAND_BUCKET_COL).parquet(os.path.join(path, "base"))
+    _write_neardup_meta(
+        path,
+        {"id_col": id_col, "text_col": text_col, "version": 1},
+    )
+
+
+#: legacy tombstones (written before row versioning) hide a doc forever —
+#: the pre-r12 semantics; this sentinel is "version infinity"
+_NEARDUP_FOREVER = 1 << 62
+
+
+def _read_neardup_meta(path: str) -> dict | None:
+    import json as _json
+
+    p = os.path.join(path, "_meta.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return _json.load(fh)
+
+
+def _write_neardup_meta(path: str, meta: dict) -> None:
+    """Atomic replace — one meta write IS the commit for everything it
+    lists (sync band files, tombstone files, version, CDC cursor)."""
+    import json as _json
+    import uuid as _uuid
+
+    os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f".meta_{_uuid.uuid4().hex[:8]}.json")
     with open(tmp, "w") as fh:
-        _json.dump({"id_col": id_col, "text_col": text_col}, fh)
+        _json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, "_meta.json"))
+
+
+def _land_neardup_file(spark, path: str, sub: str, df, prefix: str) -> list[str]:
+    """Stage ``df`` as one parquet file and rename it into ``path/sub``
+    under a generation name; returns the landed names (INVISIBLE until a
+    meta commit lists them — build/stream surfaces are unaffected)."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    gen = _uuid.uuid4().hex[:8]
+    os.makedirs(os.path.join(path, sub), exist_ok=True)
+    stage = os.path.join(path, f".{sub}_stage_{gen}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    names = []
+    for i, f in enumerate(
+        sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
+    ):
+        name = f"{prefix}-{gen}-{i:05d}.parquet"
+        os.replace(os.path.join(stage, f), os.path.join(path, sub, name))
+        names.append(name)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return names
 
 
 def _neardup_id_col(path: str, columns: list, explicit: str | None) -> str:
@@ -764,13 +813,8 @@ def _neardup_id_col(path: str, columns: list, explicit: str | None) -> str:
     would tombstone or probe the wrong column). Without meta (stream-only
     or pre-meta index) fall back to inference, but STRICTLY — exactly one
     non-layout column, else raise instead of guessing by position."""
-    import json as _json
-
-    meta_path = os.path.join(path, "_meta.json")
-    recorded = None
-    if os.path.isfile(meta_path):
-        with open(meta_path) as fh:
-            recorded = _json.load(fh).get("id_col")
+    meta = _read_neardup_meta(path)
+    recorded = meta.get("id_col") if meta else None
     if recorded is not None:
         if explicit is not None and explicit != recorded:
             raise ValueError(
@@ -785,7 +829,11 @@ def _neardup_id_col(path: str, columns: list, explicit: str | None) -> str:
                 f"id_col {explicit!r} not in index columns {columns}"
             )
         return explicit
-    cands = [c for c in columns if c not in ("gh", "band_key", BAND_BUCKET_COL)]
+    cands = [
+        c
+        for c in columns
+        if c not in ("gh", "band_key", BAND_BUCKET_COL, "_ver")
+    ]
     if len(cands) != 1:
         raise ValueError(
             f"cannot infer the doc-id column of the neardup index at "
@@ -798,37 +846,125 @@ def _neardup_id_col(path: str, columns: list, explicit: str | None) -> str:
 def read_neardup_index(
     spark: SparkSession, path: str, id_col: str | None = None
 ) -> DataFrame:
-    """The live band index: the batch-built ``base`` plus any streamed
-    ``stream`` appends, minus tombstoned docs (``delete_neardup_docs``).
+    """The live band index: the batch-built ``base``, any streamed
+    ``stream`` appends (both serve at row version 1), plus the CDC sync's
+    meta-listed ``sync/`` band files (each carrying its commit ``_ver``)
+    — minus tombstoned rows. Tombstones are VERSIONED (round 12): an
+    entry ``(_tomb_id, _tomb_as_of)`` hides only rows with
+    ``_ver ≤ as_of``, which is what lets ``sync_neardup_index`` replace a
+    changed doc's bands (old rows retire at the current version, new rows
+    land one above) and resurrect deleted docs — the text index's
+    ``_ver``/``as_of`` ladder on this layout. Legacy un-versioned ledger
+    entries keep their old semantics (hidden forever, purge at rebuild).
     The stream side is read through its own _spark_metadata log, so files
-    from uncommitted micro-batches are never served. The doc-id column
-    comes from the layout's recorded ``_meta.json`` (see
-    ``_neardup_id_col``) — never from column position."""
+    from uncommitted micro-batches are never served; sync and tombstone
+    files are served only when ``_meta.json`` lists them — one meta
+    replace is a whole sync window's atomic commit. The doc-id column
+    comes from the recorded meta (``_neardup_id_col``) — never from
+    column position."""
+    meta = _read_neardup_meta(path) or {}
     parts = []
     for sub in ("base", "stream"):
         p = os.path.join(path, sub)
         if os.path.isdir(p):
-            parts.append(spark.read.parquet(p))
+            parts.append(
+                spark.read.parquet(p).withColumn("_ver", F.lit(1).cast("long"))
+            )
+    sync_files = [
+        os.path.join(path, "sync", f) for f in (meta.get("sync") or [])
+    ]
+    if sync_files:
+        parts.append(
+            spark.read.parquet(*sync_files).withColumn(
+                "_ver", F.col("_ver").cast("long")
+            )
+        )
     if not parts:
         raise FileNotFoundError(f"no near-dup index at {path}")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # tombstone ledger: meta-listed files when the meta tracks them (the
+    # versioned layout), whole-dir for a pre-meta legacy index
     tomb_dir = os.path.join(path, "tombstones")
-    if os.path.isdir(tomb_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(tomb_dir)
-    ):
+    if "tombstones" in meta:
+        tomb_files = [
+            os.path.join(tomb_dir, f) for f in (meta.get("tombstones") or [])
+        ]
+    elif os.path.isdir(tomb_dir):
+        tomb_files = [
+            os.path.join(tomb_dir, f)
+            for f in os.listdir(tomb_dir)
+            if f.endswith(".parquet")
+        ]
+    else:
+        tomb_files = []
+    if tomb_files:
         id_col = _neardup_id_col(path, out.columns, id_col)
-        out = out.join(
-            F.broadcast(
-                spark.read.parquet(tomb_dir)
-                .select(F.col("_tomb_id").alias(id_col))
-                .distinct()
-            ),
-            id_col,
-            "left_anti",
+        tomb = spark.read.parquet(*tomb_files)
+        as_of = (
+            F.col("_tomb_as_of")
+            if "_tomb_as_of" in tomb.columns
+            else F.lit(_NEARDUP_FOREVER)
         )
-    return out
+        hide = tomb.groupBy(
+            F.col("_tomb_id").alias(id_col)
+        ).agg(
+            F.max(F.coalesce(as_of, F.lit(_NEARDUP_FOREVER))).alias("_as_of")
+        )
+        out = (
+            out.join(F.broadcast(hide), id_col, "left")
+            .where(F.col("_as_of").isNull() | (F.col("_ver") > F.col("_as_of")))
+            .drop("_as_of")
+        )
+    return out.drop("_ver")
+
+
+def _adopt_neardup_meta(spark, path: str, id_col: str | None) -> dict:
+    """The index's meta, upgraded in place to the versioned layout:
+    ensures ``version`` and a meta-LISTED tombstone ledger exist. A
+    legacy whole-dir ledger (unversioned, pre-r12) is rewritten once as a
+    single listed file whose entries carry ``as_of = forever`` — the old
+    hide-until-rebuild semantics, preserved exactly."""
+    meta = _read_neardup_meta(path) or {}
+    if id_col is not None and not meta.get("id_col"):
+        meta["id_col"] = id_col
+    meta.setdefault("version", 1)
+    if "tombstones" not in meta:
+        tomb_dir = os.path.join(path, "tombstones")
+        legacy = (
+            sorted(
+                f for f in os.listdir(tomb_dir) if f.endswith(".parquet")
+            )
+            if os.path.isdir(tomb_dir)
+            else []
+        )
+        if legacy:
+            adopted = _land_neardup_file(
+                spark,
+                path,
+                "tombstones",
+                spark.read.parquet(
+                    *[os.path.join(tomb_dir, f) for f in legacy]
+                )
+                .select("_tomb_id")
+                .distinct()
+                .withColumn(
+                    "_tomb_as_of",
+                    F.lit(_NEARDUP_FOREVER).cast("long"),
+                ),
+                "adopt",
+            )
+            meta["tombstones"] = adopted
+            for f in legacy:  # superseded by the adopted file
+                try:
+                    os.unlink(os.path.join(tomb_dir, f))
+                except OSError:
+                    pass
+        else:
+            meta["tombstones"] = []
+    meta.setdefault("sync", [])
+    return meta
 
 
 def delete_neardup_docs(
@@ -837,20 +973,18 @@ def delete_neardup_docs(
     """Remove documents from the band index without a rebuild: their band
     rows would otherwise keep surfacing them as ``dup_of`` candidates —
     the takedown/right-to-erasure gap, near-dup edition. The ledger is a
-    flat id parquet under ``tombstones/`` (this index has no manifest —
-    its two sides are already atomic in their own domains, and a
-    tombstone FILE is atomic by rename); ``read_neardup_index`` anti-joins
-    it, so probes and the streaming corpus loop see only live docs.
-    Idempotent, with the other delete ops' actually-deleted contract:
-    returns the number of LIVE docs among ``doc_ids`` that the index held
-    (absent and already-tombstoned ids count zero and add no ledger
-    rows, so re-deletes return 0 and the ledger stays bounded by real
-    deletions). The id column resolves from the recorded ``_meta.json``
+    versioned ``(_tomb_id, _tomb_as_of)`` parquet under ``tombstones/``,
+    listed by (and committed through) the atomic ``_meta.json`` replace;
+    ``read_neardup_index`` hides rows with ``_ver ≤ as_of``, so probes
+    and the streaming corpus loop see only live docs while a later
+    ``sync_neardup_index`` re-insert stays visible (its rows carry a
+    higher version). Idempotent, with the other delete ops'
+    actually-deleted contract: returns the number of LIVE docs among
+    ``doc_ids`` (absent and already-tombstoned ids count zero and add no
+    ledger rows). The id column resolves from the recorded meta
     (``_neardup_id_col``); the physical purge is the next
     ``build_neardup_index`` rebuild, this layout's compaction
     equivalent."""
-    import uuid as _uuid
-
     ids = sorted(set(doc_ids))
     if not ids:
         return 0
@@ -869,29 +1003,113 @@ def delete_neardup_docs(
     )
     if not present:
         return 0
-    ids = present
-    tomb_dir = os.path.join(path, "tombstones")
-    os.makedirs(tomb_dir, exist_ok=True)
-    stage = os.path.join(path, f".tomb_stage_{_uuid.uuid4().hex[:8]}")
-    schema = (
-        "_tomb_id string" if isinstance(ids[0], str) else "_tomb_id long"
+    meta = _adopt_neardup_meta(spark, path, id_col)
+    ver = int(meta["version"])
+    names = _land_neardup_file(
+        spark,
+        path,
+        "tombstones",
+        spark.createDataFrame(
+            [(i, ver) for i in present],
+            f"_tomb_id {id_type}, _tomb_as_of long",
+        ),
+        "gen",
     )
-    spark.createDataFrame([(i,) for i in ids], schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    n = 0
-    for i, f in enumerate(
-        sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
-    ):
-        os.replace(
-            os.path.join(stage, f),
-            os.path.join(tomb_dir, f"gen-{_uuid.uuid4().hex[:8]}-{i:05d}.parquet"),
-        )
-        n += 1
-    import shutil as _shutil
+    meta["tombstones"] = list(meta["tombstones"]) + names
+    meta["version"] = ver + 1
+    _write_neardup_meta(path, meta)
+    return len(present)
 
-    _shutil.rmtree(stage, ignore_errors=True)
-    return len(ids)
+
+def upsert_neardup_docs(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str | None = None,
+    id_col: str | None = None,
+    delete_ids: list | None = None,
+    epoch: int | None = None,
+    epoch_stream: str | None = None,
+) -> dict:
+    """Re-index documents in the band index — the CRUD-completing write
+    op, in ONE atomic meta commit (the text index's ``upsert_text_docs``
+    on this layout): the batch's and ``delete_ids``'s LIVE old band rows
+    retire behind a versioned tombstone stamped ``as_of`` the current
+    version, the new shingle/minhash band rows land in ``sync/`` at the
+    NEXT version, and the meta replace publishes rows + ledger + version
+    + the optional CDC cursor together — a reader sees the whole window
+    or none, and a crash before the meta write leaves only invisible
+    strays. Returns {"deleted": live docs among delete_ids, "replaced":
+    live docs among the batch ids, "appended": batch rows}. Single
+    maintainer contract (like every index here): don't mix with the
+    streaming ``neardup_index_sink`` on one index — stream rows serve at
+    version 1 and a tombstone would hide late arrivals."""
+    meta = _adopt_neardup_meta(spark, path, id_col)
+    id_col = meta.get("id_col") or _neardup_id_col(
+        path, docs.columns, id_col
+    )
+    text_col = text_col or meta.get("text_col") or "text"
+    up_ids = [r[id_col] for r in docs.select(id_col).distinct().collect()]
+    delete_ids = sorted(set(delete_ids or []))
+    overlap = set(delete_ids) & set(up_ids)
+    if overlap:
+        raise ValueError(
+            f"upsert_neardup_docs: {len(overlap)} ids appear in BOTH the "
+            "batch and delete_ids — a netted change feed never does this"
+        )
+    retire = sorted(set(up_ids) | set(delete_ids))
+    ver = int(meta["version"])
+    # LIVE retirees only (the actually-applied contract + bounded ledger)
+    present: set = set()
+    if retire:
+        live = read_neardup_index(spark, path, id_col=id_col)
+        id_type = live.schema[id_col].dataType.simpleString()
+        probe = spark.createDataFrame(
+            [(i,) for i in retire], f"`{id_col}` {id_type}"
+        )
+        present = {
+            r[id_col]
+            for r in live.select(id_col)
+            .join(F.broadcast(probe), id_col, "left_semi")
+            .distinct()
+            .collect()
+        }
+    n_deleted = sum(1 for i in delete_ids if i in present)
+    n_replaced = len(present) - n_deleted
+    # new band rows at the NEXT version (kept live through the tombstone);
+    # a delete-only window lands no band file at all
+    sync_names: list[str] = []
+    if up_ids:
+        bands = neardup_index_frame(docs, text_col, id_col).withColumn(
+            "_ver", F.lit(ver + 1).cast("long")
+        )
+        sync_names = _land_neardup_file(spark, path, "sync", bands, "gen")
+    tomb_names: list[str] = []
+    if present:
+        id_type = docs.schema[id_col].dataType.simpleString()
+        tomb_names = _land_neardup_file(
+            spark,
+            path,
+            "tombstones",
+            spark.createDataFrame(
+                [(i, ver) for i in sorted(present)],
+                f"_tomb_id {id_type}, _tomb_as_of long",
+            ),
+            "gen",
+        )
+    meta["sync"] = list(meta["sync"]) + sync_names
+    meta["tombstones"] = list(meta["tombstones"]) + tomb_names
+    meta["version"] = ver + 1
+    if epoch is not None:
+        meta["last_epoch"] = int(epoch)
+        if epoch_stream is not None:
+            meta["epoch_stream"] = str(epoch_stream)
+    _write_neardup_meta(path, meta)
+    return {
+        "deleted": int(n_deleted),
+        "replaced": int(n_replaced),
+        "appended": len(up_ids),
+    }
 
 
 def neardup_probe(

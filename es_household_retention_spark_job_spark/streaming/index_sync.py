@@ -28,11 +28,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import dedup as _dedup
 from ..operators import search as _search
 from ..operators import similarity as _sim
 from ..sinks.upsert import CHANGE_TYPE_COL, current_version, read_changes
 
-__all__ = ["sync_text_index", "sync_ann_index", "cdc_stream_id"]
+__all__ = [
+    "sync_text_index",
+    "sync_ann_index",
+    "sync_neardup_index",
+    "cdc_stream_id",
+]
 
 
 def cdc_stream_id(table_path: str) -> str:
@@ -262,4 +268,66 @@ def sync_ann_index(
         "to": cur,
         "deleted": n_deleted,
         "upserted": n_upserted,
+    }
+
+
+def sync_neardup_index(
+    spark: SparkSession,
+    index_path: str,
+    table_path: str,
+    from_version: int | None = None,
+    text_col: str | None = None,
+    id_col: str | None = None,
+) -> dict:
+    """The near-dup band index edition — maintenance parity for the THIRD
+    serving structure: fold the sink's changes into the persisted band
+    index through ``upsert_neardup_docs``'s one-commit retire+append
+    (versioned tombstones at the current meta version, new shingle/
+    minhash band rows one above), with the sink-version cursor riding the
+    SAME atomic ``_meta.json`` replace. After a sync, ``neardup_probe``
+    over the index returns the same candidates as a fresh
+    ``build_neardup_index`` over the table's resolved state (pinned in
+    tests) — at O(changed docs) shingle/minhash cost plus one live-id
+    locate."""
+    meta = _dedup._read_neardup_meta(index_path) or {}
+    id_col = id_col or meta.get("id_col") or "doc_id"
+    text_col = text_col or meta.get("text_col") or "text"
+    stream = cdc_stream_id(table_path)
+    start, cur = _window(
+        spark,
+        table_path,
+        _cursor(meta, stream),
+        from_version,
+        "sync_neardup_index",
+    )
+    if start >= cur:
+        return {"from": start, "to": cur, "deleted": 0, "upserted": 0}
+    changes = read_changes(
+        spark, table_path, start, cur, columns=[text_col]
+    )
+    ups, up_ids, dels = _split_changes(changes, id_col, [text_col])
+    n_up = len(up_ids)
+    if not n_up and not dels:
+        # cursor-only bump (the wedge guard, meta edition)
+        meta = _dedup._adopt_neardup_meta(spark, index_path, id_col)
+        meta["version"] = int(meta["version"]) + 1
+        meta["last_epoch"] = int(cur)
+        meta["epoch_stream"] = str(stream)
+        _dedup._write_neardup_meta(index_path, meta)
+        return {"from": start, "to": cur, "deleted": 0, "upserted": 0}
+    res = _dedup.upsert_neardup_docs(
+        spark,
+        index_path,
+        ups,
+        text_col=text_col,
+        id_col=id_col,
+        delete_ids=dels,
+        epoch=cur,
+        epoch_stream=stream,
+    )
+    return {
+        "from": start,
+        "to": cur,
+        "deleted": int(res.get("deleted", 0)),
+        "upserted": n_up,
     }

@@ -13,6 +13,7 @@ from es_household_retention_spark_job_spark.sinks import upsert as U
 from es_household_retention_spark_job_spark.sources.tpch import load_table
 from es_household_retention_spark_job_spark.streaming.index_sync import (
     sync_ann_index,
+    sync_neardup_index,
     sync_text_index,
 )
 
@@ -200,3 +201,79 @@ def test_sync_scoped_and_cursor_advances_on_inapplicable_window(
     out2 = sync_text_index(spark, idx, table)
     assert out2["from"] == out2["to"]
     assert SE._read_index_manifest(idx)["version"] == v_idx0 + 1
+
+
+def test_sync_neardup_index_follows_table(spark, tmp_path):
+    """The band index edition (round 12): text changes, inserts, deletes,
+    AND a later delete-then-reinsert flow through sync_neardup_index; the
+    synced index's probe results equal a fresh build over the table's
+    resolved state after every window (the versioned-tombstone ladder —
+    old band rows retire at as_of, replacements land one version above);
+    the cursor is exactly-once on the meta commit."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table = str(tmp_path / "table")
+    idx = str(tmp_path / "idx")
+    U.write_keyed_table(docs, table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    D.build_neardup_index(U.read_keyed_table(spark, table), idx)
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+
+    def hits(index_path):
+        return sorted(
+            (r.doc_id, r.dup_of, r.jaccard_bp)
+            for r in D.neardup_probe(
+                probe_docs, D.read_neardup_index(spark, index_path)
+            ).collect()
+        )
+
+    # window 1: change texts (near-dup relations change), add fresh docs
+    # (near-dupes of existing ones), delete some
+    changed = docs.where(F.col("doc_id") % 13 == 4).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzsynced zzzsynced"))
+    )
+    fresh = docs.where(F.col("doc_id") % 19 == 7).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    U.upsert_parquet(spark, table, changed.unionByName(fresh), key="doc_id")
+    dead = docs.where(F.col("doc_id") % 23 == 11).select("doc_id")
+    U.delete_keys(spark, table, dead, key="doc_id")
+
+    out = sync_neardup_index(spark, idx, table, from_version=v0)
+    assert out["upserted"] > 0 and out["deleted"] > 0
+    rebuilt = str(tmp_path / "reb1")
+    D.build_neardup_index(U.read_keyed_table(spark, table), rebuilt)
+    got, want = hits(idx), hits(rebuilt)
+    assert got == want and got
+
+    # cursor: clean no-op on an unchanged table
+    out2 = sync_neardup_index(spark, idx, table)
+    assert out2["from"] == out2["to"] == U.current_version(table)
+    assert out2["upserted"] == 0 and out2["deleted"] == 0
+
+    # window 2: delete one synced doc, then window 3 REINSERTS it with new
+    # text — the versioned ladder must resurrect it (an id-level-forever
+    # tombstone could not)
+    target = [r.doc_id for r in changed.limit(1).collect()]
+    U.delete_keys(
+        spark,
+        table,
+        spark.createDataFrame([(t,) for t in target], "doc_id long"),
+        key="doc_id",
+    )
+    out3 = sync_neardup_index(spark, idx, table)
+    assert out3["deleted"] == 1
+    back = docs.where(F.col("doc_id").isin(target)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzresurrected"))
+    )
+    U.upsert_parquet(spark, table, back, key="doc_id")
+    out4 = sync_neardup_index(spark, idx, table)
+    assert out4["upserted"] == 1
+    rebuilt2 = str(tmp_path / "reb2")
+    D.build_neardup_index(U.read_keyed_table(spark, table), rebuilt2)
+    assert hits(idx) == hits(rebuilt2)
+
+    # an unsynced index refuses to guess the window
+    with pytest.raises(ValueError, match="from_version"):
+        sync_neardup_index(spark, str(tmp_path / "noidx2"), table)

@@ -83,8 +83,10 @@ def main() -> None:
     )
     from es_household_retention_spark_job_spark.session import get_spark
     from es_household_retention_spark_job_spark.sinks import upsert as U
+    from es_household_retention_spark_job_spark.operators import dedup as D
     from es_household_retention_spark_job_spark.streaming.index_sync import (
         sync_ann_index,
+        sync_neardup_index,
         sync_text_index,
     )
 
@@ -110,9 +112,11 @@ def main() -> None:
             U.write_keyed_table(docs, dt, key="doc_id", n_buckets=8)
         U.write_keyed_table(embs, et, key="vec_id", n_buckets=8)
         v_embs = U.current_version(et)
+        ndi = os.path.join(root, "ndidx")
         if not ANN_ONLY:
             v_docs = U.current_version(dt)
             SE.build_text_index(U.read_keyed_table(spark, dt), di)
+            D.build_neardup_index(U.read_keyed_table(spark, dt), ndi)
         S.build_ann_index(U.read_keyed_table(spark, et), ei, n_cells=N_CELLS)
         man = S._read_ann_manifest(ei)
         cents = S._read_centroids(spark, ei, man)
@@ -203,6 +207,37 @@ def main() -> None:
                     )
                 )
 
+            if not ANN_ONLY:
+                t0 = time.perf_counter()
+                out_n = sync_neardup_index(
+                    spark, ndi, dt, from_version=v_docs if r == 1 else None
+                )
+                t_sync_n = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                reb_n = os.path.join(root, f"ndreb{r}")
+                D.build_neardup_index(U.read_keyed_table(spark, dt), reb_n)
+                t_reb_n = time.perf_counter() - t0
+                probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+                eq_n = sorted(
+                    map(
+                        tuple,
+                        D.neardup_probe(
+                            probe_docs, D.read_neardup_index(spark, ndi)
+                        ).collect(),
+                    )
+                ) == sorted(
+                    map(
+                        tuple,
+                        D.neardup_probe(
+                            probe_docs, D.read_neardup_index(spark, reb_n)
+                        ).collect(),
+                    )
+                )
+            else:
+                out_n = {"upserted": 0, "deleted": 0}
+                t_sync_n = t_reb_n = 0.0
+                eq_n = None
+
             t0 = time.perf_counter()
             out_a = sync_ann_index(
                 spark, ei, et, from_version=v_embs if r == 1 else None
@@ -235,7 +270,8 @@ def main() -> None:
                 f"| {t_sync_t:.2f}s | {t_reb_t:.2f}s | {eq_t} "
                 f"| {out_a['upserted']}+{out_a['deleted']}d "
                 f"| {t_sync_a:.2f}s | {t_reb_a:.2f}s | {t_ret_a:.2f}s "
-                f"| {eq_a} |"
+                f"| {eq_a} "
+                f"| nd {t_sync_n:.2f}s vs {t_reb_n:.2f}s eq={eq_n} |"
             )
             summary.append(
                 {
@@ -251,6 +287,9 @@ def main() -> None:
                     "ann_rebuild_s": round(t_reb_a, 2),
                     "ann_retrain_s": round(t_ret_a, 2),
                     "ann_equal": eq_a,
+                    "neardup_sync_s": round(t_sync_n, 2),
+                    "neardup_rebuild_s": round(t_reb_n, 2),
+                    "neardup_equal": eq_n,
                 }
             )
     print(json.dumps({"metric": "index_sync_ladder", "mode": MODE, "rows": summary}))
