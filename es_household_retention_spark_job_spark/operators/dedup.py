@@ -748,13 +748,28 @@ def build_neardup_index(
     also this index's tiny manifest: the CDC sync's ``sync/`` band files
     and the tombstone ledger are served ONLY when meta-listed, which is
     what makes a sync window one atomic commit (round 12)."""
+    import shutil as _shutil
+
     neardup_index_frame(docs, text_col, id_col).write.mode(
         "overwrite"
     ).partitionBy(BAND_BUCKET_COL).parquet(os.path.join(path, "base"))
+    # a rebuild IS this layout's physical purge: the fresh meta lists NO
+    # sync files and NO tombstones (explicit empty lists — without them
+    # the read path's legacy whole-dir fallback would serve the previous
+    # generation's ledger against the rebuilt corpus, keeping deleted-
+    # then-reinstated docs hidden), and the superseded files are swept
     _write_neardup_meta(
         path,
-        {"id_col": id_col, "text_col": text_col, "version": 1},
+        {
+            "id_col": id_col,
+            "text_col": text_col,
+            "version": 1,
+            "sync": [],
+            "tombstones": [],
+        },
     )
+    for sub in ("sync", "tombstones"):
+        _shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
 
 
 #: legacy tombstones (written before row versioning) hide a doc forever —

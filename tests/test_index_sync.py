@@ -277,3 +277,43 @@ def test_sync_neardup_index_follows_table(spark, tmp_path):
     # an unsynced index refuses to guess the window
     with pytest.raises(ValueError, match="from_version"):
         sync_neardup_index(spark, str(tmp_path / "noidx2"), table)
+
+
+def test_neardup_rebuild_is_the_purge(spark, tmp_path):
+    """build_neardup_index over a mutated index path is the layout's
+    physical purge (the documented compaction equivalent): the fresh meta
+    must list NO tombstones and NO sync files, the stale dirs are swept,
+    and — the regression this pins — a doc deleted before the rebuild but
+    present in the rebuild corpus serves again (a leftover whole-dir
+    ledger read would keep it hidden forever)."""
+    import os
+
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+    dup_ids = sorted(
+        {
+            r.dup_of
+            for r in D.neardup_probe(
+                probe_docs, D.read_neardup_index(spark, idx)
+            ).collect()
+        }
+    )
+    assert dup_ids
+    target = dup_ids[:2]
+    assert D.delete_neardup_docs(spark, idx, target) == len(target)
+    # rebuild over the FULL corpus (the deleted docs are back in scope)
+    D.build_neardup_index(docs, idx)
+    meta = D._read_neardup_meta(idx)
+    assert meta["tombstones"] == [] and meta["sync"] == []
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    after = {
+        r.dup_of
+        for r in D.neardup_probe(
+            probe_docs, D.read_neardup_index(spark, idx)
+        ).collect()
+    }
+    assert set(target) <= after  # served again — the purge purged
