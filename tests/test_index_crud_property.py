@@ -177,3 +177,74 @@ def test_text_crud_random_sequence_matches_rebuild(spark, tmp_path):
         if step % 4 == 0:
             check()
     check()
+
+
+def test_neardup_crud_random_sequence_matches_rebuild(spark, tmp_path):
+    """20 seeded random band-index CRUD ops (delete / upsert / rebuild);
+    every 4th step neardup_probe over the index must equal a probe over a
+    fresh build of the model docs — pins the round-12 versioned-tombstone
+    ladder (retire at as_of, replacements one above, resurrect on
+    re-upsert, rebuild as the purge) under arbitrary interleavings."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    all_docs = {r.doc_id: r.text for r in docs.collect()}
+    start = {k: v for k, v in all_docs.items() if k % 2 == 0}
+    idx = str(tmp_path / "idx")
+    schema = "doc_id long, text string"
+
+    def frame(d):
+        return spark.createDataFrame(sorted(d.items()), schema)
+
+    D.build_neardup_index(frame(start), idx)
+    model = dict(start)
+    rng = random.Random(1212)
+    fresh_pool = sorted(set(all_docs) - set(model))
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+
+    def hits(index_path):
+        return sorted(
+            (r.doc_id, r.dup_of, r.jaccard_bp)
+            for r in D.neardup_probe(
+                probe_docs, D.read_neardup_index(spark, index_path)
+            ).collect()
+        )
+
+    def check():
+        reb = str(tmp_path / f"reb{step}")
+        D.build_neardup_index(frame(model), reb)
+        assert hits(idx) == hits(reb), f"step {step}: index != rebuild"
+
+    for step in range(1, 21):
+        op = rng.choice(["delete", "upsert", "upsert", "rebuild"])
+        if op == "delete" and model:
+            victims = rng.sample(sorted(model), k=min(4, len(model)))
+            # actually-deleted contract: every victim is currently live
+            assert D.delete_neardup_docs(spark, idx, victims) == len(victims)
+            for v in victims:
+                del model[v]
+        elif op == "upsert":
+            batch = {}
+            dels = []
+            if model:
+                pick = rng.sample(sorted(model), k=min(4, len(model)))
+                for v in pick[:2]:
+                    batch[v] = model[v] + f" zzedit{step}"
+                for v in pick[2:]:
+                    dels.append(v)
+            if fresh_pool:
+                nid = fresh_pool.pop(0)
+                batch[nid] = all_docs[nid]
+            if not batch and not dels:
+                continue
+            D.upsert_neardup_docs(
+                spark, idx, frame(batch), delete_ids=dels
+            )
+            model.update(batch)
+            for v in dels:
+                model.pop(v, None)
+        elif op == "rebuild":
+            D.build_neardup_index(frame(model), idx)
+        if step % 4 == 0:
+            check()
+    check()
