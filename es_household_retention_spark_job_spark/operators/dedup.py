@@ -737,7 +737,9 @@ def build_neardup_index(
 ) -> None:
     """Build (or atomically replace) the persisted band index of a corpus.
 
-    Layout note: the batch build lands in ``path/base`` and streaming
+    Layout note: the batch build lands in a ``path/base-<gen>`` dir the
+    meta points at (atomic rebuilds — pre-r12 indexes used a plain
+    ``path/base``, still read as the fallback) and streaming
     appends in ``path/stream`` — they CANNOT share a directory, because
     the streaming file sink's _spark_metadata log, once present, makes
     readers serve ONLY log-listed files and the batch build would turn
@@ -749,27 +751,41 @@ def build_neardup_index(
     and the tombstone ledger are served ONLY when meta-listed, which is
     what makes a sync window one atomic commit (round 12)."""
     import shutil as _shutil
+    import uuid as _uuid
 
+    # the new base lands in a GENERATION dir and becomes live only when
+    # the meta replace points at it — a rebuild over an existing index is
+    # therefore reader-atomic: a crash mid-write leaves the old base_dir,
+    # ledger, and sync files serving untouched (review finding: base
+    # overwrite before the meta write opened a window where the NEW base
+    # served under the OLD ledger/sync generation)
+    old_meta = _read_neardup_meta(path) or {}
+    base_dir = f"base-{_uuid.uuid4().hex[:8]}"
     neardup_index_frame(docs, text_col, id_col).write.mode(
         "overwrite"
-    ).partitionBy(BAND_BUCKET_COL).parquet(os.path.join(path, "base"))
+    ).partitionBy(BAND_BUCKET_COL).parquet(os.path.join(path, base_dir))
     # a rebuild IS this layout's physical purge: the fresh meta lists NO
     # sync files and NO tombstones (explicit empty lists — without them
     # the read path's legacy whole-dir fallback would serve the previous
     # generation's ledger against the rebuilt corpus, keeping deleted-
-    # then-reinstated docs hidden), and the superseded files are swept
+    # then-reinstated docs hidden); superseded files sweep AFTER commit
     _write_neardup_meta(
         path,
         {
             "id_col": id_col,
             "text_col": text_col,
             "version": 1,
+            "base_dir": base_dir,
             "sync": [],
             "tombstones": [],
         },
     )
-    for sub in ("sync", "tombstones"):
+    for sub in ("sync", "tombstones", old_meta.get("base_dir") or "base"):
         _shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    # older generation dirs from crashed rebuilds are also sweepable now
+    for d in os.listdir(path):
+        if d.startswith("base-") and d != base_dir:
+            _shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 #: legacy tombstones (written before row versioning) hide a doc forever —
@@ -879,7 +895,9 @@ def read_neardup_index(
     column position."""
     meta = _read_neardup_meta(path) or {}
     parts = []
-    for sub in ("base", "stream"):
+    # base_dir: the meta-pointed generation (atomic rebuilds); "base" is
+    # the pre-pointer legacy location
+    for sub in (meta.get("base_dir") or "base", "stream"):
         p = os.path.join(path, sub)
         if os.path.isdir(p):
             parts.append(
@@ -1045,6 +1063,7 @@ def upsert_neardup_docs(
     delete_ids: list | None = None,
     epoch: int | None = None,
     epoch_stream: str | None = None,
+    known_ids: list | None = None,
 ) -> dict:
     """Re-index documents in the band index — the CRUD-completing write
     op, in ONE atomic meta commit (the text index's ``upsert_text_docs``
@@ -1060,11 +1079,16 @@ def upsert_neardup_docs(
     streaming ``neardup_index_sink`` on one index — stream rows serve at
     version 1 and a tombstone would hide late arrivals."""
     meta = _adopt_neardup_meta(spark, path, id_col)
-    id_col = meta.get("id_col") or _neardup_id_col(
-        path, docs.columns, id_col
-    )
+    # strict resolution: a conflicting explicit id_col RAISES (the read
+    # and delete ops' contract) instead of being silently discarded
+    id_col = _neardup_id_col(path, docs.columns, id_col)
     text_col = text_col or meta.get("text_col") or "text"
-    up_ids = [r[id_col] for r in docs.select(id_col).distinct().collect()]
+    # known_ids: the CDC sync already collected the window's distinct ids
+    up_ids = (
+        list(known_ids)
+        if known_ids is not None
+        else [r[id_col] for r in docs.select(id_col).distinct().collect()]
+    )
     delete_ids = sorted(set(delete_ids or []))
     overlap = set(delete_ids) & set(up_ids)
     if overlap:
@@ -1091,6 +1115,41 @@ def upsert_neardup_docs(
         }
     n_deleted = sum(1 for i in delete_ids if i in present)
     n_replaced = len(present) - n_deleted
+    # re-inserts of ids under a LEGACY (as_of=forever) tombstone: the
+    # forever entry would hide the new rows too — silently swallowing the
+    # resurrect (review finding). Rewrite the ledger WITHOUT those ids'
+    # forever rows (their versioned entries stay — they only hide old
+    # rows) and tombstone them at the CURRENT version instead, which
+    # hides their still-physical base/stream rows while the replacement
+    # lands one version above. The rewrite is O(ledger) — bounded by
+    # real deletions — and commits with everything else in the one meta
+    # replace; the dropped files become invisible strays.
+    ledger_override: list[str] | None = None
+    forever_hits: set = set()
+    tomb_files = [
+        os.path.join(path, "tombstones", f) for f in meta["tombstones"]
+    ]
+    if tomb_files and up_ids:
+        tomb = spark.read.parquet(*tomb_files)
+        is_forever = F.coalesce(
+            F.col("_tomb_as_of"), F.lit(_NEARDUP_FOREVER)
+        ) >= F.lit(_NEARDUP_FOREVER)
+        forever_hits = {
+            r["_tomb_id"]
+            for r in tomb.where(
+                is_forever & F.col("_tomb_id").isin(up_ids)
+            )
+            .select("_tomb_id")
+            .distinct()
+            .collect()
+        }
+        if forever_hits:
+            kept = tomb.where(
+                ~(is_forever & F.col("_tomb_id").isin(sorted(forever_hits)))
+            )
+            ledger_override = _land_neardup_file(
+                spark, path, "tombstones", kept, "gen"
+            )
     # new band rows at the NEXT version (kept live through the tombstone);
     # a delete-only window lands no band file at all
     sync_names: list[str] = []
@@ -1100,20 +1159,25 @@ def upsert_neardup_docs(
         )
         sync_names = _land_neardup_file(spark, path, "sync", bands, "gen")
     tomb_names: list[str] = []
-    if present:
+    retiring = sorted(set(present) | forever_hits)
+    if retiring:
         id_type = docs.schema[id_col].dataType.simpleString()
         tomb_names = _land_neardup_file(
             spark,
             path,
             "tombstones",
             spark.createDataFrame(
-                [(i, ver) for i in sorted(present)],
+                [(i, ver) for i in retiring],
                 f"_tomb_id {id_type}, _tomb_as_of long",
             ),
             "gen",
         )
     meta["sync"] = list(meta["sync"]) + sync_names
-    meta["tombstones"] = list(meta["tombstones"]) + tomb_names
+    meta["tombstones"] = (
+        ledger_override
+        if ledger_override is not None
+        else list(meta["tombstones"])
+    ) + tomb_names
     meta["version"] = ver + 1
     if epoch is not None:
         meta["last_epoch"] = int(epoch)

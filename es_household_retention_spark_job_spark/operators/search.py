@@ -895,9 +895,7 @@ def _tf_bloom_build(file_path: str, id_col: str) -> dict | None:
     ids, when disabled (``SPARK_GRAFT_SINK_BLOOM=off`` — the sink's
     shared kill switch), or on any read trouble: the locate then treats
     the file as a candidate, so false negatives are impossible."""
-    import base64
-
-    from ..sinks.upsert import _BLOOM_BITS_PER_KEY, _bloom_positions
+    from ..sinks.upsert import _bloom_from_values
 
     if os.environ.get("SPARK_GRAFT_SINK_BLOOM", "on") == "off":
         return None
@@ -914,15 +912,7 @@ def _tf_bloom_build(file_path: str, id_col: str) -> dict | None:
         ids.discard(None)
         if not ids or len(ids) > _tf_bloom_max_docs():
             return None
-        m = max(64, _BLOOM_BITS_PER_KEY * len(ids))
-        bits = bytearray((m + 7) // 8)
-        for v in ids:
-            pos = _bloom_positions(v, m)
-            if pos is None:
-                return None
-            for p in pos:
-                bits[p >> 3] |= 1 << (p & 7)
-        return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+        return _bloom_from_values(sorted(ids))
     except Exception:
         return None  # an optimization, never a failure
 

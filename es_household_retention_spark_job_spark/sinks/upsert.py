@@ -608,6 +608,28 @@ def _bloom_positions(key, m: int) -> list[int] | None:
     return [(h1 + i * h2) % m for i in range(_BLOOM_HASHES)]
 
 
+def _bloom_from_values(values) -> dict | None:
+    """Bit-array Bloom filter over an iterable of keys — the shared
+    builder behind the sink's per-delta-file filters AND the text
+    index's per-tf-file doc-id filters (search._tf_bloom_build): one
+    encoding, one sizing rule, so a change here cannot silently leave a
+    copy behind. None keys are skipped; an uncanonicalizable key (see
+    _bloom_positions) aborts the whole filter — the reader then treats
+    the file as possibly-containing, never a false negative."""
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    m = max(64, _BLOOM_BITS_PER_KEY * len(vals))
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        pos = _bloom_positions(v, m)
+        if pos is None:
+            return None
+        for pbit in pos:
+            bits[pbit >> 3] |= 1 << (pbit & 7)
+    return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
 def _bloom_build(file_path: str, key: str) -> dict | None:
     """Key Bloom filter of a freshly-written delta file (tombstone rows
     included — their keys are delta rows too), read back with pyarrow as
@@ -625,17 +647,7 @@ def _bloom_build(file_path: str, key: str) -> dict | None:
         if n == 0 or n > _bloom_max_keys():  # no column read at all
             return None
         tbl = pf.read(columns=[key])
-        m = max(64, _BLOOM_BITS_PER_KEY * n)
-        bits = bytearray((m + 7) // 8)
-        for v in tbl.column(0).to_pylist():
-            if v is None:
-                continue
-            pos = _bloom_positions(v, m)
-            if pos is None:
-                return None
-            for p in pos:
-                bits[p >> 3] |= 1 << (p & 7)
-        return {"m": m, "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+        return _bloom_from_values(tbl.column(0).to_pylist())
     except Exception:
         return None  # like key ranges: an optimization, never a failure
 

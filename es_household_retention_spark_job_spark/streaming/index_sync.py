@@ -324,6 +324,7 @@ def sync_neardup_index(
         delete_ids=dels,
         epoch=cur,
         epoch_stream=stream,
+        known_ids=up_ids,
     )
     return {
         "from": start,

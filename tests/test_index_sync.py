@@ -317,3 +317,72 @@ def test_neardup_rebuild_is_the_purge(spark, tmp_path):
         ).collect()
     }
     assert set(target) <= after  # served again — the purge purged
+
+
+def test_neardup_upsert_resurrects_legacy_forever_tombstone(spark, tmp_path):
+    """Review finding pinned: a doc deleted under the LEGACY (pre-r12,
+    unversioned) ledger carries as_of=forever after adoption; a later
+    re-insert through upsert_neardup_docs must still serve — the op
+    rewrites the forever entry out of the ledger and retires the doc's
+    still-physical base rows at the current version instead, so ONLY the
+    replacement is visible (not silently-swallowed, not double-served)."""
+    import json
+    import os
+
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+
+    def dup_of():
+        return {
+            r.dup_of
+            for r in D.neardup_probe(
+                probe_docs, D.read_neardup_index(spark, idx)
+            ).collect()
+        }
+
+    target = sorted(dup_of())[:1]
+    assert target
+    assert D.delete_neardup_docs(spark, idx, target) == 1
+    # fabricate the legacy state: strip versioning from the ledger and
+    # the meta (as a pre-r12 index would carry it)
+    meta = D._read_neardup_meta(idx)
+    tomb_dir = os.path.join(idx, "tombstones")
+    import pyarrow.parquet as pq
+
+    for f in meta["tombstones"]:
+        pth = os.path.join(tomb_dir, f)
+        t = pq.read_table(pth)
+        pq.write_table(t.drop_columns(["_tomb_as_of"]), pth)
+        crc = os.path.join(tomb_dir, f".{f}.crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+    meta.pop("tombstones")
+    meta.pop("sync", None)
+    meta.pop("version", None)
+    D._write_neardup_meta(idx, meta)
+    assert target[0] not in dup_of()  # legacy semantics: hidden
+
+    # re-insert with changed text through the upsert
+    back = docs.where(F.col("doc_id").isin(target))
+    D.upsert_neardup_docs(spark, idx, back)
+    # the doc serves again, exactly once: probe results equal a fresh
+    # rebuild over the full corpus
+    reb = str(tmp_path / "reb")
+    D.build_neardup_index(docs, reb)
+    got = sorted(
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in D.neardup_probe(
+            probe_docs, D.read_neardup_index(spark, idx)
+        ).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.dup_of, r.jaccard_bp)
+        for r in D.neardup_probe(
+            probe_docs, D.read_neardup_index(spark, reb)
+        ).collect()
+    )
+    assert got == want and target[0] in {g[1] for g in got}
