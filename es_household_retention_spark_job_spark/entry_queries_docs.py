@@ -818,8 +818,13 @@ def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.knn_pq_indexed): ADC candidate generation reads ~m
     dict-encoded bytes per probed vector — the tier below SQ8 on the
     memory ladder — and the shared exact-refine tail restores fine
-    ranking from ``cells/``. Same knobs as the per-call knn_ivfpq row
-    (probe 12/16, refine 200 for the near-orthogonal testdata)."""
+    ranking from ``cells/``. refine=None dogfoods the round-12
+    per-corpus calibration: the serving rerank is the manifest's
+    floor-holding quantile (``_pq_auto_refine``), so this driver row
+    exercises the recall-guarded path end to end — on this
+    near-orthogonal corpus the calibration marks ``breach`` (the router
+    would not default here) but the calibrated rerank still holds ≥0.9
+    of exact-within-probes (pinned in test_pq_calibration_recall_guard)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
     return S.knn_pq_indexed(
@@ -828,7 +833,6 @@ def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         k=KNN_K,
         n_probe=12,
-        refine=200,
     )
 
 
