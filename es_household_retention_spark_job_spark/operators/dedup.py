@@ -816,6 +816,32 @@ def _write_neardup_meta(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, "_meta.json"))
 
 
+def _commit_neardup_meta(path: str, planned_from: dict, meta: dict) -> None:
+    """Optimistic commit for the band index's maintenance ops (delete /
+    upsert / sync cursor) — the text/ANN indexes' discipline on this
+    layout: under the sink's publish lock, verify the live meta is still
+    the one this op PLANNED from, else abort with ConcurrentWriteError
+    (two racing maintainers must lose loudly, never silently drop each
+    other's ledger/file lists). ``build_neardup_index`` keeps the
+    UNCHECKED write — it defines a new generation by contract, and a
+    racing sync that planned from the pre-rebuild meta then aborts here."""
+    from ..sinks.upsert import ConcurrentWriteError, _publish_lock
+
+    with _publish_lock(path) as lk:
+        cur = _read_neardup_meta(path)
+        if cur is not None and int(cur.get("version", 1)) != int(
+            planned_from.get("version", 1)
+        ):
+            raise ConcurrentWriteError(
+                f"near-dup index at {path} was committed concurrently "
+                f"(meta version {cur.get('version')} != planned-from "
+                f"{planned_from.get('version')}); re-run this maintenance "
+                "op against the new state"
+            )
+        lk.verify_owned()
+        _write_neardup_meta(path, meta)
+
+
 def _land_neardup_file(spark, path: str, sub: str, df, prefix: str) -> list[str]:
     """Stage ``df`` as one parquet file and rename it into ``path/sub``
     under a generation name; returns the landed names (INVISIBLE until a
@@ -1037,6 +1063,7 @@ def delete_neardup_docs(
     if not present:
         return 0
     meta = _adopt_neardup_meta(spark, path, id_col)
+    planned_from = dict(meta)
     ver = int(meta["version"])
     names = _land_neardup_file(
         spark,
@@ -1050,7 +1077,7 @@ def delete_neardup_docs(
     )
     meta["tombstones"] = list(meta["tombstones"]) + names
     meta["version"] = ver + 1
-    _write_neardup_meta(path, meta)
+    _commit_neardup_meta(path, planned_from, meta)
     return len(present)
 
 
@@ -1079,6 +1106,7 @@ def upsert_neardup_docs(
     streaming ``neardup_index_sink`` on one index — stream rows serve at
     version 1 and a tombstone would hide late arrivals."""
     meta = _adopt_neardup_meta(spark, path, id_col)
+    planned_from = dict(meta)
     # strict resolution: a conflicting explicit id_col RAISES (the read
     # and delete ops' contract) instead of being silently discarded
     id_col = _neardup_id_col(path, docs.columns, id_col)
@@ -1183,7 +1211,7 @@ def upsert_neardup_docs(
         meta["last_epoch"] = int(epoch)
         if epoch_stream is not None:
             meta["epoch_stream"] = str(epoch_stream)
-    _write_neardup_meta(path, meta)
+    _commit_neardup_meta(path, planned_from, meta)
     return {
         "deleted": int(n_deleted),
         "replaced": int(n_replaced),

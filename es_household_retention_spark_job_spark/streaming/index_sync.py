@@ -308,12 +308,13 @@ def sync_neardup_index(
     ups, up_ids, dels = _split_changes(changes, id_col, [text_col])
     n_up = len(up_ids)
     if not n_up and not dels:
-        # cursor-only bump (the wedge guard, meta edition)
+        # cursor-only bump (the wedge guard, meta edition; checked commit)
         meta = _dedup._adopt_neardup_meta(spark, index_path, id_col)
+        planned_from = dict(meta)
         meta["version"] = int(meta["version"]) + 1
         meta["last_epoch"] = int(cur)
         meta["epoch_stream"] = str(stream)
-        _dedup._write_neardup_meta(index_path, meta)
+        _dedup._commit_neardup_meta(index_path, planned_from, meta)
         return {"from": start, "to": cur, "deleted": 0, "upserted": 0}
     res = _dedup.upsert_neardup_docs(
         spark,

@@ -386,3 +386,35 @@ def test_neardup_upsert_resurrects_legacy_forever_tombstone(spark, tmp_path):
         ).collect()
     )
     assert got == want and target[0] in {g[1] for g in got}
+
+
+def test_neardup_concurrent_commit_detected(spark, tmp_path):
+    """The band index adopts the optimistic-commit discipline: a
+    maintenance op that planned from a meta another commit has since
+    moved past aborts with ConcurrentWriteError instead of silently
+    dropping the other writer's ledger/file lists."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    stale = D._read_neardup_meta(idx)
+    # a real commit moves the version...
+    dup = sorted(
+        {
+            r.dup_of
+            for r in D.neardup_probe(
+                docs.where(F.col("doc_id") % 10 == 1),
+                D.read_neardup_index(spark, idx),
+            ).collect()
+        }
+    )[:1]
+    assert D.delete_neardup_docs(spark, idx, dup) == 1
+    # ...so the stale plan must abort loudly
+    with pytest.raises(ConcurrentWriteError, match="concurrently"):
+        D._commit_neardup_meta(
+            idx, stale, {**stale, "version": int(stale["version"]) + 1}
+        )
