@@ -759,6 +759,8 @@ def build_neardup_index(
     # ledger, and sync files serving untouched (review finding: base
     # overwrite before the meta write opened a window where the NEW base
     # served under the OLD ledger/sync generation)
+    from ..sinks.upsert import _publish_lock
+
     old_meta = _read_neardup_meta(path) or {}
     base_dir = f"base-{_uuid.uuid4().hex[:8]}"
     neardup_index_frame(docs, text_col, id_col).write.mode(
@@ -768,18 +770,32 @@ def build_neardup_index(
     # sync files and NO tombstones (explicit empty lists — without them
     # the read path's legacy whole-dir fallback would serve the previous
     # generation's ledger against the rebuilt corpus, keeping deleted-
-    # then-reinstated docs hidden); superseded files sweep AFTER commit
-    _write_neardup_meta(
-        path,
-        {
-            "id_col": id_col,
-            "text_col": text_col,
-            "version": 1,
-            "base_dir": base_dir,
-            "sync": [],
-            "tombstones": [],
-        },
-    )
+    # then-reinstated docs hidden); superseded files sweep AFTER commit.
+    # The version is MONOTONIC over the live meta, bumped under the
+    # publish lock (review finding: a reset to version 1 made the
+    # optimistic check blind to a rebuild that raced a maintenance op's
+    # plan→commit window — the racer would commit a meta pointing at the
+    # swept old base dir, destroying the index). The rebuild still wins
+    # by contract (it defines a new generation); the bump is what makes
+    # the LOSER abort loudly instead. The CDC cursor carries over when
+    # present — re-applying a window the rebuild already absorbed is
+    # idempotent (upsert semantics), while dropping it would wedge the
+    # sync loop behind a from_version= re-bootstrap.
+    new_meta = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "base_dir": base_dir,
+        "sync": [],
+        "tombstones": [],
+    }
+    for k in ("last_epoch", "epoch_stream"):
+        if k in old_meta:
+            new_meta[k] = old_meta[k]
+    with _publish_lock(path) as lk:
+        cur = _read_neardup_meta(path) or old_meta
+        new_meta["version"] = int(cur.get("version", 0)) + 1
+        lk.verify_owned()
+        _write_neardup_meta(path, new_meta)
     for sub in ("sync", "tombstones", old_meta.get("base_dir") or "base"):
         _shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
     # older generation dirs from crashed rebuilds are also sweepable now
@@ -791,6 +807,10 @@ def build_neardup_index(
 #: legacy tombstones (written before row versioning) hide a doc forever —
 #: the pre-r12 semantics; this sentinel is "version infinity"
 _NEARDUP_FOREVER = 1 << 62
+
+#: largest id list inlined as a Column.isin literal (the similarity
+#: module's _ID_ISIN_MAX twin) — larger sets probe via broadcast joins
+_NEARDUP_ISIN_MAX = 20000
 
 
 def _read_neardup_meta(path: str) -> dict | None:
@@ -822,9 +842,11 @@ def _commit_neardup_meta(path: str, planned_from: dict, meta: dict) -> None:
     layout: under the sink's publish lock, verify the live meta is still
     the one this op PLANNED from, else abort with ConcurrentWriteError
     (two racing maintainers must lose loudly, never silently drop each
-    other's ledger/file lists). ``build_neardup_index`` keeps the
-    UNCHECKED write — it defines a new generation by contract, and a
-    racing sync that planned from the pre-rebuild meta then aborts here."""
+    other's ledger/file lists). ``build_neardup_index`` keeps an
+    unconditional write — it defines a new generation by contract — but
+    BUMPS the live version under the same lock, so a racing sync that
+    planned from the pre-rebuild meta aborts here instead of committing
+    a meta that points at the swept old base dir."""
     from ..sinks.upsert import ConcurrentWriteError, _publish_lock
 
     with _publish_lock(path) as lk:
@@ -984,8 +1006,16 @@ def _adopt_neardup_meta(spark, path: str, id_col: str | None) -> dict:
     ensures ``version`` and a meta-LISTED tombstone ledger exist. A
     legacy whole-dir ledger (unversioned, pre-r12) is rewritten once as a
     single listed file whose entries carry ``as_of = forever`` — the old
-    hide-until-rebuild semantics, preserved exactly."""
-    meta = _read_neardup_meta(path) or {}
+    hide-until-rebuild semantics, preserved exactly. When NO meta existed
+    on disk, the adopted one is WRITTEN before returning: from that point
+    the index is meta-tracked and the read path's whole-dir tombstone
+    fallback is never exercised again — without this, a maintenance op
+    crashing between landing its (non-hidden) ledger file and its meta
+    commit would leave the uncommitted tombstone SERVED by the fallback
+    while the replacement sync rows stayed meta-gated invisible (review
+    finding: the upserted docs vanished until a retry)."""
+    on_disk = _read_neardup_meta(path)
+    meta = on_disk or {}
     if id_col is not None and not meta.get("id_col"):
         meta["id_col"] = id_col
     meta.setdefault("version", 1)
@@ -1023,6 +1053,14 @@ def _adopt_neardup_meta(spark, path: str, id_col: str | None) -> dict:
         else:
             meta["tombstones"] = []
     meta.setdefault("sync", [])
+    if on_disk is None:
+        # atomic upgrade commit: the pre-meta index becomes meta-tracked
+        # NOW (same visible state — the adopted ledger keeps forever
+        # semantics), so files landed by the caller stay invisible until
+        # its own meta commit even if it crashes mid-op. Two concurrent
+        # adopters both write version-1 metas with equivalent semantics;
+        # the later maintenance commits race on version as usual.
+        _write_neardup_meta(path, meta)
     return meta
 
 
@@ -1162,19 +1200,41 @@ def upsert_neardup_docs(
         is_forever = F.coalesce(
             F.col("_tomb_as_of"), F.lit(_NEARDUP_FOREVER)
         ) >= F.lit(_NEARDUP_FOREVER)
-        forever_hits = {
-            r["_tomb_id"]
-            for r in tomb.where(
+        # bounded predicate, the siblings' discipline (_ID_ISIN_MAX in
+        # similarity, _ISIN_PUSHDOWN_MAX in search): a backfill-sized
+        # window's isin literal would blow up Catalyst planning, so past
+        # the cap the probe goes through a broadcast semi/anti join
+        tomb_id_type = tomb.schema["_tomb_id"].dataType.simpleString()
+        if len(up_ids) <= _NEARDUP_ISIN_MAX:
+            forever_sel = tomb.where(
                 is_forever & F.col("_tomb_id").isin(up_ids)
             )
-            .select("_tomb_id")
-            .distinct()
-            .collect()
+        else:
+            up_probe = spark.createDataFrame(
+                [(i,) for i in up_ids], f"_tomb_id {tomb_id_type}"
+            )
+            forever_sel = tomb.where(is_forever).join(
+                F.broadcast(up_probe), "_tomb_id", "left_semi"
+            )
+        forever_hits = {
+            r["_tomb_id"]
+            for r in forever_sel.select("_tomb_id").distinct().collect()
         }
         if forever_hits:
-            kept = tomb.where(
-                ~(is_forever & F.col("_tomb_id").isin(sorted(forever_hits)))
-            )
+            hits_sorted = sorted(forever_hits)
+            if len(hits_sorted) <= _NEARDUP_ISIN_MAX:
+                kept = tomb.where(
+                    ~(is_forever & F.col("_tomb_id").isin(hits_sorted))
+                )
+            else:
+                hit_probe = spark.createDataFrame(
+                    [(i,) for i in hits_sorted], f"_tomb_id {tomb_id_type}"
+                )
+                kept = tomb.where(~is_forever).unionByName(
+                    tomb.where(is_forever).join(
+                        F.broadcast(hit_probe), "_tomb_id", "left_anti"
+                    )
+                )
             ledger_override = _land_neardup_file(
                 spark, path, "tombstones", kept, "gen"
             )

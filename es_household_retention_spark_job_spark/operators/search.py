@@ -964,18 +964,27 @@ def _locate_tf_files(
     live posting), so skipping is always safe."""
     import base64
 
-    from ..sinks.upsert import _bloom_positions
+    from ..sinks.upsert import _BLOOM_HASHES, _bloom_hashes
 
     blooms = manifest.get("tf_bloom") or {}
+    all_files = [
+        os.path.join(path, "tf", d, f)
+        for d, fs in manifest["tf"].items()
+        for f in fs
+    ]
     if not blooms or not ids or len(ids) > _TF_BLOOM_PROBE_MAX:
-        return (
-            [
-                os.path.join(path, "tf", d, f)
-                for d, fs in manifest["tf"].items()
-                for f in fs
-            ],
-            0,
-        )
+        return all_files, 0
+    # hash every id ONCE before the file loop (review finding: the md5
+    # was inside the files × ids product, so the skip case — the one the
+    # prune exists for — paid ~files·ids digests of driver CPU); an
+    # uncanonicalizable id disables pruning entirely, same conservative
+    # answer as before
+    id_hashes = []
+    for i in ids:
+        hs = _bloom_hashes(i)
+        if hs is None:
+            return all_files, 0
+        id_hashes.append(hs)
     files: list[str] = []
     skipped = 0
     for d, fs in manifest["tf"].items():
@@ -986,14 +995,16 @@ def _locate_tf_files(
                 try:
                     m = int(b["m"])
                     bits = base64.b64decode(b["b64"])
-                    keep = False
-                    for i in ids:
-                        pos = _bloom_positions(i, m)
-                        if pos is None or all(
-                            bits[p >> 3] & (1 << (p & 7)) for p in pos
-                        ):
-                            keep = True
-                            break
+                    keep = any(
+                        all(
+                            bits[p >> 3] & (1 << (p & 7))
+                            for p in (
+                                (h1 + j * h2) % m
+                                for j in range(_BLOOM_HASHES)
+                            )
+                        )
+                        for h1, h2 in id_hashes
+                    )
                 except Exception:
                     keep = True
             if keep:

@@ -594,17 +594,27 @@ def _bloom_max_keys() -> int:
     return int(os.environ.get("SPARK_GRAFT_MOR_BLOOM_MAX_KEYS", "4096"))
 
 
-def _bloom_positions(key, m: int) -> list[int] | None:
-    """The filter's bit positions for a key: double hashing over the two
-    halves of the PORTABLE md5 of the key's canonical text. int/str keys
-    only — identical canonicalization at build and probe time is what
-    makes false negatives impossible; any other type returns None (build:
-    no filter recorded; probe: treated as possibly-present)."""
+def _bloom_hashes(key) -> tuple[int, int] | None:
+    """(h1, h2) double-hash bases for a key: the two halves of the
+    PORTABLE md5 of its canonical text. int/str keys only — identical
+    canonicalization at build and probe time is what makes false
+    negatives impossible; any other type returns None. Split out from
+    `_bloom_positions` so a probe over many filters of different sizes
+    hashes each key ONCE and takes mod m per filter (the text index's
+    locate prune iterates files × ids — the md5 must not be inside that
+    product)."""
     if isinstance(key, bool) or not isinstance(key, (int, str)):
         return None
     raw = hashlib.md5(str(key).encode("utf-8")).digest()
-    h1 = int.from_bytes(raw[:8], "big")
-    h2 = int.from_bytes(raw[8:], "big") | 1
+    return int.from_bytes(raw[:8], "big"), int.from_bytes(raw[8:], "big") | 1
+
+
+def _bloom_positions(key, m: int) -> list[int] | None:
+    """The filter's bit positions for a key — see `_bloom_hashes`."""
+    hs = _bloom_hashes(key)
+    if hs is None:
+        return None
+    h1, h2 = hs
     return [(h1 + i * h2) % m for i in range(_BLOOM_HASHES)]
 
 

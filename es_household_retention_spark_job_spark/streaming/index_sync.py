@@ -120,7 +120,15 @@ def _split_changes(changes: DataFrame, id_col: str, cols: list[str]):
     ups = changes.where(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
     ).select(id_col, *cols)
-    pairs = changes.select(id_col, CHANGE_TYPE_COL).collect()
+    pairs = (
+        changes.where(
+            F.col(CHANGE_TYPE_COL).isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        .select(id_col, CHANGE_TYPE_COL)
+        .collect()
+    )
     up_ids = [
         r[id_col]
         for r in pairs

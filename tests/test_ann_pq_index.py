@@ -279,3 +279,52 @@ def test_pq_calibration_recall_guard(spark, embs, tmp_path):
         .count()
     )
     assert hits / max(want.count(), 1) >= 0.9
+
+
+def test_pq_calibration_degenerate_corpus_does_not_fail_build(
+    spark, tmp_path
+):
+    """Review finding pinned: ``build_ann_index(pq=True)`` over a corpus
+    the calibration cannot measure (a single live vector — the self-probe
+    excludes self-matches, so there are no scored pairs) must still
+    SUCCEED, committing a ``degenerate`` breach calibration that keeps
+    the pq tier out of the default route; the index itself serves.
+    (``pq_train`` needs ≥ksub rows, so the degenerate regimes are padded
+    with zero-norm vectors — exactly the shape a scrubbed/filtered
+    production corpus can land in.)"""
+    one_live = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0] * 4),
+            (3, [0.0] * 4),
+            (4, [0.0] * 4),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ann_index(
+        one_live, idx, n_cells=1, centroids=[[1.0, 0.0, 0.0, 0.0]],
+        pq=True, pq_m=2, pq_ksub=4,
+    )
+    calib = _manifest(idx)["pq_calibration"]
+    assert calib["degenerate"] is True and calib["breach"] is True
+    assert calib["refine"] == 0
+    # the built index still serves (refine=None falls back to 4k)
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.1, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = S.knn_pq_indexed(spark, idx, q, k=1, n_probe=1)
+    assert [(r.query_id, r.neighbor_id) for r in got.collect()] == [(9, 1)]
+    # all-zero-norm corpus: the sample itself is empty — same contract
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    idx2 = str(tmp_path / "idx2")
+    S.build_ann_index(
+        zeros, idx2, n_cells=1, centroids=[[1.0, 0.0]], pq=True,
+        pq_m=2, pq_ksub=4,
+    )
+    calib2 = _manifest(idx2)["pq_calibration"]
+    assert calib2["degenerate"] is True and calib2["breach"] is True
+    assert calib2["n_sample"] == 0

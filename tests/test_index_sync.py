@@ -418,3 +418,150 @@ def test_neardup_concurrent_commit_detected(spark, tmp_path):
         D._commit_neardup_meta(
             idx, stale, {**stale, "version": int(stale["version"]) + 1}
         )
+
+
+def test_neardup_rebuild_bumps_version_so_stale_racers_abort(
+    spark, tmp_path
+):
+    """Review finding pinned: a rebuild must not reset the meta version —
+    with a reset to 1, a maintenance op that planned BEFORE the rebuild
+    could pass the version-only optimistic check (1 == 1) and commit a
+    meta pointing at the swept old base dir, destroying the index. The
+    rebuild now bumps monotonically under the publish lock, so the stale
+    racer aborts loudly; the CDC cursor carries across the rebuild."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+    from es_household_retention_spark_job_spark.sinks.upsert import (
+        ConcurrentWriteError,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    # move the version past 1 with a real maintenance commit
+    dup = sorted(
+        {
+            r.dup_of
+            for r in D.neardup_probe(
+                docs.where(F.col("doc_id") % 10 == 1),
+                D.read_neardup_index(spark, idx),
+            ).collect()
+        }
+    )[:1]
+    assert D.delete_neardup_docs(spark, idx, dup) == 1
+    pre = D._read_neardup_meta(idx)
+    pre["last_epoch"] = 7  # a cursor the rebuild must carry
+    pre["epoch_stream"] = "cdc:/t"
+    D._write_neardup_meta(idx, pre)
+    # the racer plans from the pre-rebuild meta...
+    stale = D._read_neardup_meta(idx)
+    D.build_neardup_index(docs, idx)
+    meta = D._read_neardup_meta(idx)
+    assert int(meta["version"]) > int(stale["version"])
+    assert meta["last_epoch"] == 7 and meta["epoch_stream"] == "cdc:/t"
+    # ...and must abort now that the rebuild committed a newer generation
+    with pytest.raises(ConcurrentWriteError, match="concurrently"):
+        D._commit_neardup_meta(
+            idx,
+            stale,
+            {**stale, "version": int(stale["version"]) + 1},
+        )
+
+
+def test_neardup_legacy_adopt_commits_meta_gating_crash_strays(
+    spark, tmp_path
+):
+    """Review finding pinned: on a pre-meta (legacy) index the adopt step
+    itself must WRITE the meta — otherwise a maintenance op crashing
+    after landing its tombstone file but before its meta commit leaves
+    the uncommitted ledger SERVED by the whole-dir fallback (docs vanish)
+    while its replacement rows stay meta-gated invisible."""
+    import os
+    import shutil
+
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    # fabricate the legacy layout: plain base/, no meta
+    meta = D._read_neardup_meta(idx)
+    shutil.move(
+        os.path.join(idx, meta["base_dir"]), os.path.join(idx, "base")
+    )
+    os.unlink(os.path.join(idx, "_meta.json"))
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+
+    def dup_of():
+        return {
+            r.dup_of
+            for r in D.neardup_probe(
+                probe_docs, D.read_neardup_index(spark, idx, id_col="doc_id")
+            ).collect()
+        }
+
+    before = dup_of()
+    assert before
+    # the adopt (first step of every maintenance op) commits a meta
+    adopted = D._adopt_neardup_meta(spark, idx, "doc_id")
+    assert D._read_neardup_meta(idx) is not None
+    assert adopted["tombstones"] == [] and adopted["sync"] == []
+    # simulate the crash window: a landed-but-never-committed tombstone
+    target = sorted(before)[:1]
+    D._land_neardup_file(
+        spark,
+        idx,
+        "tombstones",
+        spark.createDataFrame(
+            [(t, int(adopted["version"])) for t in target],
+            "_tomb_id long, _tomb_as_of long",
+        ),
+        "gen",
+    )
+    # the stray is invisible: probes serve the full pre-crash state
+    assert dup_of() == before
+
+
+def test_neardup_upsert_isin_cap_falls_back_to_joins(
+    spark, tmp_path, monkeypatch
+):
+    """Past _NEARDUP_ISIN_MAX the forever-tombstone probe and the kept-
+    ledger rewrite go through broadcast semi/anti joins instead of one
+    giant isin literal; forcing the cap to 0 must not change the
+    resurrect semantics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    probe_docs = docs.where(F.col("doc_id") % 10 == 1)
+
+    def dup_of():
+        return {
+            r.dup_of
+            for r in D.neardup_probe(
+                probe_docs, D.read_neardup_index(spark, idx)
+            ).collect()
+        }
+
+    target = sorted(dup_of())[:1]
+    assert D.delete_neardup_docs(spark, idx, target) == 1
+    # make the ledger entry a LEGACY forever one (strip the version)
+    meta = D._read_neardup_meta(idx)
+    tomb_dir = os.path.join(idx, "tombstones")
+    for f in meta["tombstones"]:
+        pth = os.path.join(tomb_dir, f)
+        t = pq.read_table(pth)
+        pq.write_table(t.drop_columns(["_tomb_as_of"]), pth)
+        crc = os.path.join(tomb_dir, f".{f}.crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+    assert target[0] not in dup_of()
+    monkeypatch.setattr(D, "_NEARDUP_ISIN_MAX", 0)
+    back = docs.where(F.col("doc_id").isin(target))
+    res = D.upsert_neardup_docs(spark, idx, back)
+    assert res["appended"] == 1
+    assert target[0] in dup_of()  # resurrected through the join path
