@@ -788,6 +788,89 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- filtered (predicate-scoped) vector search (round 12b) ------------------
+# The production retrieval pattern every vector store needs: top-k among
+# the rows a metadata predicate admits (one tenant / language / label).
+# Exact semantics are fully SQL-expressible, so the scoped search gets the
+# HASH oracle; the escalated-probe ANN arm is approximate by design and
+# carries a recall gate in tests/test_docs_pipeline.py.
+
+_KNN_FILTERED_SQL = f"""WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings),
+vecs AS (
+    SELECT vec_id, label, emb,
+           sqrt({_fold_sum("list_transform(emb, x -> x * x)")}) AS nrm
+    FROM base),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM vecs WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           {_DOT.format(a="qemb", b="c.emb")} / (qnrm * c.nrm) AS cos
+    FROM vecs c, q
+    WHERE c.vec_id <> query_id AND c.label IN (0, 1, 2)),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(floor(cos * {S.COS_SCALE}) AS BIGINT) AS cos_bp
+FROM ranked WHERE rank <= {KNN_K}"""
+
+
+@register("knn_filtered", _KNN_FILTERED_SQL, extra=True)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered kNN — top-k cosine among the vectors ``label IN
+    (0,1,2)`` admits (~30% of the corpus), queries unrestricted. The
+    ground truth the scoped-retrieval family hash-matches; pre-filter
+    semantics (the top-k is taken over eligible rows, never a post-hoc
+    subset of an unfiltered top-k)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return S.knn_bruteforce(
+        embs.where(F.col("label").isin(0, 1, 2)), queries, k=KNN_K
+    )
+
+
+@register("knn_filtered_auto", _KNN_FILTERED_SQL, extra=True)
+def knn_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-routed filtered search over the PERSISTED index
+    (similarity.knn_filtered_auto, round 12b): one count job prices the
+    escalated-probe IVF plan against the exact filtered brute force
+    (``choose_filtered_route`` — scan-rows cost model, pure function,
+    pinned in tests). At this filter's ~30% selectivity the escalation
+    hits the probe cap and the route crosses to the brute arm, which is
+    EXACT — so this row hash-matches the same SQL as ``knn_filtered``
+    THROUGH the index read, the tombstone filter, and the router."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    allowed = embs.where(F.col("label").isin(0, 1, 2)).select("vec_id")
+    return S.knn_filtered_auto(
+        spark, _ann_index_path(spark, sf_dir), queries, allowed, k=KNN_K
+    )
+
+
+@register("knn_ivf_filtered", extra=True)  # approximate by design (the
+# ivf arm keeps IVF probe-recall semantics); equality-at-full-probes and
+# the recall floor are pinned in tests/test_docs_pipeline.py.
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BROAD-filter regime of the same router (``label <> 0``, ~90%
+    selectivity): the escalated probe budget (⌈12/0.9⌉ = 14 of 16 cells)
+    stays under the cap and reads fewer rows than the allowed set holds,
+    so the route keeps the ANN plan — candidates are semi-joined against
+    the allowed ids BEFORE scoring (pre-filter inside the probed cells),
+    preserving a full top-k. The scale story: a broad filter never pays
+    a corpus-wide exact scan just because a predicate appeared."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    allowed = embs.where(F.col("label") != 0).select("vec_id")
+    return S.knn_filtered_auto(
+        spark, _ann_index_path(spark, sf_dir), queries, allowed, k=KNN_K
+    )
+
+
 #: separate from _ANN_INDEX_BUILT on purpose: upgrading the SHARED index
 #: with a pq sidecar would let knn_ann_auto's route flip to the pq tier
 #: depending on which extras row ran first — registry-order-dependent

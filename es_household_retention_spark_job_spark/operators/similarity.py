@@ -831,6 +831,8 @@ def knn_ivf_indexed(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     plan: dict | None = None,
+    allowed: DataFrame | None = None,
+    allowed_n: int | None = None,
 ) -> DataFrame:
     """``knn_ivf`` over a ``build_ann_index`` output: byte-identical ranks
     without retraining or rescanning — the cell read carries a partition
@@ -842,7 +844,17 @@ def knn_ivf_indexed(
 
     ``plan`` (from ``choose_ann_route(with_plan=True)``) supplies the
     already-read manifest / centroid matrix / probe union so the routed
-    call does not repeat the planning jobs (r10 advisory)."""
+    call does not repeat the planning jobs (r10 advisory).
+
+    ``allowed`` (one id column, any predicate's output) restricts the
+    NEIGHBOR side to those ids — filtered / scoped vector search with
+    PRE-FILTER semantics inside the probed cells: candidates are
+    semi-joined against the allowed set BEFORE scoring, so the top-k is
+    taken over eligible rows only (a post-filter would silently return
+    fewer than k). ``allowed_n`` (when the caller already counted) picks
+    the broadcast side deterministically; unknown sizes are left to AQE.
+    n_probe is NOT escalated here — ``knn_filtered_auto`` owns the
+    selectivity-aware probe budget and the brute-force crossover."""
     if plan is not None:
         manifest, cents = plan["manifest"], plan["cents"]
     else:
@@ -891,12 +903,204 @@ def knn_ivf_indexed(
         path,
         manifest,
     )
+    if allowed is not None:
+        cells = _restrict_to_allowed(cells, allowed, allowed_n)
     cand = (
         cells.join(F.broadcast(q), ANN_CELL_COL)
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
     )
     return rerank_topk(cand, k, dedup=True)
+
+
+def _ann_filter_bcast_max() -> int:
+    """``SPARK_GRAFT_ANN_FILTER_BCAST_MAX``: largest counted allowed-id
+    set joined with an explicit broadcast hint (~8 B/int64 id → the 1M
+    default is ≈8 MB, inside Spark's broadcast comfort zone); bigger sets
+    go through a plain semi-join and AQE picks the strategy."""
+    return int(os.environ.get("SPARK_GRAFT_ANN_FILTER_BCAST_MAX", "1000000"))
+
+
+def _restrict_to_allowed(
+    cells: DataFrame, allowed: DataFrame, allowed_n: int | None
+) -> DataFrame:
+    """Semi-join an index read down to an allowed-id set (filtered
+    search). ``allowed`` must carry exactly one column — it IS the id,
+    whatever the predicate that produced it; requiring the single-column
+    shape catches a caller passing a whole table by accident."""
+    if len(allowed.columns) != 1:
+        raise ValueError(
+            "allowed= must have exactly ONE column (the vector ids a "
+            f"predicate admitted); got {allowed.columns}"
+        )
+    a = allowed.select(F.col(allowed.columns[0]).alias("neighbor_id"))
+    if allowed_n is not None and allowed_n <= _ann_filter_bcast_max():
+        a = F.broadcast(a)
+    return cells.join(a, "neighbor_id", "left_semi")
+
+
+def choose_filtered_route(
+    n_live: int,
+    n_allowed: int,
+    n_cells: int,
+    n_probe: int,
+) -> dict:
+    """Filtered-search route as a PURE function of the counts — the
+    ``ann_route_costs`` discipline for the scoped-retrieval problem.
+
+    The physics: with selectivity ``s = n_allowed / n_live``, an IVF
+    probe of ``p`` cells holds ~``s·p/n_cells·n_live`` eligible
+    candidates. Holding the scored-candidate budget at the UNFILTERED
+    batch's level therefore requires escalating the probe count by 1/s
+    (``n_probe_eff``) — and past the point where that escalation reads
+    more corpus rows than the allowed set itself contains, the exact
+    brute-force over the filtered rows is both cheaper AND exact, so the
+    route crosses over. Scan-cost model (rows touched per query batch):
+    ivf ≈ n_live·n_probe_eff/n_cells, brute ≈ n_allowed; ties go to
+    brute because it is exact. Selective filters (the common scoped
+    case: one tenant, one language, one label) route to brute; broad
+    filters keep the probe-pruned ANN plan with a mild escalation."""
+    import math
+
+    n_live = max(int(n_live), 1)
+    n_cells = max(int(n_cells), 1)
+    s = min(max(int(n_allowed), 0) / n_live, 1.0)
+    if n_allowed <= 0:
+        return {
+            "route": "empty",
+            "n_probe_eff": 0,
+            "selectivity_bp": 0,
+            "ivf_rows": 0,
+            "brute_rows": 0,
+            "exact": True,
+        }
+    n_probe_eff = min(
+        n_cells, max(int(n_probe), int(math.ceil(n_probe / max(s, 1e-9))))
+    )
+    ivf_rows = n_live * n_probe_eff // n_cells
+    brute_rows = int(n_allowed)
+    route = "brute" if brute_rows <= ivf_rows else "ivf"
+    return {
+        "route": route,
+        "n_probe_eff": int(n_probe_eff),
+        "selectivity_bp": int(s * 10000),
+        "ivf_rows": int(ivf_rows),
+        "brute_rows": brute_rows,
+        "exact": route == "brute",
+    }
+
+
+def _knn_brute_from_cells(
+    spark,
+    path: str,
+    manifest: dict,
+    queries: DataFrame,
+    k: int,
+    allowed: DataFrame,
+    allowed_n: int | None,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Exact filtered top-k served FROM the index's cells (not the source
+    table): tombstone- and generation-consistent with what the ANN tiers
+    would serve, so the route choice never changes which corpus snapshot
+    answers. Reads every cell file but only the (id, _emb, _norm)
+    columns, restricts to the allowed set before the query cross-join,
+    and scores s·n_live candidates per query — the cheaper arm exactly
+    when ``choose_filtered_route`` picked it."""
+    files = [
+        os.path.join(path, "cells", d, f)
+        for d, fs in manifest["cells"].items()
+        for f in fs
+    ]
+    if not files:
+        return queries.where(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(0).cast("long").alias("cos_bp"),
+        )
+    live = _without_tombstones(
+        spark.read.option("basePath", f"{path}/cells")
+        .parquet(*files)
+        .select(F.col(id_col).alias("neighbor_id"), "_emb", "_norm"),
+        spark,
+        path,
+        manifest,
+    )
+    live = _restrict_to_allowed(live, allowed, allowed_n)
+    q = with_unit_meta(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cand = (
+        live.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qemb", "_qnorm", "_emb", "_norm")
+    )
+    return rerank_topk(cand, k)
+
+
+def knn_filtered_auto(
+    spark,
+    path: str,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    route: dict | None = None,
+) -> DataFrame:
+    """Filtered (predicate-scoped) vector search over a persisted index,
+    selectivity-routed: count the allowed set (ONE aggregate job on the
+    filter frame — its predicate pushes down to the source scan), price
+    the escalated-probe IVF plan against the exact filtered brute force
+    with ``choose_filtered_route``, and run the winner. The brute arm is
+    EXACT; the ivf arm keeps ANN recall semantics with the probe budget
+    raised 1/selectivity so the scored-candidate pool matches an
+    unfiltered batch (without escalation a selective filter silently
+    starves the top-k). Callers that already know the route (repeat
+    batches against the same filter) pass ``route=`` and skip the count.
+
+    100 TB posture: the allowed frame stays distributed end-to-end (the
+    semi-join broadcasts only counted-small sets); no step materializes
+    ids on the driver; the brute arm's scan is column-pruned to
+    id+embedding+norm and its scored pairs are exactly s·n_live per
+    query — the arm is only chosen when that is the SMALLER number."""
+    manifest = _read_ann_manifest(path)
+    if manifest is None:
+        manifest = _bootstrap_ann_manifest(spark, path)
+    cents = _read_centroids(spark, path, manifest)
+    if route is None:
+        n_live = sum(_manifest_cell_rows(spark, path, manifest).values())
+        n_allowed = allowed.count()
+        route = choose_filtered_route(n_live, n_allowed, len(cents), n_probe)
+    if route["route"] == "empty":
+        return queries.where(F.lit(False)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).cast("int").alias("rank"),
+            F.lit(0).cast("long").alias("cos_bp"),
+        )
+    allowed_n = route["brute_rows"]
+    if route["route"] == "brute":
+        return _knn_brute_from_cells(
+            spark, path, manifest, queries, k, allowed, allowed_n,
+            id_col, emb_col,
+        )
+    return knn_ivf_indexed(
+        spark,
+        path,
+        queries,
+        k=k,
+        n_probe=route["n_probe_eff"],
+        id_col=id_col,
+        emb_col=emb_col,
+        allowed=allowed,
+        allowed_n=allowed_n,
+    )
 
 
 def _move_staged_cells(
@@ -2789,6 +2993,33 @@ def knn_pq_indexed(
     )
 
 
+def _commit_degenerate_pq_calibration(
+    spark, path: str, manifest: dict, k: int, floor_bp: int, n_probe: int
+) -> dict:
+    """Calibration result for a corpus that cannot produce the rank
+    statistic (no live vectors / a single vector / all zero-norm):
+    ``breach=True`` keeps the pq tier out of ``knn_ann_auto``'s default
+    route, ``degenerate=True`` says why, and the atomic commit keeps the
+    build/sidecar call that triggered the calibration SUCCEEDING — the
+    index itself is fine, there is just nothing to measure."""
+    calib = {
+        "k": int(k),
+        "floor_bp": int(floor_bp),
+        "refine": 0,
+        "n_probe": int(n_probe),
+        "n_sample": 0,
+        "cand_per_query": 0,
+        "measured_recall_bp": 0,
+        "breach": True,
+        "degenerate": True,
+    }
+    new_manifest = dict(manifest)
+    new_manifest["version"] = int(manifest.get("version", 1)) + 1
+    new_manifest["pq_calibration"] = calib
+    _commit_ann_manifest(path, manifest, new_manifest)
+    return calib
+
+
 def calibrate_pq_refine(
     spark,
     path: str,
@@ -2858,7 +3089,14 @@ def calibrate_pq_refine(
         .collect()
     )
     if not sample:
-        raise ValueError(f"vector index at {path} has no live vectors")
+        # degenerate corpus (no live vectors, or all zero-norm): record a
+        # breach calibration instead of raising — build_ann_index(pq=True)
+        # has already committed a usable index by this point, and a failed
+        # calibration must not turn that into a failed build (review
+        # finding); the tier simply stays out of the default route
+        return _commit_degenerate_pq_calibration(
+            spark, path, manifest, k, floor_bp, n_probe
+        )
     qdf = spark.createDataFrame(
         [(r[id_col], list(r["_emb"])) for r in sample],
         f"`{id_col}` {live.schema[id_col].dataType.simpleString()}, "
@@ -2951,7 +3189,11 @@ def calibrate_pq_refine(
     finally:
         ranked.unpersist()
     if not adc_ranks:
-        raise ValueError("calibration sample produced no scored pairs")
+        # single live vector (the self-probe excludes self-matches) or an
+        # otherwise pair-free sample — same degenerate contract as above
+        return _commit_degenerate_pq_calibration(
+            spark, path, manifest, k, floor_bp, n_probe
+        )
     import math
 
     idx = max(math.ceil(floor_bp / 10000 * len(adc_ranks)) - 1, 0)

@@ -1707,3 +1707,133 @@ def test_knn_ivfpq_refine_recall_clustered(spark):
     for r in got:
         if (r.query_id, r.neighbor_id) in exact_bp:
             assert r.cos_bp == exact_bp[(r.query_id, r.neighbor_id)]
+
+
+# --------------------------------------------------------------------------
+# Filtered (predicate-scoped) vector search — round 12b
+# --------------------------------------------------------------------------
+
+
+def test_choose_filtered_route_pure_function():
+    """The selectivity router's decisions as a pure function of counts —
+    the ann_route_costs discipline: selective filters cross to the exact
+    brute arm, broad filters keep the ANN plan with a 1/s probe
+    escalation, an all-pass filter never escalates, empty is empty."""
+    # selective (30%): escalation hits the cap -> brute, which is exact
+    r = S.choose_filtered_route(500, 153, 16, 12)
+    assert r["route"] == "brute" and r["exact"] is True
+    assert r["n_probe_eff"] == 16 and r["brute_rows"] == 153
+    # broad (90%): ceil(12/.9)=14 of 16 cells reads fewer rows than the
+    # allowed set holds -> ivf
+    r = S.choose_filtered_route(500, 450, 16, 12)
+    assert r["route"] == "ivf" and r["n_probe_eff"] == 14
+    assert r["exact"] is False
+    # all-pass: no escalation at all — a trivial predicate must not
+    # change the unfiltered plan's cost
+    r = S.choose_filtered_route(10_000, 10_000, 64, 12)
+    assert r["route"] == "ivf" and r["n_probe_eff"] == 12
+    # scale-free in s: the 100× corpus with the same selectivity makes
+    # the same call (the rule is a ratio, not an absolute)
+    big = S.choose_filtered_route(50_000, 15_300, 16, 12)
+    assert big["route"] == "brute"
+    # 1-in-a-million tenant on a big index: brute over the tenant's rows
+    r = S.choose_filtered_route(10_000_000, 10, 256, 12)
+    assert r["route"] == "brute" and r["brute_rows"] == 10
+    # empty filter
+    r = S.choose_filtered_route(500, 0, 16, 12)
+    assert r["route"] == "empty" and r["exact"] is True
+
+
+def test_knn_ivf_filtered_equals_exact_at_full_probes(spark, embs, tmp_path):
+    """With the probe budget at n_cells the filtered IVF read covers the
+    whole index, so the pre-filter semi-join must reproduce the exact
+    filtered brute force byte-for-byte — pins that the allowed-set
+    restriction happens BEFORE scoring (post-filtering an unfiltered
+    top-k would drop eligible neighbors)."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    allowed = embs.where(F.col("label").isin(3, 4)).select("vec_id")
+    idx = str(tmp_path / "fidx")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_bruteforce(
+            embs.where(F.col("label").isin(3, 4)), queries, k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_ivf_indexed(
+            spark, idx, queries, k=5, n_probe=16, allowed=allowed
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_knn_filtered_auto_routes_and_recall(spark, embs, tmp_path):
+    """End-to-end router: the selective arm returns the EXACT filtered
+    result (route=brute); the broad arm keeps ANN semantics with the
+    escalated probe budget and holds the family's ≥0.9 recall floor
+    against the exact filtered truth; tombstoned ids never serve."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "fidx")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3)
+    # selective -> exact equality
+    allowed = embs.where(F.col("label").isin(0, 1, 2)).select("vec_id")
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_bruteforce(
+            embs.where(F.col("label").isin(0, 1, 2)), queries, k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_filtered_auto(
+            spark, idx, queries, allowed, k=5
+        ).collect()
+    }
+    assert got == want and got
+    # broad -> ivf arm, recall floor vs exact filtered truth
+    broad = embs.where(F.col("label") != 0).select("vec_id")
+    exact_top = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(
+            embs.where(F.col("label") != 0), queries, k=5
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_filtered_auto(
+            spark, idx, queries, broad, k=5
+        ).collect()
+    }
+    recall = len(approx & exact_top) / len(exact_top)
+    assert recall >= 0.9, recall
+    # a tombstoned id is excluded by BOTH arms
+    victim = sorted({p[1] for p in want})[:1]
+    assert S.delete_ann_ids(spark, idx, victim) == 1
+    for flt in (allowed, broad):
+        after = {
+            r.neighbor_id
+            for r in S.knn_filtered_auto(
+                spark, idx, queries, flt, k=5
+            ).collect()
+        }
+        assert victim[0] not in after
+
+
+def test_filtered_allowed_frame_validation_and_empty(spark, embs, tmp_path):
+    """allowed= must be a single-column id frame (a whole table raises);
+    an empty allowed set returns an empty, correctly-typed result."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "fidx")
+    S.build_ann_index(embs, idx, n_cells=4, iters=2)
+    with pytest.raises(ValueError, match="exactly ONE column"):
+        S.knn_ivf_indexed(
+            spark, idx, queries, k=5, allowed=embs
+        ).collect()
+    empty = embs.where(F.lit(False)).select("vec_id")
+    out = S.knn_filtered_auto(spark, idx, queries, empty, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cos_bp",
+    ]
