@@ -944,48 +944,75 @@ def choose_filtered_route(
     n_allowed: int,
     n_cells: int,
     n_probe: int,
+    n_queries: int = 40,
 ) -> dict:
     """Filtered-search route as a PURE function of the counts — the
-    ``ann_route_costs`` discipline for the scoped-retrieval problem.
+    ``ann_route_costs`` discipline for the scoped-retrieval problem,
+    priced with the SAME ledger (``_route_weights``: row/pair/pass
+    units) so the two routers cannot silently diverge.
 
-    The physics: with selectivity ``s = n_allowed / n_live``, an IVF
-    probe of ``p`` cells holds ~``s·p/n_cells·n_live`` eligible
-    candidates. Holding the scored-candidate budget at the UNFILTERED
-    batch's level therefore requires escalating the probe count by 1/s
-    (``n_probe_eff``) — and past the point where that escalation reads
-    more corpus rows than the allowed set itself contains, the exact
-    brute-force over the filtered rows is both cheaper AND exact, so the
-    route crosses over. Scan-cost model (rows touched per query batch):
-    ivf ≈ n_live·n_probe_eff/n_cells, brute ≈ n_allowed; ties go to
-    brute because it is exact. Selective filters (the common scoped
-    case: one tenant, one language, one label) route to brute; broad
-    filters keep the probe-pruned ANN plan with a mild escalation."""
+    The physics: with selectivity ``s = n_allowed / n_live``, holding
+    the ELIGIBLE-candidate pool at the unfiltered batch's level requires
+    escalating the probe count by 1/s (``n_probe_eff``, capped at
+    n_cells). Both arms then read and score proportional volumes —
+    brute reads the whole cells/ projection and scores every allowed
+    row; the escalated ivf reads and scores the probed fraction
+    ``n_probe_eff/n_cells`` of both — plus fixed per-pass plan costs
+    (the ivf plan carries one extra pass: the probe-union resolve).
+    The crossover falls out: a selective filter escalates to the cap
+    (fraction → 1, no savings — brute wins, and it is EXACT); a broad
+    filter over a many-celled index keeps a small fraction and the
+    saved reads/pairs dwarf the extra pass (ivf wins); a TOY index
+    (few cells, small corpus) routes brute even for broad filters
+    because at 14-of-16 cells the 12% volume saving cannot pay for the
+    probe machinery — which is exactly what the ladder measures. Ties
+    go to brute because it is exact."""
     import math
 
+    w = _route_weights()
     n_live = max(int(n_live), 1)
     n_cells = max(int(n_cells), 1)
+    nq = max(int(n_queries), 1)
     s = min(max(int(n_allowed), 0) / n_live, 1.0)
     if n_allowed <= 0:
         return {
             "route": "empty",
             "n_probe_eff": 0,
             "selectivity_bp": 0,
-            "ivf_rows": 0,
-            "brute_rows": 0,
+            "cost_brute": 0,
+            "cost_ivf": 0,
+            "n_allowed": 0,
             "exact": True,
         }
     n_probe_eff = min(
         n_cells, max(int(n_probe), int(math.ceil(n_probe / max(s, 1e-9))))
     )
-    ivf_rows = n_live * n_probe_eff // n_cells
-    brute_rows = int(n_allowed)
-    route = "brute" if brute_rows <= ivf_rows else "ivf"
+    frac = n_probe_eff / n_cells
+    cost_brute = (
+        2 * w["pass"]
+        + n_live * w["row_double"]
+        + nq * int(n_allowed) * w["pair_double"]
+    )
+    cost_ivf = (
+        3 * w["pass"]
+        + frac * n_live * w["row_double"]
+        + frac * nq * int(n_allowed) * w["pair_double"]
+    )
+    # decisiveness margin, biased toward the EXACT arm: the filtered-ivf
+    # plan carries fan-out machinery (probe explode, per-cell join, the
+    # allowed semi-join inside a pruned scan) the pair/row/pass ledger
+    # underprices at small volumes — the ladder measures brute winning
+    # every near-tie — and brute is exact, so ANN must buy its recall
+    # trade with a DECISIVE volume saving, not a model-noise-sized one.
+    margin = float(os.environ.get("SPARK_GRAFT_FILTERED_IVF_MARGIN", "4"))
+    route = "brute" if cost_brute <= cost_ivf * margin else "ivf"
     return {
         "route": route,
         "n_probe_eff": int(n_probe_eff),
         "selectivity_bp": int(s * 10000),
-        "ivf_rows": int(ivf_rows),
-        "brute_rows": brute_rows,
+        "cost_brute": int(cost_brute),
+        "cost_ivf": int(cost_ivf),
+        "n_allowed": int(n_allowed),
         "exact": route == "brute",
     }
 
@@ -1076,7 +1103,10 @@ def knn_filtered_auto(
     if route is None:
         n_live = sum(_manifest_cell_rows(spark, path, manifest).values())
         n_allowed = allowed.count()
-        route = choose_filtered_route(n_live, n_allowed, len(cents), n_probe)
+        route = choose_filtered_route(
+            n_live, n_allowed, len(cents), n_probe,
+            n_queries=queries.count(),
+        )
     if route["route"] == "empty":
         return queries.where(F.lit(False)).select(
             F.col(id_col).alias("query_id"),
@@ -1084,7 +1114,7 @@ def knn_filtered_auto(
             F.lit(0).cast("int").alias("rank"),
             F.lit(0).cast("long").alias("cos_bp"),
         )
-    allowed_n = route["brute_rows"]
+    allowed_n = route["n_allowed"]
     if route["route"] == "brute":
         return _knn_brute_from_cells(
             spark, path, manifest, queries, k, allowed, allowed_n,

@@ -1715,30 +1715,41 @@ def test_knn_ivfpq_refine_recall_clustered(spark):
 
 
 def test_choose_filtered_route_pure_function():
-    """The selectivity router's decisions as a pure function of counts —
-    the ann_route_costs discipline: selective filters cross to the exact
-    brute arm, broad filters keep the ANN plan with a 1/s probe
-    escalation, an all-pass filter never escalates, empty is empty."""
+    """The selectivity router's decisions as a pure function of counts,
+    priced with the shared _route_weights ledger (rows, pairs, passes):
+    selective filters escalate to the probe cap and cross to the exact
+    brute arm; broad filters on a MANY-celled index keep the ANN plan;
+    a toy index (few cells) routes brute even for broad filters because
+    a 14-of-16 probe saves too little volume to pay the probe pass —
+    the regime the filtered_knn_ladder measures; empty is empty."""
     # selective (30%): escalation hits the cap -> brute, which is exact
-    r = S.choose_filtered_route(500, 153, 16, 12)
+    r = S.choose_filtered_route(500, 153, 16, 12, n_queries=10)
     assert r["route"] == "brute" and r["exact"] is True
-    assert r["n_probe_eff"] == 16 and r["brute_rows"] == 153
-    # broad (90%): ceil(12/.9)=14 of 16 cells reads fewer rows than the
-    # allowed set holds -> ivf
-    r = S.choose_filtered_route(500, 450, 16, 12)
-    assert r["route"] == "ivf" and r["n_probe_eff"] == 14
-    assert r["exact"] is False
-    # all-pass: no escalation at all — a trivial predicate must not
-    # change the unfiltered plan's cost
-    r = S.choose_filtered_route(10_000, 10_000, 64, 12)
+    assert r["n_probe_eff"] == 16 and r["n_allowed"] == 153
+    # broad (90%) on the TOY index: 14/16 cells saves ~12% of the volume
+    # — the extra probe pass costs more, so brute (matches the ladder)
+    r = S.choose_filtered_route(500, 450, 16, 12, n_queries=10)
+    assert r["route"] == "brute" and r["n_probe_eff"] == 14
+    # all-pass on a many-celled NON-TOY index: no escalation, probe
+    # pruning wins decisively (the 4x exactness margin is cleared)
+    r = S.choose_filtered_route(10_000_000, 10_000_000, 64, 12, n_queries=40)
     assert r["route"] == "ivf" and r["n_probe_eff"] == 12
-    # scale-free in s: the 100× corpus with the same selectivity makes
-    # the same call (the rule is a ratio, not an absolute)
-    big = S.choose_filtered_route(50_000, 15_300, 16, 12)
-    assert big["route"] == "brute"
-    # 1-in-a-million tenant on a big index: brute over the tenant's rows
-    r = S.choose_filtered_route(10_000_000, 10, 256, 12)
-    assert r["route"] == "brute" and r["brute_rows"] == 10
+    assert r["exact"] is False
+    # ...but the same all-pass filter on a 10k-vector toy corpus stays
+    # brute: the saving is real yet NOT decisive, and brute is exact
+    r = S.choose_filtered_route(10_000, 10_000, 64, 12, n_queries=40)
+    assert r["route"] == "brute"
+    # production shape: broad filter, 1024 cells, 1B vectors — the saved
+    # reads/pairs dwarf the fixed pass, ivf by ~40×
+    r = S.choose_filtered_route(
+        1_000_000_000, 500_000_000, 1024, 12, n_queries=40
+    )
+    assert r["route"] == "ivf" and r["n_probe_eff"] == 24
+    assert r["cost_ivf"] * 10 < r["cost_brute"]
+    # 1-in-a-million tenant on the same index: escalation caps out,
+    # brute over the tenant's rows is exact and cheapest
+    r = S.choose_filtered_route(10_000_000, 10, 256, 12, n_queries=40)
+    assert r["route"] == "brute" and r["n_allowed"] == 10
     # empty filter
     r = S.choose_filtered_route(500, 0, 16, 12)
     assert r["route"] == "empty" and r["exact"] is True
@@ -1792,7 +1803,9 @@ def test_knn_filtered_auto_routes_and_recall(spark, embs, tmp_path):
         ).collect()
     }
     assert got == want and got
-    # broad -> ivf arm, recall floor vs exact filtered truth
+    # the FORCED ivf arm (the route a many-celled production index takes
+    # for broad filters) at the escalated probe budget: recall floor vs
+    # the exact filtered truth
     broad = embs.where(F.col("label") != 0).select("vec_id")
     exact_top = {
         (r.query_id, r.neighbor_id)
@@ -1802,12 +1815,26 @@ def test_knn_filtered_auto_routes_and_recall(spark, embs, tmp_path):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in S.knn_filtered_auto(
-            spark, idx, queries, broad, k=5
+        for r in S.knn_ivf_indexed(
+            spark, idx, queries, k=5, n_probe=14, allowed=broad
         ).collect()
     }
     recall = len(approx & exact_top) / len(exact_top)
     assert recall >= 0.9, recall
+    # auto on the toy index routes broad to brute too (the pass cost is
+    # not paid back at 14/16 cells) -> exact equality there as well
+    got_broad = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_filtered_auto(
+            spark, idx, queries, broad, k=5
+        ).collect()
+    }
+    assert got_broad == {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_bruteforce(
+            embs.where(F.col("label") != 0), queries, k=5
+        ).collect()
+    }
     # a tombstoned id is excluded by BOTH arms
     victim = sorted({p[1] for p in want})[:1]
     assert S.delete_ann_ids(spark, idx, victim) == 1
