@@ -1957,6 +1957,49 @@ def _read_live(
     return reader.option("basePath", path).parquet(*files)
 
 
+def commit_app_meta(
+    path: str,
+    app_meta: dict,
+    app_meta_expect: dict | None = None,
+) -> None:
+    """Manifest-only commit: atomically merge ``app_meta`` into the
+    table's application metadata with a version bump and snapshot, data
+    untouched — the cursor-only bump a change-feed consumer needs when a
+    window applies nothing (without it the consumer's cursor wedges once
+    version retention prunes the window start; the index manifests'
+    cursor-only bumps, sink edition). Same optimistic ``app_meta_expect``
+    semantics as the data commits; the version records an EMPTY change
+    list so feed readers skip it without opening files. No garbage
+    processing here — the next data publish runs the GC pipeline."""
+    import time as _time
+
+    with _publish_lock(path) as lk:
+        manifest = _read_manifest(path) or _manifest_from_listing(path)
+        if app_meta_expect is not None:
+            app_now = manifest.get("app", {})
+            for k, v in app_meta_expect.items():
+                if app_now.get(k) != v:
+                    raise ConcurrentWriteError(
+                        f"app meta {k!r} is {app_now.get(k)!r}, expected "
+                        f"{v!r}; the state this commit was computed from "
+                        "has been superseded — recompute and retry"
+                    )
+        manifest.setdefault("app", {}).update(app_meta)
+        _bump_version(manifest, _time.time())
+        if _cdc_capture_enabled():
+            manifest.setdefault("cdc", {})[str(manifest["version"])] = []
+        try:
+            schema = _stored_schema(_read_layout(path))
+        except (FileNotFoundError, KeyError):
+            schema = None
+        if schema is not None:
+            schema = _with_seq_field(schema, bool(manifest.get("mor")))
+        lk.verify_owned()
+        _write_manifest(path, manifest)
+        _write_snapshot(path, manifest, schema)
+        _expire_snapshots(path)
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,

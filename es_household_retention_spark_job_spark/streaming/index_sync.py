@@ -37,6 +37,7 @@ __all__ = [
     "sync_text_index",
     "sync_ann_index",
     "sync_neardup_index",
+    "sync_dedup_clusters",
     "cdc_stream_id",
 ]
 
@@ -341,3 +342,72 @@ def sync_neardup_index(
         "deleted": int(res.get("deleted", 0)),
         "upserted": n_up,
     }
+
+
+def sync_dedup_clusters(
+    spark: SparkSession,
+    cluster_path: str,
+    table_path: str,
+    index_path: str,
+    from_version: int | None = None,
+    text_col: str | None = None,
+    id_col: str | None = None,
+) -> dict:
+    """The FOURTH served structure joins the CDC loop: fold the table's
+    changes into the persisted union-find cluster table
+    (``operators.clusters``) — changed docs probe the SYNCED near-dup
+    band index for their verified pairs, roots resolve through bounded
+    point lookups, and one keyed-sink commit carries the new pointers
+    AND the cursor (``app_meta`` + ``app_meta_expect`` = exactly-once).
+
+    Ordering contract: the band index must have absorbed AT LEAST this
+    window (run ``sync_neardup_index`` first); the window's END is the
+    INDEX's committed cursor, so the cluster view never runs ahead of
+    the pair source it derives from. Conservative-merge semantics for
+    bridge deletions are the operator module's documented trade."""
+    from ..operators import clusters as C
+
+    meta = _dedup._read_neardup_meta(index_path) or {}
+    id_col = id_col or meta.get("id_col") or "doc_id"
+    text_col = text_col or meta.get("text_col") or "text"
+    stream = cdc_stream_id(table_path)
+    if meta.get("epoch_stream") != stream or meta.get("last_epoch") is None:
+        raise ValueError(
+            "sync_dedup_clusters: the near-dup index at "
+            f"{index_path} carries no CDC cursor for {table_path} — run "
+            "sync_neardup_index first (the cluster view derives from the "
+            "index's pairs and must not run ahead of it)"
+        )
+    idx_cur = int(meta["last_epoch"])
+    start = C.cluster_cursor(cluster_path, stream)
+    if start is None:
+        start = from_version
+    if start is None:
+        raise ValueError(
+            "sync_dedup_clusters: the cluster table carries no CDC cursor "
+            "for this table — pass from_version= (the sink version "
+            "build_cluster_table snapshotted); later syncs resume from "
+            "the committed cursor"
+        )
+    start = int(start)
+    if start >= idx_cur:
+        return {"from": start, "to": start, "upserted": 0, "deleted": 0,
+                "merged_roots": 0}
+    changes = read_changes(
+        spark, table_path, start, idx_cur, columns=[text_col]
+    )
+    ups, up_ids, dels = _split_changes(changes, id_col, [text_col])
+    res = C.apply_cluster_window(
+        spark,
+        cluster_path,
+        ups,
+        up_ids,
+        dels,
+        index_path,
+        text_col,
+        id_col,
+        epoch=idx_cur,
+        epoch_stream=stream,
+        expect_epoch=C.cluster_cursor(cluster_path, stream),
+    )
+    return {"from": start, "to": idx_cur, **res}
