@@ -342,3 +342,113 @@ def test_cluster_former_root_departure_after_compress(spark, tmp_path):
     assert _view(spark, cl) == _batch(
         spark, U.read_keyed_table(spark, table)
     )
+
+
+def test_cluster_random_sequence_invariants(spark, tmp_path):
+    """Seeded random windows (near-dup inserts, text updates — some into
+    clusters, some away, some onto ROUTING nodes — deletes, occasional
+    compression) drive the maintained table while a dict models the
+    resolved corpus. After every window the served view must satisfy the
+    operator's contract against a fresh BATCH recompute:
+
+    - soundness: every served member is live in the corpus;
+    - completeness: every batch-clustered doc is served;
+    - coarsening: each batch cluster lands INSIDE one served cluster
+      (conservative events may merge, never split);
+    - exactness: while no conservative event has occurred (no deletes,
+      no routing-node departures), the view EQUALS the batch — and a
+      final rebuild restores exactness unconditionally."""
+    import random
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    model = {r.doc_id: r.text for r in docs.collect()}
+    table = str(tmp_path / "table")
+    idx = str(tmp_path / "idx")
+    cl = str(tmp_path / "clusters")
+    schema = "doc_id long, text string"
+
+    def frame(d):
+        return spark.createDataFrame(sorted(d.items()), schema)
+
+    U.write_keyed_table(frame(model), table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    D.build_neardup_index(U.read_keyed_table(spark, table), idx)
+    C.build_cluster_table(
+        U.read_keyed_table(spark, table), cl,
+        epoch=v0, epoch_stream=cdc_stream_id(table),
+    )
+    rng = random.Random(1206)
+    next_id = 10_000
+    conservative = False
+
+    def routing_ids():
+        return {
+            r["doc_id"]
+            for r in U.read_keyed_table(spark, cl)
+            .where(F.col("routed") | (F.col("parent") == F.col("doc_id")))
+            .select("doc_id")
+            .collect()
+        }
+
+    for step in range(12):
+        op = rng.choice(["insert", "insert", "update", "update", "delete"])
+        if op == "insert":  # near-dup copies of existing docs
+            ups = {}
+            for _ in range(rng.randint(1, 4)):
+                nonlocal_id = next_id
+                next_id += 1
+                ups[nonlocal_id] = model[rng.choice(sorted(model))]
+            model.update(ups)
+            U.upsert_parquet(spark, table, frame(ups), key="doc_id")
+        elif op == "update":
+            routing = routing_ids()
+            tid = rng.choice(sorted(model))
+            if rng.random() < 0.5:  # depart: unique noise text
+                new_text = f"departed {tid} " + " ".join(
+                    f"n{tid}x{i}" for i in range(25)
+                )
+            else:  # join: copy another doc's text
+                new_text = model[rng.choice(sorted(model))]
+            if tid in routing:
+                conservative = True
+            model[tid] = new_text
+            U.upsert_parquet(
+                spark, table, frame({tid: new_text}), key="doc_id"
+            )
+        else:
+            tid = rng.choice(sorted(model))
+            del model[tid]
+            conservative = True
+            U.delete_keys(
+                spark, table,
+                spark.createDataFrame([(tid,)], "doc_id long"),
+                key="doc_id",
+            )
+        sync_neardup_index(spark, idx, table, from_version=v0)
+        sync_dedup_clusters(spark, cl, table, idx, from_version=v0)
+        if rng.random() < 0.25:
+            C.compress_dedup_clusters(spark, cl)
+
+        served = {
+            r.doc_id: r.cluster_id
+            for r in C.read_dedup_clusters(spark, cl).collect()
+        }
+        want = _batch(spark, frame(model))
+        batch_map = {d: c for d, c, _ in want}
+        # soundness + completeness
+        assert set(served) <= set(model), step
+        assert set(batch_map) <= set(served), step
+        # coarsening: a batch cluster never splits across served clusters
+        by_batch: dict = {}
+        for d, c in batch_map.items():
+            by_batch.setdefault(c, set()).add(served[d])
+        assert all(len(s) == 1 for s in by_batch.values()), (step, by_batch)
+        if not conservative:
+            assert _view(spark, cl) == want, step
+    # the rebuild reconciles unconditionally
+    C.build_cluster_table(U.read_keyed_table(spark, table), cl)
+    assert _view(spark, cl) == _batch(spark, frame(model))
