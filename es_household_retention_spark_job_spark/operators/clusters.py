@@ -387,15 +387,31 @@ def apply_cluster_window(
 
 
 def compress_dedup_clusters(spark: SparkSession, path: str) -> dict:
-    """Path compression + ghost purge as one maintenance commit: every
-    row re-points directly at its resolved root re-rooted to the min
-    LIVE member (chains shrink to ≤1 hop, so sync lookups and reads stay
-    O(1)-ish until drift rebuilds them), and ghost rows (live=false) are
-    dropped — after full compression nothing routes through them. A
-    component with NO live members disappears entirely. Returns
-    {"repointed": n, "purged": n}."""
+    """Path compression + ghost purge: every row re-points directly at
+    its resolved root re-rooted to the min LIVE member (chains shrink to
+    ≤1 hop, so sync lookups and reads stay O(1)-ish until drift rebuilds
+    them), and ghost rows (live=false) are dropped — after full
+    compression nothing routes through them. A component with NO live
+    members disappears entirely. Returns {"repointed": n, "purged": n}.
+
+    OPTIMISTIC like every maintenance op here: both commits (the
+    repoint upsert, the ghost purge) carry ``app_meta_expect`` on the
+    CDC cursor the plan was computed from — a racing
+    ``sync_dedup_clusters`` bumps that cursor in its own commit, so a
+    stale compression aborts with ``ConcurrentWriteError`` instead of
+    silently overwriting a merge or purging a just-resurrected row
+    (review finding). A race between the two commits aborts the purge
+    only — ghosts are then merely unpurged, retry when quiet. A table
+    that has never synced carries no cursor and falls back to the
+    single-maintainer contract the index ops already state."""
     from ..sinks.upsert import delete_keys
 
+    app0 = table_app_meta(path)
+    expect = (
+        {CLUSTER_EPOCH_KEY: app0[CLUSTER_EPOCH_KEY]}
+        if app0.get(CLUSTER_EPOCH_KEY) is not None
+        else None
+    )
     res = _resolved(read_keyed_table(spark, path))
     live_roots = (
         res.where(F.col("live"))
@@ -431,11 +447,15 @@ def compress_dedup_clusters(spark: SparkSession, path: str) -> dict:
     )
     n_repoint = updates.count()
     if n_repoint:
-        upsert_parquet(spark, path, updates, key="doc_id")
+        upsert_parquet(
+            spark, path, updates, key="doc_id", app_meta_expect=expect
+        )
     ghosts = res.where(~F.col("live")).select("doc_id")
     n_ghosts = ghosts.count()
     if n_ghosts:
-        delete_keys(spark, path, ghosts, key="doc_id")
+        delete_keys(
+            spark, path, ghosts, key="doc_id", app_meta_expect=expect
+        )
     return {"repointed": int(n_repoint), "purged": int(n_ghosts)}
 
 

@@ -751,6 +751,7 @@ def build_neardup_index(
     and the tombstone ledger are served ONLY when meta-listed, which is
     what makes a sync window one atomic commit (round 12)."""
     import shutil as _shutil
+    import time as _time
     import uuid as _uuid
 
     # the new base lands in a GENERATION dir and becomes live only when
@@ -788,20 +789,59 @@ def build_neardup_index(
         "sync": [],
         "tombstones": [],
     }
-    for k in ("last_epoch", "epoch_stream"):
-        if k in old_meta:
-            new_meta[k] = old_meta[k]
     with _publish_lock(path) as lk:
+        # everything below — cursor carry, version bump, commit, sweep —
+        # reads the LIVE meta under the lock, never the pre-rewrite
+        # snapshot (review findings: a stale old_meta regressed a
+        # racing sync's committed cursor, and an unlocked post-commit
+        # sweep could rmtree a NEWER committed generation's base dir or
+        # a racer's just-committed sync/ledger files)
         cur = _read_neardup_meta(path) or old_meta
+        for k in ("last_epoch", "epoch_stream"):
+            if k in cur:
+                new_meta[k] = cur[k]
         new_meta["version"] = int(cur.get("version", 0)) + 1
         lk.verify_owned()
         _write_neardup_meta(path, new_meta)
-    for sub in ("sync", "tombstones", old_meta.get("base_dir") or "base"):
-        _shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
-    # older generation dirs from crashed rebuilds are also sweepable now
-    for d in os.listdir(path):
-        if d.startswith("base-") and d != base_dir:
-            _shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        # sweep exactly what CUR referenced (now superseded): its base
+        # generation, and its listed sync/ledger files — not whole dirs,
+        # so a racer's staged-but-uncommitted files survive (its commit
+        # will then abort on the version bump and ITS strays age out
+        # below). A pre-meta legacy index has no listings: whole-dir
+        # sweep keeps its old rebuild-is-the-purge contract.
+        _shutil.rmtree(
+            os.path.join(path, cur.get("base_dir") or "base"),
+            ignore_errors=True,
+        )
+        if "tombstones" in cur or "sync" in cur:
+            for sub in ("sync", "tombstones"):
+                for f in cur.get(sub) or []:
+                    try:
+                        os.unlink(os.path.join(path, sub, f))
+                    except OSError:
+                        pass
+                try:  # drop the dir when nothing (e.g. a racer's
+                    os.rmdir(os.path.join(path, sub))  # stray) remains
+                except OSError:
+                    pass
+        else:
+            for sub in ("sync", "tombstones"):
+                _shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+        # stale generation dirs (crashed rebuilds, aborted racers) age
+        # out on the sink's GC grace clock — never swept fresh, because
+        # a dir that is not yet meta-pointed may belong to a rebuild
+        # that is about to take this lock
+        from ..sinks.upsert import _gc_grace_seconds
+
+        now = _time.time()
+        for d in os.listdir(path):
+            if d.startswith("base-") and d != base_dir:
+                p = os.path.join(path, d)
+                try:
+                    if now - os.path.getmtime(p) >= _gc_grace_seconds():
+                        _shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
 
 
 #: legacy tombstones (written before row versioning) hide a doc forever —
@@ -1057,10 +1097,20 @@ def _adopt_neardup_meta(spark, path: str, id_col: str | None) -> dict:
         # atomic upgrade commit: the pre-meta index becomes meta-tracked
         # NOW (same visible state — the adopted ledger keeps forever
         # semantics), so files landed by the caller stay invisible until
-        # its own meta commit even if it crashes mid-op. Two concurrent
-        # adopters both write version-1 metas with equivalent semantics;
-        # the later maintenance commits race on version as usual.
-        _write_neardup_meta(path, meta)
+        # its own meta commit even if it crashes mid-op. Guarded by the
+        # publish lock with a re-read: a slow adopter must NOT clobber a
+        # meta another op has committed meanwhile (review finding — the
+        # unguarded write rolled back a racer's committed ledger,
+        # resurrecting its deleted docs); the loser returns the LIVE
+        # meta and its own adopt file becomes an invisible stray.
+        from ..sinks.upsert import _publish_lock
+
+        with _publish_lock(path) as lk:
+            now_disk = _read_neardup_meta(path)
+            if now_disk is not None:
+                return now_disk
+            lk.verify_owned()
+            _write_neardup_meta(path, meta)
     return meta
 
 

@@ -1079,12 +1079,19 @@ def knn_filtered_auto(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     route: dict | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Filtered (predicate-scoped) vector search over a persisted index,
     selectivity-routed: count the allowed set (ONE aggregate job on the
     filter frame — its predicate pushes down to the source scan), price
     the escalated-probe IVF plan against the exact filtered brute force
-    with ``choose_filtered_route``, and run the winner. The brute arm is
+    with ``choose_filtered_route``, and run the winner. ``n_queries``
+    refines the pricing when the caller knows the batch size; left None
+    it stays at the route model's default rather than paying a second
+    count job — the term scales both arms' pair costs symmetrically, so
+    it moves the decision only near ties the exactness margin already
+    absorbs (review finding: the count contradicted the one-job
+    contract). The brute arm is
     EXACT; the ivf arm keeps ANN recall semantics with the probe budget
     raised 1/selectivity so the scored-candidate pool matches an
     unfiltered batch (without escalation a selective filter silently
@@ -1103,9 +1110,9 @@ def knn_filtered_auto(
     if route is None:
         n_live = sum(_manifest_cell_rows(spark, path, manifest).values())
         n_allowed = allowed.count()
+        kwargs = {} if n_queries is None else {"n_queries": int(n_queries)}
         route = choose_filtered_route(
-            n_live, n_allowed, len(cents), n_probe,
-            n_queries=queries.count(),
+            n_live, n_allowed, len(cents), n_probe, **kwargs
         )
     if route["route"] == "empty":
         return queries.where(F.lit(False)).select(

@@ -2376,6 +2376,8 @@ def delete_keys(
     keys: DataFrame,
     key: str | None = None,
     mode: str | None = None,
+    app_meta: dict | None = None,
+    app_meta_expect: dict | None = None,
 ) -> int:
     """Delete rows by key — the primitive an ES ``delete``/delete-by-query
     maps onto, and the takedown/right-to-erasure operation a training-data
@@ -2485,6 +2487,8 @@ def delete_keys(
                 schema=stored,
                 append_only=mor,
                 cdc_staged=cdc_staged,
+                app_meta=app_meta,
+                app_meta_expect=app_meta_expect,
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -379,7 +379,13 @@ def sync_dedup_clusters(
             "index's pairs and must not run ahead of it)"
         )
     idx_cur = int(meta["last_epoch"])
-    start = C.cluster_cursor(cluster_path, stream)
+    # the committed cursor is captured ONCE and is both the window start
+    # and the commit's optimistic expectation — re-reading it at commit
+    # time would match a racer's advanced cursor and double-apply the
+    # window (review finding: the TOCTOU nullified the exactly-once
+    # guard the wrapper exists to provide)
+    committed = C.cluster_cursor(cluster_path, stream)
+    start = committed
     if start is None:
         start = from_version
     if start is None:
@@ -408,6 +414,6 @@ def sync_dedup_clusters(
         id_col,
         epoch=idx_cur,
         epoch_stream=stream,
-        expect_epoch=C.cluster_cursor(cluster_path, stream),
+        expect_epoch=committed,
     )
     return {"from": start, "to": idx_cur, **res}

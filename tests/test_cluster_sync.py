@@ -452,3 +452,34 @@ def test_cluster_random_sequence_invariants(spark, tmp_path):
     # the rebuild reconciles unconditionally
     C.build_cluster_table(U.read_keyed_table(spark, table), cl)
     assert _view(spark, cl) == _batch(spark, frame(model))
+
+
+def test_cluster_compress_aborts_on_raced_sync(spark, tmp_path, monkeypatch):
+    """compress_dedup_clusters is OPTIMISTIC (review finding): a sync
+    that commits between the compression's plan and its commit bumps the
+    CDC cursor, so the stale compression aborts with
+    ConcurrentWriteError instead of silently overwriting the racer's
+    merge or purging a just-resurrected row."""
+    docs, table, idx, cl, v0 = _synthetic_two_clusters(spark, tmp_path)
+    U.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(5, _BASE)], "doc_id long, text string"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table, from_version=v0)
+    sync_dedup_clusters(spark, cl, table, idx)  # repoints exist now
+    orig = C._resolved
+
+    def raced(rows, **kw):
+        out = orig(rows, **kw)
+        # the racer: a sync commit advances the cursor mid-compression
+        U.commit_app_meta(cl, {C.CLUSTER_EPOCH_KEY: 999_999})
+        return out
+
+    monkeypatch.setattr(C, "_resolved", raced)
+    with pytest.raises(U.ConcurrentWriteError, match="app meta"):
+        C.compress_dedup_clusters(spark, cl)
+    monkeypatch.setattr(C, "_resolved", orig)
+    # the raced state is intact: the view still serves the merge
+    assert {r.cluster_id for r in C.read_dedup_clusters(spark, cl).collect()} == {5}

@@ -565,3 +565,69 @@ def test_neardup_upsert_isin_cap_falls_back_to_joins(
     res = D.upsert_neardup_docs(spark, idx, back)
     assert res["appended"] == 1
     assert target[0] in dup_of()  # resurrected through the join path
+
+
+def test_neardup_adopt_race_does_not_clobber_committed_meta(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding pinned: a slow adopter whose pre-lock read saw no
+    meta must NOT overwrite a meta a racer committed meanwhile — it
+    returns the LIVE meta instead (its own adopt file becomes an
+    invisible stray), so the racer's committed ledger stays listed."""
+    import os
+    import shutil
+
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    committed = D._read_neardup_meta(idx)
+    committed["version"] = 7  # a racer's later commit
+    committed["tombstones"] = ["gen-racer-00000.parquet"]
+    D._write_neardup_meta(idx, committed)
+    orig = D._read_neardup_meta
+    calls = {"n": 0}
+
+    def stale_first(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # the adopter's pre-lock read: no meta yet
+        return orig(path)
+
+    monkeypatch.setattr(D, "_read_neardup_meta", stale_first)
+    adopted = D._adopt_neardup_meta(spark, idx, "doc_id")
+    monkeypatch.setattr(D, "_read_neardup_meta", orig)
+    # the adopter LOST: the live meta is untouched and was returned
+    live = D._read_neardup_meta(idx)
+    assert live["version"] == 7
+    assert live["tombstones"] == ["gen-racer-00000.parquet"]
+    assert adopted["version"] == 7
+
+
+def test_neardup_rebuild_sweep_spares_fresh_stray_generations(
+    spark, tmp_path
+):
+    """Review finding pinned: the rebuild's sweep (now under the publish
+    lock) removes only the superseded generation's files plus stray
+    base-* dirs PAST the GC grace — a racer's freshly-staged base dir
+    survives, while a crashed rebuild's old stray ages out."""
+    import os
+
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    old_base = D._read_neardup_meta(idx)["base_dir"]
+    racer = os.path.join(idx, "base-racerfresh")
+    os.makedirs(racer)  # fresh mtime: a rebuild mid-stage
+    crashed = os.path.join(idx, "base-crashedold")
+    os.makedirs(crashed)
+    os.utime(crashed, (1, 1))  # ancient: a crashed rebuild's leftover
+    D.build_neardup_index(docs, idx)
+    assert os.path.isdir(racer)  # spared (inside grace)
+    assert not os.path.isdir(crashed)  # aged out
+    assert not os.path.isdir(os.path.join(idx, old_base))  # superseded
+    # and the index still serves
+    assert D.read_neardup_index(spark, idx).count() > 0

@@ -2,8 +2,10 @@
 the documents table at O(changes), not O(corpus)?
 
 The fixed-delta protocol (index_sync_ladder --mode=fixed): a CONSTANT
-change set — 1,500 doc upserts + 500 deletes at ids that exist at every
-scale — against corpora growing 100× (sf0.1 → sf1 → sf10). Arms:
+change set — 1,500 text mutations + 500 fresh near-dup inserts at ids
+that exist at every scale — against corpora growing 100×
+(sf0.1 → sf1 → sf10), plus one DELETE window (500 ids) per corpus.
+Arms:
 
 * ``sync``    — sync_neardup_index (the pair source must absorb the
   window first; its cost is reported separately) + sync_dedup_clusters.
@@ -11,10 +13,13 @@ scale — against corpora growing 100× (sf0.1 → sf1 → sf10). Arms:
   full MinHash-LSH pair generation + label-propagation components, the
   batch baseline a no-maintenance deployment pays per refresh.
 
-Equality gate per round: the synced view must EQUAL the rebuild's view
-over the same resolved state (the windows here are inserts/updates —
-the regime the equality contract covers; conservative-merge deletes are
-the operator's documented divergence and are excluded by construction).
+Gates: the mutation/insert rounds check strict EQUALITY between the
+synced view and the rebuild (the regime the equality contract covers);
+the delete round checks the operator's actual delete contract —
+soundness (every served member live), completeness (every
+batch-clustered doc served), coarsening (a batch cluster never splits
+across served clusters; conservative merges may linger, pinned
+divergence) — because random deletions can sever bridges.
 
 Usage: python tools/cluster_sync_ladder.py [sf_dir ...] [--rounds N]
 Prints one markdown row per (sf, round) plus a JSON summary line.
@@ -40,7 +45,7 @@ for a in sys.argv[1:]:
     if a.startswith("--rounds"):
         ROUNDS = int(a.split("=", 1)[1])
 
-DOC_UP, DOC_DEL = 1500, 500  # the index_sync_ladder fixed delta
+DOC_MUT, DOC_FRESH, DOC_DEL = 1500, 500, 500  # fixed absolute deltas
 
 
 def main() -> None:
@@ -87,31 +92,7 @@ def main() -> None:
             U.read_keyed_table(spark, table), cl,
             epoch=v0, epoch_stream=cdc_stream_id(table),
         )
-        for rnd in range(1, ROUNDS + 1):
-            lo = (rnd - 1) * (DOC_UP + DOC_DEL)
-            # upserts: text mutations of DOC_UP existing ids, plus the
-            # same count of fresh near-dup inserts straddling the corpus
-            muts = docs.where(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + DOC_UP)
-            ).withColumn(
-                "text",
-                F.concat(
-                    F.col("text"),
-                    F.lit(f" zzsync{rnd} zzsync{rnd}"),
-                ),
-            )
-            fresh = docs.where(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < lo + DOC_DEL)
-            ).select(
-                (F.col("doc_id") + 90_000_000 + rnd * 1_000_000).alias(
-                    "doc_id"
-                ),
-                "text",
-            )
-            U.upsert_parquet(
-                spark, table, muts.unionByName(fresh), key="doc_id"
-            )
+        def measure(rnd, gate):
             t0 = time.perf_counter()
             sync_neardup_index(spark, idx, table, from_version=v0)
             t_band = time.perf_counter() - t0
@@ -122,26 +103,86 @@ def main() -> None:
             t0 = time.perf_counter()
             C.build_cluster_table(U.read_keyed_table(spark, table), reb)
             t_reb = time.perf_counter() - t0
-            equal = view(cl) == view(reb)
+            if gate == "equal":
+                ok = view(cl) == view(reb)
+            else:  # the delete contract: sound, complete, coarsening
+                live = {
+                    r.doc_id
+                    for r in U.read_keyed_table(spark, table)
+                    .select("doc_id")
+                    .collect()
+                }
+                served = {
+                    r.doc_id: r.cluster_id
+                    for r in C.read_dedup_clusters(spark, cl).collect()
+                }
+                batch = {d: c for d, c, _ in view(reb)}
+                by_batch: dict = {}
+                for d, c in batch.items():
+                    by_batch.setdefault(c, set()).add(served.get(d))
+                ok = (
+                    set(served) <= live
+                    and set(batch) <= set(served)
+                    and all(
+                        len(s) == 1 and None not in s
+                        for s in by_batch.values()
+                    )
+                )
             shutil.rmtree(reb, ignore_errors=True)
             row = {
                 "sf": os.path.basename(sf),
                 "docs": n,
                 "round": rnd,
-                "delta": out["upserted"],
+                "delta": out["upserted"] + out["deleted"],
+                "gate": gate,
                 "band_sync_s": round(t_band, 2),
                 "cluster_sync_s": round(t_sync, 2),
                 "rebuild_s": round(t_reb, 2),
                 "ratio": round(t_reb / max(t_sync, 1e-9), 2),
-                "equal": equal,
+                "ok": ok,
             }
             summary.append(row)
             print(
-                f"| {row['sf']} ({n} docs) | {rnd} | {row['delta']} "
-                f"| {t_band:.2f}s | {t_sync:.2f}s | {t_reb:.2f}s "
-                f"| {row['ratio']}x | "
-                f"{'PASS' if equal else 'FAIL'} |"
+                f"| {row['sf']} ({n} docs) | {rnd} ({gate}) "
+                f"| {row['delta']} | {t_band:.2f}s | {t_sync:.2f}s "
+                f"| {t_reb:.2f}s | {row['ratio']}x | "
+                f"{'PASS' if ok else 'FAIL'} |"
             )
+
+        for rnd in range(1, ROUNDS + 1):
+            lo = (rnd - 1) * (DOC_MUT + DOC_FRESH)
+            # text mutations of DOC_MUT existing ids, plus DOC_FRESH
+            # fresh near-dup inserts straddling the corpus
+            muts = docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + DOC_MUT)
+            ).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.lit(f" zzsync{rnd} zzsync{rnd}"),
+                ),
+            )
+            fresh = docs.where(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < lo + DOC_FRESH)
+            ).select(
+                (F.col("doc_id") + 90_000_000 + rnd * 1_000_000).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+            U.upsert_parquet(
+                spark, table, muts.unionByName(fresh), key="doc_id"
+            )
+            measure(rnd, "equal")
+        # delete window: DOC_DEL ids spread across the corpus — random
+        # deletions can sever bridges, so the gate is the operator's
+        # delete CONTRACT (sound/complete/coarsening), not equality
+        dels = docs.where(
+            (F.col("doc_id") % 97 == 13)
+        ).select("doc_id").limit(DOC_DEL)
+        U.delete_keys(spark, table, dels, key="doc_id")
+        measure(ROUNDS + 1, "contract")
     print(json.dumps({"cluster_sync_ladder": summary}))
 
 
