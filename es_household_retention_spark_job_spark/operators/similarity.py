@@ -1707,6 +1707,8 @@ def knn_sq8_indexed(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     plan: dict | None = None,
+    allowed: DataFrame | None = None,
+    allowed_n: int | None = None,
 ) -> DataFrame:
     """SQ8 scoring COMPOSED with the persisted IVF index — the 100 TB
     posture ``knn_sq8``'s full-corpus scan lacks: candidate generation
@@ -1742,7 +1744,14 @@ def knn_sq8_indexed(
     probe union is computed before the zero-norm query filter, so it can
     be a SUPERSET of this plan's own union — extra cells only widen the
     pruned scan's file list; the cell join still keys on the queries that
-    actually probe."""
+    actually probe.
+
+    ``allowed``/``allowed_n``: the filtered-search hook, identical
+    contract to ``knn_ivf_indexed`` — the allowed-id semi-join restricts
+    the CODES before the int8 shortlist (pre-filter), so the quantized
+    tier serves scoped retrieval too (byte-equality with an
+    allowed-rows-only index at the same quantizers is pinned in
+    tests)."""
     R = int(rerank) if rerank is not None else 4 * k
     if plan is not None:
         manifest, cents = plan["manifest"], plan["cents"]
@@ -1814,6 +1823,13 @@ def knn_sq8_indexed(
         path,
         manifest,
     )
+    if allowed is not None:
+        # filtered search on the quantized tier: the allowed-id semi-join
+        # lands BEFORE scoring (pre-filter — the knn_ivf_indexed
+        # contract), so both the int8 shortlist and the exact refine see
+        # eligible rows only; the refine's candidate set is already
+        # restricted because it re-reads only shortlisted ids
+        codes = _restrict_to_allowed(codes, allowed, allowed_n)
     qcos = _int_dot(F.col("_qq"), F.col("_q")).cast("double") / (
         F.col("_qn") * F.col("_cn")
     )

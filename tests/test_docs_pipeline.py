@@ -1864,3 +1864,41 @@ def test_filtered_allowed_frame_validation_and_empty(spark, embs, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "rank", "cos_bp",
     ]
+
+
+def test_knn_sq8_indexed_filtered_equals_filtered_index(
+    spark, embs, tmp_path
+):
+    """Filtered search on the QUANTIZED tier: knn_sq8_indexed(allowed=)
+    at full probes + full rerank must equal the same serving path over
+    an index built from only the allowed rows — the semi-join lands
+    before the int8 shortlist (pre-filter), so no eligible candidate is
+    starved and no excluded row is scored. Same stored quantizers, so
+    the comparison is byte-exact."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    allowed = embs.where(F.col("label").isin(3, 4, 5)).select("vec_id")
+    idx = str(tmp_path / "full")
+    S.build_ann_index(embs, idx, n_cells=8, iters=2)
+    # reference: an index over ONLY the allowed rows, same centroids
+    # (so cell assignment — and therefore full-probe coverage — agree)
+    cents = S._read_centroids(spark, idx, S._read_ann_manifest(idx))
+    ref = str(tmp_path / "ref")
+    S.build_ann_index(
+        embs.join(F.broadcast(allowed), "vec_id", "left_semi"),
+        ref,
+        centroids=cents,
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_sq8_indexed(
+            spark, ref, queries, k=5, n_probe=8, rerank=10_000
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_sq8_indexed(
+            spark, idx, queries, k=5, n_probe=8, rerank=10_000,
+            allowed=allowed,
+        ).collect()
+    }
+    assert got == want and got

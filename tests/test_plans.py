@@ -235,6 +235,9 @@ def test_chunked_sessionize_never_exchanges_events_by_user_alone(spark):
         "hybrid_mlt_search_ann",
         "neardup_probe_indexed",
         "dedup_minhash_lsh",
+        "knn_filtered",
+        "knn_filtered_auto",
+        "knn_ivf_filtered",
     ],
 )
 def test_ann_family_no_wide_keyed_shuffle(spark, name):

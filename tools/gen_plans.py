@@ -43,6 +43,11 @@ EXTRA_PLANS = [
     "knn_ivfpq",
     "sink_fold_percentile",
     "sink_fold_topk",
+    # round-12b: the filtered-search family and the maintained clusters
+    "knn_filtered",
+    "knn_filtered_auto",
+    "knn_ivf_filtered",
+    "dedup_clusters_incremental",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)
