@@ -38,6 +38,7 @@ __all__ = [
     "sync_ann_index",
     "sync_neardup_index",
     "sync_dedup_clusters",
+    "sync_serving_stack",
     "cdc_stream_id",
 ]
 
@@ -417,3 +418,57 @@ def sync_dedup_clusters(
         expect_epoch=committed,
     )
     return {"from": start, "to": idx_cur, **res}
+
+
+def sync_serving_stack(
+    spark: SparkSession,
+    table_path: str,
+    text_index: str | None = None,
+    ann_index: str | None = None,
+    neardup_index: str | None = None,
+    cluster_table: str | None = None,
+    from_version: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_col: str = "embedding",
+    emb_id_col: str = "vec_id",
+) -> dict:
+    """One window, the whole serving stack: run every structure's sync
+    against the table's change feed in DEPENDENCY order — the cluster
+    view consumes the near-dup band index's pairs, so that index must
+    absorb the window first; the text/ANN indexes are independent. Each
+    structure keeps its OWN exactly-once cursor (a crash mid-stack
+    leaves the completed syncs committed and the rest resuming from
+    their cursors on retry — there is deliberately no cross-structure
+    transaction: the structures are independent serving surfaces, and
+    holding one hostage to another's failure would couple their
+    availability). Returns {structure: its sync result}. Requesting
+    ``cluster_table`` without ``neardup_index`` raises — the dependency
+    is structural, not optional."""
+    if cluster_table is not None and neardup_index is None:
+        raise ValueError(
+            "sync_serving_stack: cluster_table requires neardup_index "
+            "(the cluster view derives from the band index's pairs)"
+        )
+    out: dict = {}
+    if text_index is not None:
+        out["text"] = sync_text_index(
+            spark, text_index, table_path,
+            from_version=from_version, text_col=text_col, id_col=id_col,
+        )
+    if ann_index is not None:
+        out["ann"] = sync_ann_index(
+            spark, ann_index, table_path,
+            from_version=from_version, emb_col=emb_col, id_col=emb_id_col,
+        )
+    if neardup_index is not None:
+        out["neardup"] = sync_neardup_index(
+            spark, neardup_index, table_path,
+            from_version=from_version, text_col=text_col, id_col=id_col,
+        )
+    if cluster_table is not None:
+        out["clusters"] = sync_dedup_clusters(
+            spark, cluster_table, table_path, neardup_index,
+            from_version=from_version, text_col=text_col, id_col=id_col,
+        )
+    return out

@@ -631,3 +631,115 @@ def test_neardup_rebuild_sweep_spares_fresh_stray_generations(
     assert not os.path.isdir(os.path.join(idx, old_base))  # superseded
     # and the index still serves
     assert D.read_neardup_index(spark, idx).count() > 0
+
+
+def test_sync_serving_stack_one_window(spark, tmp_path):
+    """The one-call-per-window orchestrator: a table carrying text AND
+    an embedding feeds all four serving structures; one window of
+    mutations + inserts + deletes flows through sync_serving_stack in
+    dependency order, every structure lands on the table's current
+    version, and the two cheap exactness oracles hold (full-probe ANN ==
+    brute force over the resolved state; cluster view == batch). The
+    cluster-without-band-index dependency raises."""
+    from es_household_retention_spark_job_spark.operators import (
+        clusters as C,
+        dedup as D,
+    )
+    from es_household_retention_spark_job_spark.streaming.index_sync import (
+        cdc_stream_id,
+        sync_serving_stack,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    embs = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    combined = docs.join(embs, "doc_id")
+    table = str(tmp_path / "table")
+    U.write_keyed_table(combined, table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    stream = cdc_stream_id(table)
+    state = U.read_keyed_table(spark, table)
+    tidx = str(tmp_path / "text")
+    aidx = str(tmp_path / "ann")
+    nidx = str(tmp_path / "neardup")
+    cl = str(tmp_path / "clusters")
+    SE.build_text_index(state, tidx)
+    S.build_ann_index(state, aidx, n_cells=4, iters=2, id_col="doc_id")
+    D.build_neardup_index(state, nidx)
+    C.build_cluster_table(state, cl, epoch=v0, epoch_stream=stream)
+
+    with pytest.raises(ValueError, match="requires neardup_index"):
+        sync_serving_stack(spark, table, cluster_table=cl)
+
+    # one window: text mutations, embedding flips, fresh docs, deletes
+    muts = combined.where(F.col("doc_id") % 17 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzstack zzstack"))
+    )
+    flips = combined.where(F.col("doc_id") % 23 == 5).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: -x)
+    )
+    fresh = combined.where(F.col("doc_id") % 19 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 700_000
+    )
+    U.upsert_parquet(
+        spark, table,
+        muts.unionByName(flips.where(F.col("doc_id") % 17 != 3))
+        .unionByName(fresh),
+        key="doc_id",
+    )
+    U.delete_keys(
+        spark, table,
+        combined.where(F.col("doc_id") % 29 == 11).select("doc_id"),
+        key="doc_id",
+    )
+    out = sync_serving_stack(
+        spark, table,
+        text_index=tidx, ann_index=aidx, neardup_index=nidx,
+        cluster_table=cl,
+        from_version=v0, emb_id_col="doc_id",
+    )
+    assert set(out) == {"text", "ann", "neardup", "clusters"}
+    cur = U.current_version(table)
+    assert all(r["to"] == cur for r in out.values())
+    assert out["text"]["upserted"] > 0 and out["ann"]["upserted"] > 0
+
+    resolved = U.read_keyed_table(spark, table)
+    # ANN exactness: full-probe indexed == brute force over resolved
+    queries = resolved.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id", "embedding"
+    )
+    want = _res(
+        S.knn_bruteforce(
+            resolved.select("doc_id", "embedding"), queries, k=3,
+            id_col="doc_id",
+        )
+    )
+    got = _res(
+        S.knn_ivf_indexed(
+            spark, aidx, queries, k=3, n_probe=4, id_col="doc_id"
+        )
+    )
+    assert got == want and got
+    # cluster view == batch over the resolved corpus
+    batch = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters(
+            D.minhash_lsh_pairs(resolved.select("doc_id", "text"))
+        ).collect()
+    )
+    served = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in C.read_dedup_clusters(spark, cl).collect()
+    )
+    # deletes can sever bridges (conservative divergence) — this window
+    # deletes clique members of replica groups, so equality should hold;
+    # if the corpus ever changes shape, fall back to the contract check
+    assert served == batch
+    # a second call is a clean no-op everywhere
+    out2 = sync_serving_stack(
+        spark, table,
+        text_index=tidx, ann_index=aidx, neardup_index=nidx,
+        cluster_table=cl, emb_id_col="doc_id",
+    )
+    assert all(r["from"] == r["to"] for r in out2.values())
