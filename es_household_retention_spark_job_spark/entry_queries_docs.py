@@ -956,6 +956,54 @@ def knn_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_FILTERED_LANG_SQL = f"""WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings),
+vecs AS (
+    SELECT vec_id, emb,
+           sqrt({_fold_sum("list_transform(emb, x -> x * x)")}) AS nrm
+    FROM base),
+q AS (SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+      FROM vecs WHERE vec_id % {KNN_QUERY_MOD} = 0),
+allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+scored AS (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           {_DOT.format(a="qemb", b="c.emb")} / (qnrm * c.nrm) AS cos
+    FROM vecs c JOIN allowed a ON a.doc_id = c.vec_id, q
+    WHERE c.vec_id <> query_id),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(floor(cos * {S.COS_SCALE}) AS BIGINT) AS cos_bp
+FROM ranked WHERE rank <= {KNN_K}"""
+
+
+@register("knn_filtered_lang", _KNN_FILTERED_LANG_SQL, extra=True)
+def knn_filtered_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE filter predicate: the allowed-id set comes from a
+    DIFFERENT table than the vectors (``documents.lang = 'en'`` scoping
+    the embeddings index) — the decoupling the allowed-frame design
+    buys: any predicate over any table that yields ids, no payload
+    columns baked into the index layout. ~44% selectivity escalates to
+    the probe cap on this 16-cell index, so the route is the exact
+    brute arm and the row hash-matches the joined SQL through the index
+    read and the router."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    allowed = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    return S.knn_filtered_auto(
+        spark, _ann_index_path(spark, sf_dir), queries, allowed, k=KNN_K
+    )
+
+
 @register("knn_ivf_filtered", extra=True)  # approximate by design (the
 # ivf arm keeps IVF probe-recall semantics); equality-at-full-probes and
 # the recall floor are pinned in tests/test_docs_pipeline.py.
