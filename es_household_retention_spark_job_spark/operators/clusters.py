@@ -261,21 +261,35 @@ def apply_cluster_window(
         CLUSTER_EPOCH_KEY: int(epoch),
         CLUSTER_STREAM_KEY: str(epoch_stream),
     }
-    pairs = []
+    # the window's verified near-dup edges, driver-materialized as
+    # (changed doc, NEIGHBOR ROOT) pairs deduped distributively BEFORE
+    # the collect: a hot-clique window has O(docs × clique) raw pairs
+    # (the thing that must never cross to the driver) but only
+    # O(docs × touched components) distinct root edges — for a 10k-copy
+    # clique that is 10k rows, not 100M. Neighbor ids themselves are
+    # bounded by distinct touched docs, so the two collects here are
+    # both O(changes)-shaped.
+    edges: list = []
+    nbr_ids: list = []
+    probe = None
     if up_ids:
         idx = D.read_neardup_index(spark, index_path, id_col=id_col)
-        pairs = (
+        probe = (
             D.neardup_probe(ups, idx, text_col=text_col, id_col=id_col)
             .select(id_col, "dup_of")
-            .collect()
-        )  # window-bounded: the changed docs' verified near-dup edges
-    touched = sorted(
-        set(up_ids) | set(del_ids) | {r["dup_of"] for r in pairs}
-    )
+            .persist()
+        )
+        nbr_ids = [
+            r["dup_of"] for r in probe.select("dup_of").distinct().collect()
+        ]
+    touched = sorted(set(up_ids) | set(del_ids) | set(nbr_ids))
     if not touched:
+        if probe is not None:
+            probe.unpersist()
         commit_app_meta(path, app, expect)
         return {"upserted": 0, "deleted": 0, "merged_roots": 0}
     roots = _roots_by_lookup(spark, path, touched)
+    up_set = set(up_ids)
 
     def detachable(i) -> bool:
         """An updated doc may leave its old component iff nothing can
@@ -287,18 +301,40 @@ def apply_cluster_window(
             return True  # not in the table at all
         return m["parent"] != i and not m["routed"]
 
+    def uf_start(i):
+        """The union-find node a touched id begins at: itself when it is
+        an updated doc free to leave its history behind, else its stored
+        root. The edge targets below MUST use the same rule — mapping a
+        window-internal pair to a detached doc's OLD root would re-attach
+        its partner to the component the doc just left."""
+        return i if (i in up_set and detachable(i)) else roots[i]["root"]
+
+    if probe is not None:
+        try:
+            if nbr_ids:
+                dup_type = dict(probe.dtypes)["dup_of"]
+                root_df = spark.createDataFrame(
+                    [(i, int(uf_start(i))) for i in nbr_ids],
+                    f"dup_of {dup_type}, _nroot long",
+                )
+                edges = [
+                    (r[id_col], r["_nroot"])
+                    for r in probe.join(F.broadcast(root_df), "dup_of")
+                    .select(id_col, "_nroot")
+                    .distinct()
+                    .collect()
+                ]
+        finally:
+            probe.unpersist()
+
     # driver-local union-find over the window's pair graph, joined at
     # the EXISTING roots (O(window + neighbors), never O(table)); an
     # updated doc starts FRESH when detachable — its new text, not its
     # history, decides membership — and at its old root otherwise (the
     # conservative routing-node case, see module doc)
     uf = {}
-    up_set = set(up_ids)
     for i in touched:
-        if i in up_set and detachable(i):
-            uf[i] = i
-        else:
-            uf[i] = roots[i]["root"]
+        uf[i] = uf_start(i)
     for i in list(uf):  # include the roots themselves as nodes
         uf.setdefault(uf[i], uf[i])
 
@@ -314,8 +350,8 @@ def apply_cluster_window(
             lo, hi = min(ra, rb), max(ra, rb)
             uf[hi] = lo
 
-    for r in pairs:
-        union(r[id_col], r["dup_of"])
+    for d, nroot in edges:
+        union(d, nroot)
     # desired state per touched row, one entry per key (a doc can be an
     # upsert AND a losing root AND a delete target across the window's
     # edges — the dict folds those into one row, keyed-sink style).
@@ -333,8 +369,7 @@ def apply_cluster_window(
     # serves only live docs): they need membership rows too, or the
     # component's live count misses them and a 2-doc cluster reads as
     # size 1 and vanishes
-    for r in pairs:
-        nb = r["dup_of"]
+    for nb in nbr_ids:
         if nb not in desired and roots[nb]["live"] is None:
             p = int(find(nb))
             desired[nb] = [p, True, p == nb]
