@@ -47,6 +47,7 @@ EXTRA_PLANS = [
     "knn_filtered",
     "knn_filtered_auto",
     "knn_ivf_filtered",
+    "knn_filtered_lang",
     "dedup_clusters_incremental",
 ]
 
