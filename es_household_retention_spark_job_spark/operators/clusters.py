@@ -182,7 +182,11 @@ def _roots_by_lookup(spark, path: str, ids: list) -> dict:
     ids whose roots are still unresolved — O(max chain) tiny jobs, never
     a table scan. Ids absent from the table are their own roots.
     Returns {id: {"root", "parent", "live", "routed"}} — parent/live/
-    routed are the STORED values (None for absent ids)."""
+    routed are the STORED values (None for absent ids) — for the asked
+    ids AND every chain id the resolution visited: a caller re-pointing
+    a LOSING ROOT needs that root's stored liveness even when the root
+    itself was not in the window (defaulting it to live would resurrect
+    a deleted doc's membership — review-of-review finding)."""
     parent: dict = {}
     meta: dict = {}
     frontier = sorted(set(ids))
@@ -231,7 +235,10 @@ def _roots_by_lookup(spark, path: str, ids: list) -> dict:
             parent[s] = i
         return i
 
-    return {i: {**meta[i], "root": root_of(i)} for i in ids}
+    return {
+        i: {**meta[i], "root": root_of(i)}
+        for i in set(ids) | set(meta)
+    }
 
 
 def apply_cluster_window(

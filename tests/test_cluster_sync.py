@@ -483,3 +483,38 @@ def test_cluster_compress_aborts_on_raced_sync(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(C, "_resolved", orig)
     # the raced state is intact: the view still serves the merge
     assert {r.cluster_id for r in C.read_dedup_clusters(spark, cl).collect()} == {5}
+
+
+def test_cluster_ghost_root_merge_stays_dead(spark, tmp_path):
+    """Review-of-review finding pinned: when a window merges into a
+    component whose ROOT is a ghost (deleted doc) that is not itself in
+    the window's touched set, the losing root's re-pointed row must keep
+    live=false — defaulting it resurrected the deleted doc's membership
+    in the served view (a soundness violation)."""
+    docs, table, idx, cl, v0 = _synthetic_two_clusters(spark, tmp_path)
+    U.delete_keys(
+        spark, table, spark.createDataFrame([(10,)], "doc_id long"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table, from_version=v0)
+    sync_dedup_clusters(spark, cl, table, idx)
+    # {10,11} lost its root: 11 alone -> not served; {20,21} unaffected
+    assert _view(spark, cl) == [(20, 20, 2), (21, 20, 2)]
+    # the bridge doc pairs with 11 (and 20/21): the union routes through
+    # the GHOST root 10, whose row is re-pointed but must stay dead
+    U.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(5, _BASE)], "doc_id long, text string"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table)
+    sync_dedup_clusters(spark, cl, table, idx)
+    served = _view(spark, cl)
+    assert 10 not in {d for d, _, _ in served}  # deleted doc stays dead
+    assert served == _batch(spark, U.read_keyed_table(spark, table))
+    rows = {
+        r["doc_id"]: (r["parent"], r["live"])
+        for r in U.read_keyed_table(spark, cl).collect()
+    }
+    assert rows[10] == (5, False)  # re-pointed ghost, still a ghost
