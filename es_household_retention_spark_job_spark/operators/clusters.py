@@ -235,10 +235,9 @@ def _roots_by_lookup(spark, path: str, ids: list) -> dict:
             parent[s] = i
         return i
 
-    return {
-        i: {**meta[i], "root": root_of(i)}
-        for i in set(ids) | set(meta)
-    }
+    # every asked id has a meta entry (both frontier branches set one),
+    # so meta's key set IS ids ∪ visited-chain ids
+    return {i: {**meta[i], "root": root_of(i)} for i in meta}
 
 
 def apply_cluster_window(
@@ -290,9 +289,7 @@ def apply_cluster_window(
             r["dup_of"] for r in probe.select("dup_of").distinct().collect()
         ]
     touched = sorted(set(up_ids) | set(del_ids) | set(nbr_ids))
-    if not touched:
-        if probe is not None:
-            probe.unpersist()
+    if not touched:  # probe is necessarily None here (up_ids was empty)
         commit_app_meta(path, app, expect)
         return {"upserted": 0, "deleted": 0, "merged_roots": 0}
     roots = _roots_by_lookup(spark, path, touched)

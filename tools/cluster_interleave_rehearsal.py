@@ -184,13 +184,19 @@ def main() -> None:
             (F.col("doc_id") + 800_000).alias("doc_id"), "text"
         ),
     )
-    # w5: a delete leaves a ghost row, so the next compression has a
+    # w5: a delete leaves ghost rows, so the next compression has a
     # purge to commit — a no-op compression commits nothing and cannot
-    # race (asserted first)
+    # race, so assert there IS pending work before the raced call
     window(
         "w5-delete",
         deletes=docs.where(F.col("doc_id") % 19 == 7).select("doc_id"),
     )
+    n_ghosts = (
+        U.read_keyed_table(spark, cl).where(~F.col("live")).count()
+    )
+    ok_all = ok_all and n_ghosts > 0
+    lines.append({"step": "w5-ghosts", "pending_purge": int(n_ghosts)})
+    print(json.dumps(lines[-1]))
     # raced compression must abort and leave the state serving
     from es_household_retention_spark_job_spark.sinks.upsert import (
         ConcurrentWriteError,
