@@ -938,7 +938,10 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_filtered_auto", _KNN_FILTERED_SQL, extra=True)
+@register("knn_filtered_auto", _KNN_FILTERED_SQL)  # driver-gate slot
+# (round 13, VERDICT r12 #1): hash-oracled end-to-end through the
+# persisted index, the selectivity router, AND the tombstone filter —
+# the strongest driver-checkable row in the filtered-search family.
 def knn_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selectivity-routed filtered search over the PERSISTED index
     (similarity.knn_filtered_auto, round 12b): one count job prices the
@@ -1052,10 +1055,12 @@ def _ann_pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("knn_pq_indexed")  # driver-gated rows-only (r12 promotion):
-# the claim is path-independence — byte-equality with the per-call
-# knn_ivfpq at the stored quantizers is pinned in tests/test_ann_pq_index.py;
-# recall evidence is knn_pq_eval's clustered floor + knn_ivfpq's knobs.
+@register("knn_pq_indexed", extra=True)  # returned to extras (round 13):
+# the r12 promotion put an oracle-less row in the 50-slot hard gate,
+# which records err:"no_oracle" instead of a check — a wasted slot.
+# The evidence lives where it always did: byte-equality with the
+# per-call knn_ivfpq at the stored quantizers (tests/test_ann_pq_index.py)
+# plus knn_pq_eval's clustered recall floor.
 def knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ served from the persisted index's ``pq/`` sidecar (round 11,
     similarity.knn_pq_indexed): ADC candidate generation reads ~m
