@@ -21,9 +21,15 @@ Design — a persisted UNION-FIND FOREST on the keyed sink:
   (each round joins labels to their parents' labels — O(log chain)
   rounds, the same localCheckpoint'd loop as the batch operator), then
   RE-ROOT each component at its minimum LIVE member and drop components
-  with fewer than two live members — so the served (doc_id, cluster_id,
-  cluster_size) rows match a fresh batch recompute over the live corpus
-  (equality pinned in tests for insert/update streams).
+  with fewer than two live members. Served-view contract: EXACT batch
+  equality for insert-only streams; for update/delete streams the view
+  is sound-but-possibly-COARSER — every batch cluster is contained in
+  exactly one served cluster (pairs are never missed, docs never
+  falsely split), but a mutation that severs a PAIR-BRIDGE (the only
+  transitive link between two neighbors: X~A, A~Y, X≁Y, then A deleted
+  OR updated away) leaves X and Y merged until reconciliation —
+  union-find cannot unmerge. Insert equality and the coarsening bound
+  are pinned in tests; ``compress``/rebuild reconcile exactly.
 - maintenance (``streaming.index_sync.sync_dedup_clusters``): a CDC
   window's changed docs probe the SYNCED near-dup band index for their
   verified pairs; the touched docs' and neighbors' ROOTS resolve through
@@ -40,7 +46,11 @@ Design — a persisted UNION-FIND FOREST on the keyed sink:
   doc whose new text leaves its cluster therefore DETACHES exactly
   whenever it is not a routing node (the overwhelming case); a routing
   node's departure stays conservative (membership lingers) because
-  re-pointing its children would need a reverse index.
+  re-pointing its children would need a reverse index. Either way the
+  doc's FORMER component keeps every union its old pairs ever
+  justified: if the departing doc was a pair-bridge, its ex-neighbors
+  stay merged (the coarsening contract above) — updates sever edges
+  exactly like deletes do, and only compress/rebuild splits exactly.
 - deletes: membership-only (``live = false``); the row REMAINS as a
   routing ghost so chains through it stay resolvable. The conservative
   trade, stated loudly: removing a BRIDGE document does not split the
@@ -160,9 +170,11 @@ def read_dedup_clusters(spark: SparkSession, path: str) -> DataFrame:
     """The live cluster view: (doc_id, cluster_id, cluster_size) for
     every live member of a component with ≥2 live members, cluster_id
     re-rooted to the component's minimum LIVE doc id — the batch
-    ``duplicate_clusters`` output shape over the live corpus (equality
-    for insert/update streams pinned in tests; bridge-deletion
-    staleness documented in the module doc)."""
+    ``duplicate_clusters`` output shape over the live corpus. Exact
+    batch equality for insert-only streams; updates/deletes that sever
+    a pair-bridge serve a conservatively COARSER view until
+    compress/rebuild (the soundness/coarsening contract in the module
+    doc — both directions pinned in tests)."""
     res = _resolved(read_keyed_table(spark, path))
     live = res.where(F.col("live"))
     groups = live.groupBy("root").agg(
@@ -362,11 +374,19 @@ def apply_cluster_window(
     # Entries are [parent, live, routed], all explicit (the stored
     # complement is already in the lookup map, so no partial shapes):
     desired: dict = {}
+    edge_docs = {d for d, _ in edges} | {n for _, n in edges}
     for i in up_ids:  # changed docs: live at their new root. The routed
         # flag is STICKY (cleared only by compression): rows may still
         # point at a formerly-routed doc, so a later update of it must
         # not make it look detachable
         p = int(find(i))
+        if roots[i]["parent"] is None and i not in edge_docs and p == i:
+            # pairless previously-ABSENT doc: no row. Writing one per
+            # churned singleton trends the table toward O(all
+            # ever-touched docs) instead of O(clustered docs) — advice
+            # r12. The read view drops size-1 components anyway, and a
+            # later window that pairs this doc writes its row then.
+            continue
         desired[i] = [p, True, p == i or bool(roots[i]["routed"])]
     # probe NEIGHBORS absent from the table are live corpus docs that
     # were singletons until this window paired them (the band index
@@ -419,7 +439,10 @@ def apply_cluster_window(
         app_meta=app, app_meta_expect=expect,
     )
     return {
-        "upserted": len(up_ids),
+        # actually-applied semantics (the sync family's contract): an
+        # upserted doc that wrote no row (pairless absent singleton)
+        # does not count
+        "upserted": sum(1 for i in up_ids if i in desired),
         "deleted": len(del_present),
         "merged_roots": merged,
     }

@@ -1107,6 +1107,7 @@ def knn_filtered_auto(
     if manifest is None:
         manifest = _bootstrap_ann_manifest(spark, path)
     cents = _read_centroids(spark, path, manifest)
+    caller_route = route is not None
     if route is None:
         n_live = sum(_manifest_cell_rows(spark, path, manifest).values())
         n_allowed = allowed.count()
@@ -1121,7 +1122,14 @@ def knn_filtered_auto(
             F.lit(0).cast("int").alias("rank"),
             F.lit(0).cast("long").alias("cos_bp"),
         )
-    allowed_n = route["n_allowed"]
+    # a caller-reused route carries the n_allowed counted when the route
+    # was priced — the allowed set may have grown past the broadcast cap
+    # since (repeat batches against a moving filter). Its count stays
+    # advisory for ROUTING only; the semi-join strategy is left to AQE
+    # rather than force-broadcasting a frame sized by a stale number
+    # (advice r12: a stale hint past SPARK_GRAFT_ANN_FILTER_BCAST_MAX
+    # would bypass AQE and risk driver OOM).
+    allowed_n = None if caller_route else route["n_allowed"]
     if route["route"] == "brute":
         return _knn_brute_from_cells(
             spark, path, manifest, queries, k, allowed, allowed_n,

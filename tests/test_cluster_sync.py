@@ -1,8 +1,11 @@
 """Incrementally-maintained duplicate clusters (round 12b): the
 union-find table follows the documents table at O(changes) through the
-CDC loop, reads equal a batch recompute for insert/update streams,
-merges re-point ONE row, deletes are membership-only with the
-conservative-merge trade pinned loudly, compress purges ghosts."""
+CDC loop, reads equal a batch recompute for insert-only streams (and
+for mutations that don't sever a pair-bridge), merges re-point ONE row,
+deletes are membership-only with the conservative-merge trade pinned
+loudly, compress purges ghosts. Round 13: the pair-bridge coarsening
+applies to UPDATES exactly like deletes (union-find cannot unmerge) —
+pinned below with rebuild-as-reconcile."""
 
 from __future__ import annotations
 
@@ -342,6 +345,102 @@ def test_cluster_former_root_departure_after_compress(spark, tmp_path):
     assert _view(spark, cl) == _batch(
         spark, U.read_keyed_table(spark, table)
     )
+
+
+def test_cluster_update_severed_pair_bridge_coarsens(spark, tmp_path):
+    """ADVICE r12 (medium): an updated NON-ROUTING doc detaches exactly,
+    but the unions its old pairs justified stay — if the doc was the
+    only transitive link between its ex-neighbors (X~A, A~Y, X≁Y), they
+    remain merged after A's update, exactly like a bridge DELETE. The
+    served view is coarser-not-wrong (batch clusters contained in one
+    served cluster), and rebuild reconciles exactly."""
+    docs, table, idx, cl, v0 = _synthetic_two_clusters(spark, tmp_path)
+    # bridge doc 15 (NOT the component minimum → non-root, unrouted):
+    # pairs with both cliques, merging {10,11,15,20,21} at root 10
+    U.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(15, _BASE)], "doc_id long, text string"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table, from_version=v0)
+    sync_dedup_clusters(spark, cl, table, idx)
+    assert _view(spark, cl) == _batch(
+        spark, U.read_keyed_table(spark, table)
+    )
+    rows = {
+        r["doc_id"]: (r["parent"], r["routed"])
+        for r in U.read_keyed_table(spark, cl).collect()
+    }
+    assert rows[15] == (10, False)  # detachable: member, never a root
+    # 15 UPDATES away: it detaches exactly (leaves the view), but its
+    # severed pair-bridge leaves {10,11} and {20,21} merged — the
+    # documented coarsening, now pinned for updates
+    U.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(15, "severed bridge noise " + " ".join(
+                f"v{i}" for i in range(30)
+            ))],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table)
+    sync_dedup_clusters(spark, cl, table, idx)
+    want_batch = _batch(spark, U.read_keyed_table(spark, table))
+    assert want_batch == [
+        (10, 10, 2), (11, 10, 2), (20, 20, 2), (21, 20, 2),
+    ]
+    got = _view(spark, cl)
+    assert got == [
+        (10, 10, 4), (11, 10, 4), (20, 10, 4), (21, 10, 4),
+    ]  # coarser: one served cluster contains both batch clusters
+    # (15 itself is GONE from the view — the detach was exact)
+    # rebuild-as-reconcile splits exactly
+    C.build_cluster_table(U.read_keyed_table(spark, table), cl)
+    assert _view(spark, cl) == want_batch
+
+
+def test_cluster_pairless_singleton_writes_no_row(spark, tmp_path):
+    """ADVICE r12: a previously-absent doc upserted with NO near-dup
+    pairs writes NO union-find row — under a churny stream the table
+    stays O(clustered docs), not O(ever-touched docs). A later window
+    that pairs the doc writes its rows then."""
+    docs, table, idx, cl, v0 = _synthetic_two_clusters(spark, tmp_path)
+    n_rows0 = U.read_keyed_table(spark, cl).count()
+    uniq = "lonely document " + " ".join(f"u{i}" for i in range(30))
+    U.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(99, uniq)], "doc_id long, text string"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table, from_version=v0)
+    out = sync_dedup_clusters(spark, cl, table, idx)
+    # the window applied ZERO rows (actually-applied semantics) but the
+    # cursor advanced in the same cursor-only commit
+    assert out["upserted"] == 0 and out["to"] > out["from"]
+    assert U.read_keyed_table(spark, cl).count() == n_rows0  # rowless
+    assert _view(spark, cl) == _batch(
+        spark, U.read_keyed_table(spark, table)
+    )
+    # the cursor still advanced (replay is a no-op)
+    again = sync_dedup_clusters(spark, cl, table, idx)
+    assert again["from"] == again["to"]
+    # a later window pairing the doc materializes its membership
+    U.upsert_parquet(
+        spark,
+        table,
+        spark.createDataFrame([(98, uniq)], "doc_id long, text string"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, idx, table)
+    sync_dedup_clusters(spark, cl, table, idx)
+    view = _view(spark, cl)
+    assert (98, 98, 2) in view and (99, 98, 2) in view
+    assert view == _batch(spark, U.read_keyed_table(spark, table))
 
 
 def test_cluster_random_sequence_invariants(spark, tmp_path):

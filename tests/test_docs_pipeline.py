@@ -1848,6 +1848,49 @@ def test_knn_filtered_auto_routes_and_recall(spark, embs, tmp_path):
         assert victim[0] not in after
 
 
+def test_filtered_caller_route_count_is_advisory(
+    spark, embs, tmp_path, monkeypatch
+):
+    """ADVICE r12: a caller-reused route= carries an n_allowed counted
+    when the route was priced; the allowed set may have grown past the
+    broadcast cap since. The stale count must steer ROUTING only —
+    _restrict_to_allowed gets allowed_n=None (join strategy left to
+    AQE), never a forced broadcast sized by a stale number. Results
+    stay identical either way (the semi-join semantics don't change)."""
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "fidx")
+    S.build_ann_index(embs, idx, n_cells=16, iters=3)
+    allowed = embs.where(F.col("label").isin(0, 1, 2)).select("vec_id")
+    route = S.choose_filtered_route(
+        n_live=embs.count(), n_allowed=allowed.count(), n_cells=16,
+        n_probe=12,
+    )
+    seen: list = []
+    real = S._restrict_to_allowed
+
+    def spy(cells, a, allowed_n):
+        seen.append(allowed_n)
+        return real(cells, a, allowed_n)
+
+    monkeypatch.setattr(S, "_restrict_to_allowed", spy)
+    fresh = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_filtered_auto(
+            spark, idx, queries, allowed, k=5
+        ).collect()
+    }
+    assert seen and all(n is not None for n in seen)  # self-counted: hint
+    seen.clear()
+    reused = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
+        for r in S.knn_filtered_auto(
+            spark, idx, queries, allowed, k=5, route=route
+        ).collect()
+    }
+    assert seen and all(n is None for n in seen)  # caller route: advisory
+    assert reused == fresh and reused
+
+
 def test_filtered_allowed_frame_validation_and_empty(spark, embs, tmp_path):
     """allowed= must be a single-column id frame (a whole table raises);
     an empty allowed set returns an empty, correctly-typed result."""
