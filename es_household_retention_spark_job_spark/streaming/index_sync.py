@@ -40,6 +40,8 @@ __all__ = [
     "sync_dedup_clusters",
     "sync_serving_stack",
     "cdc_stream_id",
+    "choose_maintenance",
+    "maintain_index",
 ]
 
 
@@ -223,6 +225,7 @@ def sync_ann_index(
     from_version: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    auto_split: bool = True,
 ) -> dict:
     """The vector edition: deletes tombstone (route/health ledger exact),
     inserts and update postimages go through ``upsert_ann_vectors``
@@ -472,3 +475,223 @@ def sync_serving_stack(
             from_version=from_version, text_col=text_col, id_col=id_col,
         )
     return out
+
+
+#: ladder-calibrated defaults for choose_maintenance, per structure:
+#: (floor_rows, row_weight). floor_rows is the sync path's FIXED job
+#: overhead (locates, probes, commits) expressed in rebuild-row
+#: equivalents — the corpus size at which a zero-change sync costs the
+#: same as a full rebuild; row_weight is the per-changed-row cost of the
+#: sync path relative to one rebuilt row (a changed doc pays shingle/
+#: minhash AND a locate/probe; a rebuilt doc pays one pass). Calibrated
+#: against SCALING.md §r12's fixed-delta ladders: text crossover between
+#: sf0.1 and sf1 (rebuild 1.6s vs sync 5-7s floor at sf0.1, 3× sync win
+#: at sf10); ANN ≈ sf1 (frozen-rebuild par at sf10/16 cells, retrain 2×
+#: worse); near-dup crossover ≈ sf1 (~60k docs); clusters just above
+#: sf0.1 (rebuild 5s vs sync 7s there, 3.3-3.7× sync win at sf10).
+MAINT_COST_DEFAULTS: dict[str, tuple[int, float]] = {
+    "text": (30_000, 8.0),
+    "ann": (60_000, 8.0),
+    "neardup": (60_000, 10.0),
+    "clusters": (10_000, 20.0),
+}
+
+
+def choose_maintenance(
+    n_rows: int,
+    n_changes: int,
+    structure: str = "text",
+    floor_rows: int | None = None,
+    row_weight: float | None = None,
+    max_change_fraction: float = 0.25,
+) -> dict:
+    """Price CDC sync against a full rebuild for one serving structure —
+    the ``choose_compaction`` / ``choose_filtered_route`` free-statistic
+    pattern applied to index maintenance (VERDICT r12 #2: the ladders
+    measured both arms at every scale; this encodes the rule so a
+    sub-crossover corpus stops paying the sync's fixed floor).
+
+    Cost model, in REBUILD-ROW equivalents (the unit both arms share):
+
+    * ``rebuild`` costs one full corpus pass ≈ ``n_rows``;
+    * ``sync`` costs a fixed floor (``floor_rows`` — the locate/probe/
+      commit job overhead, corpus-independent by the fixed-delta
+      ladders) plus ``row_weight × n_changes``.
+
+    Pick sync iff ``floor_rows + row_weight·n_changes < n_rows`` — with
+    one override: a window touching ≥ ``max_change_fraction`` of the
+    table rebuilds regardless (per-change work approaches a full pass,
+    and for the cluster view a rebuild also reconciles the documented
+    conservative-merge staleness for free).
+
+    Pure function, no Spark jobs. Per-structure defaults are
+    ladder-calibrated (``MAINT_COST_DEFAULTS``); env overrides
+    ``SPARK_GRAFT_MAINT_FLOOR_ROWS`` / ``SPARK_GRAFT_MAINT_ROW_WEIGHT``
+    apply to every structure (deployment-wide recalibration)."""
+    if structure not in MAINT_COST_DEFAULTS:
+        raise ValueError(
+            f"choose_maintenance: unknown structure {structure!r} — "
+            f"one of {sorted(MAINT_COST_DEFAULTS)}"
+        )
+    d_floor, d_weight = MAINT_COST_DEFAULTS[structure]
+    if floor_rows is None:
+        floor_rows = int(
+            os.environ.get("SPARK_GRAFT_MAINT_FLOOR_ROWS", str(d_floor))
+        )
+    if row_weight is None:
+        row_weight = float(
+            os.environ.get("SPARK_GRAFT_MAINT_ROW_WEIGHT", str(d_weight))
+        )
+    n_rows = max(int(n_rows), 0)
+    n_changes = max(int(n_changes), 0)
+    sync_cost = floor_rows + row_weight * n_changes
+    out = {
+        "structure": structure,
+        "n_rows": n_rows,
+        "n_changes": n_changes,
+        "floor_rows": int(floor_rows),
+        "row_weight": float(row_weight),
+        "sync_cost_rows": int(sync_cost),
+        "rebuild_cost_rows": n_rows,
+    }
+    if n_rows and n_changes >= max_change_fraction * n_rows:
+        return {**out, "route": "rebuild", "reason": "change_fraction"}
+    if sync_cost < n_rows:
+        return {**out, "route": "sync", "reason": "cost"}
+    return {**out, "route": "rebuild", "reason": "cost"}
+
+
+def maintain_index(
+    spark: SparkSession,
+    kind: str,
+    index_path: str,
+    table_path: str,
+    from_version: int | None = None,
+    neardup_index: str | None = None,
+    n_rows: int | None = None,
+    route: dict | None = None,
+    text_col: str = "text",
+    id_col: str | None = None,
+    emb_col: str = "embedding",
+    n_cells: int | None = None,
+) -> dict:
+    """Maintain ONE serving structure by whichever arm is cheaper —
+    ``choose_maintenance`` routes, then either the structure's CDC sync
+    runs or a full rebuild from the table's version-pinned snapshot
+    replaces it (cursor committed to the snapshot version, so the CDC
+    loop resumes seamlessly either way). Same single-maintainer contract
+    as the syncs; the rebuild arms are the structures' own stop-the-world
+    builders.
+
+    Pricing costs two cheap jobs on top of the sync path: one id-level
+    count of the netted change window and one key-only count of the
+    table (parquet footer metadata; pass ``n_rows=`` to skip when the
+    caller tracks it). ``route=`` lets a caller reuse a prior decision —
+    advisory, like ``knn_filtered_auto``'s.
+
+    ``kind``: ``text`` | ``ann`` | ``neardup`` | ``clusters`` (clusters
+    takes the CLUSTER table as ``index_path`` and needs
+    ``neardup_index=`` for pairs — rebuild goes through
+    ``build_cluster_table``, which also reconciles conservative-merge
+    staleness exactly)."""
+    from ..operators import clusters as _clusters
+    from ..sinks.upsert import read_keyed_table
+
+    if kind not in MAINT_COST_DEFAULTS:
+        raise ValueError(
+            f"maintain_index: unknown kind {kind!r} — "
+            f"one of {sorted(MAINT_COST_DEFAULTS)}"
+        )
+    if kind == "clusters" and neardup_index is None:
+        raise ValueError(
+            "maintain_index(kind='clusters') needs neardup_index= (the "
+            "cluster view derives from the band index's pairs)"
+        )
+    if id_col is None:
+        id_col = "vec_id" if kind == "ann" else "doc_id"
+    content_col = emb_col if kind == "ann" else text_col
+    stream = cdc_stream_id(table_path)
+    if kind == "text":
+        committed = _cursor(_search._read_index_manifest(index_path), stream)
+    elif kind == "ann":
+        committed = _cursor(_sim._read_ann_manifest(index_path), stream)
+    elif kind == "neardup":
+        committed = _cursor(
+            _dedup._read_neardup_meta(index_path) or {}, stream
+        )
+    else:
+        committed = _clusters.cluster_cursor(index_path, stream)
+    start, cur = _window(
+        spark, table_path, committed, from_version, f"maintain_index({kind})"
+    )
+    if start >= cur:
+        return {"route": "none", "from": start, "to": cur}
+    if route is None:
+        # one id-level count of the netted window, scoped to the SAME
+        # content column the sync maintains — so a key whose other
+        # columns changed nets out of the price exactly as it nets out
+        # of the sync
+        n_changes = (
+            read_changes(spark, table_path, start, cur, columns=[content_col])
+            .where(F.col(CHANGE_TYPE_COL) != "update_preimage")
+            .select(id_col)
+            .count()
+        )
+        if n_rows is None:
+            # key-only count: parquet row-group metadata, no data pages
+            n_rows = read_keyed_table(spark, table_path).select(id_col).count()
+        route = choose_maintenance(n_rows, n_changes, structure=kind)
+    if route["route"] == "sync":
+        if kind == "text":
+            res = sync_text_index(
+                spark, index_path, table_path, from_version=from_version,
+                text_col=text_col, id_col=id_col,
+            )
+        elif kind == "ann":
+            res = sync_ann_index(
+                spark, index_path, table_path, from_version=from_version,
+                id_col=id_col, emb_col=emb_col,
+            )
+        elif kind == "neardup":
+            res = sync_neardup_index(
+                spark, index_path, table_path, from_version=from_version,
+                text_col=text_col, id_col=id_col,
+            )
+        else:
+            res = sync_dedup_clusters(
+                spark, index_path, table_path, neardup_index,
+                from_version=from_version, text_col=text_col, id_col=id_col,
+            )
+        return {**res, "route": "sync", "decision": route}
+    # rebuild arm: snapshot PINNED at the window end (read_keyed_table's
+    # version= time-travel), so committing the cursor at `cur` is exact —
+    # no carry/clamp dance, the base IS the table at cur
+    snap = read_keyed_table(spark, table_path, version=cur)
+    if kind == "text":
+        _search.build_text_index(
+            snap.select(id_col, text_col), index_path,
+            text_col=text_col, id_col=id_col,
+        )
+        _commit_text_cursor(spark, index_path, cur, stream)
+    elif kind == "ann":
+        man = _sim._read_ann_manifest(index_path)
+        if n_cells is None:
+            n_cells = int(man["n_cells"]) if man else 16
+        _sim.build_ann_index(
+            snap.select(id_col, emb_col), index_path,
+            n_cells=n_cells, id_col=id_col, emb_col=emb_col,
+        )
+        _commit_ann_cursor(spark, index_path, cur, stream)
+    elif kind == "neardup":
+        _dedup.build_neardup_index(
+            snap.select(id_col, text_col), index_path,
+            text_col=text_col, id_col=id_col,
+            as_of_epoch=cur, epoch_stream=stream,
+        )
+    else:
+        _clusters.build_cluster_table(
+            snap.select(id_col, text_col), index_path,
+            text_col=text_col, id_col=id_col,
+            epoch=cur, epoch_stream=stream,
+        )
+    return {"route": "rebuild", "from": start, "to": cur, "decision": route}

@@ -420,6 +420,34 @@ def test_neardup_concurrent_commit_detected(spark, tmp_path):
         )
 
 
+def test_neardup_rebuild_clamps_cursor_to_corpus_snapshot(spark, tmp_path):
+    """ADVICE r12: a rebuild's docs frame is materialized BEFORE the
+    publish lock, so a sync window committing in between is absorbed by
+    the carried LIVE cursor but not by the rebuilt base — silently lost.
+    With ``as_of_epoch`` (the corpus snapshot's known epoch) the carried
+    cursor clamps to min(live, snapshot): the raced gap re-applies
+    idempotently on the next sync instead of vanishing."""
+    from es_household_retention_spark_job_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    D.build_neardup_index(docs, idx)
+    pre = D._read_neardup_meta(idx)
+    pre["last_epoch"] = 9  # a sync committed AFTER the corpus was read
+    pre["epoch_stream"] = "cdc:/t"
+    D._write_neardup_meta(idx, pre)
+    # the corpus snapshot only absorbed epochs ≤ 7 → cursor winds back
+    D.build_neardup_index(docs, idx, as_of_epoch=7)
+    meta = D._read_neardup_meta(idx)
+    assert meta["last_epoch"] == 7 and meta["epoch_stream"] == "cdc:/t"
+    # a snapshot AHEAD of the live cursor never advances it (min, not set)
+    pre2 = D._read_neardup_meta(idx)
+    pre2["last_epoch"] = 5
+    D._write_neardup_meta(idx, pre2)
+    D.build_neardup_index(docs, idx, as_of_epoch=11)
+    assert D._read_neardup_meta(idx)["last_epoch"] == 5
+
+
 def test_neardup_rebuild_bumps_version_so_stale_racers_abort(
     spark, tmp_path
 ):
@@ -743,3 +771,192 @@ def test_sync_serving_stack_one_window(spark, tmp_path):
         cluster_table=cl, emb_id_col="doc_id",
     )
     assert all(r["from"] == r["to"] for r in out2.values())
+
+
+def test_choose_maintenance_routing_pins():
+    """VERDICT r12 #2: the sync-vs-rebuild cost rule, pure-function pins.
+    A sub-crossover corpus rebuilds (the sync's fixed floor dwarfs one
+    small pass); a large corpus syncs (O(changes) beats O(table)); a
+    window touching most of the table rebuilds regardless."""
+    from es_household_retention_spark_job_spark.streaming.index_sync import (
+        choose_maintenance,
+    )
+
+    for kind in ("text", "ann", "neardup", "clusters"):
+        small = choose_maintenance(5_000, 500, structure=kind)
+        big = choose_maintenance(600_000, 500, structure=kind)
+        assert small["route"] == "rebuild", (kind, small)
+        assert big["route"] == "sync", (kind, big)
+        # monotone in n_changes: more changes never flips rebuild→sync
+        assert choose_maintenance(600_000, 500_000, structure=kind)[
+            "route"
+        ] == "rebuild"
+    # change-fraction override fires even when the formula prefers sync
+    out = choose_maintenance(600_000, 200_000, structure="text")
+    assert out["route"] == "rebuild" and out["reason"] == "change_fraction"
+    # explicit weights beat defaults (the env/arg recalibration hook)
+    forced = choose_maintenance(
+        5_000, 500, structure="text", floor_rows=0, row_weight=0.1
+    )
+    assert forced["route"] == "sync"
+    with pytest.raises(ValueError, match="unknown structure"):
+        choose_maintenance(1, 1, structure="bm25")
+
+
+def test_maintain_index_routes_and_serves(spark, tmp_path):
+    """maintain_index end-to-end on text + neardup + clusters: the small
+    test corpus routes to REBUILD (sub-crossover), the rebuilt structures
+    serve exactly like fresh builds, the cursor resumes the CDC loop
+    (next maintain is a no-op), and a forced-sync decision (floor 0)
+    drives the same window through the sync arm with equal results."""
+    from es_household_retention_spark_job_spark.operators import (
+        clusters as C,
+        dedup as D,
+    )
+    from es_household_retention_spark_job_spark.streaming.index_sync import (
+        maintain_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    table = str(tmp_path / "table")
+    tidx = str(tmp_path / "tidx")
+    nidx = str(tmp_path / "nidx")
+    cl = str(tmp_path / "cl")
+    U.write_keyed_table(docs, table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    stream_docs = U.read_keyed_table(spark, table)
+    SE.build_text_index(stream_docs, tidx)
+    D.build_neardup_index(stream_docs, nidx)
+    C.build_cluster_table(
+        stream_docs, cl, epoch=v0,
+        epoch_stream=f"cdc:{__import__('os').path.abspath(table)}",
+    )
+
+    # one mixed window: inserts + text changes + deletes
+    changed = docs.where(F.col("doc_id") % 13 == 4).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzrouted"))
+    )
+    fresh = docs.where(F.col("doc_id") % 19 == 7).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    U.upsert_parquet(spark, table, changed.unionByName(fresh), key="doc_id")
+    U.delete_keys(
+        spark, table,
+        docs.where(F.col("doc_id") % 23 == 11).select("doc_id"),
+        key="doc_id",
+    )
+
+    out_t = maintain_index(spark, "text", tidx, table, from_version=v0)
+    assert out_t["route"] == "rebuild"           # sub-crossover corpus
+    assert out_t["decision"]["reason"] == "cost"
+    out_n = maintain_index(spark, "neardup", nidx, table, from_version=v0)
+    assert out_n["route"] == "rebuild"
+    out_c = maintain_index(
+        spark, "clusters", cl, table, neardup_index=nidx,
+    )
+    assert out_c["route"] == "rebuild"
+
+    resolved = U.read_keyed_table(spark, table)
+    queries = [("q1", "data quality filter"), ("qz", "zzzrouted")]
+    rebuilt = str(tmp_path / "fresh_tidx")
+    SE.build_text_index(resolved, rebuilt)
+    assert _res(SE.bm25_search_indexed(spark, tidx, queries, k=10)) == _res(
+        SE.bm25_search_indexed(spark, rebuilt, queries, k=10)
+    )
+    want_clusters = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters(
+            D.minhash_lsh_pairs(resolved)
+        ).collect()
+    )
+    assert sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in C.read_dedup_clusters(spark, cl).collect()
+    ) == want_clusters
+
+    # cursor resumed: nothing pending on any structure
+    assert maintain_index(spark, "text", tidx, table)["route"] == "none"
+    assert maintain_index(spark, "neardup", nidx, table)["route"] == "none"
+    assert maintain_index(
+        spark, "clusters", cl, table, neardup_index=nidx
+    )["route"] == "none"
+
+    # second window through the FORCED sync arm (floor 0): same window,
+    # other arm, equal service — the router only picks, never changes
+    # semantics
+    U.upsert_parquet(
+        spark, table,
+        spark.createDataFrame(
+            [(900_001, "routed sync arm twin doc zzzrouted")],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    forced = {"route": "sync"}
+    out2 = maintain_index(spark, "text", tidx, table, route=forced)
+    assert out2["route"] == "sync" and out2["upserted"] == 1
+    out2n = maintain_index(spark, "neardup", nidx, table, route=forced)
+    assert out2n["route"] == "sync" and out2n["upserted"] == 1
+    out2c = maintain_index(
+        spark, "clusters", cl, table, neardup_index=nidx, route=forced
+    )
+    assert out2c["route"] == "sync"
+    resolved2 = U.read_keyed_table(spark, table)
+    rebuilt2 = str(tmp_path / "fresh_tidx2")
+    SE.build_text_index(resolved2, rebuilt2)
+    assert _res(
+        SE.bm25_search_indexed(spark, tidx, queries, k=10)
+    ) == _res(SE.bm25_search_indexed(spark, rebuilt2, queries, k=10))
+    assert sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in C.read_dedup_clusters(spark, cl).collect()
+    ) == sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters(
+            D.minhash_lsh_pairs(resolved2)
+        ).collect()
+    )
+    # guardrails
+    with pytest.raises(ValueError, match="needs neardup_index"):
+        maintain_index(spark, "clusters", cl, table)
+    with pytest.raises(ValueError, match="unknown kind"):
+        maintain_index(spark, "lucene", cl, table)
+
+
+def test_maintain_index_ann_rebuild_keeps_geometry_and_cursor(
+    spark, tmp_path
+):
+    """The ANN rebuild arm: keeps the live index's n_cells, retrains on
+    the pinned snapshot, commits the cursor — serving equals a fresh
+    same-geometry build over the resolved table, and the CDC loop
+    resumes (next maintain: none; a later window syncs when forced)."""
+    from es_household_retention_spark_job_spark.streaming.index_sync import (
+        maintain_index,
+    )
+
+    embs = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    table = str(tmp_path / "etable")
+    idx = str(tmp_path / "eidx")
+    U.write_keyed_table(embs, table, key="vec_id", n_buckets=4)
+    v0 = U.current_version(table)
+    S.build_ann_index(U.read_keyed_table(spark, table), idx, n_cells=8)
+
+    shifted = embs.where(F.col("vec_id") % 31 == 3).select(
+        (F.col("vec_id") + 700_000).alias("vec_id"), "embedding"
+    )
+    U.upsert_parquet(spark, table, shifted, key="vec_id")
+    out = maintain_index(spark, "ann", idx, table, from_version=v0)
+    assert out["route"] == "rebuild"
+    man = S._read_ann_manifest(idx)
+    assert int(man["n_cells"]) == 8  # geometry preserved
+    assert maintain_index(spark, "ann", idx, table)["route"] == "none"
+    # full-probe serving equals exact brute force over the resolved table
+    queries = embs.where(F.col("vec_id") % 50 == 0)
+    want = _res(
+        S.knn_bruteforce(U.read_keyed_table(spark, table), queries, k=5)
+    )
+    assert _res(
+        S.knn_ivf_indexed(spark, idx, queries, k=5, n_probe=8)
+    ) == want
