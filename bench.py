@@ -263,7 +263,11 @@ def main() -> None:
         # up to ±30% host noise on a shared box, so round-over-round
         # comparisons anchor on total_min — flag a regression ONLY if
         # min-of-reps moves >10% (the sf1 gate's effective rule)
-        "regression_rule": "flag only if total_min moves >10% round-over-round",
+        "regression_rule": (
+            "flag only if total_min moves >10% vs the COMMITTED prior "
+            "artifact at this path AND past both runs' trimmed spread "
+            "(self-adjudicated in regression_verdict)"
+        ),
         "pass_totals": pass_totals,
         "total_spread_pct": round(
             100 * (max(pass_totals) / min(pass_totals) - 1), 1
@@ -329,6 +333,53 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
+    # read the COMMITTED PRIOR at this path before overwriting — it is
+    # what the regression rule binds to (r12 verdict #5: the rule fired
+    # on the driver's run while the builder's committed run passed, and
+    # nothing said which binds; now the artifact adjudicates itself)
+    prior = None
+    try:
+        with open(local_path) as fh:
+            prior = json.load(fh)
+    except Exception:
+        prior = None
+    if prior:
+        # carry forward one-off attribution fields a refresh must not
+        # drop (r12: the round-final refresh silently lost the
+        # ab_same_window host-drift A/B the README cites)
+        for k in ("ab_same_window",):
+            if k in prior and k not in full_stats:
+                full_stats[k] = prior[k]
+    if (
+        prior
+        and prior.get("total_min")
+        and total_min
+        and prior.get("sf") == sf_val  # only like-for-like scales adjudicate
+    ):
+        delta_pct = round(100 * (total_min / prior["total_min"] - 1), 1)
+        spreads = [
+            s
+            for s in (
+                full_stats.get("total_spread_trimmed_pct"),
+                prior.get("total_spread_trimmed_pct"),
+            )
+            if s is not None
+        ]
+        noise = max(spreads) if spreads else 0.0
+        if delta_pct > 10 and delta_pct > noise:
+            verdict = "regression"
+        elif delta_pct > 10:
+            verdict = "within_noise"  # >10% but inside either run's spread
+        else:
+            verdict = "ok"
+        full_stats["regression_verdict"] = {
+            "binds_to": "the committed prior artifact at this path",
+            "prior_git": prior.get("git"),
+            "prior_total_min": prior["total_min"],
+            "total_min_delta_pct": delta_pct,
+            "noise_floor_pct": noise,
+            "verdict": verdict,
+        }
     with open(local_path, "w") as fh:
         json.dump(full_stats, fh, indent=1)
         fh.write("\n")
@@ -352,6 +403,13 @@ def main() -> None:
         "total_spread_pct": full_stats["total_spread_pct"],
         "total_spread_trimmed_pct": full_stats["total_spread_trimmed_pct"],
     }
+    rv = full_stats.get("regression_verdict")
+    if rv:
+        # the printed line (archived as BENCH_r{N}.json) carries the
+        # self-adjudication so the rule never again fires ambiguously
+        line["regression_verdict"] = rv["verdict"]
+        line["total_min_delta_pct"] = rv["total_min_delta_pct"]
+        line["prior_git"] = rv.get("prior_git")
     # sf1 carry-through (round 9): the sf0.1 headline's ±10-20% host noise
     # hides sub-15% regressions (SCALING.md); the compute-dominated sf1
     # suite is the regression gate that can see them. It runs once per
