@@ -42,6 +42,7 @@ __all__ = [
     "cdc_stream_id",
     "choose_maintenance",
     "maintain_index",
+    "split_synced_ann_cells",
 ]
 
 
@@ -276,12 +277,67 @@ def sync_ann_index(
     if not applied:
         # cursor-only bump: see sync_text_index (the wedge guard)
         _commit_ann_cursor(spark, index_path, cur, stream)
+    n_split = 0
+    if auto_split and applied:
+        n_split = split_synced_ann_cells(spark, index_path, id_col=id_col)
     return {
         "from": start,
         "to": cur,
         "deleted": n_deleted,
         "upserted": n_upserted,
+        "cells_split": n_split,
     }
+
+
+def split_synced_ann_cells(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> int:
+    """√n cell sizing for SYNCED ANN indexes (VERDICT r12 #6): keep
+    every cell at ≤ ``factor·√total`` rows by splitting on growth, so a
+    delta-sized sync window rewrites delta-proportional bytes instead of
+    cell-sized ones. The r12 fixed-delta ladder showed the disease at 16
+    cells (a 600-vector window touches most cells → rewrites ∝ cell
+    size, 37k rows/cell at 600k vectors) and the cure at 64; √n makes
+    the cure the default — at bound ``4√n`` the index converges to
+    ≈ √n/4 cells (194 at 600k), and cell size grows only as √corpus.
+
+    Cost: the health check is manifest-only (no data I/O); splits read
+    ONLY the oversized cells (``split_ann_cells``'s cell-confined
+    2-means), and the interleave rehearsal proves splits are sync-safe.
+    A freshly-adopted coarse index pays an amortized reshape over its
+    first few syncs (each pass halves oversized cells, ≤ ``_SPLIT_MAX
+    _PASSES`` per call); a converged index pays one manifest read.
+    Env knobs: ``SPARK_GRAFT_ANN_SPLIT_FACTOR`` (default 4),
+    ``SPARK_GRAFT_ANN_SPLIT_MIN_BOUND`` (default 2048 — corpora below
+    factor·√n of that never split, the toy-index guard)."""
+    factor = float(os.environ.get("SPARK_GRAFT_ANN_SPLIT_FACTOR", "4"))
+    min_bound = int(
+        os.environ.get("SPARK_GRAFT_ANN_SPLIT_MIN_BOUND", "2048")
+    )
+    total_split = 0
+    for _ in range(_SPLIT_MAX_PASSES):
+        man = _sim._read_ann_manifest(index_path)
+        if man is None:
+            return total_split
+        total = sum(
+            int(n)
+            for n in _sim._manifest_cell_rows(spark, index_path, man).values()
+        )
+        bound = max(int(factor * total**0.5), min_bound)
+        n = _sim.split_ann_cells(
+            spark, index_path, max_rows_per_cell=bound, id_col=id_col
+        )
+        total_split += n
+        if n == 0:
+            break
+    return total_split
+
+
+#: runaway bound, not an amortization knob: each pass reads only the
+#: still-oversized cells (geometrically shrinking), and a converged
+#: index exits on the first zero-split pass — 12 covers a 4096×
+#: coarse-to-√n reshape in one call
+_SPLIT_MAX_PASSES = 12
 
 
 def sync_neardup_index(

@@ -285,3 +285,49 @@ def test_tf_bloom_prunes_locate(spark, docs, tmp_path):
     man3 = SE._read_index_manifest(idx)
     live = {f"{d}/{f}" for d, fs in man3["tf"].items() for f in fs}
     assert set(man3.get("tf_bloom") or {}) <= live
+
+
+def test_tf_zone_maps_prune_past_bloom_cap(spark, docs, tmp_path, monkeypatch):
+    """Round 13 (r12 verdict #7): generation files past the Bloom cap —
+    backfill-sized batches that used to be unconditional locate
+    candidates — carry doc-id ZONE MAPS (footer min/max, zero data-page
+    I/O) and the locate skips files whose range cannot hold a target id.
+    False negatives impossible (an id inside the range keeps the file);
+    build files span the full range and always qualify."""
+    slim = docs.select("doc_id", "text")
+    base = slim.where(F.col("doc_id") % 3 != 0)
+    idx = str(tmp_path / "zidx")
+    SE.build_text_index(base, idx, n_shards=4)
+    # cap Blooms to nothing: both append batches exceed it, so only the
+    # zone maps can prune — exactly the regime this feature exists for
+    monkeypatch.setenv("SPARK_GRAFT_TF_BLOOM_MAX_DOCS", "1")
+    lo = slim.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 250))
+    hi = slim.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") >= 250))
+    assert lo.count() > 1 and hi.count() > 1
+    SE.append_text_index(lo, idx)
+    SE.append_text_index(hi, idx)
+    man = SE._read_index_manifest(idx)
+    assert not (man.get("tf_bloom") or {}), "cap should suppress blooms"
+    assert man.get("tf_zone"), "appends recorded no zone maps"
+    # a hi-range target prunes the lo-range generation files entirely
+    target = [r.doc_id for r in hi.limit(1).collect()]
+    files, skipped = SE._locate_tf_files(idx, man, target)
+    assert skipped > 0
+    assert SE.delete_text_docs(spark, idx, target) == 1
+    # an out-of-range id prunes EVERY zoned generation file
+    files2, skipped2 = SE._locate_tf_files(
+        idx, SE._read_index_manifest(idx), [99_999_991]
+    )
+    assert skipped2 >= len(man["tf_zone"]) - 1
+    assert SE.delete_text_docs(spark, idx, [99_999_991]) == 0
+    # a NON-INT target id disables the zone prune (conservative), never
+    # a wrong skip
+    files3, skipped3 = SE._locate_tf_files(
+        idx, SE._read_index_manifest(idx), ["not-an-int"]
+    )
+    assert skipped3 == 0
+    # zone ledger follows the live file set across compaction
+    SE.compact_text_index(spark, idx)
+    man3 = SE._read_index_manifest(idx)
+    live = {f"{d}/{f}" for d, fs in man3["tf"].items() for f in fs}
+    assert set(man3.get("tf_zone") or {}) <= live
