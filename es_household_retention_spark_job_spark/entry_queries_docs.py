@@ -1149,6 +1149,83 @@ def knn_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memoized PQ index over the CLUSTERED eval corpus — the admission-regime
+#: geometry (16 cells: fat enough that probe scanning dominates and the
+#: route model prices the pq shortlist as the winner at 8 probes)
+_PQ_ADMIT_INDEX: dict[str, str] = {}
+
+
+def _pq_admit_index_path(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    path = _PQ_ADMIT_INDEX.get("idx")
+    if path is None:
+        from .operators.evalcorpus import clustered_embeddings
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_pq_admit_"), "idx"
+        )
+        S.build_ann_index(
+            clustered_embeddings(spark), path, n_cells=16, iters=3, pq=True
+        )
+        _PQ_ADMIT_INDEX["idx"] = path
+    return path
+
+
+@register("knn_pq_admitted", extra=True)  # rows-only info row (the
+# corpus is generated, not a parquet table, so no DuckDB oracle); the
+# row carries its own checks: router_picked must be 'pq', the auto
+# route must byte-equal the explicit pq serving path, and the
+# calibrated-rerank shortlist must hold the floor vs the exact arm.
+# Floors pinned in tests/test_docs_pipeline.py.
+def knn_pq_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 stretch #8: the calibration-ADMITTED pq route, end-to-end on
+    a corpus where it wins. The near-orthogonal testdata correctly marks
+    ``breach`` (no driver row ever saw the router choose pq); here the
+    CLUSTERED eval corpus calibrates breach=False and the 16-cell/8-probe
+    regime prices the ADC shortlist under both double tiers, so
+    ``knn_ann_auto`` picks pq under the default guard. One output row:
+    the recorded route, byte-equality of the auto route against the
+    explicit ``knn_pq_indexed`` serving path at the SAME calibrated
+    rerank (``_pq_auto_refine`` both sides), and recall of that
+    calibrated shortlist vs the exact arm (``knn_ivf_indexed`` at the
+    same probes — exact-within-probes ground truth). Independent of
+    ``sf_dir`` by design (fixed synthetic eval set)."""
+    from .operators.evalcorpus import clustered_embeddings
+
+    embs = clustered_embeddings(spark)
+    queries = embs.where(F.col("vec_id") % 10 == 0)
+    path = _pq_admit_index_path(spark)
+    route, _stats, _plan = S.choose_ann_route(
+        spark, path, queries, k=KNN_K, n_probe=8, with_plan=True
+    )
+    auto = S.knn_ann_auto(spark, path, queries, k=KNN_K, n_probe=8)
+    explicit = S.knn_pq_indexed(spark, path, queries, k=KNN_K, n_probe=8)
+    cols = ["query_id", "neighbor_id", "rank", "cos_bp"]
+    a = {tuple(r) for r in auto.select(*cols).collect()}
+    e = {tuple(r) for r in explicit.select(*cols).collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf_indexed(
+            spark, path, queries, k=KNN_K, n_probe=8
+        ).collect()
+    }
+    hits = sum(1 for (q, n, _r, _c) in a if (q, n) in exact)
+    return spark.createDataFrame(
+        [
+            (
+                route,
+                a == e,
+                int(hits * 10000 // max(len(exact), 1)),
+                int(queries.count()),
+            )
+        ],
+        "router_picked string, auto_equals_pq boolean, "
+        "recall_vs_exact_bp long, n_queries long",
+    )
+
+
 @register("knn_ann_eval", extra=True)  # rows-only: ANN is approximate by
 # design; the recall-vs-exact numbers ARE the correctness evidence (exact-k
 # ground truth is the oracle-checked knn_bruteforce above). Kept OUT of the

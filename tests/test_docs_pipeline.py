@@ -1945,3 +1945,22 @@ def test_knn_sq8_indexed_filtered_equals_filtered_index(
         ).collect()
     }
     assert got == want and got
+
+
+def test_pq_admitted_route_end_to_end(spark):
+    """r12 stretch #8: on the clustered eval corpus the per-corpus
+    calibration admits the pq tier (breach=False) AND the 16-cell/
+    8-probe regime prices it the winner — knn_ann_auto actually serves
+    from pq under the default guard, byte-equal to the explicit pq path
+    at the calibrated rerank, holding the ≥0.9 floor vs the exact arm."""
+    from es_household_retention_spark_job_spark.entry_queries import (
+        EXTRA_QUERIES,
+    )
+
+    row = EXTRA_QUERIES["knn_pq_admitted"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["router_picked"] == "pq"
+    assert row["auto_equals_pq"]
+    assert row["recall_vs_exact_bp"] >= 9000
+    assert row["n_queries"] > 100

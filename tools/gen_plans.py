@@ -45,10 +45,12 @@ EXTRA_PLANS = [
     "sink_fold_topk",
     # round-12b: the filtered-search family and the maintained clusters
     "knn_filtered",
-    "knn_filtered_auto",
     "knn_ivf_filtered",
     "knn_filtered_lang",
     "dedup_clusters_incremental",
+    # round-13: knn_filtered_auto PROMOTED to a driver slot (prints with
+    # the registry); knn_pq_indexed returned to extras — its pin stays:
+    "knn_pq_indexed",
 ]
 
 HEADER = """# PLANS — physical plans, auto-generated (tools/gen_plans.py)

@@ -135,9 +135,13 @@ def main() -> None:
             kw = dict(neardup_index=paths["neardup"]) if kind == "clusters" else {}
             tbl = et if kind == "ann" else dt
             fv = v_e0 if kind == "ann" else v_d0
+            # both arms get the PRE-COMPUTED route so neither timing
+            # carries the pricing jobs (the decision itself is priced
+            # above; what the clocks compare is the arms)
             t0 = time.perf_counter()
             out = maintain_index(
-                spark, kind, paths[kind], tbl, from_version=fv, **kw
+                spark, kind, paths[kind], tbl, from_version=fv,
+                route=route, **kw,
             )
             t_pick = time.perf_counter() - t0
             assert out["route"] == route["route"], (kind, out, route)

@@ -21,6 +21,12 @@ new files, then sync_serving_stack runs again: every structure must
 report a no-op window (replay proof at the stack level).
 
 Usage: python tools/streaming_stack_rehearsal.py [sf_dir] [n_batches=3]
+           [--batch-docs=N]
+``--batch-docs`` caps each batch at N docs (N//2 fresh + N//2 mutated) —
+the FIXED-WINDOW protocol for cross-scale wall comparisons (r12 verdict
+#4: per-batch wall at sf1 must be flat vs sf0.1 at the same window, so
+the window must not scale with the corpus). Unset, batches keep the
+original corpus-proportional sizing.
 One JSON line per batch + a summary line (feeds SCALING.md).
 """
 
@@ -36,8 +42,13 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F, types as T  # noqa: E402
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-N_BATCHES = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = ARGS[0] if ARGS else "/root/testdata/sf0.1"
+N_BATCHES = int(ARGS[1]) if len(ARGS) > 1 else 3
+BATCH_DOCS = None
+for a in sys.argv[1:]:
+    if a.startswith("--batch-docs="):
+        BATCH_DOCS = int(a.split("=", 1)[1])
 
 DOC = T.StructType(
     [
@@ -92,7 +103,14 @@ def main() -> None:
     nidx = os.path.join(root, "neardup")
     cl = os.path.join(root, "clusters")
     SE.build_text_index(state, tidx)
-    S.build_ann_index(state, aidx, n_cells=8, iters=2, id_col="doc_id")
+    # √n/4 cells (the synced-index default geometry, r13): the sync's
+    # auto-split would converge here anyway — bootstrapping at the
+    # target keeps batch-1's wall comparable to the rest
+    n_base = base.count()
+    S.build_ann_index(
+        state, aidx, n_cells=max(8, int(n_base**0.5 / 4)), iters=2,
+        id_col="doc_id",
+    )
     D.build_neardup_index(state, nidx)
     C.build_cluster_table(state, cl, epoch=v0, epoch_stream=stream_id)
 
@@ -132,6 +150,10 @@ def main() -> None:
                 F.concat(F.col("text"), F.lit(f" zzb{b} zzb{b}")),
             )
         )
+        if BATCH_DOCS is not None:  # fixed-window protocol (id-ordered,
+            # deterministic at every scale)
+            fresh = fresh.orderBy("doc_id").limit(BATCH_DOCS // 2)
+            muts = muts.orderBy("doc_id").limit(BATCH_DOCS // 2)
         batch = fresh.unionByName(muts).toPandas()
         fp = os.path.join(in_dir, f"batch-{b:03d}.ndjson")
         with open(fp, "w") as fh:
