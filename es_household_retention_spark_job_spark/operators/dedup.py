@@ -1402,13 +1402,16 @@ def neardup_probe(
     candidates, same verification — only the evaluation order moved).
     Candidates match the batch `minhash_lsh_pairs` on the union corpus
     for pairs that straddle new-vs-indexed."""
-    from ..functions import eager_cache
-
-    probe = eager_cache(neardup_index_frame(new_docs, text_col, id_col))
+    # deliberately uncached: the pieces evaluated twice (the window's
+    # shingle map, the narrow collision join) are cheap relative to the
+    # wide-gh reads this restructure eliminates, and a persist here
+    # would leak across repeated calls (the probe is a serving-path
+    # function — bench reps and sync loops call it once per window)
+    probe = neardup_index_frame(new_docs, text_col, id_col)
     idx_narrow = index.select(
         F.col(id_col).alias("dup_of"), "band_key", BAND_BUCKET_COL
     )
-    cand = eager_cache(
+    cand = (
         probe.select(id_col, "band_key", BAND_BUCKET_COL)
         .join(idx_narrow, ["band_key", BAND_BUCKET_COL])
         .where(F.col(id_col) != F.col("dup_of"))
