@@ -733,9 +733,15 @@ def maintain_index(
         man = _sim._read_ann_manifest(index_path)
         if n_cells is None:
             n_cells = int(man["n_cells"]) if man else 16
+        # a live pq sidecar survives the rebuild (same sub-quantizer
+        # geometry; codebooks retrain with the coarse quantizer — the
+        # rebuild arm is the retraining arm by definition)
+        pq_params = (man or {}).get("pq_params") or {}
         _sim.build_ann_index(
             snap.select(id_col, emb_col), index_path,
             n_cells=n_cells, id_col=id_col, emb_col=emb_col,
+            pq=bool((man or {}).get("pq")),
+            pq_m=pq_params.get("m"), pq_ksub=pq_params.get("ksub"),
         )
         _commit_ann_cursor(spark, index_path, cur, stream)
     elif kind == "neardup":
