@@ -491,6 +491,7 @@ def sync_serving_stack(
     id_col: str = "doc_id",
     emb_col: str = "embedding",
     emb_id_col: str = "vec_id",
+    route_maintenance: bool = False,
 ) -> dict:
     """One window, the whole serving stack: run every structure's sync
     against the table's change feed in DEPENDENCY order — the cluster
@@ -503,32 +504,82 @@ def sync_serving_stack(
     holding one hostage to another's failure would couple their
     availability). Returns {structure: its sync result}. Requesting
     ``cluster_table`` without ``neardup_index`` raises — the dependency
-    is structural, not optional."""
+    is structural, not optional.
+
+    ``route_maintenance=True`` sends each structure through
+    ``maintain_index`` instead of its sync: the cost rule picks sync or
+    rebuild PER STRUCTURE per window (round 13 — a sub-crossover corpus
+    stops paying the sync floor stack-wide), with the table row count
+    counted ONCE and shared across the four pricings."""
     if cluster_table is not None and neardup_index is None:
         raise ValueError(
             "sync_serving_stack: cluster_table requires neardup_index "
             "(the cluster view derives from the band index's pairs)"
         )
+    n_rows = None
+    if route_maintenance:
+        from ..sinks.upsert import read_keyed_table
+
+        n_rows = (
+            read_keyed_table(spark, table_path).select(id_col).count()
+        )
     out: dict = {}
     if text_index is not None:
-        out["text"] = sync_text_index(
-            spark, text_index, table_path,
-            from_version=from_version, text_col=text_col, id_col=id_col,
+        out["text"] = (
+            maintain_index(
+                spark, "text", text_index, table_path,
+                from_version=from_version, n_rows=n_rows,
+                text_col=text_col, id_col=id_col,
+            )
+            if route_maintenance
+            else sync_text_index(
+                spark, text_index, table_path,
+                from_version=from_version, text_col=text_col,
+                id_col=id_col,
+            )
         )
     if ann_index is not None:
-        out["ann"] = sync_ann_index(
-            spark, ann_index, table_path,
-            from_version=from_version, emb_col=emb_col, id_col=emb_id_col,
+        out["ann"] = (
+            maintain_index(
+                spark, "ann", ann_index, table_path,
+                from_version=from_version, n_rows=n_rows,
+                id_col=emb_id_col, emb_col=emb_col,
+            )
+            if route_maintenance
+            else sync_ann_index(
+                spark, ann_index, table_path,
+                from_version=from_version, emb_col=emb_col,
+                id_col=emb_id_col,
+            )
         )
     if neardup_index is not None:
-        out["neardup"] = sync_neardup_index(
-            spark, neardup_index, table_path,
-            from_version=from_version, text_col=text_col, id_col=id_col,
+        out["neardup"] = (
+            maintain_index(
+                spark, "neardup", neardup_index, table_path,
+                from_version=from_version, n_rows=n_rows,
+                text_col=text_col, id_col=id_col,
+            )
+            if route_maintenance
+            else sync_neardup_index(
+                spark, neardup_index, table_path,
+                from_version=from_version, text_col=text_col,
+                id_col=id_col,
+            )
         )
     if cluster_table is not None:
-        out["clusters"] = sync_dedup_clusters(
-            spark, cluster_table, table_path, neardup_index,
-            from_version=from_version, text_col=text_col, id_col=id_col,
+        out["clusters"] = (
+            maintain_index(
+                spark, "clusters", cluster_table, table_path,
+                from_version=from_version, n_rows=n_rows,
+                neardup_index=neardup_index,
+                text_col=text_col, id_col=id_col,
+            )
+            if route_maintenance
+            else sync_dedup_clusters(
+                spark, cluster_table, table_path, neardup_index,
+                from_version=from_version, text_col=text_col,
+                id_col=id_col,
+            )
         )
     return out
 

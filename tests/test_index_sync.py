@@ -1038,3 +1038,71 @@ def test_sync_ann_auto_split_tracks_corpus_sqrt(spark, tmp_path, monkeypatch):
     )
     out3 = sync_ann_index(spark, idx, table)
     assert out3["cells_split"] == 0
+
+
+def test_serving_stack_route_maintenance(spark, tmp_path):
+    """sync_serving_stack(route_maintenance=True): the cost rule picks
+    per structure (all REBUILD on this sub-crossover corpus), cursors
+    land at the window end so the stack resumes (second call: none),
+    and the four structures serve the resolved state."""
+    from es_household_retention_spark_job_spark.operators import (
+        clusters as C,
+        dedup as D,
+    )
+    from es_household_retention_spark_job_spark.streaming.index_sync import (
+        cdc_stream_id,
+        sync_serving_stack,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    embs = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    base = docs.join(embs, "doc_id")
+    table = str(tmp_path / "table")
+    U.write_keyed_table(base, table, key="doc_id", n_buckets=4)
+    v0 = U.current_version(table)
+    state = U.read_keyed_table(spark, table)
+    tidx, aidx = str(tmp_path / "t"), str(tmp_path / "a")
+    nidx, cl = str(tmp_path / "n"), str(tmp_path / "c")
+    SE.build_text_index(state, tidx)
+    S.build_ann_index(state, aidx, n_cells=4, iters=2, id_col="doc_id")
+    D.build_neardup_index(state, nidx)
+    C.build_cluster_table(
+        state, cl, epoch=v0, epoch_stream=cdc_stream_id(table)
+    )
+    U.upsert_parquet(
+        spark, table,
+        base.limit(40).select(
+            (F.col("doc_id") + 600_000).alias("doc_id"),
+            "text", "embedding",
+        ),
+        key="doc_id",
+    )
+    out = sync_serving_stack(
+        spark, table, text_index=tidx, ann_index=aidx,
+        neardup_index=nidx, cluster_table=cl, from_version=v0,
+        emb_id_col="doc_id", route_maintenance=True,
+    )
+    assert {k: v["route"] for k, v in out.items()} == {
+        "text": "rebuild", "ann": "rebuild",
+        "neardup": "rebuild", "clusters": "rebuild",
+    }
+    again = sync_serving_stack(
+        spark, table, text_index=tidx, ann_index=aidx,
+        neardup_index=nidx, cluster_table=cl,
+        emb_id_col="doc_id", route_maintenance=True,
+    )
+    assert all(v["route"] == "none" for v in again.values())
+    # the rebuilt cluster view serves the resolved state
+    resolved = U.read_keyed_table(spark, table).select("doc_id", "text")
+    assert sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in C.read_dedup_clusters(spark, cl).collect()
+    ) == sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in D.duplicate_clusters(
+            D.minhash_lsh_pairs(resolved)
+        ).collect()
+    )
