@@ -897,6 +897,12 @@ _NEARDUP_FOREVER = 1 << 62
 #: module's _ID_ISIN_MAX twin) — larger sets probe via broadcast joins
 _NEARDUP_ISIN_MAX = 20000
 
+#: probe gh-fetch In-list cap — much lower than the delete path's: the
+#: fetch plans once per WINDOW (a 20k-literal In costs seconds of
+#: Catalyst planning, swamping a small window), and past it the
+#: range+semi-join path prunes row groups with two literals instead
+_NEARDUP_PROBE_ISIN_MAX = 1024
+
 
 def _read_neardup_meta(path: str) -> dict | None:
     import json as _json
@@ -1424,13 +1430,29 @@ def neardup_probe(
     nbr_rows = cand.select("dup_of").distinct()
     nbrs = [
         r["dup_of"]
-        for r in nbr_rows.limit(_NEARDUP_ISIN_MAX + 1).collect()
+        for r in nbr_rows.limit(_NEARDUP_PROBE_ISIN_MAX + 1).collect()
     ]
     if not nbrs:
         idx_gh = idx_gh.where(F.lit(False))
-    elif len(nbrs) <= _NEARDUP_ISIN_MAX:
+    elif len(nbrs) <= _NEARDUP_PROBE_ISIN_MAX:
         idx_gh = idx_gh.where(F.col("dup_of").isin(nbrs))
     else:
+        # large candidate sets: a thousands-long In-list costs seconds
+        # of Catalyst planning (the sibling caps' lesson). Push a cheap
+        # RANGE predicate instead — two literals reach the row-group
+        # stats, and on the (bucket, id)-sorted base that skips most gh
+        # bytes for range-clustered candidates (fresh inserts) — then a
+        # semi-join restores exactness. Ids without an ordering (rare)
+        # keep the pure semi-join.
+        bounds = nbr_rows.agg(
+            F.min("dup_of").alias("lo"), F.max("dup_of").alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            idx_gh = idx_gh.where(
+                F.col("dup_of").between(
+                    F.lit(bounds["lo"]), F.lit(bounds["hi"])
+                )
+            )
         idx_gh = idx_gh.join(nbr_rows, "dup_of", "left_semi")
     gh_old = idx_gh.dropDuplicates(["dup_of"])
     gh_new = probe.select(

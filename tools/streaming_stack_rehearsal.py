@@ -181,10 +181,14 @@ def main() -> None:
         queries = resolved.where(F.col("doc_id") % 50 == 0).select(
             "doc_id", "embedding"
         )
+        # FULL-probe read (n_probe = live cell count — auto-split may
+        # have grown it) is the exactness gate vs brute force
+        n_cells_live = int(S._read_ann_manifest(aidx)["n_cells"])
         ann_ok = {
             (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
             for r in S.knn_ivf_indexed(
-                spark, aidx, queries, k=3, n_probe=8, id_col="doc_id"
+                spark, aidx, queries, k=3, n_probe=n_cells_live,
+                id_col="doc_id",
             ).collect()
         } == {
             (r.query_id, r.neighbor_id, r.rank, r.cos_bp)
