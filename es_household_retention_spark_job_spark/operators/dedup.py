@@ -1395,13 +1395,18 @@ def neardup_probe(
 
     1. **narrow collision join** on (band_bucket, band_key) — 3 skinny
        columns, no shingle arrays — deduped to distinct (doc, dup_of)
-       candidate pairs BEFORE any verification (a true dup colliding in
-       all 8 bands used to be Jaccard-verified 8×);
-    2. **bounded gh fetch + verify**: shingle arrays are read ONLY for
-       the distinct candidate neighbors — an ``isin`` literal under the
-       sibling ``_NEARDUP_ISIN_MAX`` cap (parquet row-group pushdown),
-       a semi-join past it (AQE picks the strategy) — then one exact
-       Jaccard per distinct pair.
+       candidate pairs BEFORE any wide work;
+    2. **bounded gh fetch + verify**: the index's shingle arrays are
+       read ONLY for candidate neighbors — an ``isin`` literal under
+       ``_NEARDUP_PROBE_ISIN_MAX`` (parquet row-group pushdown on the
+       (bucket, id)-sorted base), a two-literal doc-id RANGE plus a
+       broadcast semi-join past it — and Jaccard runs where the filtered
+       index rows STREAM against the broadcast (candidate pair ×
+       window-gh) frame. No keyed exchange ever carries a shingle array
+       (the ``test_ann_family_no_wide_keyed_shuffle`` contract): window
+       gh rides broadcasts, index gh stays map-side, and the final
+       per-pair dedupe exchanges only the 3 narrow output columns
+       (identical gh per (pair, band) ⇒ identical score ⇒ dedupe-safe).
 
     Emits (doc_id, dup_of, jaccard_bp), band-collision-bounded, never
     all-pairs; results are EXACTLY the one-phase probe's (same
@@ -1453,18 +1458,28 @@ def neardup_probe(
                     F.lit(bounds["lo"]), F.lit(bounds["hi"])
                 )
             )
-        idx_gh = idx_gh.join(nbr_rows, "dup_of", "left_semi")
-    gh_old = idx_gh.dropDuplicates(["dup_of"])
-    gh_new = probe.select(
+        # broadcast semi: the narrow id set moves, the wide index side
+        # never exchanges
+        idx_gh = idx_gh.join(F.broadcast(nbr_rows), "dup_of", "left_semi")
+    # window-side shingle arrays straight from shingle_sets — one row
+    # per doc by construction, so no wide dedupe (a dropDuplicates here
+    # would put gh through a keyed exchange)
+    gh_new = shingle_sets(new_docs, text_col, id_col).select(
         id_col, F.col("gh").alias("gh_new")
-    ).dropDuplicates([id_col])
+    )
+    pairs = cand.join(gh_new, id_col)
+    # the filtered index rows (≤ bands × candidates, possibly several
+    # rows per dup_of) STREAM against the broadcast pair frame; each
+    # surviving (pair, band) row scores the same Jaccard, deduped on
+    # the narrow 3-column output
     return (
-        cand.join(gh_new, id_col)
-        .join(gh_old, "dup_of")
+        idx_gh.join(F.broadcast(pairs), "dup_of")
+        .where(F.col(id_col) != F.col("dup_of"))
         .select(
             id_col,
             "dup_of",
             jaccard_bp(F.col("gh_new"), F.col("gh_old")).alias("jaccard_bp"),
         )
         .where(F.col("jaccard_bp") >= min_bp)
+        .dropDuplicates([id_col, "dup_of"])
     )
