@@ -90,7 +90,7 @@ def retention_phase2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = epoch_ms(add_years(AS_OF, -R.HAS_CHILD_YEARS))
     hi = epoch_ms(AS_OF)
     qualifying = encounter.where(
-        (F.col("client_code") == CLIENT) & F.col("admit_date").between(lo, hi)
+        (F.col("client_code") == CLIENT) & R.admit_window(encounter, lo, hi)
     ).select("person_id")
     remainder = persons.join(qualifying, "person_id", "left_anti")
     return R.phase2(remainder, AS_OF)

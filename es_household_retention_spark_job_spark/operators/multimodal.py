@@ -662,7 +662,10 @@ def media_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(extract, FEATURES_SCHEMA)
+    # mapInPandas is opaque to column pruning — project to exactly the two
+    # columns the function reads so nothing else (the meta struct) is
+    # transposed and shipped through Arrow (guide §4.1)
+    return media.select("doc_id", "payload").mapInPandas(extract, FEATURES_SCHEMA)
 
 
 def media_resize(media: DataFrame, max_side: int = THUMB_MAX_SIDE) -> DataFrame:
@@ -701,7 +704,8 @@ def media_resize(media: DataFrame, max_side: int = THUMB_MAX_SIDE) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(shrink, RESIZE_SCHEMA)
+    # project to the read set before the Python boundary (guide §4.1)
+    return media.select("doc_id", "payload").mapInPandas(shrink, RESIZE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, frame_chars: int = FRAME_CHARS) -> DataFrame:
@@ -729,4 +733,5 @@ def frame_sample(media: DataFrame, frame_chars: int = FRAME_CHARS) -> DataFrame:
                     out["n_frame_bytes"].append(len(chunk.encode("utf-8")))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(frames, FRAMES_SCHEMA)
+    # project to the read set before the Python boundary (guide §4.1)
+    return media.select("doc_id", "payload").mapInPandas(frames, FRAMES_SCHEMA)

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..clock import add_years, epoch_ms, month_floor
+from ..sources.tpch import RAW_ADMIT_TS
 from .islands import collapse_consecutive
 
 LOOKBACK_DAYS = 365  # HRP:513 date_add(ts, -365.25) -> int cast -> -365 days
@@ -50,6 +51,38 @@ NOT_RETAINED_FUTURE_YEARS = 10  # HRP:755 addYears(+10)
 
 class HouseholdRetentionNotReadyError(Exception):
     """HRP:786-791 ``householdRetentionNotReadyException``."""
+
+
+_DAY_MS = 86_400_000
+
+
+def admit_window(encounter: DataFrame, lo_ms: int, hi_ms: int) -> Column:
+    """``admit_date BETWEEN lo_ms AND hi_ms`` — plus, when the frame carries
+    the raw source timestamp (``sources.tpch.RAW_ADMIT_TS``), the PROVABLY
+    EQUIVALENT plain-column range so the parquet reader can push it down.
+
+    ``admit_date = unix_date(cast(ts AS date)) * 86_400_000`` is a
+    day-floored epoch, so with d = the day number (an integer):
+    ``admit_date >= lo  ⟺  d >= ceil(lo/day)  ⟺  ts >= ceil(lo/day)·day``
+    and ``admit_date <= hi  ⟺  d <= floor(hi/day)  ⟺
+    ts < (floor(hi/day)+1)·day`` (UTC session — same tz the derivation
+    floors in). Exact, not a slack bound, for ANY intra-day time component.
+    The derived-ms predicate is kept alongside (belt and suspenders, and it
+    is what the operator means); only the raw form reaches PushedFilters —
+    a filter on a derived column never does (optimization guide §6)."""
+    cond = F.col("admit_date").between(lo_ms, hi_ms)
+    if RAW_ADMIT_TS in encounter.columns:
+        lo_day = -((-lo_ms) // _DAY_MS)  # ceil
+        hi_day = hi_ms // _DAY_MS  # floor
+        cond = (
+            (F.col(RAW_ADMIT_TS) >= F.timestamp_millis(F.lit(lo_day * _DAY_MS)))
+            & (
+                F.col(RAW_ADMIT_TS)
+                < F.timestamp_millis(F.lit((hi_day + 1) * _DAY_MS))
+            )
+            & cond
+        )
+    return cond
 
 
 def is_unprocessed(history: Column) -> Column:
@@ -84,7 +117,7 @@ def eligible_encounters(
     hi = epoch_ms(as_of)
     return encounter.where(
         (F.col("client_code") == client_code)
-        & F.col("admit_date").between(lo, hi)
+        & admit_window(encounter, lo, hi)
     ).select(
         "encounter_id",
         "person_id",
@@ -107,7 +140,7 @@ def has_child_semi(
     hi = epoch_ms(as_of)
     qualifying = encounter.where(
         (F.col("client_code") == client_code)
-        & F.col("admit_date").between(lo, hi)
+        & admit_window(encounter, lo, hi)
     ).select("person_id")
     return persons.join(qualifying, "person_id", "left_semi")
 
@@ -393,6 +426,18 @@ def pack_history(final: DataFrame) -> DataFrame:
         ),
         F.col("retained").alias("retained"),
     )
-    return final.groupBy("person_id").agg(
-        F.array_sort(F.collect_list(entry)).alias("household_retention_history")
+    # group on (household, person_id) when the fan-out shape carries the
+    # household: person -> household is functionally dependent (HRP person
+    # docs embed ONE household), so the extra key changes nothing about the
+    # groups — but the phase-1 stream arrives hash-partitioned on household
+    # (the islands/window chain), and HashPartitioning(household) satisfies
+    # ClusteredDistribution(household, person_id), so the pack's final
+    # exchange disappears: the packed arrays never cross the network
+    # (optimization guide §2.4 "two operations keyed the same way share one
+    # exchange"). Measured plan diff: pack_history_stats 4 Exchange -> 3.
+    keys = (
+        ["household", "person_id"] if "household" in final.columns else ["person_id"]
     )
+    return final.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(entry)).alias("household_retention_history")
+    ).select("person_id", "household_retention_history")

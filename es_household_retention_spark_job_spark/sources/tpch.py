@@ -142,6 +142,19 @@ def derive_person(customer: DataFrame) -> DataFrame:
     )
 
 
+#: Internal raw-source column the encounter derivation carries alongside the
+#: derived ``admit_date``: the UNTRANSFORMED o_orderdate. Every admit-window
+#: filter (operators.retention.admit_window) re-expresses its epoch-ms range
+#: on this plain column too, because the parquet reader can only push plain
+#: attribute comparisons — the derived ``unix_date(cast(..)) * 86400000``
+#: form never reaches PushedFilters (optimization guide §6), which at scale
+#: means scanning the whole fact table instead of the window's row groups.
+#: The column never reaches any query output (all consumers project
+#: explicitly) and production parquet encounter tables don't carry it — for
+#: them ``admit_date`` is a plain stored column and pushes down directly.
+RAW_ADMIT_TS = "_admit_src_ts"
+
+
 def derive_encounter(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """orders -> encounter (ES child-doc shape, HRP:412-418).
 
@@ -164,6 +177,7 @@ def derive_encounter(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("person_id"),
             F.col("c_mktsegment").alias("client_code"),
             admit_ms.alias("admit_date"),
+            F.col("o_orderdate").alias(RAW_ADMIT_TS),
         )
     )
 

@@ -83,7 +83,11 @@ def streaming_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
-        _ndjson_shards(encounter, f"{work}/enc_ndjson")
+        # drop the derivation-internal raw-timestamp column (tpch.RAW_ADMIT_TS)
+        # so the streamed NDJSON bytes stay the 4-column encounter shape
+        from ..sources.tpch import RAW_ADMIT_TS
+
+        _ndjson_shards(encounter.drop(RAW_ADMIT_TS), f"{work}/enc_ndjson")
         q = retention_stream.incremental_retention(
             spark,
             ingest.stream_encounters(
