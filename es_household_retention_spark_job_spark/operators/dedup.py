@@ -1413,24 +1413,34 @@ def neardup_probe(
     candidates, same verification — only the evaluation order moved).
     Candidates match the batch `minhash_lsh_pairs` on the union corpus
     for pairs that straddle new-vs-indexed."""
-    # deliberately uncached: the pieces evaluated twice (the window's
-    # shingle map, the narrow collision join) are cheap relative to the
-    # wide-gh reads this restructure eliminates, and a persist here
-    # would leak across repeated calls (the probe is a serving-path
-    # function — bench reps and sync loops call it once per window)
     probe = neardup_index_frame(new_docs, text_col, id_col)
     idx_narrow = index.select(
         F.col(id_col).alias("dup_of"), "band_key", BAND_BUCKET_COL
     )
+    # the candidate frame is referenced FIVE times downstream (the phase-1
+    # nbr collect, the >cap path's bounds scalar and its broadcast
+    # semi-join, the broadcast pair build, and the final join) and its
+    # computation — window shingles + 32-perm signatures + the collision
+    # join — is the single most expensive piece of the probe. Round-13
+    # measurement (sf1, 25k-doc window vs 25k-doc index): uncached, each
+    # reference re-ran the ~12-14 s job and the probe clocked 41-52 s;
+    # materialized once it runs once. ``localCheckpoint`` rather than
+    # ``cache()`` ON PURPOSE: the checkpoint registers nothing in the
+    # CacheManager, so repeated calls (bench reps, sync loops — each
+    # window a new frame) neither reuse a previous call's result nor
+    # accumulate session-lifetime cache entries; the blocks die with the
+    # returned plan. The checkpointed rows are the NARROW 2-column pair
+    # frame (two longs/row — no gh array is ever materialized here).
     cand = (
         probe.select(id_col, "band_key", BAND_BUCKET_COL)
         .join(idx_narrow, ["band_key", BAND_BUCKET_COL])
         .where(F.col(id_col) != F.col("dup_of"))
         .select(id_col, "dup_of")
         .dropDuplicates([id_col, "dup_of"])
+        .localCheckpoint(eager=True)
     )
     idx_gh = index.select(
-        F.col(id_col).alias("dup_of"), F.col("gh").alias("gh_old")
+        F.col(id_col).alias("dup_of"), "band_key", F.col("gh").alias("gh_old")
     )
     nbr_rows = cand.select("dup_of").distinct()
     nbrs = [
@@ -1461,20 +1471,40 @@ def neardup_probe(
         # broadcast semi: the narrow id set moves, the wide index side
         # never exchanges
         idx_gh = idx_gh.join(F.broadcast(nbr_rows), "dup_of", "left_semi")
+    # one gh row per neighbor, WITHOUT a wide exchange (round 13): the
+    # index stores a (band_key, gh) row per band, so the fetched frame
+    # carries up to N_BANDS identical-gh rows per dup_of and the old
+    # stream-vs-pairs join scored the same Jaccard once per (pair, band
+    # row) — ~8× the exact array_intersect work, dedupe'd only after the
+    # fact. Pick each neighbor's minimal surviving band_key with a NARROW
+    # agg (two longs cross the exchange) and broadcast the picks back;
+    # the wide gh rows stay map-side. Two bands hashing to the same key
+    # value (identical gh either way) keep the final dedupe load-bearing.
+    pick = (
+        idx_gh.select("dup_of", "band_key")
+        .groupBy("dup_of")
+        .agg(F.min("band_key").alias("_pick_bk"))
+        .withColumnRenamed("dup_of", "_pick_dup")
+    )
+    idx_one = idx_gh.join(
+        F.broadcast(pick),
+        (F.col("dup_of") == F.col("_pick_dup"))
+        & (F.col("band_key") == F.col("_pick_bk")),
+    ).select("dup_of", "gh_old")
     # window-side shingle arrays straight from shingle_sets — one row
     # per doc by construction, so no wide dedupe (a dropDuplicates here
-    # would put gh through a keyed exchange)
+    # would put gh through a keyed exchange). Broadcast PER DOC next to
+    # the narrow pair frame instead of pre-joined per pair (round 13): a
+    # window doc with k indexed partners used to ship its gh k times in
+    # the broadcast — measured 60 MB vs ~13 MB at sf1's 120k-candidate
+    # probe. Both broadcasts are bounded by the window/candidate sizes
+    # the two-phase design already assumes.
     gh_new = shingle_sets(new_docs, text_col, id_col).select(
         id_col, F.col("gh").alias("gh_new")
     )
-    pairs = cand.join(gh_new, id_col)
-    # the filtered index rows (≤ bands × candidates, possibly several
-    # rows per dup_of) STREAM against the broadcast pair frame; each
-    # surviving (pair, band) row scores the same Jaccard, deduped on
-    # the narrow 3-column output
     return (
-        idx_gh.join(F.broadcast(pairs), "dup_of")
-        .where(F.col(id_col) != F.col("dup_of"))
+        idx_one.join(F.broadcast(cand), "dup_of")
+        .join(F.broadcast(gh_new), id_col)
         .select(
             id_col,
             "dup_of",

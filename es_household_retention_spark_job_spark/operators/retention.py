@@ -269,7 +269,17 @@ def retention_base(
     month_sets = retained.groupBy("household_id").agg(
         F.collect_set("admit_month").alias("_r_months")
     )
-    base = grid.join(month_sets, "household_id", "left").select(
+    # deliberate join strategy (guide §3.1): shuffled-hash instead of
+    # sort-merge. SMJ sorted BOTH sides — including the grid, the widest
+    # intermediate of the whole pipeline (49 rows/household), which the
+    # rank window below re-sorts anyway, so the join-side sort was a pure
+    # second sort of the big side. The build side is safe by construction:
+    # one row per household, ≤49 dates in the set (~450 B/row), and its
+    # per-partition share shrinks as AQE scales partition count with data —
+    # the bounded-build case where SHJ strictly beats SMJ. Plan diff:
+    # SortMergeJoin LeftOuter → ShuffledHashJoin BuildRight, 2 Sort nodes
+    # removed; exchanges unchanged (both sides stay hash(household)).
+    base = grid.join(month_sets.hint("shuffle_hash"), "household_id", "left").select(
         F.col("household_id").alias("household"),
         "month_start",
         F.coalesce(
