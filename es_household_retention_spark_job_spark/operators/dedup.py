@@ -167,7 +167,9 @@ def jaccard_bp(a: Column, b: Column) -> Column:
     return F.floor(inter * 10000 / (sa + sb - inter)).cast("long")
 
 
-def minhash_bands(grams: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_bands(
+    grams: DataFrame, id_col: str = "doc_id", gh_once: bool = False
+) -> DataFrame:
     """(id, gh, band_key) LSH band keys from a ``shingle_sets`` frame —
     signature + banding are map-side array expressions (explode only
     multiplies rows 8×, no shuffle), so this works unchanged on a streaming
@@ -181,22 +183,46 @@ def minhash_bands(grams: DataFrame, id_col: str = "doc_id") -> DataFrame:
     harmless — it can only ADD a candidate, never drop one), so results
     are identical; the DuckDB oracle keeps deriving its own candidates
     from the raw band values, which the same verification step makes
-    equivalent."""
+    equivalent.
+
+    **gh_once=True (round 14, guide §2.3/§6):** ``gh`` is carried on
+    exactly ONE of a doc's ``N_BANDS`` rows — band index 0 — and is NULL
+    on the rest. The PERSISTED-index consumers (``neardup_index_frame`` →
+    build/sync/stream append, read by ``neardup_probe``) need gh once per
+    doc, so duplicating the wide shingle array 8× only multiplied
+    stored/fetched bytes: the band index shrinks ~8× in gh bytes and a
+    probe's verify fetch reads ONE wide row per neighbor
+    (``gh IS NOT NULL``) instead of 8 wide rows + a dedupe. Which row
+    carries gh is arbitrary — band 0 is the position-based choice
+    computable inside the same ``posexplode`` projection with no second
+    reference to the key array (an ``array_min``-based pick would splice
+    the 32-perm signature expression into a second consumer — the
+    HOF-lambda duplication trap documented in ``shingle_sets``).
+
+    The DEFAULT stays gh-per-row: ``neardup_against_corpus``'s stateless
+    stream-static join verifies on whichever band actually collides, so
+    every collision row must carry both arrays there (a pair colliding
+    only on a non-first band would otherwise verify against NULL and be
+    silently dropped)."""
     sigs = grams.select(
         id_col, "gh", minhash_signature_from_hashes(F.col("gh")).alias("sig")
     )
-    return sigs.select(
+    exploded = sigs.select(
         id_col,
         "gh",
-        F.explode(
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.xxhash64(
                     b, F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS)
                 ),
             )
-        ).alias("band_key"),
+        ).alias("_band_pos", "band_key"),
     )
+    gh = (
+        F.when(F.col("_band_pos") == 0, F.col("gh")) if gh_once else F.col("gh")
+    )
+    return exploded.select(id_col, gh.alias("gh"), "band_key")
 
 
 def minhash_lsh_pairs(
@@ -707,8 +733,9 @@ def leakage_safe_split(
 # the bands and APPENDING each curated micro-batch makes corpus-side cost
 # O(delta docs). Layout: parquet partitioned by band_bucket =
 # pmod(xxhash64(band_key), NEARDUP_INDEX_BUCKETS) — 8 small rows per doc
-# (band key + the hashed-shingle array for exact-Jaccard verification),
-# never the text. Atomicity: batch builds are write-then-swap by Spark's
+# (band keys; the hashed-shingle array for exact-Jaccard verification
+# rides exactly ONE of them — see minhash_bands' gh-once note), never
+# the text. Atomicity: batch builds are write-then-swap by Spark's
 # overwrite; streaming appends go through the file sink's own
 # transaction log (_spark_metadata), which `read_neardup_index` honors, so
 # a crashed micro-batch's files are invisible — the same reader-atomicity
@@ -725,7 +752,9 @@ def neardup_index_frame(
     """(doc_id, gh, band_key, band_bucket) rows for an index build or
     append — identical math to the batch LSH path (`minhash_bands`), so
     probe results match `dedup_minhash_lsh` candidates exactly."""
-    bands = minhash_bands(shingle_sets(docs, text_col, id_col), id_col)
+    bands = minhash_bands(
+        shingle_sets(docs, text_col, id_col), id_col, gh_once=True
+    )
     return bands.withColumn(
         BAND_BUCKET_COL,
         F.pmod(F.xxhash64("band_key"), F.lit(NEARDUP_INDEX_BUCKETS)),
@@ -1412,36 +1441,72 @@ def neardup_probe(
     all-pairs; results are EXACTLY the one-phase probe's (same
     candidates, same verification — only the evaluation order moved).
     Candidates match the batch `minhash_lsh_pairs` on the union corpus
-    for pairs that straddle new-vs-indexed."""
-    probe = neardup_index_frame(new_docs, text_col, id_col)
+    for pairs that straddle new-vs-indexed.
+
+    NOTE: construction EXECUTES Spark jobs (two eager localCheckpoints +
+    the neighbor collect below) — a caller that merely builds this plan
+    (plan dumps, registry warm-up) pays the window's candidate
+    computation. That is inherent to the bounded two-phase design: the
+    gh fetch is planned FROM the collected candidate ids."""
+    # the window's shingles are computed EXACTLY ONCE per probe (round 14):
+    # both consumers — the band keys feeding the collision join and the
+    # gh_new arrays feeding the verify — read the materialized (id, gh)
+    # blocks. Before this the two consumers each re-ran the window shingle
+    # scan, and worse, the collision join's NARROW projection let Catalyst
+    # collapse the gh expression INTO the 32-permutation signature lambda
+    # (one shingle-scan evaluation per permutation — the HOF-lambda
+    # duplication trap shingle_sets documents; measured at sf1: the narrow
+    # band pass cost 12s vs 1.6s for the full-column pass). A checkpointed
+    # gh is an attribute, not an expression — nothing to splice.
+    # ``localCheckpoint`` rather than ``cache()`` ON PURPOSE: nothing is
+    # registered in the CacheManager, so repeated calls (bench reps, sync
+    # loops — each window a new frame) neither reuse a previous call's
+    # result nor accumulate session-lifetime cache entries; the blocks die
+    # with the returned plan.
+    grams_new = shingle_sets(new_docs, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    probe = minhash_bands(grams_new, id_col).withColumn(
+        BAND_BUCKET_COL,
+        F.pmod(F.xxhash64("band_key"), F.lit(NEARDUP_INDEX_BUCKETS)),
+    )
     idx_narrow = index.select(
         F.col(id_col).alias("dup_of"), "band_key", BAND_BUCKET_COL
     )
-    # the candidate frame is referenced FIVE times downstream (the phase-1
+    # the candidate frame is referenced four times downstream (the phase-1
     # nbr collect, the >cap path's bounds scalar and its broadcast
-    # semi-join, the broadcast pair build, and the final join) and its
-    # computation — window shingles + 32-perm signatures + the collision
-    # join — is the single most expensive piece of the probe. Round-13
-    # measurement (sf1, 25k-doc window vs 25k-doc index): uncached, each
-    # reference re-ran the ~12-14 s job and the probe clocked 41-52 s;
-    # materialized once it runs once. ``localCheckpoint`` rather than
-    # ``cache()`` ON PURPOSE: the checkpoint registers nothing in the
-    # CacheManager, so repeated calls (bench reps, sync loops — each
-    # window a new frame) neither reuse a previous call's result nor
-    # accumulate session-lifetime cache entries; the blocks die with the
-    # returned plan. The checkpointed rows are the NARROW 2-column pair
-    # frame (two longs/row — no gh array is ever materialized here).
+    # semi-join, and the final join); materialize it once (same
+    # no-CacheManager discipline as above). The checkpointed rows are the
+    # NARROW 2-column pair frame (two longs/row — no gh array is ever
+    # materialized here). The collision join BROADCASTS the window's band
+    # keys (window-bounded by the two-phase contract) against the index's
+    # narrow columns, so the INDEX side never exchanges: at corpus scale
+    # the previous shuffle-join re-partitioned every index band row per
+    # probe — O(index) shuffle bytes for an O(window)-bounded question
+    # (guide §3.1: broadcast the side that fits; §2.3 shuffle keys, not
+    # corpora). The post-join dedupe exchanges only the collision-bounded
+    # (id, dup_of) pairs.
     cand = (
-        probe.select(id_col, "band_key", BAND_BUCKET_COL)
-        .join(idx_narrow, ["band_key", BAND_BUCKET_COL])
+        idx_narrow.join(
+            F.broadcast(probe.select(id_col, "band_key", BAND_BUCKET_COL)),
+            ["band_key", BAND_BUCKET_COL],
+        )
         .where(F.col(id_col) != F.col("dup_of"))
         .select(id_col, "dup_of")
         .dropDuplicates([id_col, "dup_of"])
         .localCheckpoint(eager=True)
     )
+    # gh-once fetch (round 14): the index carries each doc's gh on exactly
+    # one band row (``minhash_bands``), so filtering ``gh IS NOT NULL``
+    # yields ONE wide row per neighbor straight off the scan — the round-13
+    # min-band_key pick (a narrow agg exchange + broadcast join-back) and
+    # its ~8× duplicated gh fetch both disappear; IsNotNull reaches
+    # PushedFilters next to the id predicates. Legacy per-band-gh rows
+    # (pre-round-14 stream appends) only re-introduce duplicate pairs,
+    # which the final dedupe already absorbs.
     idx_gh = index.select(
-        F.col(id_col).alias("dup_of"), "band_key", F.col("gh").alias("gh_old")
-    )
+        F.col(id_col).alias("dup_of"), F.col("gh").alias("gh_old")
+    ).where(F.col("gh_old").isNotNull())
     nbr_rows = cand.select("dup_of").distinct()
     nbrs = [
         r["dup_of"]
@@ -1471,27 +1536,7 @@ def neardup_probe(
         # broadcast semi: the narrow id set moves, the wide index side
         # never exchanges
         idx_gh = idx_gh.join(F.broadcast(nbr_rows), "dup_of", "left_semi")
-    # one gh row per neighbor, WITHOUT a wide exchange (round 13): the
-    # index stores a (band_key, gh) row per band, so the fetched frame
-    # carries up to N_BANDS identical-gh rows per dup_of and the old
-    # stream-vs-pairs join scored the same Jaccard once per (pair, band
-    # row) — ~8× the exact array_intersect work, dedupe'd only after the
-    # fact. Pick each neighbor's minimal surviving band_key with a NARROW
-    # agg (two longs cross the exchange) and broadcast the picks back;
-    # the wide gh rows stay map-side. Two bands hashing to the same key
-    # value (identical gh either way) keep the final dedupe load-bearing.
-    pick = (
-        idx_gh.select("dup_of", "band_key")
-        .groupBy("dup_of")
-        .agg(F.min("band_key").alias("_pick_bk"))
-        .withColumnRenamed("dup_of", "_pick_dup")
-    )
-    idx_one = idx_gh.join(
-        F.broadcast(pick),
-        (F.col("dup_of") == F.col("_pick_dup"))
-        & (F.col("band_key") == F.col("_pick_bk")),
-    ).select("dup_of", "gh_old")
-    # window-side shingle arrays straight from shingle_sets — one row
+    # window-side shingle arrays from the checkpointed grams — one row
     # per doc by construction, so no wide dedupe (a dropDuplicates here
     # would put gh through a keyed exchange). Broadcast PER DOC next to
     # the narrow pair frame instead of pre-joined per pair (round 13): a
@@ -1499,11 +1544,9 @@ def neardup_probe(
     # the broadcast — measured 60 MB vs ~13 MB at sf1's 120k-candidate
     # probe. Both broadcasts are bounded by the window/candidate sizes
     # the two-phase design already assumes.
-    gh_new = shingle_sets(new_docs, text_col, id_col).select(
-        id_col, F.col("gh").alias("gh_new")
-    )
+    gh_new = grams_new.select(id_col, F.col("gh").alias("gh_new"))
     return (
-        idx_one.join(F.broadcast(cand), "dup_of")
+        idx_gh.join(F.broadcast(cand), "dup_of")
         .join(F.broadcast(gh_new), id_col)
         .select(
             id_col,

@@ -33,7 +33,7 @@ Scale design notes
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -65,23 +65,64 @@ def admit_window(encounter: DataFrame, lo_ms: int, hi_ms: int) -> Column:
     day-floored epoch, so with d = the day number (an integer):
     ``admit_date >= lo  ⟺  d >= ceil(lo/day)  ⟺  ts >= ceil(lo/day)·day``
     and ``admit_date <= hi  ⟺  d <= floor(hi/day)  ⟺
-    ts < (floor(hi/day)+1)·day`` (UTC session — same tz the derivation
-    floors in). Exact, not a slack bound, for ANY intra-day time component.
-    The derived-ms predicate is kept alongside (belt and suspenders, and it
-    is what the operator means); only the raw form reaches PushedFilters —
-    a filter on a derived column never does (optimization guide §6)."""
+    ts < (floor(hi/day)+1)·day``. Exact, not a slack bound, for ANY
+    intra-day time component. The derived-ms predicate is kept alongside
+    (belt and suspenders, and it is what the operator means); only the raw
+    form reaches PushedFilters — a filter on a derived column never does
+    (optimization guide §6).
+
+    **The raw literal is chosen by the column's TYPE so the conjunction is
+    timezone-independent wherever it can be, and OMITTED where it cannot**
+    (round-14 advice fix — the round-13 form compared every dtype against
+    instant (timestamp_millis) literals, and comparing a DATE/NTZ column to
+    an instant inserts a session-tz cast: under an east-of-UTC session tz
+    the lower boundary day silently dropped out of the conjunction):
+
+    * DATE column → DATE literals (day numbers; no tz anywhere);
+    * TIMESTAMP_NTZ (the driver-default parquet inference when
+      ``ensure_session_confs`` cannot pin the reader conf) → NTZ literals
+      parsed from wall-clock strings (no tz anywhere);
+    * TIMESTAMP (instant) → instant literals, but ONLY under a UTC session
+      timezone: the derivation's cast-to-date floors instants in the
+      SESSION tz, so the day-boundary algebra above only lines up with
+      instant literals when that tz is UTC. Any other session tz (or any
+      other dtype) falls back to the derived-ms predicate alone — correct
+      everywhere, merely unpushable."""
     cond = F.col("admit_date").between(lo_ms, hi_ms)
     if RAW_ADMIT_TS in encounter.columns:
         lo_day = -((-lo_ms) // _DAY_MS)  # ceil
         hi_day = hi_ms // _DAY_MS  # floor
-        cond = (
-            (F.col(RAW_ADMIT_TS) >= F.timestamp_millis(F.lit(lo_day * _DAY_MS)))
-            & (
-                F.col(RAW_ADMIT_TS)
-                < F.timestamp_millis(F.lit((hi_day + 1) * _DAY_MS))
-            )
-            & cond
-        )
+        epoch0 = datetime(1970, 1, 1)  # tz-free day-number arithmetic
+        lo_utc = epoch0 + timedelta(days=lo_day)
+        hi_utc = epoch0 + timedelta(days=hi_day + 1)
+        dtype = dict(encounter.dtypes).get(RAW_ADMIT_TS, "")
+        raw_col = F.col(RAW_ADMIT_TS)
+        raw = None
+        if dtype == "date":
+            raw = (
+                raw_col >= F.lit(lo_utc.strftime("%Y-%m-%d")).cast("date")
+            ) & (raw_col < F.lit(hi_utc.strftime("%Y-%m-%d")).cast("date"))
+        elif dtype == "timestamp_ntz":
+            fmt = "%Y-%m-%d %H:%M:%S"
+            raw = (
+                raw_col >= F.lit(lo_utc.strftime(fmt)).cast("timestamp_ntz")
+            ) & (raw_col < F.lit(hi_utc.strftime(fmt)).cast("timestamp_ntz"))
+        elif dtype == "timestamp":
+            try:
+                tz = encounter.sparkSession.conf.get(
+                    "spark.sql.session.timeZone", ""
+                )
+            except Exception:
+                tz = ""
+            if tz == "UTC":
+                raw = (
+                    raw_col >= F.timestamp_millis(F.lit(lo_day * _DAY_MS))
+                ) & (
+                    raw_col
+                    < F.timestamp_millis(F.lit((hi_day + 1) * _DAY_MS))
+                )
+        if raw is not None:
+            cond = raw & cond
     return cond
 
 
@@ -362,11 +403,27 @@ def phase1(
 ) -> DataFrame:
     """EP1 — full retained pipeline (HRP:305-648). ``persons`` is reused by
     the grid and the final fan-out, so it is cached (C5, HRP:478).
-    ``skew_safe`` — see person_encounter_admits."""
+    ``skew_safe`` — see person_encounter_admits.
+
+    ``cache=False`` (the driver/bench path — it must leave no CacheManager
+    entry behind in the caller's session) materializes the NARROW
+    (person_id, household_id) projection once per call with an eager
+    ``localCheckpoint`` instead: the frame feeds THREE subtrees (the admits
+    join, the grid's household distinct, the final fan-out), and uncached
+    each reference re-scanned the person store — at 100 TB that is two
+    extra full passes over the widest input table to rebuild a
+    two-short-string projection (guide §5: cache/cut-lineage exactly the
+    reused-and-expensive frames). localCheckpoint blocks are per-call (no
+    cross-call reuse, no session-lifetime cache entry — the round-13 probe
+    discipline) and construction therefore EXECUTES the person scan; they
+    are executor-local and unreplicated, so the production orchestration
+    path keeps ``cache=True``'s recompute-from-lineage fault tolerance."""
     spark = person.sparkSession
     persons = eligible_persons(person, client_code)
     if cache:
         persons = persons.cache()
+    else:
+        persons = persons.localCheckpoint(eager=True)
     encounters = eligible_encounters(encounter, client_code, as_of)
     admits = person_encounter_admits(persons, encounters, skew_safe=skew_safe)
     retained = retained_months(admits, strategy=strategy)

@@ -1431,7 +1431,28 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "doc_id") -> Da
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    fused = u.groupBy("query_id", id_col).agg(F.sum("c").alias("rrf_x1e6"))
+    # ONE query_id exchange must feed both the fuse aggregation and the
+    # top-k rank window (guide §2.4 "two operations keyed the same way
+    # share one exchange"). In the pinned plans this already holds with NO
+    # exchange at all: every ranked input ends in _rank_topk's
+    # hash(query_id) window, and Spark's union preserves the common child
+    # partitioning, which satisfies both the pair-key aggregation
+    # (ClusteredDistribution(query_id, id) — subset rule) and the window —
+    # verified round 14, hybrid_mlt_search fuse region is
+    # Union → HashAggregate×2 → Sort → Window, zero Exchange. The explicit
+    # repartition below is elided by EnsureRequirements in exactly that
+    # case (plan before == plan after, pinned in
+    # tests/test_optimization_r14.py) and is kept as the guard for inputs
+    # that DON'T arrive co-partitioned (a caller-supplied ranked list, or
+    # children planned with differing partition counts): there it pins one
+    # query_id exchange instead of the pair-key agg exchange + a second
+    # window exchange. Skew-safe by construction: every source contributes
+    # ≤ k rows per query, so a query's row mass is ≤ len(ranked)·k.
+    fused = (
+        u.repartition("query_id")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c").alias("rrf_x1e6"))
+    )
     return _rank_topk(fused, k, id_col, "rrf_x1e6")
 
 

@@ -2750,6 +2750,140 @@ def knn_pq(
     )
 
 
+def _ivfpq_train(
+    df: DataFrame,
+    n_cells: int,
+    m: int,
+    ksub: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF coarse centroids AND the PQ codebooks in SHARED
+    driver actions — ``(kmeans_centroids(df), pq_train(df))`` with the
+    job count halved (guide §5: the per-call ``knn_ivfpq`` floor was
+    driver-round-trip-bound, ~9 sequential actions on a 2k-vector frame).
+
+    Byte-identical to the sequential trainers BY CONSTRUCTION, pinned in
+    tests/test_optimization_r14.py:
+
+    * **one init collect** replaces three actions (coarse init limit,
+      PQ ``first()`` dim probe, PQ per-subspace window init): the k
+      lowest-id vectors seed the coarse centroids, and the PQ init —
+      per-subspace sub-vectors of the ksub lowest-id vectors — is exactly
+      the contiguous SLICE of the same rows (the window formulation
+      ordered sub-rows by the same id), so both seeds come from one
+      ``orderBy(id).limit(max(k, ksub))``.
+    * **one collect per Lloyd round** replaces two: the coarse mean
+      aggregation and the PQ mean aggregation keep their EXACT standalone
+      grouping keys and input subtrees (same persisted base partitions →
+      identical partial-sum order → identical doubles), and only their
+      RESULTS ride one union (coarse rows tagged ``_j = -1`` after its
+      agg — the tag never enters a grouping key, so no hash partitioning
+      changes).
+
+    The two Lloyd loops were always independent (coarse round i depends
+    only on coarse round i-1, PQ likewise), so interleaving the rounds
+    changes no math — only how many times the driver blocks."""
+    base = with_unit_meta(df, emb_col).select(id_col, "_emb")
+    base.persist()
+    try:
+        seed = base.orderBy(id_col).limit(max(n_cells, ksub)).collect()
+        if not seed:
+            raise ValueError("cannot train PQ codebooks on an empty frame")
+        dim = len(seed[0]["_emb"])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+        dsub = dim // m
+        if len(seed) < ksub:
+            raise ValueError(
+                f"corpus smaller than ksub={ksub}; shrink ksub or grow data"
+            )
+        centroids = [list(r["_emb"]) for r in seed[:n_cells]]
+        cb: list[list[list[float]]] = [
+            [list(seed[c]["_emb"][j * dsub : (j + 1) * dsub]) for c in range(ksub)]
+            for j in range(m)
+        ]
+        sub = base.select(
+            F.col(id_col).alias("_vid"),
+            F.inline(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("_j"),
+                        F.slice(F.col("_emb"), j * dsub + 1, dsub).alias("_sv"),
+                    ),
+                )
+            ),
+        )
+        for _ in range(iters):
+            c_assigned = base.withColumn(
+                "_cell", _argmin_cell(F.col("_emb"), centroids)
+            )
+            c_means = (
+                c_assigned.select("_cell", F.posexplode("_emb").alias("_dim", "_x"))
+                .groupBy("_cell", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .select(
+                    F.lit(-1).cast("int").alias("_j"), "_cell", "_dim", "_m"
+                )
+            )
+            flat = _matrix_lit([c for row in cb for c in row])
+            p_assigned = sub.withColumn(
+                "_cell",
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(ksub - 1)),
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.element_at(
+                                        flat,
+                                        (F.col("_j") * ksub + c + 1).cast(
+                                            "int"
+                                        ),
+                                    ),
+                                    F.col("_sv"),
+                                    lambda x, y: (x - y) * (x - y),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("d"),
+                            c.cast("int").alias("i"),
+                        ),
+                    )
+                )["i"],
+            )
+            p_means = (
+                p_assigned.select(
+                    "_j", "_cell", F.posexplode("_sv").alias("_dim", "_x")
+                )
+                .groupBy("_j", "_cell", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+            )
+            rows = c_means.unionByName(p_means).collect()
+            by_cell: dict[int, list[float]] = {}
+            nxt = [[list(c) for c in row] for row in cb]
+            touched: set[tuple[int, int]] = set()
+            for r in rows:
+                if r["_j"] == -1:
+                    by_cell.setdefault(r["_cell"], [0.0] * dim)[r["_dim"]] = r[
+                        "_m"
+                    ]
+                else:
+                    if (r["_j"], r["_cell"]) not in touched:
+                        touched.add((r["_j"], r["_cell"]))
+                        nxt[r["_j"]][r["_cell"]] = [0.0] * dsub
+                    nxt[r["_j"]][r["_cell"]][r["_dim"]] = r["_m"]
+            centroids = [
+                by_cell.get(i, centroids[i]) for i in range(len(centroids))
+            ]
+            cb = nxt
+        return centroids, cb
+    finally:
+        base.unpersist()
+
+
 def knn_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2775,10 +2909,20 @@ def knn_ivfpq(
     persisted variant would land PQ codes as a third sidecar in the ANN
     index manifest exactly like ``codes/`` (build/append/compact all
     reuse the cell layout — deliberately not duplicated here)."""
-    cents = centroids or kmeans_centroids(
-        corpus, k=n_cells, id_col=id_col, emb_col=emb_col
-    )
-    cb = codebooks or pq_train(corpus, m, ksub, id_col=id_col, emb_col=emb_col)
+    if centroids is None and codebooks is None:
+        # per-call training path: both structures train in SHARED driver
+        # actions (guide §5 — see _ivfpq_train; byte-identical outputs,
+        # ~half the blocking round-trips of the sequential pair)
+        cents, cb = _ivfpq_train(
+            corpus, n_cells, m, ksub, id_col=id_col, emb_col=emb_col
+        )
+    else:
+        cents = centroids or kmeans_centroids(
+            corpus, k=n_cells, id_col=id_col, emb_col=emb_col
+        )
+        cb = codebooks or pq_train(
+            corpus, m, ksub, id_col=id_col, emb_col=emb_col
+        )
     base = with_unit_meta(corpus, emb_col).select(
         id_col, "_emb", "_norm", _argmin_cell(F.col("_emb"), cents).alias("cell")
     )

@@ -207,22 +207,30 @@ def tfidf_top_terms(
     both engines, overflow-free up to ~9e13 documents at the 100k-token
     doc cap (a ≤ 1e5·(N+1); the second term is < 1e6·b ≤ 1e6·(N+1)).
 
-    Shape: one explode + two partial-aggregated shuffles (doc-term counts,
-    term document-frequencies) + a shuffle join of tf⋈df on term and a
-    broadcast of the 1-row corpus count — the corpus-size scalar stays IN
-    the plan (no driver round-trip). The term-df side is deliberately NOT
-    broadcast-hinted: it is vocabulary-sized (unbounded with corpus growth),
-    so forcing a broadcast risks OOM at scale; AQE downgrades the shuffle
-    join to broadcast at runtime when the vocabulary actually is small."""
+    Shape (round 14, guide §2.4): one explode + the skew-safe
+    partial-aggregated (doc, term) count, then the document frequency as
+    ``count(*) OVER (PARTITION BY term)`` on the tf frame — the df is BY
+    DEFINITION a count over tf's rows, so the window replaces the old
+    separate df aggregation + tf⋈df shuffle join, which re-derived tf
+    from A SECOND tokenize/explode pass over the corpus (Catalyst builds
+    duplicate subtrees for self-referencing frames; runtime exchange
+    reuse may or may not fire, and either way the join re-exchanged the
+    full tf frame). One corpus scan and one term-keyed exchange now do
+    what two scans, two term-keyed exchanges and a join did — measured
+    plan: 8 → 6 Exchanges, 3 scans → 2 (plans/r14). The
+    term-partitioned window sees the same hot-term row mass the join's
+    term exchange did (tf rows, one per (doc, term)), so the skew
+    surface is unchanged. The 1-row corpus count stays a broadcast
+    cross join — the scalar stays IN the plan (no driver round-trip)."""
     from pyspark.sql import Window
 
     df = ensure_parallelism(df)
     terms = df.select(id_col, F.explode(tokens(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wdf = Window.partitionBy("term")
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("num", F.col("tf") * (F.col("n_docs") + F.lit(1)))
         .withColumn("den", F.col("df") + F.lit(1))

@@ -27,14 +27,62 @@ from .sinks.upsert import current_version, read_keyed_table, upsert_parquet
 log = logging.getLogger("retention.pipeline")
 
 
+def _sanitize_encounter(encounter):
+    """Strip a ``RAW_ADMIT_TS``-named column from an EXTERNAL encounter
+    input: the name is reserved for ``sources.tpch.derive_encounter``'s
+    derivation-internal raw-timestamp carry, which ``admit_window`` turns
+    into a pushdown predicate with admit-date semantics. ``allow_extra``
+    validation would otherwise let a production table that happens to
+    carry an unrelated column of that name (a discharge ts, say) be
+    silently mis-filtered (round-14 advice fix). Stored encounter tables
+    have a plain ``admit_date`` that pushes down by itself, so dropping
+    the reserved name costs them nothing."""
+    from .sources.tpch import RAW_ADMIT_TS
+
+    if RAW_ADMIT_TS in encounter.columns:
+        log.warning(
+            "encounter input carries the reserved derivation-internal "
+            "column %r — dropping it (admit_window would treat it as the "
+            "raw admit timestamp)",
+            RAW_ADMIT_TS,
+        )
+        encounter = encounter.drop(RAW_ADMIT_TS)
+    return encounter
+
+
 def _load_inputs(spark: SparkSession, person_path: str, encounter_path: str):
     """Read + contract-check both inputs at the pipeline boundary (SURVEY
     §1.3: explicit schemas, fail fast on drift instead of mid-pipeline)."""
     person = read_keyed_table(spark, person_path)
-    encounter = spark.read.parquet(encounter_path)
+    encounter = _sanitize_encounter(spark.read.parquet(encounter_path))
     validate(person, PERSON, allow_extra=True)
     validate(encounter, ENCOUNTER, allow_extra=True)
     return person, encounter
+
+
+def _guarded_person_count(persons, phase: str) -> int:
+    """The S6 guard count, with the person→household functional dependence
+    made LOUD (round-14 advice fix): ``pack_history`` groups on
+    (household, person_id) — identical groups to person_id alone exactly
+    because an HRP person doc embeds ONE household. A duplicated person_id
+    (two docs with differing households after a bad upsert) would silently
+    emit two history rows for one person and ``upsert_parquet(key=
+    person_id)`` would propagate them. The keyed person sink already
+    enforces id uniqueness at publish; this check makes an out-of-contract
+    input (a hand-written store, a foreign table) fail at the guard that
+    ALREADY runs an action, not at read-back — one agg, zero extra jobs."""
+    row = persons.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("person_id").alias("n_ids"),
+    ).first()
+    if row["n"] != row["n_ids"]:
+        raise ValueError(
+            f"{phase}: person store violates the person_id-unique contract "
+            f"({row['n']} eligible rows over {row['n_ids']} distinct ids) — "
+            "duplicate person docs can disagree on household and would "
+            "write duplicate history rows; deduplicate the store first"
+        )
+    return row["n"]
 
 
 def run_phase1(
@@ -49,7 +97,7 @@ def run_phase1(
     person, encounter = _load_inputs(spark, person_path, encounter_path)
 
     persons = R.eligible_persons(person, client_code)
-    n = persons.count()  # S6 guard (HRP:627-628)
+    n = _guarded_person_count(persons, "phase1")  # S6 guard (HRP:627-628)
     log.info("phase1: %d persons without retention", n)
     if n == 0:
         log.info("phase1: nothing to process — skipping (HRP:643-645)")
@@ -76,7 +124,7 @@ def run_phase2(
     R.check_phase2_invariant(person, encounter, client_code, as_of)
 
     persons = R.eligible_persons(person, client_code)
-    n = persons.count()
+    n = _guarded_person_count(persons, "phase2")
     log.info("phase2: %d persons still without retention", n)
     if n == 0:
         log.info("phase2: nothing to process — skipping (HRP:802-804)")
@@ -231,6 +279,7 @@ def run_incremental(
     """
     person = read_keyed_table(spark, person_path)
     validate(person, PERSON, allow_extra=True)
+    delta_encounter = _sanitize_encounter(delta_encounter)
     validate(delta_encounter, ENCOUNTER, allow_extra=True)
     pre_version = current_version(person_path)
 
@@ -302,7 +351,7 @@ def run_incremental(
             )
             person_work = person
 
-        encounter = spark.read.parquet(encounter_path)
+        encounter = _sanitize_encounter(spark.read.parquet(encounter_path))
         validate(encounter, ENCOUNTER, allow_extra=True)
 
         # 3a. phase 1 over the staged (invalidated) state. The eligible
@@ -314,7 +363,7 @@ def run_incremental(
         # every later step reads the cache instead of re-running the DAG
         persons1 = R.eligible_persons(person_work, client_code).persist()
         cached.append(persons1)
-        n1 = persons1.count()
+        n1 = _guarded_person_count(persons1, "incremental/phase1")
         log.info("incremental: %d persons without retention (phase 1)", n1)
         if n1:
             encounters = R.eligible_encounters(encounter, client_code, as_of)

@@ -1,4 +1,5 @@
-"""Dump `.explain("formatted")` for named queries to plans/r13/<q>_<tag>.txt.
+"""Dump `.explain("formatted")` for named queries to
+plans/$SPARK_GRAFT_PLAN_DIR/<q>_<tag>.txt (default plans/r14).
 
 Usage: python tools/dump_plan.py <tag> <query> [<query> ...]
 Plans are captured at sf0.001 (plan shape is scale-invariant, same as
@@ -25,7 +26,12 @@ def main() -> None:
 
     spark = get_spark(app_name="dump_plan", cpus=8, shuffle_partitions=16)
     all_queries = {**QUERIES, **EXTRA_QUERIES}
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     for name in names:
