@@ -114,18 +114,22 @@ def test_ivfpq_fused_trainer_halves_driver_actions(spark):
     embs = load_table(spark, SF_DIR, "embeddings")
     tracker = spark.sparkContext.statusTracker()
 
-    def jobs() -> int:
-        return len(tracker.getJobIdsForGroup(None))
+    def last_job() -> int:
+        # job ids are globally monotonic; len(getJobIdsForGroup()) is NOT a
+        # counter (the tracker evicts old jobs past spark.ui.retainedJobs,
+        # so a long-lived test session sees it shrink)
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else 0
 
     S.kmeans_centroids(embs, k=16)
     S.pq_train(embs)  # warm both paths (codegen, page cache)
-    j0 = jobs()
+    j0 = last_job()
     S.kmeans_centroids(embs, k=16)
     S.pq_train(embs)
-    seq_jobs = jobs() - j0
-    j0 = jobs()
+    seq_jobs = last_job() - j0
+    j0 = last_job()
     S._ivfpq_train(embs, 16, S.PQ_M, S.PQ_KSUB)
-    fused_jobs = jobs() - j0
+    fused_jobs = last_job() - j0
     assert fused_jobs < seq_jobs, (fused_jobs, seq_jobs)
     assert fused_jobs <= 0.6 * seq_jobs + 1, (fused_jobs, seq_jobs)
 
@@ -138,11 +142,13 @@ def test_ivfpq_fused_trainer_halves_driver_actions(spark):
 
 
 def test_tfidf_single_tokenize_pass(spark):
-    plan = P.explain_str(q(spark, "tfidf_top_terms"))
-    # documents.parquet is scanned once for the terms and once for the
-    # 1-row corpus count; the pre-round-14 plan carried a THIRD scan (the
-    # df branch re-deriving tf from scratch)
-    assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
+    # exactly ONE tokenize/explode subtree: the pre-round-14 plan carried a
+    # second Generate (the df branch re-deriving tf from a fresh corpus
+    # scan) plus a tf⋈df join. Counted on the simple-mode plan (one line
+    # per node) so the pin is independent of session cache state, which
+    # can replace the parquet scans with InMemoryTableScans.
+    plan = P.explain_str(q(spark, "tfidf_top_terms"), "simple")
+    assert plan.count("Generate") == 1, plan
     assert P.count_shuffles(q(spark, "tfidf_top_terms")) <= 6
 
 
@@ -174,9 +180,12 @@ def test_rrf_fuse_adds_no_exchange(spark):
 
 def test_phase1_scans_person_store_once(spark):
     plan = P.explain_str(q(spark, "retention_phase1"))
-    # one customer scan remains (the encounter derivation's segment join);
-    # the three persons-subtree scans are one checkpointed projection now
-    assert plan.count("customer.parquet") == 1, plan.count("customer.parquet")
+    # at most one customer scan remains (the encounter derivation's segment
+    # join — "at most" keeps the pin independent of session cache state);
+    # the three persons-subtree scans are one checkpointed projection now,
+    # visible as ExistingRDD reads
+    assert plan.count("customer.parquet") <= 1, plan.count("customer.parquet")
+    assert "ExistingRDD" in plan
     # the admit-window pushdown must survive the checkpoint restructure
     P.assert_filter_pushed(q(spark, "retention_phase1"), "o_orderdate")
 
